@@ -1,0 +1,107 @@
+package graft.apps
+
+import graft.core.DedupeSettings
+import graft.engine.DedupeEngine
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/**
+ * Command-line surface mirroring the reference CLI
+ * (reference: src/Cli/Program.cs:136 — commands
+ * create|stats|write|get|del|list|exists|md).
+ *
+ * Usage:
+ *   graft.apps.DedupeCli <indexDir> create [min max shift boundary]
+ *   graft.apps.DedupeCli <indexDir> write <key> <file>
+ *   graft.apps.DedupeCli <indexDir> get <key> <outFile>
+ *   graft.apps.DedupeCli <indexDir> del <key>
+ *   graft.apps.DedupeCli <indexDir> exists <key>
+ *   graft.apps.DedupeCli <indexDir> md <key>
+ *   graft.apps.DedupeCli <indexDir> list [prefix] [startAfter]
+ *   graft.apps.DedupeCli <indexDir> stats
+ */
+object DedupeCli {
+
+  private def configPath(indexDir: String) = Paths.get(indexDir, "config.properties")
+
+  private def saveSettings(indexDir: String, s: DedupeSettings): Unit = {
+    Files.createDirectories(Paths.get(indexDir))
+    val body = s.toConfigMap.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    Files.write(configPath(indexDir), body.getBytes("UTF-8"))
+  }
+
+  private def loadSettings(indexDir: String): DedupeSettings = {
+    val p = configPath(indexDir)
+    require(Files.exists(p), s"index not initialized: $indexDir (run create first)")
+    val m = new String(Files.readAllBytes(p), "UTF-8").linesIterator
+      .filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k.trim -> v.trim
+      }.toMap
+    DedupeSettings.fromConfigMap(m)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DedupeCli <indexDir> <cmd> [args...]")
+    val indexDir = args(0)
+    val cmd = args(1)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-dedupe-cli")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, indexDir, cmd, args.drop(2))
+    finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, indexDir: String, cmd: String, rest: Array[String]): Unit = {
+    def engine() = new DedupeEngine(spark, indexDir, loadSettings(indexDir))
+    cmd match {
+      case "create" =>
+        val s = if (rest.length >= 4)
+          DedupeSettings(rest(0).toInt, rest(1).toInt, rest(2).toInt, rest(3).toInt)
+        else DedupeSettings()
+        saveSettings(indexDir, s)
+        println(s"created index at $indexDir with $s")
+      case "write" =>
+        val Array(key, file) = rest.take(2)
+        engine().write(key, Files.readAllBytes(Paths.get(file)))
+        println(s"wrote $key")
+      case "get" =>
+        val Array(key, out) = rest.take(2)
+        engine().get(key) match {
+          case Some(bytes) => Files.write(Paths.get(out), bytes); println(s"read ${bytes.length} bytes -> $out")
+          case None => println(s"not found: $key"); sys.exit(1)
+        }
+      case "del" =>
+        val gcd = engine().delete(rest(0))
+        println(s"deleted ${rest(0)}; gc'd ${gcd.size} chunks")
+      case "exists" =>
+        println(engine().exists(rest(0)))
+      case "md" =>
+        engine().getMetadata(rest(0)) match {
+          case Some(md) =>
+            println(s"key=${md.obj.objectKey} len=${md.obj.originalLength} chunks=${md.obj.chunkCount}")
+            md.map.foreach(m => println(
+              f"  pos=${m.chunkPosition}%4d addr=${m.chunkAddress}%10d len=${m.chunkLength}%7d key=${m.chunkKey}"))
+          case None => println(s"not found: ${rest(0)}"); sys.exit(1)
+        }
+      case "list" =>
+        val prefix = rest.lift(0).filter(_.nonEmpty)
+        val start = rest.lift(1).filter(_.nonEmpty)
+        val l = engine().listObjects(prefix, start)
+        l.objects.foreach(o => println(
+          f"${o.objectKey}%-40s ${o.originalLength}%12d ${o.chunkCount}%6d ${o.createdUtc}"))
+        l.nextStartAfterKey.foreach(k => println(s"-- next: $k"))
+      case "stats" =>
+        val st = engine().indexStats()
+        println(f"objects=${st.objectCount} chunks=${st.chunkCount} " +
+          f"logical=${st.logicalBytes} physical=${st.physicalBytes} " +
+          f"ratioX=${st.ratioX}%.2f ratioPct=${st.ratioPercent}%.2f")
+      case other =>
+        println(s"unknown command: $other"); sys.exit(2)
+    }
+  }
+}

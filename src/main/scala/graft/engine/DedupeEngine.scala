@@ -1,0 +1,262 @@
+package graft.engine
+
+import graft.core.{Chunker, DedupeSettings}
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** One row per stored object (reference: src/DedupeLibrary/DedupeObject.cs:12-49).
+  * `compressedLength` keeps the reference's (misnomer) semantics:
+  * sum of the object's own chunk lengths == originalLength
+  * (reference: DedupeLibrary.cs:233); real savings only show globally in stats.
+  */
+final case class ObjectRow(
+    objectKey: String, originalLength: Long, compressedLength: Long,
+    chunkCount: Long, createdUtc: Timestamp)
+
+/** Object↔chunk edge with ordering — the reconstruction recipe
+  * (reference: src/DedupeLibrary/DedupeObjectMap.cs:11-48). */
+final case class MapRow(
+    objectKey: String, chunkKey: String, chunkLength: Int,
+    chunkPosition: Int, chunkAddress: Long)
+
+/** Unique chunk payload (the reference keeps payloads behind user
+  * callbacks — reference: src/DedupeLibrary/DedupeCallbacks.cs:15-58;
+  * here they live in a first-class binary-column table). */
+final case class PayloadRow(chunkKey: String, data: Array[Byte])
+
+/** Chunk metadata with derived refcount (reference mutates a counter under
+  * a lock — SqliteProvider.cs:463-484; Spark derives it from objmap). */
+final case class ChunkInfo(chunkKey: String, length: Int, refCount: Long)
+
+final case class ObjectMetadata(obj: ObjectRow, map: Seq[MapRow], chunks: Seq[ChunkInfo])
+
+/** Enumeration envelope (reference: src/DedupeLibrary/EnumerationResult.cs:10-87).
+  * Keyset pagination by objectKey replaces the reference's surrogate-id keyset. */
+final case class ObjectListing(
+    prefix: Option[String], startAfterKey: Option[String], maxResults: Int,
+    objects: Seq[ObjectRow], nextStartAfterKey: Option[String])
+
+/** Aggregate statistics (reference: src/DedupeLibrary/IndexStatistics.cs). */
+final case class IndexStats(
+    objectCount: Long, chunkCount: Long, logicalBytes: Long, physicalBytes: Long) {
+  def ratioX: Double =
+    if (logicalBytes == 0 || physicalBytes == 0) 0.0
+    else logicalBytes.toDouble / physicalBytes
+  def ratioPercent: Double =
+    if (logicalBytes == 0 || physicalBytes == 0) 0.0
+    else 100.0 * (1.0 - physicalBytes.toDouble / logicalBytes)
+}
+
+/**
+ * Spark-native deduplicating object store: the reference's whole API surface
+ * (write / writeOrReplace / get / exists / list / stats / delete / position
+ * lookup — reference: src/DedupeLibrary/DedupeLibrary.cs) re-expressed as
+ * DataFrame algebra over three snapshot tables:
+ *
+ *   objects  (objectKey, originalLength, compressedLength, chunkCount, createdUtc)
+ *   objmap   (objectKey, chunkKey, chunkLength, chunkPosition, chunkAddress)
+ *   payloads (chunkKey, data BINARY)
+ *
+ * refCount is never stored: it is `objmap.groupBy(chunkKey).count()`, which
+ * makes garbage collection a left-anti join instead of a locked counter.
+ */
+final class DedupeEngine(
+    val spark: SparkSession, basePath: String,
+    val settings: DedupeSettings = DedupeSettings()) {
+
+  import spark.implicits._
+
+  private val objectsT = new VersionedTable(spark, s"$basePath/objects",
+    implicitly[org.apache.spark.sql.Encoder[ObjectRow]].schema)
+  private val objmapT = new VersionedTable(spark, s"$basePath/objmap",
+    implicitly[org.apache.spark.sql.Encoder[MapRow]].schema)
+  private val payloadsT = new VersionedTable(spark, s"$basePath/payloads",
+    implicitly[org.apache.spark.sql.Encoder[PayloadRow]].schema)
+
+  def objects: Dataset[ObjectRow] = objectsT.read().as[ObjectRow]
+  def objmap: Dataset[MapRow] = objmapT.read().as[MapRow]
+  def payloads: Dataset[PayloadRow] = payloadsT.read().as[PayloadRow]
+
+  /** Derived chunk table: metadata + refcount from the map edges
+    * (replaces reference's mutable dedupechunk rows, DedupeChunk.cs:11-36). */
+  def chunks: Dataset[ChunkInfo] = objmap
+    .groupBy($"chunkKey")
+    .agg(max($"chunkLength").as("length"), count(lit(1)).as("refCount"))
+    .as[ChunkInfo]
+
+  // ---------------------------------------------------------------- ingest
+
+  /** Store one object; rejects a duplicate key like the reference
+    * (DedupeLibrary.cs:203). */
+  def write(key: String, data: Array[Byte]): Unit = {
+    require(key != null && key.nonEmpty, "object key required")
+    require(data != null && data.nonEmpty, "data required")
+    if (exists(key)) throw new IllegalArgumentException(s"object key already exists: $key")
+    ingest(Seq(key -> data))
+  }
+
+  /** Upsert of a whole object (reference: DedupeLibrary.cs:301-318). */
+  def writeOrReplace(key: String, data: Array[Byte]): Unit = {
+    if (exists(key)) delete(key)
+    write(key, data)
+  }
+
+  /**
+   * Bulk distributed ingest — the scale path. Chunks each object inside a
+   * flatMap (pure function, no driver round-trips), then derives all three
+   * tables from the single chunked dataset:
+   *   objmap += every (key, chunkKey, len, pos, addr);
+   *   payloads += one exemplar payload per chunkKey not already stored
+   *               (dedupe-on-write via left-anti against existing keys);
+   *   objects += per-key rollup agg.
+   * One wide transform + one shuffle per derived table; no per-object loop.
+   */
+  def ingest(batch: Seq[(String, Array[Byte])]): Unit =
+    ingest(spark.createDataset(batch))
+
+  def ingest(ds: Dataset[(String, Array[Byte])]): Unit = {
+    val s = settings
+    val chunked = ds.flatMap { case (key, bytes) =>
+      Chunker.chunkWithData(bytes, s).map(c =>
+        (key, c.ref.chunkKey, c.ref.length, c.ref.position, c.ref.address, c.data))
+    }.toDF("objectKey", "chunkKey", "chunkLength", "chunkPosition", "chunkAddress", "data")
+      .localCheckpoint() // chunk once; three tables derive from this
+
+    val existingKeys = objects.select($"objectKey")
+    val dupes = chunked.select($"objectKey").distinct()
+      .join(existingKeys, Seq("objectKey"), "left_semi").limit(1).collect()
+    if (dupes.nonEmpty)
+      throw new IllegalArgumentException(s"object key already exists: ${dupes.head.getString(0)}")
+
+    val newMap = chunked.select($"objectKey", $"chunkKey", $"chunkLength",
+      $"chunkPosition", $"chunkAddress")
+    objmapT.publish(objmap.toDF().unionByName(newMap))
+
+    // one payload exemplar per new chunkKey (first occurrence wins; payloads
+    // for the same key are identical by construction — SHA-256 content key)
+    val newPayloads = chunked
+      .select($"chunkKey", $"data")
+      .dropDuplicates("chunkKey")
+      .join(payloads.select($"chunkKey"), Seq("chunkKey"), "left_anti")
+    payloadsT.publish(payloads.toDF().unionByName(newPayloads))
+
+    val now = new Timestamp(System.currentTimeMillis())
+    val newObjects = chunked.groupBy($"objectKey").agg(
+      sum($"chunkLength").cast(LongType).as("originalLength"),
+      sum($"chunkLength").cast(LongType).as("compressedLength"),
+      count(lit(1)).as("chunkCount"))
+      .withColumn("createdUtc", lit(now))
+      .select($"objectKey", $"originalLength", $"compressedLength", $"chunkCount", $"createdUtc")
+    objectsT.publish(objects.toDF().unionByName(newObjects))
+  }
+
+  // ---------------------------------------------------------------- lookups
+
+  /** Equality existence probe (reference: DedupeLibrary.cs:562-566). */
+  def exists(key: String): Boolean =
+    !objects.filter($"objectKey" === key).limit(1).isEmpty
+
+  /** Point metadata lookup enriched with ordered map + chunk info
+    * (reference: SqliteProvider.cs:282-305). */
+  def getMetadata(key: String): Option[ObjectMetadata] = {
+    val obj = objects.filter($"objectKey" === key).limit(1).collect().headOption
+    obj.map { o =>
+      val m = objmap.filter($"objectKey" === key)
+        .orderBy($"chunkAddress").collect().toSeq
+      val ck = chunks.join(
+        objmap.filter($"objectKey" === key).select($"chunkKey").distinct(),
+        Seq("chunkKey"), "left_semi").as[ChunkInfo].collect().toSeq
+      ObjectMetadata(o, m, ck)
+    }
+  }
+
+  /** Chunk metadata point lookup (reference: SqliteProvider.cs:312-326). */
+  def getChunkMetadata(chunkKey: String): Option[ChunkInfo] =
+    chunks.filter($"chunkKey" === chunkKey).limit(1).collect().headOption
+
+  /** The map entry covering byte position `pos` of an object — interval
+    * containment, the reference's only raw-SQL query
+    * (reference: SqliteProvider.cs:363-393). */
+  def mapForPosition(key: String, pos: Long): Option[MapRow] =
+    objmap.filter($"objectKey" === key &&
+        $"chunkAddress" <= pos && $"chunkAddress" + $"chunkLength" > pos)
+      .limit(1).collect().headOption
+
+  // ---------------------------------------------------------------- read
+
+  /** Reconstruct an object: filter map → join payloads → order → concat
+    * (reference: DedupeLibrary.cs:377-404). */
+  def get(key: String): Option[Array[Byte]] = {
+    if (!exists(key)) return None
+    val parts = objmap.filter($"objectKey" === key)
+      .join(payloads, Seq("chunkKey"))
+      .select($"chunkAddress", $"data")
+      .orderBy($"chunkAddress")
+      .collect()
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(r => out.write(r.getAs[Array[Byte]]("data")))
+    Some(out.toByteArray)
+  }
+
+  /** Lazy chunk-at-a-time read (reference DedupeStream, DedupeStream.cs:13-175):
+    * an iterator over address-ordered chunks, fetching payloads one at a time —
+    * the random-access path without materializing the object. */
+  def getStream(key: String): Option[Iterator[Array[Byte]]] = {
+    val m = objmap.filter($"objectKey" === key)
+      .orderBy($"chunkAddress").select($"chunkKey").as[String].collect()
+    if (m.isEmpty) None
+    else Some(m.iterator.map { ck =>
+      payloads.filter($"chunkKey" === ck).select($"data")
+        .as[Array[Byte]].head()
+    })
+  }
+
+  // ---------------------------------------------------------------- list
+
+  /** Prefix-filtered keyset-paginated enumeration
+    * (reference: SqliteProvider.cs:203-247; page cap 100 at l.206). */
+  def listObjects(prefix: Option[String] = None, startAfterKey: Option[String] = None,
+      maxResults: Int = 100): ObjectListing = {
+    val cap = math.min(math.max(maxResults, 1), 100)
+    var df = objects.toDF()
+    prefix.foreach(p => df = df.filter($"objectKey".startsWith(p)))
+    startAfterKey.foreach(k => df = df.filter($"objectKey" > k))
+    val page = df.orderBy($"objectKey").limit(cap).as[ObjectRow].collect().toSeq
+    val next = if (page.size == cap) Some(page.last.objectKey) else None
+    ObjectListing(prefix, startAfterKey, cap, page, next)
+  }
+
+  // ---------------------------------------------------------------- stats
+
+  /** Index statistics in two single-pass aggregations
+    * (reference: SqliteProvider.cs:155-190). */
+  def indexStats(): IndexStats = {
+    val o = objects.agg(count(lit(1)), coalesce(sum($"originalLength"), lit(0L)))
+      .as[(Long, Long)].head()
+    val c = chunks.agg(count(lit(1)), coalesce(sum($"length".cast(LongType)), lit(0L)))
+      .as[(Long, Long)].head()
+    IndexStats(o._1, c._1, o._2, c._2)
+  }
+
+  // ---------------------------------------------------------------- delete
+
+  /** Delete an object; orphaned chunks (refcount would hit zero) are
+    * garbage-collected via left-anti join against the surviving map
+    * (reference: SqliteProvider.cs:495-526 + callback fan-out
+    * DedupeLibrary.cs:507-522). Returns the GC'd chunk keys. */
+  def delete(key: String): Seq[String] = {
+    if (!exists(key)) throw new NoSuchElementException(s"object not found: $key")
+    val remainingMap = objmap.filter($"objectKey" =!= key)
+    val gc = objmap.filter($"objectKey" === key).select($"chunkKey").distinct()
+      .join(remainingMap.select($"chunkKey").distinct(), Seq("chunkKey"), "left_anti")
+      .as[String].collect().toSeq
+    objmapT.publish(remainingMap.toDF())
+    payloadsT.publish(payloads.join(
+      spark.createDataset(gc).toDF("chunkKey"), Seq("chunkKey"), "left_anti").toDF())
+    objectsT.publish(objects.filter($"objectKey" =!= key).toDF())
+    gc
+  }
+}

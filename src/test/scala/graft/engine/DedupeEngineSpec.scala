@@ -1,0 +1,133 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.core.DedupeSettings
+import java.nio.file.Files
+
+/** Integration spec: the reference SampleApp + test.bat scenarios
+  * (reference: src/SampleApp/Program.cs:9-36, src/Cli/test.bat). */
+class DedupeEngineSpec extends SparkSpec {
+
+  private def newEngine(): DedupeEngine = {
+    val dir = Files.createTempDirectory("graft-engine").toString
+    new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1))
+  }
+
+  private def randomBytes(n: Int, seed: Long): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    val a = new Array[Byte](n); r.nextBytes(a); a
+  }
+
+  test("write -> get round-trips byte-identically") {
+    val e = newEngine()
+    val data = randomBytes(10000, 1)
+    e.write("obj1", data)
+    assert(e.exists("obj1"))
+    assert(java.util.Arrays.equals(e.get("obj1").get, data))
+    assert(e.get("missing").isEmpty)
+  }
+
+  test("duplicate key write is rejected") {
+    val e = newEngine()
+    e.write("k", randomBytes(500, 2))
+    assertThrows[IllegalArgumentException](e.write("k", randomBytes(500, 3)))
+  }
+
+  test("N identical objects dedupe to ~1 physical copy (test.bat golden)") {
+    val e = newEngine()
+    val data = randomBytes(50000, 4)
+    e.ingest((1 to 10).map(i => f"obj$i%03d" -> data))
+    val st = e.indexStats()
+    assert(st.objectCount == 10)
+    assert(st.logicalBytes == 500000L)
+    assert(st.physicalBytes <= data.length + 64) // one copy (+slack none expected)
+    assert(st.ratioX > 9.5 && st.ratioX <= 10.5)
+    assert(st.ratioPercent > 89)
+    // refcounts: every chunk referenced 10 times
+    assert(e.chunks.collect().forall(_.refCount == 10))
+  }
+
+  test("metadata: ordered map tiles object, chunkCount consistent") {
+    val e = newEngine()
+    val data = randomBytes(20000, 5)
+    e.write("m1", data)
+    val md = e.getMetadata("m1").get
+    assert(md.obj.originalLength == 20000L)
+    assert(md.obj.chunkCount == md.map.size.toLong)
+    assert(md.map.head.chunkAddress == 0L)
+    md.map.sliding(2).foreach {
+      case Seq(a, b) => assert(a.chunkAddress + a.chunkLength == b.chunkAddress)
+      case _ =>
+    }
+    assert(md.map.map(_.chunkLength.toLong).sum == 20000L)
+    assert(md.map.zipWithIndex.forall { case (r, i) => r.chunkPosition == i })
+  }
+
+  test("mapForPosition finds the covering chunk (range containment)") {
+    val e = newEngine()
+    e.write("p1", randomBytes(20000, 6))
+    val md = e.getMetadata("p1").get
+    val mid = md.map(md.map.size / 2)
+    val hit = e.mapForPosition("p1", mid.chunkAddress + mid.chunkLength / 2).get
+    assert(hit.chunkKey == mid.chunkKey && hit.chunkAddress == mid.chunkAddress)
+    assert(e.mapForPosition("p1", 999999).isEmpty)
+    // first and last byte
+    assert(e.mapForPosition("p1", 0).get.chunkAddress == 0L)
+    assert(e.mapForPosition("p1", 19999).get.chunkAddress == md.map.last.chunkAddress)
+  }
+
+  test("getStream yields chunks in address order, concat == object") {
+    val e = newEngine()
+    val data = randomBytes(15000, 7)
+    e.write("s1", data)
+    val rebuilt = e.getStream("s1").get.foldLeft(new java.io.ByteArrayOutputStream()) {
+      (acc, c) => acc.write(c); acc
+    }.toByteArray
+    assert(java.util.Arrays.equals(rebuilt, data))
+  }
+
+  test("listObjects: prefix filter + keyset pagination + cap") {
+    val e = newEngine()
+    val data = randomBytes(600, 8)
+    e.ingest((1 to 25).map(i => f"aa$i%03d" -> data) :+ ("zz001" -> data))
+    val p1 = e.listObjects(Some("aa"), None, 10)
+    assert(p1.objects.size == 10 && p1.objects.head.objectKey == "aa001")
+    assert(p1.nextStartAfterKey.contains("aa010"))
+    val p2 = e.listObjects(Some("aa"), p1.nextStartAfterKey, 10)
+    assert(p2.objects.head.objectKey == "aa011")
+    val p3 = e.listObjects(Some("aa"), p2.nextStartAfterKey, 10)
+    assert(p3.objects.size == 5 && p3.nextStartAfterKey.isEmpty)
+    // cap at 100 like the reference (SqliteProvider.cs:206)
+    assert(e.listObjects(None, None, 5000).maxResults == 100)
+  }
+
+  test("delete decrements refs and GCs orphaned payloads only") {
+    val e = newEngine()
+    val shared = randomBytes(10000, 9)
+    val unique = randomBytes(10000, 10)
+    e.ingest(Seq("d1" -> shared, "d2" -> shared, "d3" -> unique))
+    val before = e.indexStats()
+    // deleting one of two sharers GCs nothing
+    assert(e.delete("d1").isEmpty)
+    assert(e.indexStats().chunkCount == before.chunkCount)
+    // deleting the last sharer GCs the shared chunks
+    val gcd = e.delete("d2")
+    assert(gcd.nonEmpty)
+    assert(!e.exists("d2") && e.exists("d3"))
+    assert(java.util.Arrays.equals(e.get("d3").get, unique))
+    // payload table no longer holds GC'd keys
+    val left = e.payloads.collect().map(_.chunkKey).toSet
+    assert(gcd.forall(k => !left.contains(k)))
+    assertThrows[NoSuchElementException](e.delete("nope"))
+  }
+
+  test("writeOrReplace upserts content") {
+    val e = newEngine()
+    val v1 = randomBytes(5000, 11)
+    val v2 = randomBytes(7000, 12)
+    e.write("u1", v1)
+    e.writeOrReplace("u1", v2)
+    assert(java.util.Arrays.equals(e.get("u1").get, v2))
+    assert(e.indexStats().objectCount == 1)
+  }
+}
