@@ -1,13 +1,247 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY.md §2 (or a
+  * north-star LLM-pipeline operator) expressed Spark-first; `oracleSql`
+  * holds the DuckDB-equivalent SQL for each SQL-expressible one. Oracle
+  * parity rules (see operators/Tables.scala): exact-decimal money sums
+  * surfaced as double, sequential double folds for vector math, explicit
+  * sort keys everywhere.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AnalyticsQueries.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference index surface (SURVEY §2 A-G) over the test corpus
+    "a6_refcounts" -> (IndexQueries.a6Refcounts _),
+    "b1_exists" -> (IndexQueries.b1Exists _),
+    "b2_point_lookup" -> (IndexQueries.b2PointLookup _),
+    "b4_semi_join" -> (IndexQueries.b4SemiJoin _),
+    "c1_position_lookup" -> (IndexQueries.c1PositionLookup _),
+    "d1_list_prefix" -> (IndexQueries.d1ListPrefix _),
+    "e1_index_stats" -> (IndexQueries.e1IndexStats _),
+    "e3_object_rollup" -> (IndexQueries.e3ObjectRollup _),
+    "f1_gc_orphans" -> (IndexQueries.f1GcOrphans _),
+    "g1_reconstruct" -> (IndexQueries.g1Reconstruct _),
+    // --- CDC chunker exposed as a query (Spark-only; no SQL analog)
+    "a3_cdc_chunks" -> (ChunkQueries.a3CdcChunks _),
+    // --- generic analytics (north_star: joins/windows/aggs first-class)
+    "q1_pricing_summary" -> (AnalyticsQueries.q1PricingSummary _),
+    "q3_top_revenue" -> (AnalyticsQueries.q3TopRevenue _),
+    "q5_region_revenue" -> (AnalyticsQueries.q5RegionRevenue _),
+    "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
+    "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
+    "r1_rollup" -> (AnalyticsQueries.r1Rollup _),
+    "s1_set_ops" -> (AnalyticsQueries.s1SetOps _),
+    "t1_events_hourly" -> (AnalyticsQueries.t1EventsHourly _),
+    "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
+    // --- dedupe pipeline (north_star)
+    "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
+    "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
+    "x3_ngram_jaccard" -> (DedupQueries.x3NgramJaccardPairs _),
+    "x4_minhash_lsh" -> (DedupQueries.x4MinhashLsh _),
+    "x5_simhash_pairs" -> (DedupQueries.x5SimhashPairs _),
+    // --- text analysis (north_star)
+    "y1_token_stats" -> (TextQueries.y1TokenStats _),
+    "y2_quality_score" -> (TextQueries.y2QualityScore _),
+    "y3_langid" -> (TextQueries.y3LangIdHeuristic _),
+    "y4_fingerprint" -> (TextQueries.y4Fingerprint _),
+    // --- similarity search (north_star)
+    "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
+    "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
+    "v3_label_centroids" -> (SimilarityQueries.v3LabelCentroids _),
+  )
+
+  /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
+    * Omitted: a3_cdc_chunks, x4_minhash_lsh, x5_simhash_pairs, y4_fingerprint,
+    * v2_ann_lsh, v3_label_centroids — they depend on Spark-side hashing
+    * (xxhash64 / CDC MD5 windows) that DuckDB cannot reproduce.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "a6_refcounts" ->
+      """SELECT md5(text) AS chunk_key, count(*) AS ref_count, max(n_chars) AS length
+        |FROM documents GROUP BY 1 ORDER BY chunk_key""".stripMargin,
+    "b1_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "b2_point_lookup" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+    "b4_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "c1_position_lookup" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |  coalesce(sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_extendedprice, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS addr,
+        |  sum(l_quantity) OVER (PARTITION BY l_orderkey) AS total
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, addr, l_quantity FROM m
+        |WHERE addr <= total/2 AND addr + l_quantity > total/2
+        |ORDER BY l_orderkey, l_linenumber, addr""".stripMargin,
+    "d1_list_prefix" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_name LIKE 'Customer#00000001%' AND c_name > 'Customer#000000012'
+        |ORDER BY c_name LIMIT 10""".stripMargin,
+    "e1_index_stats" ->
+      """WITH c AS (SELECT md5(text) AS h, max(n_chars) AS len FROM documents GROUP BY 1),
+        |l AS (SELECT count(*) AS object_count, CAST(sum(n_chars) AS BIGINT) AS logical_chars FROM documents),
+        |p AS (SELECT count(*) AS chunk_count, CAST(sum(len) AS BIGINT) AS physical_chars FROM c)
+        |SELECT object_count, chunk_count, logical_chars, physical_chars,
+        |  CASE WHEN physical_chars = 0 OR logical_chars = 0 THEN 0.0
+        |       ELSE round(CAST(logical_chars AS DOUBLE) / physical_chars, 4) END AS ratio_x
+        |FROM l, p""".stripMargin,
+    "e3_object_rollup" ->
+      """SELECT l_orderkey, count(*) AS chunk_count,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS original_length,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
+    "f1_gc_orphans" ->
+      """SELECT c_custkey, c_name, c_acctbal AS acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "g1_reconstruct" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS chunk_seq
+        |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "w1_top_per_brand" ->
+      """WITH rev AS (SELECT p_brand, p_partkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rank FROM rev)
+        |SELECT p_brand, p_partkey, revenue, rank FROM r WHERE rank <= 3
+        |ORDER BY p_brand, rank""".stripMargin,
+    "w2_running_revenue" ->
+      """WITH daily AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, ship_date, day_revenue,
+        |  CAST(sum(CAST(day_revenue AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY ship_date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+        |FROM daily ORDER BY l_suppkey, ship_date""".stripMargin,
+    "r1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "s1_set_ops" ->
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
+    "t1_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "t2_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |w AS (SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev FROM e),
+        |n AS (SELECT *, CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END AS new_session FROM w),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM n)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(min(ts_s) AS BIGINT) AS session_start,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "x1_exact_dup_stats" ->
+      """SELECT count(*) AS total_docs, count(DISTINCT sha256(text)) AS distinct_docs,
+        |  count(*) - count(DISTINCT sha256(text)) AS duplicate_docs
+        |FROM documents""".stripMargin,
+    "x2_normalized_dup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_key,
+        |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY norm_key""".stripMargin,
+    "x3_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "y1_token_stats" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(n_tokens), 4) AS avg_tokens, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM d GROUP BY 1 ORDER BY lang""".stripMargin,
+    "y2_quality_score" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+        |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS stop_hits
+        |  FROM documents),
+        |q AS (SELECT doc_id, n_tokens,
+        |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+        |  round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_token_len
+        |  FROM d)
+        |SELECT doc_id, n_tokens, stopword_ratio, avg_token_len,
+        |  CASE WHEN stopword_ratio >= 0.12 THEN 'high'
+        |       WHEN stopword_ratio >= 0.05 THEN 'medium' ELSE 'low' END AS quality_band
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "y3_langid" ->
+      """WITH d AS (SELECT lang,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+        |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS hits
+        |  FROM documents),
+        |s AS (SELECT lang, round(CAST(hits AS DOUBLE) / n_tokens, 4) AS en_score FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN en_score >= 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS pred_en_docs,
+        |  round(avg(en_score), 4) AS avg_en_score
+        |FROM s GROUP BY 1 ORDER BY lang""".stripMargin,
+    "v1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |j AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_dot_product(e.embedding::DOUBLE[], qv::DOUBLE[]) AS s
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, s,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank FROM j)
+        |SELECT query_id, neighbor_id, round(s, 6) AS sim, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+  )
 }

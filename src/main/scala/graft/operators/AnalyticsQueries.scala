@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Generic analytics surface (BASELINE.json north_star: joins, windows,
+ * aggregations as first-class queries). All Catalyst built-ins; dimension
+ * joins are explicitly broadcast so the 100 TB plan is shuffle-free on the
+ * dim side.
+ */
+object AnalyticsQueries {
+  import Tables._
+
+  /** TPC-H Q1-shaped scan+agg: the pricing summary report. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped join + top-k: revenue of BUILDING-segment orders. */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey"), o("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped multi-join: revenue by nation within one region.
+    * Dims (region→nation→customer/supplier) broadcast; facts shuffle once. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    val dims = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(dims), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window ranking: top-3 parts by revenue within each brand. */
+  def w1TopPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val l = t(spark, dir, "lineitem")
+    val rev = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("p_brand", "p_partkey", "revenue", "rank")
+      .orderBy("p_brand", "rank")
+  }
+
+  /** Analytic frame: per-supplier running revenue by ship date. */
+  def w2RunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val daily = l.groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("ship_date"))
+      .agg(moneySum(col("l_extendedprice")).as("day_revenue"))
+    val w = Window.partitionBy("l_suppkey").orderBy("ship_date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      // re-exact the running sum: day_revenue is an exact 2-dp double
+      .withColumn("running_revenue",
+        sum(col("day_revenue").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("l_suppkey", "ship_date", "day_revenue", "running_revenue")
+      .orderBy("l_suppkey", "ship_date")
+  }
+
+  /** Grouping sets: rollup over returnflag/linestatus. */
+  def r1Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Set operations: UNION / EXCEPT over customer key sets. */
+  def s1SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val negative = c.filter(col("c_acctbal") < 0).select("c_custkey")
+    building.union(rich).distinct()
+      .exceptAll(negative)
+      .orderBy("c_custkey")
+  }
+
+  /** Tumbling-window event aggregation (batch shape of the streaming op):
+    * hourly counts + value sums per event type. */
+  def t1EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization via gap detection (the reference has no streaming—
+    * greenfield per SURVEY §7): a >30-minute silence starts a new session. */
+  def t2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    e.withColumn("prev", lag("ts_s", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("ts_s") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("ts_s").as("session_start"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table (Array[Float] vectors,
+ * unit-normalized): brute-force cosine top-k as the exact baseline, and
+ * a random-hyperplane LSH bucketed variant as the sub-quadratic scale path.
+ * Dot products are expression-only (`zip_with` + `aggregate` sequential
+ * double fold — bitwise-matching DuckDB's DOUBLE[] list_dot_product).
+ */
+object SimilarityQueries {
+  import Tables._
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 10), the 5
+    * nearest other vectors. Query side is broadcast — the scan of the corpus
+    * is the only distributed pass, which is the right 100 TB shape when the
+    * query set is small. */
+  def v1CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val joined = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("embedding"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Random-hyperplane LSH ANN: 16 signed projections onto deterministic
+    * pseudo-random hyperplanes (seeded xxhash64-derived components) give a
+    * 16-bit bucket; candidates share a bucket in any of 4 overlapping 8-bit
+    * bands; exact cosine reranks. No all-pairs stage — the scale path. */
+  def v2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val numPlanes = 16
+    val e = t(spark, dir, "embeddings")
+    // deterministic hyperplane component h(p, i) in [-1, 1): from xxhash64
+    def planeComponent(p: Int, i: org.apache.spark.sql.Column) =
+      (xxhash64(concat(lit(s"plane$p-"), i.cast("string"))) % 1000000).cast("double") / 500000.0
+    val withBits = e.withColumn("bucket",
+      aggregate(
+        transform(sequence(lit(0), lit(numPlanes - 1)), p =>
+          when(
+            aggregate(
+              zip_with(col("embedding"),
+                transform(sequence(lit(0), size(col("embedding")) - 1),
+                  i => (xxhash64(concat(p.cast("string"), lit("-"), i.cast("string"))) % 1000000)
+                    .cast("double") / 500000.0),
+                (x, h) => x.cast("double") * h),
+              lit(0.0), (acc, x) => acc + x) > 0,
+            call_function("shiftleft", lit(1), p)).otherwise(lit(0))),
+        lit(0), (acc, x) => acc.bitwiseOR(x)))
+    val banded = withBits.select(col("vec_id"), col("embedding"), col("label"),
+      posexplode(array(
+        col("bucket").bitwiseAND(255),
+        shiftright(col("bucket"), 8).bitwiseAND(255))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+    pairs.withColumn("sim", round(dot(col("ea"), col("eb")), 6))
+      .select("vec_a", "vec_b", "sim")
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+  }
+
+  /** IVF-flavored per-label centroids + assignment check: exact-decimal
+    * element-wise centroid per label, then each vector's cosine to its own
+    * label centroid — the coarse-quantizer building block of an IVF index. */
+  def v3LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val unpacked = e.select(col("label"), posexplode(col("embedding")))
+    // exact order-independent mean: decimal sum / count
+    val centroids = unpacked.groupBy("label", "pos")
+      .agg((sum(col("col").cast("decimal(28,10)")) / count(lit(1)))
+        .cast("double").as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    e.join(broadcast(centroids), "label")
+      .withColumn("sim_to_centroid", round(
+        aggregate(zip_with(col("embedding"), col("centroid"),
+          (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x), 6))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg("sim_to_centroid"), 6).as("avg_sim_to_centroid"))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared table loaders + oracle-parity helpers for the driver queries. */
+object Tables {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
+      // read nanos as long and truncate to microseconds (Spark's native
+      // timestamp precision — same truncation a µs-writing producer would do).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * Exact money aggregation: sum in DECIMAL (order-independent, exact)
+   * and surface as DOUBLE so results are bitwise-identical across Spark
+   * partitionings AND across engines (DuckDB oracle uses the same cast
+   * chain). Never sum raw doubles in an oracle-checked query — partition
+   * order would change the last ulp.
+   */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Same trick for a derived money expression with more scale. */
+  def moneySumExpr(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+
+  /** Sequential double fold dot-product over two float arrays.
+    * Matches DuckDB `list_dot_product(a::DOUBLE[], b::DOUBLE[])` bitwise
+    * (verified: both are a left fold in double over float32-widened values).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline: token statistics,
+ * quality scoring, language-likelihood heuristics, fingerprinting.
+ * Expression-only — every metric is arithmetic over `length`/`replace`
+ * so it stays in whole-stage codegen and has an exact DuckDB analog.
+ */
+object TextQueries {
+  import Tables._
+
+  /** Occurrences of `word` as a standalone token (space-padded count).
+    * Plain replace (not regexp) — identical non-overlapping left-to-right
+    * semantics in Spark and DuckDB without regex-dialect risk. */
+  private def wordCount(text: Column, word: String): Column =
+    ((length(concat(lit(" "), text, lit(" "))) -
+      length(replace(concat(lit(" "), text, lit(" ")), lit(s" $word "), lit(" ")))) /
+      (word.length + 1)).cast("long")
+
+  /** Whitespace token count without split(): spaces + 1. */
+  private def tokenCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
+
+  /** Per-language token statistics: doc counts, token totals, avg doc length. */
+  def y1TokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+
+  /** Quality scoring: stopword density, mean token length, repetition ratio
+    * (distinct/total tokens). The classic cheap pre-filters for web-scale
+    * corpus cleaning. */
+  def y2QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("stop_hits",
+        wordCount(col("text"), "the") + wordCount(col("text"), "a"))
+    d.select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4)
+          .as("avg_token_len"))
+      .withColumn("quality_band",
+        when(col("stopword_ratio") >= 0.12, "high")
+          .when(col("stopword_ratio") >= 0.05, "medium")
+          .otherwise("low"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-likelihood heuristic: English-function-word density score per
+    * doc, aggregated per labeled lang. (The corpus text is synthetic word
+    * soup, so this measures the heuristic's behavior, not real language ID —
+    * the operator shape is what a real pipeline uses with a bigger profile.) */
+  def y3LangIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("en_score",
+        round((wordCount(col("text"), "the") + wordCount(col("text"), "a"))
+          .cast("double") / col("n_tokens"), 4))
+      .withColumn("pred_en", (col("en_score") >= lit(0.08)).cast("int"))
+    d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("pred_en").as("pred_en_docs"),
+        round(avg("en_score"), 4).as("avg_en_score"))
+      .orderBy("lang")
+  }
+
+  /** Document fingerprinting (winnowing-flavored): distinct-ordered set of
+    * the k smallest shingle hashes per doc — a compact content signature
+    * robust to local edits. Spark-only (seeded xxhash64 has no DuckDB
+    * analog). */
+  def y4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        slice(array_sort(array_distinct(transform(sh, s => xxhash64(s)))), 1, 8)
+          .as("fingerprint"))
+      .withColumn("fp_key", xxhash64(concat_ws(",", col("fingerprint"))))
+      .select("doc_id", "fp_key")
+      .orderBy("doc_id")
+  }
+}
