@@ -109,7 +109,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
     "f1_gc_orphans" ->
       """SELECT c_custkey, c_name, c_acctbal AS acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
     "g1_reconstruct" ->
       """SELECT l_orderkey,

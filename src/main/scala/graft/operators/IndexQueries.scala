@@ -108,10 +108,12 @@ object IndexQueries {
       .orderBy("l_orderkey")
 
   /** F1 GC orphan detection — left-anti join (reference:
-    * SqliteProvider.cs:495-526): customers no order references. */
+    * SqliteProvider.cs:495-526): customers with no order since 2000,
+    * i.e. "unreferenced entries eligible for collection". */
   def f1GcOrphans(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
     val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("double").as("acctbal"))
       .orderBy("c_custkey")

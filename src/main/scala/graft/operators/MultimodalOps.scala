@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata extracted from an opaque media payload. */
+final case class MediaMeta(
+    docId: Long, mediaType: String, byteLen: Long,
+    width: Int, height: Int, durationMs: Long, contentHash: String)
+
+/** One fixed-size feature vector per decoded frame/sample. */
+final case class MediaFeature(docId: Long, frameIdx: Int, feature: Array[Float])
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque BINARY columns
+ * with typed metadata, decode / feature-extract / frame-sample as
+ * partition-parallel transforms over `Dataset[(Long, Array[Byte])]`.
+ *
+ * The decode step is a DETERMINISTIC STUB (`stubDecode`): real codecs
+ * (JPEG/PNG/ffmpeg) are not in this container, so it derives plausible
+ * metadata and features from the bytes alone. Everything around it —
+ * binary schema, mapPartitions batching (one decoder init per partition,
+ * the same shape a Pandas-UDF/mapInPandas batch has), fixed-width feature
+ * schema, partition sizing — is real and tested, so swapping in a real
+ * codec is a one-function change.
+ */
+object MultimodalOps {
+
+  /** STUB: stands in for a real image/audio decoder. Deterministic in the
+    * payload bytes; replace the body with a codec call in production. */
+  def stubDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val h = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    def u8(i: Int): Int = h(i) & 0xff
+    val mediaType = Seq("image", "audio", "video")(u8(0) % 3)
+    MediaMeta(docId, mediaType, bytes.length.toLong,
+      width = 64 + 8 * (u8(1) % 32), height = 64 + 8 * (u8(2) % 32),
+      durationMs = if (mediaType == "image") 0L else 1000L + 100L * u8(3),
+      contentHash = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(h))
+  }
+
+  /** STUB: stands in for a per-frame feature extractor (e.g. a CNN
+    * embedding); emits `frames` deterministic 8-dim vectors per payload. */
+  def stubFeatures(docId: Long, bytes: Array[Byte], frames: Int): Seq[MediaFeature] = {
+    val h = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    (0 until frames).map { f =>
+      MediaFeature(docId, f,
+        Array.tabulate(8)(i => ((h((f * 8 + i) % 32) & 0xff) / 255.0f) * 2f - 1f))
+    }
+  }
+
+  /** The documents table as an opaque binary media column — the corpus'
+    * stand-in payload source (UTF-8 bytes of the text). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+  }
+
+  /** Decode pass: one decoder per partition (mapPartitions — the JVM
+    * equivalent of a mapInPandas batch: amortized init, streaming batches,
+    * no per-row setup), yielding the typed metadata table. */
+  def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      // real codec init would go here, once per partition
+      it.map { case (id, bytes) => stubDecode(id, bytes) }
+    }
+  }
+
+  /** Frame-sample + feature-extract pass: flatMap partitions into the
+    * long-form (docId, frameIdx, feature[8]) table — the shape an
+    * embedding-index build consumes. */
+  def extractFeatures(spark: SparkSession, dir: String, frames: Int = 3): Dataset[MediaFeature] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      it.flatMap { case (id, bytes) => stubFeatures(id, bytes, frames) }
+    }
+  }
+
+  /** Metadata rollup per media type — the query a curation pipeline runs
+    * over the decoded corpus. */
+  def mm1MediaSummary(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(spark, dir).toDF()
+      .groupBy("mediaType")
+      .agg(count(lit(1)).as("n"),
+        sum("byteLen").as("total_bytes"),
+        round(avg(col("width") * col("height")), 2).as("avg_pixels"),
+        sum(when(col("durationMs") > 0, 1).otherwise(0)).as("timed_media"))
+      .orderBy("mediaType")
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Running per-user session state for stateful streaming aggregation. */
+final case class UserSession(userId: Long, nEvents: Long, totalValue: Double, lastTsSec: Long)
+final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double, closed: Boolean)
+
+/**
+ * Structured Streaming surface over the events table. The reference has no
+ * event-stream engine at all (SURVEY §2 "no counterpart" list) — this is the
+ * greenfield scale path: the same windowed aggregations t1/t2 compute in
+ * batch, expressed as an incremental streaming query with watermarked state.
+ *
+ * All transforms take a streaming OR batch DataFrame (Spark's unified API),
+ * so specs drive them with the file source and a memory sink.
+ */
+object EventStreamOps {
+
+  /** Schema of the events stream as stored (ts is TIMESTAMP(NANOS) parquet,
+    * read as long nanos and converted to native micros on the way in). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Open the events parquet path as a stream. The file source requires a
+    * directory; a single-file path (the test corpus shape) is staged into a
+    * temp dir once. `maxFilesPerTrigger` bounds per-batch work at scale. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+        d.toString
+      } else path
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a 30-minute
+    * watermark — late events beyond it are dropped, state is bounded. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window: 1-hour windows every 15 minutes, per event type. */
+  def slidingValue(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(avg("value").as("avg_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("avg_value"))
+
+  /** Custom state machine via mapGroupsWithState: per-user running session
+    * (event count + value sum) — the KeyValueGroupedDataset stateful path
+    * the reference's DedupeStream has no analog for. NoTimeout: state
+    * advances only on data batches, so the query quiesces once the source
+    * drains (a ProcessingTimeTimeout would keep scheduling timeout batches
+    * and `processAllAvailable` would never return). A session is reported
+    * closed once it has been idle past `idleGapSec` of event time. */
+  def userSessions(spark: SparkSession, events: DataFrame,
+      idleGapSec: Long = 3600L): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[UserSession]) => {
+          val batch = rows.toSeq
+          val prev = state.getOption.getOrElse(UserSession(userId, 0L, 0.0, 0L))
+          val maxTs = batch.map(_._2.getTime / 1000).foldLeft(prev.lastTsSec)(math.max)
+          val next = UserSession(userId,
+            prev.nEvents + batch.size,
+            prev.totalValue + batch.map(_._3).sum,
+            maxTs)
+          state.update(next)
+          val closed = prev.lastTsSec > 0 &&
+            batch.nonEmpty && batch.map(_._2.getTime / 1000).min - prev.lastTsSec > idleGapSec
+          SessionUpdate(userId, next.nEvents, next.totalValue, closed)
+        })
+  }
+
+  /** Run a streaming query over the batch events dir into a memory sink and
+    * return the materialized result (synchronous — for specs and smoke). */
+  def runToMemory(spark: SparkSession, dir: String, name: String,
+      transform: DataFrame => DataFrame,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = transform(readEventStream(spark, dir))
+      .writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

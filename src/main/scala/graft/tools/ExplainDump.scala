@@ -1,0 +1,18 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSet else Set("q1_pricing_summary","q3_top_revenue","q5_region_revenue","w1_top_per_brand","c1_position_lookup","x4_minhash_lsh","v1_cosine_topk")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.filter(q => names(q._1)).foreach { case (n, fn) =>
+      println(s"\n########## $n")
+      println(fn(spark, "/root/testdata/sf0.01").queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamOpsSpec extends SparkSpec {
+
+  private val eventsPath = s"$sfDir/events.parquet"
+
+  test("hourly windowed agg over the stream equals the batch answer") {
+    val streamed = EventStreamOps.runToMemory(spark, eventsPath, "hourly_t",
+      EventStreamOps.hourlyByType, OutputMode.Complete())
+    val batch = graft.operators.Tables.t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    assert(streamed.count() == batch.count())
+    val sTot = streamed.agg(sum("n")).head().getLong(0)
+    val bTot = batch.agg(sum("n")).head().getLong(0)
+    assert(sTot == bTot)
+  }
+
+  test("sliding windows produce more windows than tumbling") {
+    val slid = EventStreamOps.runToMemory(spark, eventsPath, "slide_t",
+      EventStreamOps.slidingValue, OutputMode.Complete())
+    val tumb = spark.table("hourly_t")
+    assert(slid.count() > tumb.count())
+  }
+
+  test("stateful user sessions accumulate counts per user") {
+    val sessions = EventStreamOps.runToMemory(spark, eventsPath, "sess_t",
+      df => EventStreamOps.userSessions(spark, df).toDF(),
+      OutputMode.Update())
+    // last update per user carries that user's running event count
+    val perUser = sessions.groupBy("userId").agg(max("nEvents").as("n"))
+    val batchPerUser = graft.operators.Tables.t(spark, sfDir, "events")
+      .groupBy(col("user_id").as("userId")).agg(count(lit(1)).as("n"))
+    val joined = perUser.join(batchPerUser, "userId")
+      .filter(perUser("n") =!= batchPerUser("n"))
+    assert(perUser.count() == batchPerUser.count())
+    assert(joined.isEmpty, "streamed per-user counts must match batch")
+  }
+}
