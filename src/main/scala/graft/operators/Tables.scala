@@ -31,8 +31,9 @@ object Tables {
   /** Sequential double fold dot-product over two float arrays.
     * Matches DuckDB `list_dot_product(a::DOUBLE[], b::DOUBLE[])` bitwise
     * (verified: both are a left fold in double over float32-widened values).
+    * Backed by the native codegen'd DotProductF expression (one fused loop,
+    * no per-element lambda dispatch); FunctionsSpec asserts it is bitwise
+    * equal to the zip_with/aggregate fold.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.DotProductF.dotF(a, b)
 }
