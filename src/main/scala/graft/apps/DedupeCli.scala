@@ -22,24 +22,6 @@ import java.nio.file.{Files, Paths}
  */
 object DedupeCli {
 
-  private def configPath(indexDir: String) = Paths.get(indexDir, "config.properties")
-
-  private def saveSettings(indexDir: String, s: DedupeSettings): Unit = {
-    Files.createDirectories(Paths.get(indexDir))
-    val body = s.toConfigMap.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
-    Files.write(configPath(indexDir), body.getBytes("UTF-8"))
-  }
-
-  private def loadSettings(indexDir: String): DedupeSettings = {
-    val p = configPath(indexDir)
-    require(Files.exists(p), s"index not initialized: $indexDir (run create first)")
-    val m = new String(Files.readAllBytes(p), "UTF-8").linesIterator
-      .filter(_.contains("=")).map { l =>
-        val Array(k, v) = l.split("=", 2); k.trim -> v.trim
-      }.toMap
-    DedupeSettings.fromConfigMap(m)
-  }
-
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DedupeCli <indexDir> <cmd> [args...]")
     val indexDir = args(0)
@@ -57,13 +39,13 @@ object DedupeCli {
   }
 
   private def run(spark: SparkSession, indexDir: String, cmd: String, rest: Array[String]): Unit = {
-    def engine() = new DedupeEngine(spark, indexDir, loadSettings(indexDir))
+    def engine() = DedupeEngine.open(spark, indexDir)
     cmd match {
       case "create" =>
         val s = if (rest.length >= 4)
           DedupeSettings(rest(0).toInt, rest(1).toInt, rest(2).toInt, rest(3).toInt)
         else DedupeSettings()
-        saveSettings(indexDir, s)
+        DedupeEngine.create(spark, indexDir, s)
         println(s"created index at $indexDir with $s")
       case "write" =>
         val Array(key, file) = rest.take(2)

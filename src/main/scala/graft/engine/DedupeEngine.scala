@@ -37,7 +37,18 @@ final case class ObjectMetadata(obj: ObjectRow, map: Seq[MapRow], chunks: Seq[Ch
   * Keyset pagination by objectKey replaces the reference's surrogate-id keyset. */
 final case class ObjectListing(
     prefix: Option[String], startAfterKey: Option[String], maxResults: Int,
-    objects: Seq[ObjectRow], nextStartAfterKey: Option[String])
+    objects: Seq[ObjectRow], nextStartAfterKey: Option[String]) {
+
+  /** Fixed-width report (reference EnumerationResult.ToTabularString,
+    * EnumerationResult.cs:117-145 — without its compressed-length column
+    * bug, DedupeObject.cs:131). */
+  def toTabularString: String = {
+    val header = f"${"Key"}%-40s ${"Length"}%12s ${"Chunks"}%8s  Created"
+    val rows = objects.map(o =>
+      f"${o.objectKey}%-40s ${o.originalLength}%12d ${o.chunkCount}%8d  ${o.createdUtc}")
+    (header +: rows).mkString("\n")
+  }
+}
 
 /** Aggregate statistics (reference: src/DedupeLibrary/IndexStatistics.cs). */
 final case class IndexStats(
@@ -48,6 +59,15 @@ final case class IndexStats(
   def ratioPercent: Double =
     if (logicalBytes == 0 || physicalBytes == 0) 0.0
     else 100.0 * (1.0 - physicalBytes.toDouble / logicalBytes)
+
+  /** Fixed-width report (reference IndexStatistics.ToTabularString,
+    * IndexStatistics.cs:139-151). */
+  def toTabularString: String =
+    f"""Objects   : $objectCount%12d
+       |Chunks    : $chunkCount%12d
+       |Logical   : $logicalBytes%12d bytes
+       |Physical  : $physicalBytes%12d bytes
+       |Ratio     : $ratioX%12.2fX ($ratioPercent%.2f%%)""".stripMargin
 }
 
 /**
@@ -214,6 +234,34 @@ final class DedupeEngine(
     })
   }
 
+  /** Seekable java.io.InputStream over a deduped object (the reference's
+    * DedupeStream facade) — each refill resolves the covering chunk via the
+    * position lookup (C1) and copies the overlap. Diverges deliberately from
+    * two reference bugs (SURVEY §7): reads past EOF return -1 (not a
+    * buffer-offset bail, DedupeStream.cs:89) and seeking to any position in
+    * [0, length] is allowed (DedupeStream.cs:125 rejects offset == Length).
+    */
+  def openStream(key: String): Option[DedupeObjectStream] =
+    getMetadata(key).map { md =>
+      new DedupeObjectStream(md.obj.originalLength, md.map.sortBy(_.chunkAddress),
+        ck => payloads.filter($"chunkKey" === ck).select($"data").as[Array[Byte]].head())
+    }
+
+  /** Distributed bulk reconstruction — every object (or a filtered set)
+    * rebuilt in one job via the ordered binary-concat aggregator: map rows
+    * join payloads on chunkKey, group by object, concat by address. No
+    * driver loop, no per-object query; the 100 TB path. */
+  def reconstructAll(keys: Option[Seq[String]] = None): Dataset[(String, Array[Byte])] = {
+    val m = keys.fold(objmap.toDF())(ks =>
+      objmap.join(spark.createDataset(ks).toDF("objectKey"), Seq("objectKey"), "left_semi"))
+    m.join(payloads, Seq("chunkKey"))
+      .select($"objectKey", $"chunkAddress", $"data")
+      .as[(String, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.BinaryConcatAgg.toColumn.name("obj"))
+  }
+
   // ---------------------------------------------------------------- list
 
   /** Prefix-filtered keyset-paginated enumeration
@@ -258,5 +306,39 @@ final class DedupeEngine(
       spark.createDataset(gc).toDF("chunkKey"), Seq("chunkKey"), "left_anti").toDF())
     objectsT.publish(objects.filter($"objectKey" =!= key).toDF())
     gc
+  }
+}
+
+/** Index lifecycle + config persistence (reference A7: InitializeIndex /
+  * IsInitialized / config upsert-lookup, SqliteProvider.cs:65-149,
+  * DedupeLibrary.cs:583-603 — chunking params live with the index so every
+  * later open chunks identically). */
+object DedupeEngine {
+
+  private def configPath(basePath: String) =
+    java.nio.file.Paths.get(basePath, "config.properties")
+
+  def isInitialized(basePath: String): Boolean =
+    java.nio.file.Files.exists(configPath(basePath))
+
+  /** Create a new index directory, persisting the chunking params. */
+  def create(spark: SparkSession, basePath: String,
+      settings: DedupeSettings = DedupeSettings()): DedupeEngine = {
+    require(!isInitialized(basePath), s"index already initialized: $basePath")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(basePath))
+    val body = settings.toConfigMap.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(configPath(basePath), body.getBytes("UTF-8"))
+    new DedupeEngine(spark, basePath, settings)
+  }
+
+  /** Open an existing index with its persisted chunking params. */
+  def open(spark: SparkSession, basePath: String): DedupeEngine = {
+    require(isInitialized(basePath), s"index not initialized: $basePath (create first)")
+    val m = new String(java.nio.file.Files.readAllBytes(configPath(basePath)), "UTF-8")
+      .linesIterator.filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k.trim -> v.trim
+      }.toMap
+    new DedupeEngine(spark, basePath, DedupeSettings.fromConfigMap(m))
   }
 }

@@ -130,4 +130,56 @@ class DedupeEngineSpec extends SparkSpec {
     assert(java.util.Arrays.equals(e.get("u1").get, v2))
     assert(e.indexStats().objectCount == 1)
   }
+
+  test("reconstructAll rebuilds every object distributively") {
+    val e = newEngine()
+    val objs = (1 to 6).map(i => s"r$i" -> randomBytes(8000 + i * 500, 100 + i))
+    e.ingest(objs)
+    val rebuilt = e.reconstructAll().collect().toMap
+    assert(rebuilt.keySet == objs.map(_._1).toSet)
+    objs.foreach { case (k, data) =>
+      assert(java.util.Arrays.equals(rebuilt(k), data), s"object $k mismatch")
+    }
+    // filtered variant
+    val some = e.reconstructAll(Some(Seq("r1", "r3"))).collect().toMap
+    assert(some.keySet == Set("r1", "r3"))
+  }
+
+  test("openStream: sequential read, seek, EOF semantics") {
+    val e = newEngine()
+    val data = randomBytes(20000, 42)
+    e.write("st1", data)
+    val st = e.openStream("st1").get
+    assert(st.length == 20000L)
+    // sequential full read
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](700)
+    var n = st.read(buf, 0, buf.length)
+    while (n > 0) { out.write(buf, 0, n); n = st.read(buf, 0, buf.length) }
+    assert(java.util.Arrays.equals(out.toByteArray, data))
+    // random access
+    st.seek(12345)
+    val m = st.read(buf, 0, 100)
+    assert(m == 100)
+    assert(buf.take(100).sameElements(data.slice(12345, 12445)))
+    // seek to EOF is legal (diverges from reference bug DedupeStream.cs:125)
+    st.seek(20000)
+    assert(st.read(buf, 0, 10) == -1)
+    assertThrows[IllegalArgumentException](st.seek(20001))
+    assert(e.openStream("missing").isEmpty)
+  }
+
+  test("create/open lifecycle persists chunking params; tabular renders") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+    val s = graft.core.DedupeSettings(512, 4096, 16, 2)
+    val e1 = DedupeEngine.create(spark, dir, s)
+    e1.write("k1", randomBytes(3000, 77))
+    assertThrows[IllegalArgumentException](DedupeEngine.create(spark, dir, s))
+    val e2 = DedupeEngine.open(spark, dir)
+    assert(e2.settings == s)
+    assert(java.util.Arrays.equals(e2.get("k1").get, e1.get("k1").get))
+    val tab = e2.listObjects().toTabularString
+    assert(tab.contains("k1") && tab.contains("Key"))
+    assert(e2.indexStats().toTabularString.contains("Ratio"))
+  }
 }
