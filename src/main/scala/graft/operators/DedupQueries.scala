@@ -21,6 +21,29 @@ object DedupQueries {
       sequence(lit(1), greatest(size(toks) - 2, lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(3))))
 
+  /** Long-form distinct shingles (doc_id, g) via a typed flatMap: the
+    * column-expression shingling above is a higher-order function chain
+    * that Catalyst evaluates interpreted (HOFs don't codegen) at ~19us per
+    * shingle; the JIT'd flatMap emits identical strings ~10x faster and
+    * feeds every pair operator. Kept semantically in lockstep with the
+    * DuckDB oracle's list comprehension (same truncating tail slices,
+    * first-occurrence distinct). */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(' ')
+        val n = math.max(toks.length - 2, 1)
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i < n) {
+          seen += toks.slice(i, math.min(i + 3, toks.length)).mkString(" ")
+          i += 1
+        }
+        seen.iterator.map(g => (id, g))
+      }.toDF("doc_id", "g")
+  }
+
   /** Exact dedupe summary: total vs content-distinct docs by sha256(text)
     * (the classic hash-groupBy exact dedupe at corpus scale). */
   def x1ExactDupStats(spark: SparkSession, dir: String): DataFrame =
@@ -45,10 +68,11 @@ object DedupQueries {
     * approximate scale path that avoids materializing all pairs.
     */
   def x3NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sh"))
-    val e = d.select(col("doc_id"), explode(col("sh")).as("g"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    // materialize shingles once: e feeds both sides of the self-join
+    // (at cluster scale this is persist-before-self-join; locally a cheap
+    // eager checkpoint)
+    val e = shingleRows(spark, dir).localCheckpoint()
+    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = e.as("a").join(e.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -72,25 +96,37 @@ object DedupQueries {
   def x4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val numHashes = 16
     val rowsPerBand = 4
-    val d = t(spark, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sh"))
-    val sigs = d.withColumn("sig", array(
-      (0 until numHashes).map(j =>
-        array_min(transform(col("sh"), s => xxhash64(concat(lit(j.toString), s))))): _*))
-    val banded = sigs.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
-        b => xxhash64(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+    val e = shingleRows(spark, dir).localCheckpoint()
+    // k minhash signatures as k codegen'd min-aggregates over the long-form
+    // shingle rows (map-side combine; no per-doc array materialization)
+    val sigCols = (0 until numHashes).map(j =>
+      min(xxhash64(concat(lit(j.toString), col("g")))).as(s"m$j"))
+    val sigs = e.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until numHashes / rowsPerBand).map(b =>
+        xxhash64(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .localCheckpoint() // minhash pipeline runs once, not per join side
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cands
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))), 4))
+      .localCheckpoint()
+    // exact-Jaccard verification of the candidates from the same long-form
+    // rows: intersection via shingle equi-join, union from per-doc sizes
+    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(e.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(e.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.g") === col("eb.g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cands.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -101,27 +137,24 @@ object DedupQueries {
     * sub-quadratic candidate generation, verified with bit_count(xor).
     */
   def x5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bits = 64
     // feature on 3-word shingles, not unigrams: this corpus shares one small
-    // vocabulary, so unigram simhashes collapse to near-identical values
-    val d = t(spark, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("feats"))
-    // one hash per feature, then 64 codegen'd conditional sums per doc —
-    // NOT a nested per-bit lambda, which would re-hash every feature 64x
-    // in interpreted expression mode (measured 80x slower)
-    val featHashes = d.select(col("doc_id"), explode(col("feats")).as("f"))
-      .withColumn("h", xxhash64(col("f")))
-    val voteCols = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val votes = featHashes.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val simhashExpr = (0 until bits).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, c) => a.bitwiseOR(c))
-    val sim = votes.select(col("doc_id"), simhashExpr.as("simhash"))
+    // vocabulary, so unigram simhashes collapse to near-identical values.
+    // One hash per feature, then the typed SimhashAgg (a single while-loop
+    // per feature with map-side combine) — NOT a nested per-bit lambda
+    // (re-hashes 64x, interpreted) and NOT 64 conditional sum columns
+    // (generated code exceeds JIT limits); both measured ~10-80x slower
+    import spark.implicits._
+    val featHashes = shingleRows(spark, dir)
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .as[(Long, Long)]
+    val sim = featHashes.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.SimhashAgg.toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
     val banded = sim.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(7)),
         b => call_function("shiftright", col("simhash"), b * 8).bitwiseAND(255))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .localCheckpoint() // simhash pipeline runs once, not per join side
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))

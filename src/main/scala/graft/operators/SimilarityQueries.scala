@@ -60,6 +60,7 @@ object SimilarityQueries {
         col("bucket").bitwiseAND(255),
         shiftright(col("bucket"), 8).bitwiseAND(255))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .localCheckpoint() // hyperplane projections run once, not per join side
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.vec_id") < col("b.vec_id"))
