@@ -1,48 +1,81 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.Platform
 
 /**
  * Training-data deduplication operators over the `documents` table —
- * the LLM-pipeline surface (BASELINE.json north_star). All expression-only
- * (whole-stage-codegen friendly): shingling, MinHash, SimHash and Jaccard
- * are built from `transform`/`sequence`/`xxhash64`/`array_*`, never a UDF.
+ * the LLM-pipeline surface (BASELINE.json north_star).
+ *
+ * Scale design: every document row is self-contained, so signatures
+ * (shingle-hash sets, MinHash, SimHash) are computed in ONE narrow pass —
+ * a JIT'd flatMap per partition, zero shuffles until the (tiny) signature
+ * rows hit the band-key join. At 100 TB the only wide exchanges are over
+ * `(doc_id, hash)` / `(band, band_key)` longs, never over document text.
+ * Shingles shuffle as xxhash64 longs (seed 42 — bit-identical to Spark's
+ * `xxhash64` column function via catalyst XXH64): 8 bytes/row instead of
+ * ~20-char strings, and the Jaccard equi-join compares longs, not strings.
  */
 object DedupQueries {
   import Tables._
 
-  /** Word tokens (documents are single-space separated). */
-  private def tokens(c: Column): Column = split(c, " ")
+  /** Distinct 3-word-shingle xxhash64s of a document, first-occurrence
+    * order, one tight loop (same truncating tail slices + distinct as the
+    * DuckDB oracle's list comprehension; hashing preserves set identity,
+    * so Jaccard values are unchanged barring 64-bit collisions).
+    */
+  private[graft] def shingleHashes(text: String): Array[Long] = {
+    val toks = text.split(' ')
+    val n = math.max(toks.length - 2, 1)
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, n * 2))
+    val out = new Array[Long](n)
+    var m = 0
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var j = i + 1
+      val end = math.min(i + 3, toks.length)
+      while (j < end) { sb.append(' '); sb.append(toks(j)); j += 1 }
+      val b = sb.toString.getBytes(UTF_8)
+      val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
 
-  /** 3-word shingles of a token array (at least one shingle per doc). */
-  private def shingles(toks: Column): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
-
-  /** Long-form distinct shingles (doc_id, g) via a typed flatMap: the
-    * column-expression shingling above is a higher-order function chain
-    * that Catalyst evaluates interpreted (HOFs don't codegen) at ~19us per
-    * shingle; the JIT'd flatMap emits identical strings ~10x faster and
-    * feeds every pair operator. Kept semantically in lockstep with the
-    * DuckDB oracle's list comprehension (same truncating tail slices,
-    * first-occurrence distinct). */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+  /** One row per doc: `(doc_id, hs ARRAY<LONG>, n)` — the verification-side
+    * shape. Joining candidate pairs to these arrays and intersecting with
+    * `array_intersect` is O(|cands| * shingles), versus exploding every
+    * candidate into its shingle rows and re-aggregating (which was 50x the
+    * rows and dominated the pair-verification cost). */
+  private def docSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = text.split(' ')
-        val n = math.max(toks.length - 2, 1)
-        val seen = new scala.collection.mutable.LinkedHashSet[String]
-        var i = 0
-        while (i < n) {
-          seen += toks.slice(i, math.min(i + 3, toks.length)).mkString(" ")
-          i += 1
-        }
-        seen.iterator.map(g => (id, g))
-      }.toDF("doc_id", "g")
+      .map { case (id, text) =>
+        val hs = shingleHashes(text)
+        (id, hs, hs.length)
+      }.toDF("doc_id", "hs", "n")
   }
+
+  /** Exact-Jaccard verification of candidate `(doc_a, doc_b)` pairs against
+    * per-doc shingle-set arrays; emits pairs at or above `threshold`. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
 
   /** Exact dedupe summary: total vs content-distinct docs by sha256(text)
     * (the classic hash-groupBy exact dedupe at corpus scale). */
@@ -63,97 +96,127 @@ object DedupQueries {
       .orderBy("norm_key")
 
   /** Exact n-gram Jaccard near-dup pairs: distinct 3-word shingle sets,
-    * pairs blocked on a shared shingle, inter/union similarity. This is the
-    * exact (quadratic-in-collisions) baseline; x4 MinHash-LSH is the
-    * approximate scale path that avoids materializing all pairs.
+    * candidate pairs from PREFIX FILTERING (SSJoin/PPJoin principle: for
+    * J >= t, two sets must share a shingle inside each one's first
+    * `n - ceil(t*n) + 1` shingles under a global rarest-first order, given
+    * the length filter `min >= t*max`), then exact inter/union verification.
+    * Exact — no false negatives — but blocks on ~half the rows and drops
+    * frequent shingles out of prefixes, so the candidate join stays small.
+    * The frequency table holds repeated shingles only: small and
+    * broadcastable at any corpus size; absent shingles order as rare.
+    * x4 MinHash-LSH is the approximate alternative with per-doc signatures.
     */
   def x3NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // materialize shingles once: e feeds both sides of the self-join
-    // (at cluster scale this is persist-before-self-join; locally a cheap
-    // eager checkpoint)
-    val e = shingleRows(spark, dir).localCheckpoint()
-    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = e.as("a").join(e.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    import spark.implicits._
+    val threshold = 0.5
+    // per-doc shingle-set arrays: verification side + frequency source
+    val sets = docSets(spark, dir).localCheckpoint()
+    // global heavy-hitter frequencies -> broadcast rarest-first order
+    // f >= 2 because singleton shingles cannot produce a join collision:
+    // ordering every repeated shingle after them packs prefixes with
+    // collision-free singletons. (At extreme corpus sizes raise the cutoff —
+    // the table only needs the top of the frequency distribution to be
+    // effective; absent shingles order as rare.)
+    val freqMap: Map[Long, Long] = sets.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2).as[(Long, Long)].collect().toMap
+    val bcFreq = spark.sparkContext.broadcast(freqMap)
+    // per-doc prefix rows derived from the cached arrays (narrow pass)
+    val prefix = sets.select(col("doc_id"), col("hs"), col("n")).as[(Long, Array[Long], Int)]
+      .flatMap { case (id, hs, n) =>
+        val fm = bcFreq.value
+        val p = n - math.ceil(threshold * n).toInt + 1
+        val sorted = hs.sortBy(h => (fm.getOrElse(h, 1L), h))
+        sorted.iterator.take(p).map(h => (id, h, n))
+      }.toDF("doc_id", "h", "n").localCheckpoint()
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * threshold <= least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(cands, sets, threshold)
   }
 
   /** MinHash + LSH banding near-dup candidates — the sub-quadratic scale
-    * path: k=16 signatures from seeded xxhash64 minima over shingles,
-    * 4 bands x 4 rows; docs colliding in any band are candidates, then
-    * exact-Jaccard verified. At 100 TB only the band-key shuffle is wide;
-    * no all-pairs stage exists.
+    * path: k=16 signatures per doc (min over shingles of xxhash64-remixed
+    * shingle hashes), 4 bands x 4 rows; docs colliding in any band are
+    * candidates, then exact-Jaccard verified. Signatures are computed
+    * per-row inside the scan (no shuffle); at 100 TB only the 4-rows-per-doc
+    * band-key join shuffles, and it shuffles 3 longs per row.
     */
   def x4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val numHashes = 16
     val rowsPerBand = 4
-    val e = shingleRows(spark, dir).localCheckpoint()
-    // k minhash signatures as k codegen'd min-aggregates over the long-form
-    // shingle rows (map-side combine; no per-doc array materialization)
-    val sigCols = (0 until numHashes).map(j =>
-      min(xxhash64(concat(lit(j.toString), col("g")))).as(s"m$j"))
-    val sigs = e.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until numHashes / rowsPerBand).map(b =>
-        xxhash64(concat_ws("|",
-          (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val numBands = numHashes / rowsPerBand
+    val banded = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = shingleHashes(text)
+        val sigs = Array.fill(numHashes)(Long.MaxValue)
+        var k = 0
+        while (k < hs.length) {
+          var j = 0
+          while (j < numHashes) {
+            val v = XXH64.hashLong(hs(k), j + 1)
+            if (v < sigs(j)) sigs(j) = v
+            j += 1
+          }
+          k += 1
+        }
+        (0 until numBands).iterator.map { b =>
+          var key = b.toLong
+          var r = 0
+          while (r < rowsPerBand) { key = XXH64.hashLong(sigs(b * rowsPerBand + r), key); r += 1 }
+          (id, b, key)
+        }
+      }.toDF("doc_id", "band", "band_key")
       .localCheckpoint() // minhash pipeline runs once, not per join side
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .localCheckpoint()
-    // exact-Jaccard verification of the candidates from the same long-form
-    // rows: intersection via shingle equi-join, union from per-doc sizes
-    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(e.as("ea"), col("doc_a") === col("ea.doc_id"))
-      .join(e.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.g") === col("eb.g"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    cands.join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    // exact-Jaccard verification against the per-doc shingle-set arrays
+    verifyJaccard(cands, docSets(spark, dir).localCheckpoint(), 0.5)
   }
 
-  /** SimHash fingerprint + near-dup pairs by Hamming distance: 32-bit
-    * fingerprint from token-hash bit votes, banded into 4 bytes for
-    * sub-quadratic candidate generation, verified with bit_count(xor).
+  /** SimHash fingerprint + near-dup pairs by Hamming distance: 64-bit
+    * fingerprint from shingle-hash bit votes (computed per-row in the scan,
+    * bit-identical to the SimhashAgg formulation but shuffle-free), banded
+    * into 4 x 16-bit blocks for sub-quadratic candidate generation, verified
+    * with bit_count(xor). 16-bit bands (65k buckets) over 8-bit ones: with
+    * one shared vocabulary the per-bit votes correlate across docs, so 256
+    * coarse buckets collapse and the candidate join quadratically explodes;
+    * 16-bit keys keep buckets near-singleton while still catching every
+    * near-identical pair (their hamming distance concentrates near 0).
+    *
+    * Features are 3-word shingles, not unigrams: this corpus shares one
+    * small vocabulary, so unigram simhashes collapse to near-identical
+    * values.
     */
   def x5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // feature on 3-word shingles, not unigrams: this corpus shares one small
-    // vocabulary, so unigram simhashes collapse to near-identical values.
-    // One hash per feature, then the typed SimhashAgg (a single while-loop
-    // per feature with map-side combine) — NOT a nested per-bit lambda
-    // (re-hashes 64x, interpreted) and NOT 64 conditional sum columns
-    // (generated code exceeds JIT limits); both measured ~10-80x slower
     import spark.implicits._
-    val featHashes = shingleRows(spark, dir)
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
-      .as[(Long, Long)]
-    val sim = featHashes.groupByKey(_._1).mapValues(_._2)
-      .agg(graft.functions.SimhashAgg.toColumn.name("simhash"))
-      .toDF("doc_id", "simhash")
-    val banded = sim.select(col("doc_id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(7)),
-        b => call_function("shiftright", col("simhash"), b * 8).bitwiseAND(255))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val banded = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = shingleHashes(text)
+        val votes = new Array[Int](64)
+        var k = 0
+        while (k < hs.length) {
+          val h = hs(k)
+          var i = 0
+          while (i < 64) {
+            votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+            i += 1
+          }
+          k += 1
+        }
+        var sim = 0L
+        var i = 0
+        while (i < 64) { if (votes(i) > 0) sim |= (1L << i); i += 1 }
+        (0 until 4).iterator.map(b => (id, sim, b, (sim >>> (b * 16)) & 0xffffL))
+      }.toDF("doc_id", "simhash", "band", "band_key")
       .localCheckpoint() // simhash pipeline runs once, not per join side
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

@@ -59,10 +59,12 @@ object IndexQueries {
     // column, so the output is order-insensitive).
     val wOrd = Window.partitionBy("l_orderkey")
       .orderBy("l_linenumber", "l_partkey", "l_extendedprice", "l_quantity")
-    val wAll = Window.partitionBy("l_orderkey")
     l.withColumn("addr",
         coalesce(sum("l_quantity").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
-      .withColumn("total", sum("l_quantity").over(wAll))
+      // whole-partition total in the SAME window spec (same partitioning and
+      // ordering, unbounded frame) so both sums share one WindowExec sort
+      .withColumn("total", sum("l_quantity").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("addr") <= col("total") / 2 && col("addr") + col("l_quantity") > col("total") / 2)
       .select(col("l_orderkey"), col("l_linenumber"), col("addr"), col("l_quantity"))
       .orderBy("l_orderkey", "l_linenumber", "addr")
