@@ -41,7 +41,12 @@ object SparkEntry {
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
     "r1_rollup" -> (AnalyticsQueries.r1Rollup _),
+    "r2_cube" -> (AnalyticsQueries.r2Cube _),
+    "p1_percentiles" -> (AnalyticsQueries.p1Percentiles _),
+    "s2_exact_stats" -> (AnalyticsQueries.s2ExactStats _),
     "s1_set_ops" -> (AnalyticsQueries.s1SetOps _),
+    "j1_asof_join" -> (JoinQueries.j1AsofJoin _),
+    "j2_range_bucket" -> (JoinQueries.j2RangeBucket _),
     "t1_events_hourly" -> (AnalyticsQueries.t1EventsHourly _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // --- dedupe pipeline (north_star)
@@ -55,6 +60,7 @@ object SparkEntry {
     "y2_quality_score" -> (TextQueries.y2QualityScore _),
     "y3_langid" -> (TextQueries.y3LangIdHeuristic _),
     "y4_fingerprint" -> (TextQueries.y4Fingerprint _),
+    "y5_json_props" -> (TextQueries.y5JsonProps _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -161,6 +167,55 @@ object SparkEntry {
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "r2_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "p1_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_median
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "s2_exact_stats" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sqq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS spp,
+        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round(sq / n, 6) AS mean_qty,
+        |  round((sqq - sq * sq / n) / n, 6) AS var_qty,
+        |  round((n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+        |    AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "j1_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT *, max(CASE WHEN event_type = 'view' THEN ts_us END) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_us FROM e)
+        |SELECT event_id, user_id, ts_us, prior_view_us, ts_us - prior_view_us AS gap_us
+        |FROM w WHERE event_type = 'click' AND prior_view_us IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "j2_range_bucket" ->
+      """SELECT bucket, count(*) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'),
+        |  (25.0, 40.0, 'large'), (40.0, 1000000000.0, 'huge')) v(lo, hi, bucket)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "y5_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+        |  CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "s1_set_ops" ->
       """SELECT c_custkey FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

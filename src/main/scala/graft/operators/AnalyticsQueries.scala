@@ -94,6 +94,54 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Grouping sets: full cube over returnflag/linestatus (r1 is the rollup
+    * form; cube adds the linestatus-only slices). */
+  def r2Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact percentiles per group (linear interpolation — Spark `percentile`
+    * and DuckDB `quantile_cont` share the definition; rounded to absorb
+    * last-ulp interpolation differences). */
+  def p1Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_median"))
+      .orderBy("l_returnflag")
+
+  /** Moment statistics (mean/variance/correlation) from EXACT decimal sums:
+    * raw-double `avg`/`var_pop`/`corr` are partition-order-dependent, so
+    * instead each moment is a decimal sum (exact, order-independent) cast
+    * once to double, and the formula is evaluated on those scalars — the
+    * result is bitwise-reproducible across partitionings AND engines. */
+  def s2ExactStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val dq = col("l_quantity").cast("decimal(18,2)")
+    val dp = col("l_extendedprice").cast("decimal(18,2)")
+    l.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dq).cast("double").as("sq"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(38,4)")).cast("double").as("sqq"),
+        sum(dp).cast("double").as("sp"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(38,4)")).cast("double").as("spp"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(38,4)")).cast("double").as("sqp"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(col("sq") / col("n"), 6).as("mean_qty"),
+        round((col("sqq") - col("sq") * col("sq") / col("n")) / col("n"), 6).as("var_qty"),
+        round((col("n") * col("sqp") - col("sq") * col("sp")) /
+          sqrt((col("n") * col("sqq") - col("sq") * col("sq")) *
+            (col("n") * col("spp") - col("sp") * col("sp"))), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Set operations: UNION / EXCEPT over customer key sets. */
   def s1SetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")

@@ -75,6 +75,21 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** JSON property extraction over the events stream: pull `$.k` out of the
+    * `props` JSON column (codegen'd get_json_object — no UDF) and aggregate
+    * per event type. The semi-structured-column path every telemetry /
+    * metadata pipeline needs. */
+  def y5JsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Document fingerprinting (winnowing-flavored): distinct-ordered set of
     * the k smallest shingle hashes per doc — a compact content signature
     * robust to local edits. Spark-only (seeded xxhash64 has no DuckDB
