@@ -33,33 +33,38 @@ object SimilarityQueries {
   }
 
   /** Random-hyperplane LSH ANN: 16 signed projections onto deterministic
-    * pseudo-random hyperplanes (seeded xxhash64-derived components) give a
-    * 16-bit bucket; candidates share a bucket in any of 4 overlapping 8-bit
-    * bands; exact cosine reranks. No all-pairs stage — the scale path. */
+    * pseudo-random hyperplanes give a 16-bit bucket; candidates share a
+    * bucket in any of 2 overlapping 8-bit bands; exact cosine reranks.
+    * No all-pairs stage — the scale path. The projection runs per-row in a
+    * JIT'd mapPartitions (plane matrix derived once per partition from
+    * xxhash64, so the op stays deterministic and shuffle-free until the
+    * band join), not as nested column HOFs (interpreted, ~100x slower). */
   def v2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import spark.implicits._
     val numPlanes = 16
     val e = t(spark, dir, "embeddings")
-    // deterministic hyperplane component h(p, i) in [-1, 1): from xxhash64
-    def planeComponent(p: Int, i: org.apache.spark.sql.Column) =
-      (xxhash64(concat(lit(s"plane$p-"), i.cast("string"))) % 1000000).cast("double") / 500000.0
-    val withBits = e.withColumn("bucket",
-      aggregate(
-        transform(sequence(lit(0), lit(numPlanes - 1)), p =>
-          when(
-            aggregate(
-              zip_with(col("embedding"),
-                transform(sequence(lit(0), size(col("embedding")) - 1),
-                  i => (xxhash64(concat(p.cast("string"), lit("-"), i.cast("string"))) % 1000000)
-                    .cast("double") / 500000.0),
-                (x, h) => x.cast("double") * h),
-              lit(0.0), (acc, x) => acc + x) > 0,
-            call_function("shiftleft", lit(1), p)).otherwise(lit(0))),
-        lit(0), (acc, x) => acc.bitwiseOR(x)))
-    val banded = withBits.select(col("vec_id"), col("embedding"), col("label"),
-      posexplode(array(
-        col("bucket").bitwiseAND(255),
-        shiftright(col("bucket"), 8).bitwiseAND(255))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val banded = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        var planes: Array[Array[Double]] = null // built once per partition
+        it.flatMap { case (id, emb) =>
+          if (planes == null)
+            planes = Array.tabulate(numPlanes, emb.length)((p, i) =>
+              XXH64.hashLong((p.toLong << 32) | i.toLong, 7L).toDouble / 9.223372036854776e18)
+          var bucket = 0
+          var p = 0
+          while (p < numPlanes) {
+            val pl = planes(p)
+            var s = 0.0
+            var i = 0
+            while (i < emb.length) { s += emb(i) * pl(i); i += 1 }
+            if (s > 0) bucket |= (1 << p)
+            p += 1
+          }
+          Iterator((id, emb, 0, bucket & 255), (id, emb, 1, (bucket >> 8) & 255))
+        }
+      }.toDF("vec_id", "embedding", "band", "band_key")
       .localCheckpoint() // hyperplane projections run once, not per join side
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
