@@ -65,6 +65,14 @@ object SparkEntry {
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
     "v3_label_centroids" -> (SimilarityQueries.v3LabelCentroids _),
+    // --- multimodal binary plumbing (north_star; decode step is a
+    //     deterministic stub, so the oracle re-derives its sha256 math)
+    "m1_media_summary" -> (MultimodalOps.mm1MediaSummary _),
+    // --- streaming engine driven end-to-end (rows-only: the batch forms
+    //     t1/t2 carry the oracles; the spec asserts stream == batch)
+    "st1_stream_hourly" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runToMemory(s, s"$dir/events.parquet",
+        s"st1_${System.nanoTime()}", graft.streaming.EventStreamOps.hourlyByType)),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
@@ -290,6 +298,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN en_score >= 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS pred_en_docs,
         |  round(avg(en_score), 4) AS avg_en_score
         |FROM s GROUP BY 1 ORDER BY lang""".stripMargin,
+    "m1_media_summary" ->
+      """WITH d AS (SELECT sha256(text) AS h, octet_length(encode(text)) AS blen FROM documents),
+        |m AS (SELECT
+        |  CASE (('0x' || substr(h, 1, 2))::INT % 3)
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  blen,
+        |  64 + 8 * (('0x' || substr(h, 3, 2))::INT % 32) AS width,
+        |  64 + 8 * (('0x' || substr(h, 5, 2))::INT % 32) AS height,
+        |  CASE WHEN (('0x' || substr(h, 1, 2))::INT % 3) = 0 THEN 0
+        |       ELSE 1000 + 100 * ('0x' || substr(h, 7, 2))::INT END AS duration_ms
+        |  FROM d)
+        |SELECT media_type, count(*) AS n, CAST(sum(blen) AS BIGINT) AS total_bytes,
+        |  round(avg(width * height), 2) AS avg_pixels,
+        |  CAST(sum(CASE WHEN duration_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS timed_media
+        |FROM m GROUP BY 1 ORDER BY media_type""".stripMargin,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT query_id, e.vec_id AS neighbor_id,

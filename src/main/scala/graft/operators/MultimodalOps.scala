@@ -79,13 +79,15 @@ object MultimodalOps {
   }
 
   /** Metadata rollup per media type — the query a curation pipeline runs
-    * over the decoded corpus. */
+    * over the decoded corpus. Snake-case output columns so the DuckDB
+    * oracle (which re-derives the stub's sha256 arithmetic in SQL) aligns
+    * under the driver's name-sorted column compare. */
   def mm1MediaSummary(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(spark, dir).toDF()
-      .groupBy("mediaType")
+      .groupBy(col("mediaType").as("media_type"))
       .agg(count(lit(1)).as("n"),
         sum("byteLen").as("total_bytes"),
         round(avg(col("width") * col("height")), 2).as("avg_pixels"),
         sum(when(col("durationMs") > 0, 1).otherwise(0)).as("timed_media"))
-      .orderBy("mediaType")
+      .orderBy("media_type")
 }
