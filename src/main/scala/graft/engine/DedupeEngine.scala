@@ -151,9 +151,11 @@ final class DedupeEngine(
     if (dupes.nonEmpty)
       throw new IllegalArgumentException(s"object key already exists: ${dupes.head.getString(0)}")
 
+    // incremental commits: each table gains ONE new segment holding only the
+    // batch's rows (O(new data) — at scale an ingest never rewrites tables)
     val newMap = chunked.select($"objectKey", $"chunkKey", $"chunkLength",
       $"chunkPosition", $"chunkAddress")
-    objmapT.publish(objmap.toDF().unionByName(newMap))
+    objmapT.append(newMap)
 
     // one payload exemplar per new chunkKey (first occurrence wins; payloads
     // for the same key are identical by construction — SHA-256 content key)
@@ -161,7 +163,7 @@ final class DedupeEngine(
       .select($"chunkKey", $"data")
       .dropDuplicates("chunkKey")
       .join(payloads.select($"chunkKey"), Seq("chunkKey"), "left_anti")
-    payloadsT.publish(payloads.toDF().unionByName(newPayloads))
+    payloadsT.append(newPayloads)
 
     val now = new Timestamp(System.currentTimeMillis())
     val newObjects = chunked.groupBy($"objectKey").agg(
@@ -170,7 +172,7 @@ final class DedupeEngine(
       count(lit(1)).as("chunkCount"))
       .withColumn("createdUtc", lit(now))
       .select($"objectKey", $"originalLength", $"compressedLength", $"chunkCount", $"createdUtc")
-    objectsT.publish(objects.toDF().unionByName(newObjects))
+    objectsT.append(newObjects)
   }
 
   // ---------------------------------------------------------------- lookups

@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+class VersionedTableSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("n", LongType)))
+
+  private def fresh() = {
+    val dir = Files.createTempDirectory("vt_spec").toString
+    (dir, new VersionedTable(spark, dir, schema))
+  }
+
+  private def df(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("k", "n")
+  }
+
+  private def segDirs(dir: String): Seq[String] =
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("seg-")).toSeq.sorted
+
+  test("empty table reads as empty with schema") {
+    val (_, t) = fresh()
+    assert(t.read().schema === schema)
+    assert(t.read().count() === 0)
+  }
+
+  test("append accumulates segments; read unions them") {
+    val (dir, t) = fresh()
+    t.append(df("a" -> 1L))
+    t.append(df("b" -> 2L))
+    t.append(df("c" -> 3L))
+    assert(segDirs(dir).size === 3, "each append adds exactly one segment")
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got === Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("publish replaces contents and retires old segments") {
+    val (dir, t) = fresh()
+    t.append(df("a" -> 1L))
+    t.append(df("b" -> 2L))
+    t.publish(df("z" -> 9L))
+    assert(segDirs(dir).size === 1, "publish leaves a single segment")
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("z", 9L)))
+  }
+
+  test("compact preserves contents in a single segment") {
+    val (dir, t) = fresh()
+    t.append(df("a" -> 1L))
+    t.append(df("b" -> 2L))
+    t.compact()
+    assert(segDirs(dir).size === 1)
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got === Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("publish of a derived-from-self DataFrame materializes before GC") {
+    val (_, t) = fresh()
+    t.append(df("a" -> 1L, "b" -> 2L))
+    // delete-shaped rewrite: new snapshot computed FROM the current one
+    t.publish(t.read().filter("k <> 'a'"))
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("b", 2L)))
+  }
+}
