@@ -163,6 +163,10 @@ final class DedupeEngine(
       .select($"chunkKey", $"data")
       .dropDuplicates("chunkKey")
       .join(payloads.select($"chunkKey"), Seq("chunkKey"), "left_anti")
+      // free local sort (already hash-partitioned by chunkKey from the
+      // dropDuplicates shuffle): each parquet row-group covers a narrow key
+      // range, so chunkKey point lookups prune row-groups via footer stats
+      .sortWithinPartitions("chunkKey")
     payloadsT.append(newPayloads)
 
     val now = new Timestamp(System.currentTimeMillis())

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-mitigation utilities for shuffle joins/aggregations whose key
+ * distribution has heavy hitters (the situation AQE's skew-join split
+ * handles for sort-merge joins; these helpers cover the cases it doesn't:
+ * pre-planned salting when the skew is known, and two-phase aggregation).
+ *
+ * The reference engine is single-node and has no notion of partition skew;
+ * at 100 TB a handful of hot keys (one viral document hash, one null-ish
+ * join key) can pin a whole stage on one task — salting restores parallelism
+ * at the cost of replicating the small side `numSalts` times.
+ */
+object SkewOps {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted into
+    * `numSalts` sub-keys and the dim side replicated across all salts.
+    * Result equals the plain inner join; hot fact keys now spread over
+    * `numSalts` reducers. Use when `dim` is too big to broadcast but small
+    * enough to replicate `numSalts`x. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String, numSalts: Int): DataFrame = {
+    require(numSalts > 1, "numSalts must be > 1")
+    val fs = fact.withColumn(SaltCol, (rand(42) * numSalts).cast("int"))
+    val ds = dim.withColumn(SaltCol, explode(sequence(lit(0), lit(numSalts - 1))))
+    fs.join(ds, Seq(key, SaltCol)).drop(SaltCol)
+  }
+
+  /** Two-phase (salted) aggregation: partial count/sum per (key, salt), then
+    * final combine per key. Spark's hash aggregate already does map-side
+    * partials; the explicit salted phase additionally splits a hot key's
+    * REDUCE work across `numSalts` tasks, which matters when one key's
+    * partials alone overflow a single reducer. */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String, numSalts: Int): DataFrame = {
+    require(numSalts > 1, "numSalts must be > 1")
+    df.withColumn(SaltCol, (rand(42) * numSalts).cast("int"))
+      .groupBy(col(key), col(SaltCol))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol).cast("decimal(28,6)")).as("__s"))
+      .groupBy(col(key))
+      .agg(sum("__n").as("n"), sum("__s").cast("double").as("sum_value"))
+  }
+}

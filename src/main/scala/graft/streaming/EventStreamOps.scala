@@ -64,6 +64,14 @@ object EventStreamOps {
       .agg(avg("value").as("avg_value"))
       .select(col("window.start").as("win_start"), col("event_type"), col("avg_value"))
 
+  /** Streaming exact dedupe: drop replayed/duplicate event_ids, keeping
+    * state only within the watermark horizon — the streaming face of the
+    * engine's exact-dedupe story (bounded state, unlike a global distinct). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom state machine via mapGroupsWithState: per-user running session
     * (event count + value sum) — the KeyValueGroupedDataset stateful path
     * the reference's DedupeStream has no analog for. NoTimeout: state

@@ -27,6 +27,20 @@ class EventStreamOpsSpec extends SparkSpec {
     assert(slid.count() > tumb.count())
   }
 
+  test("streaming dedupe drops replayed events") {
+    // stage the events file TWICE into one source dir — a full replay
+    val src = java.nio.file.Files.createTempDirectory("dup_events")
+    val p = java.nio.file.Paths.get(eventsPath)
+    java.nio.file.Files.copy(p, src.resolve("a.parquet"))
+    java.nio.file.Files.copy(p, src.resolve("b.parquet"))
+    val deduped = EventStreamOps.runToMemory(spark, src.toString, "dedup_t",
+      EventStreamOps.dedupedEvents)
+    val distinctIds = graft.operators.Tables.t(spark, sfDir, "events")
+      .select("event_id").distinct().count()
+    assert(deduped.count() == distinctIds,
+      "replayed copy must be fully deduplicated within the watermark")
+  }
+
   test("stateful user sessions accumulate counts per user") {
     val sessions = EventStreamOps.runToMemory(spark, eventsPath, "sess_t",
       df => EventStreamOps.userSessions(spark, df).toDF(),
