@@ -40,6 +40,7 @@ object SparkEntry {
     "q5_region_revenue" -> (AnalyticsQueries.q5RegionRevenue _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
+    "w3_topk_agg" -> (AnalyticsQueries.w3TopKAgg _),
     "r1_rollup" -> (AnalyticsQueries.r1Rollup _),
     "r2_cube" -> (AnalyticsQueries.r2Cube _),
     "p1_percentiles" -> (AnalyticsQueries.p1Percentiles _),
@@ -156,6 +157,13 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "w1_top_per_brand" ->
+      """WITH rev AS (SELECT p_brand, p_partkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rank FROM rev)
+        |SELECT p_brand, p_partkey, revenue, rank FROM r WHERE rank <= 3
+        |ORDER BY p_brand, rank""".stripMargin,
+    "w3_topk_agg" ->
       """WITH rev AS (SELECT p_brand, p_partkey,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),

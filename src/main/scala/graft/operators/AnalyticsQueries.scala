@@ -72,6 +72,29 @@ object AnalyticsQueries {
       .orderBy("p_brand", "rank")
   }
 
+  /** Top-3 parts per brand via the bounded-heap TopKAgg instead of a window:
+    * identical output to w1, but aggregation state is k rows per group with
+    * map-side combine — no full sort of the fact side (the window form must
+    * sort every brand's whole row set). The preferable 100 TB top-k shape. */
+  def w3TopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = t(spark, dir, "part")
+    val l = t(spark, dir, "lineitem")
+    val rev = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    rev.select(col("p_brand"), col("revenue"), col("p_partkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(3).toColumn.name("top"))
+      .flatMap { case (brand, top) =>
+        top.iterator.zipWithIndex.map { case ((revenue, pk), i) => (brand, pk, revenue, i + 1) }
+      }
+      .toDF("p_brand", "p_partkey", "revenue", "rank")
+      .orderBy("p_brand", "rank")
+  }
+
   /** Analytic frame: per-supplier running revenue by ship date. */
   def w2RunningRevenue(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
