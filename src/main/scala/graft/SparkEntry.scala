@@ -66,6 +66,8 @@ object SparkEntry {
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
     "v3_label_centroids" -> (SimilarityQueries.v3LabelCentroids _),
+    "v4_ivf_search" -> (SimilarityQueries.v4IvfSearch _),
+    "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
     "m1_media_summary" -> (MultimodalOps.mm1MediaSummary _),

@@ -117,6 +117,20 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Sketch aggregation: HyperLogLog++ approximate distinct counts next to
+    * the exact answer — the O(1)-state cardinality path a 100 TB profiler
+    * uses where exact countDistinct would shuffle every distinct value.
+    * Spark-only (HLL estimates are engine-specific); the smoke spec bounds
+    * the relative error. */
+  def q6ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy("l_returnflag")
+
   /** Grouping sets: full cube over returnflag/linestatus (r1 is the rollup
     * form; cube adds the linestatus-only slices). */
   def r2Cube(spark: SparkSession, dir: String): DataFrame =

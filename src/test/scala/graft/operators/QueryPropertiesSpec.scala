@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the Spark-only queries (the ones the DuckDB
+  * oracle cannot check): sketch error bounds and ANN sanity. */
+class QueryPropertiesSpec extends SparkSpec {
+
+  test("q6 approximate distinct counts stay within the configured rsd") {
+    AnalyticsQueries.q6ApproxDistinct(spark, sfDir).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"flag ${r.getString(0)}: approx $approx vs exact $exact drifted > 10%")
+    }
+  }
+
+  test("v4 IVF probe returns self-cell neighbors with sane similarity order") {
+    val rows = SimilarityQueries.v4IvfSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sorted.reverse), "rank must follow sim desc")
+    }
+  }
+
+  test("v4 IVF probes exactly one cell per query and never returns self") {
+    // (this corpus' embeddings are near-random — within-label cosine ~0.004
+    // vs ~-0.001 across — so recall vs brute force is a data property, not
+    // an operator property; what IS invariant: single-cell probes, no
+    // self-matches, at most k results per query)
+    val rows = SimilarityQueries.v4IvfSearch(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(2)).distinct.length == 1,
+        s"query $q probed more than one cell")
+      assert(rs.forall(_.getLong(1) != q), s"query $q returned itself")
+      assert(rs.length <= 3)
+    }
+  }
+}
