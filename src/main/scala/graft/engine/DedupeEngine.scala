@@ -179,6 +179,29 @@ final class DedupeEngine(
     objectsT.append(newObjects)
   }
 
+  /** Ingest every file under `path` as one object each (key = file name),
+    * through Spark's binaryFile source — the distributed analog of the
+    * reference sample apps' file-per-object storage
+    * (reference: src/Test/Program.cs:184-207). */
+  def ingestDirectory(path: String): Unit = {
+    val files = spark.read.format("binaryFile").load(path)
+      .select($"path", $"content")
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) => (p.substring(p.lastIndexOf('/') + 1), bytes) }
+    ingest(files)
+  }
+
+  /** Reconstruct objects and write each as a file named by its key under
+    * `outDir` — the distributed Get→file sink (executor-side writes; no
+    * driver materialization). */
+  def exportAll(outDir: String, keys: Option[Seq[String]] = None): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    reconstructAll(keys).map { case (key, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(outDir, key), bytes)
+      1L
+    }.reduce(_ + _)
+  }
+
   // ---------------------------------------------------------------- lookups
 
   /** Equality existence probe (reference: DedupeLibrary.cs:562-566). */

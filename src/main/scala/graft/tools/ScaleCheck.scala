@@ -26,6 +26,39 @@ object ScaleCheck {
       val rows = fn(spark, dir).count()
       println(f"[scale] $name: rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    engineThroughput(spark)
     spark.stop()
+  }
+
+  /** Bulk ingest + reconstruct throughput through DedupeEngine (the
+    * reference's Write/Get path): 120 x 512 KiB objects (100 unique + 20
+    * duplicates), large-file chunking profile (reference README.md:154-157).
+    */
+  private def engineThroughput(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.core.DedupeSettings
+    import graft.engine.DedupeEngine
+    val idx = java.nio.file.Files.createTempDirectory("scale_idx").toString
+    val eng = DedupeEngine.create(spark, idx, DedupeSettings(32768, 262144, 512, 2))
+    val objKB = 512
+    val uniques = 100
+    val keys = (0 until uniques).map(i => s"obj$i") ++ (0 until 20).map(i => s"dup$i")
+    val src = spark.createDataset(keys.zipWithIndex).repartition(8)
+      .map { case (k, i) =>
+        val seed = if (k.startsWith("dup")) i % 5 else 1000 + i // dups repeat 5 seeds
+        val r = new scala.util.Random(seed)
+        val b = new Array[Byte](objKB * 1024); r.nextBytes(b); (k, b)
+      }
+    val mb = keys.size * objKB / 1024.0
+    val t0 = System.nanoTime()
+    eng.ingest(src)
+    val ingestS = (System.nanoTime() - t0) / 1e9
+    val st = eng.indexStats()
+    val t1 = System.nanoTime()
+    val rebuilt = eng.reconstructAll().count()
+    val readS = (System.nanoTime() - t1) / 1e9
+    println(f"[scale] engine ingest: $mb%.0f MB in $ingestS%.2f s = ${mb / ingestS}%.1f MB/s " +
+      f"(objects=${st.objectCount} chunks=${st.chunkCount} ratioX=${st.ratioX}%.2f)")
+    println(f"[scale] engine reconstructAll: $rebuilt objs in $readS%.2f s = ${mb / readS}%.1f MB/s")
   }
 }

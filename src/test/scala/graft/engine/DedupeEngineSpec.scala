@@ -145,6 +145,25 @@ class DedupeEngineSpec extends SparkSpec {
     assert(some.keySet == Set("r1", "r3"))
   }
 
+  test("ingestDirectory + exportAll round-trip files byte-identically") {
+    val e = newEngine()
+    val srcDir = Files.createTempDirectory("graft_src")
+    val files = (1 to 4).map { i =>
+      val data = randomBytes(5000 + i * 777, 900 + i)
+      Files.write(srcDir.resolve(s"file$i.bin"), data)
+      s"file$i.bin" -> data
+    }
+    e.ingestDirectory(srcDir.toString)
+    assert(e.indexStats().objectCount == 4)
+    val outDir = Files.createTempDirectory("graft_out")
+    val n = e.exportAll(outDir.toString)
+    assert(n == 4)
+    files.foreach { case (name, data) =>
+      val back = Files.readAllBytes(outDir.resolve(name))
+      assert(java.util.Arrays.equals(back, data), s"$name mismatch")
+    }
+  }
+
   test("openStream: sequential read, seek, EOF semantics") {
     val e = newEngine()
     val data = randomBytes(20000, 42)
