@@ -54,11 +54,18 @@ final class VersionedTable(spark: SparkSession, path: String, schema: StructType
     else spark.read.schema(schema).parquet(segs.map(s => dir.resolve(s).toString): _*)
   }
 
+  /** Number of segments in the current version (compaction signal). */
+  def segmentCount: Int = segments(currentVersion).size
+
   /** Append-only commit: write `df` as one new segment, manifest = old + new.
-    * Cost is proportional to the NEW rows only. */
-  def append(df: DataFrame): Unit = {
+    * Cost is proportional to the NEW rows only. When the segment chain
+    * exceeds `compactThreshold`, the append folds everything into one
+    * segment instead (amortized O(new); keeps scan fan-in bounded). */
+  def append(df: DataFrame, compactThreshold: Int = 32): Unit = {
     val v = currentVersion
-    commit(v, segments(v), df)
+    val segs = segments(v)
+    if (segs.size >= compactThreshold) publish(read().unionByName(df))
+    else commit(v, segs, df)
   }
 
   /** Full-snapshot commit: write `df` as the only segment (compaction /

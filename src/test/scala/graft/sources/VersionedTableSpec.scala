@@ -61,6 +61,13 @@ class VersionedTableSpec extends SparkSpec {
     assert(got === Seq(("a", 1L), ("b", 2L)))
   }
 
+  test("append auto-compacts past the segment threshold") {
+    val (dir, t) = fresh()
+    (1 to 5).foreach(i => t.append(df(s"k$i" -> i.toLong), compactThreshold = 4))
+    assert(segDirs(dir).size < 5, "chain must have been folded")
+    assert(t.read().count() === 5, "compaction preserves all rows")
+  }
+
   test("publish of a derived-from-self DataFrame materializes before GC") {
     val (_, t) = fresh()
     t.append(df("a" -> 1L, "b" -> 2L))
