@@ -18,7 +18,8 @@ final case class DedupeSettings(
     minChunkSize: Int = 1024,
     maxChunkSize: Int = 32768,
     shiftCount: Int = 32,
-    boundaryCheckBytes: Int = 2) {
+    boundaryCheckBytes: Int = 2,
+    profile: String = DedupeSettings.Md5Profile) {
 
   require(minChunkSize >= 256, s"minChunkSize must be >= 256, got $minChunkSize")
   require(minChunkSize % 64 == 0, s"minChunkSize must be divisible by 64, got $minChunkSize")
@@ -30,16 +31,40 @@ final case class DedupeSettings(
     s"shiftCount must be in (1, minChunkSize], got $shiftCount")
   require(boundaryCheckBytes >= 1 && boundaryCheckBytes <= 4,
     s"boundaryCheckBytes must be in [1, 4], got $boundaryCheckBytes")
+  require(profile == DedupeSettings.Md5Profile || profile == DedupeSettings.GearProfile,
+    s"profile must be '${DedupeSettings.Md5Profile}' or '${DedupeSettings.GearProfile}', got $profile")
 
-  /** Serialize for the config table (reference: DedupeLibrary.cs:589-592 keys). */
+  /** Gear-profile boundary mask width chosen so the expected chunk size
+    * tracks the MD5 rule's (min + shift * 2^(8*boundaryCheckBytes), capped):
+    * boundary fires per BYTE instead of per shiftCount-byte step. */
+  def gearMaskBits: Int = {
+    val expected = math.min(
+      shiftCount.toDouble * math.pow(2.0, 8.0 * boundaryCheckBytes), maxChunkSize.toDouble)
+    math.max(8, math.min(48, math.round(math.log(expected) / math.log(2.0)).toInt))
+  }
+
+  /** Chunk with this settings' profile (same identity scheme either way). */
+  def chunkWithData(data: Array[Byte]): IndexedSeq[ChunkWithData] =
+    if (profile == DedupeSettings.GearProfile)
+      GearChunker.chunkWithData(data, minChunkSize, maxChunkSize, gearMaskBits)
+    else Chunker.chunkWithData(data, this)
+
+  /** Serialize for the config table (reference: DedupeLibrary.cs:589-592 keys
+    * + the profile extension). */
   def toConfigMap: Map[String, String] = Map(
     "min_chunk_size" -> minChunkSize.toString,
     "max_chunk_size" -> maxChunkSize.toString,
     "shift_count" -> shiftCount.toString,
-    "boundary_check_bytes" -> boundaryCheckBytes.toString)
+    "boundary_check_bytes" -> boundaryCheckBytes.toString,
+    "chunker_profile" -> profile)
 }
 
 object DedupeSettings {
+  /** Reference-fidelity boundary rule: MD5 over the sliding window. */
+  val Md5Profile = "md5-window"
+  /** Throughput boundary rule: rolling gear hash (FastCDC family). */
+  val GearProfile = "gear"
+
   /** Reference profile for small files (README.md:154-157). */
   val SmallFiles: DedupeSettings = DedupeSettings(2048, 16384, 128, 2)
   /** Reference profile for large files (README.md:154-157). */
@@ -49,5 +74,6 @@ object DedupeSettings {
     m("min_chunk_size").toInt,
     m("max_chunk_size").toInt,
     m("shift_count").toInt,
-    m("boundary_check_bytes").toInt)
+    m("boundary_check_bytes").toInt,
+    m.getOrElse("chunker_profile", Md5Profile))
 }

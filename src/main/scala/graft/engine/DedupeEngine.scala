@@ -140,7 +140,7 @@ final class DedupeEngine(
   def ingest(ds: Dataset[(String, Array[Byte])]): Unit = {
     val s = settings
     val chunked = ds.flatMap { case (key, bytes) =>
-      Chunker.chunkWithData(bytes, s).map(c =>
+      s.chunkWithData(bytes).map(c => // profile-aware: md5-window or gear
         (key, c.ref.chunkKey, c.ref.length, c.ref.position, c.ref.address, c.data))
     }.toDF("objectKey", "chunkKey", "chunkLength", "chunkPosition", "chunkAddress", "data")
       .localCheckpoint() // chunk once; three tables derive from this

@@ -35,11 +35,39 @@ object ScaleCheck {
     * duplicates), large-file chunking profile (reference README.md:154-157).
     */
   private def engineThroughput(spark: SparkSession): Unit = {
-    import spark.implicits._
     import graft.core.DedupeSettings
+    chunkerOnly()
+    engineThroughputWith(spark, DedupeSettings(32768, 262144, 512, 2))
+    engineThroughputWith(spark,
+      DedupeSettings(32768, 262144, 512, 2, DedupeSettings.GearProfile))
+  }
+
+  /** Single-thread pure-chunker throughput: isolates the boundary-rule cost
+    * from Spark/parquet overheads (the reference is single-threaded, so this
+    * is the apples-to-apples number against its Write path). */
+  private def chunkerOnly(): Unit = {
+    import graft.core.{Chunker, DedupeSettings, GearChunker}
+    val s = DedupeSettings(32768, 262144, 512, 2)
+    val r = new scala.util.Random(5)
+    val data = new Array[Byte](32 * 1024 * 1024); r.nextBytes(data)
+    val mb = data.length / 1024.0 / 1024.0
+    Chunker.boundaries(data, s); GearChunker.boundaries(data, s.minChunkSize, s.maxChunkSize, s.gearMaskBits) // warm
+    val t0 = System.nanoTime()
+    val nMd5 = Chunker.boundaries(data, s).size
+    val md5S = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nGear = GearChunker.boundaries(data, s.minChunkSize, s.maxChunkSize, s.gearMaskBits).size
+    val gearS = (System.nanoTime() - t1) / 1e9
+    println(f"[scale] chunker md5-window: $mb%.0f MB in $md5S%.2f s = ${mb / md5S}%.1f MB/s ($nMd5 chunks)")
+    println(f"[scale] chunker gear:       $mb%.0f MB in $gearS%.2f s = ${mb / gearS}%.1f MB/s ($nGear chunks)")
+  }
+
+  private def engineThroughputWith(spark: SparkSession,
+      settings: graft.core.DedupeSettings): Unit = {
+    import spark.implicits._
     import graft.engine.DedupeEngine
     val idx = java.nio.file.Files.createTempDirectory("scale_idx").toString
-    val eng = DedupeEngine.create(spark, idx, DedupeSettings(32768, 262144, 512, 2))
+    val eng = DedupeEngine.create(spark, idx, settings)
     val objKB = 512
     val uniques = 100
     val keys = (0 until uniques).map(i => s"obj$i") ++ (0 until 20).map(i => s"dup$i")
@@ -57,8 +85,8 @@ object ScaleCheck {
     val t1 = System.nanoTime()
     val rebuilt = eng.reconstructAll().count()
     val readS = (System.nanoTime() - t1) / 1e9
-    println(f"[scale] engine ingest: $mb%.0f MB in $ingestS%.2f s = ${mb / ingestS}%.1f MB/s " +
-      f"(objects=${st.objectCount} chunks=${st.chunkCount} ratioX=${st.ratioX}%.2f)")
-    println(f"[scale] engine reconstructAll: $rebuilt objs in $readS%.2f s = ${mb / readS}%.1f MB/s")
+    println(f"[scale] engine[${settings.profile}] ingest: $mb%.0f MB in $ingestS%.2f s = " +
+      f"${mb / ingestS}%.1f MB/s (objects=${st.objectCount} chunks=${st.chunkCount} ratioX=${st.ratioX}%.2f)")
+    println(f"[scale] engine[${settings.profile}] reconstructAll: $rebuilt objs in $readS%.2f s = ${mb / readS}%.1f MB/s")
   }
 }
