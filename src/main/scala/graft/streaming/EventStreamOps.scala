@@ -64,6 +64,28 @@ object EventStreamOps {
       .agg(avg("value").as("avg_value"))
       .select(col("window.start").as("win_start"), col("event_type"), col("avg_value"))
 
+  /** Stream-stream interval join: every click joined to the same user's
+    * views from the preceding 30 minutes. Both sides carry watermarks so
+    * the join state is bounded (a view older than click_ts - 30 min can
+    * never match and is evicted); inner matches emit as soon as both rows
+    * arrive. The streaming face of the j1 as-of/attribution shape. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("click_ts"), col("view_id"), col("view_ts"))
+  }
+
   /** Streaming exact dedupe: drop replayed/duplicate event_ids, keeping
     * state only within the watermark horizon — the streaming face of the
     * engine's exact-dedupe story (bounded state, unlike a global distinct). */

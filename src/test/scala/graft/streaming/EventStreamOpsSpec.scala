@@ -41,6 +41,23 @@ class EventStreamOpsSpec extends SparkSpec {
       "replayed copy must be fully deduplicated within the watermark")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventStreamOps.runToMemory(spark, eventsPath, "ssj_t",
+      EventStreamOps.clickViewJoin)
+    val e = graft.operators.Tables.t(spark, sfDir, "events")
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val batch = c.join(v,
+      col("c_user") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES"))
+    assert(streamed.count() == batch.count(),
+      "stream-stream join must emit exactly the batch join's matches")
+    assert(streamed.count() > 0)
+  }
+
   test("stateful user sessions accumulate counts per user") {
     val sessions = EventStreamOps.runToMemory(spark, eventsPath, "sess_t",
       df => EventStreamOps.userSessions(spark, df).toDF(),
