@@ -19,6 +19,8 @@ import java.nio.file.{Files, Paths}
  *   graft.apps.DedupeCli <indexDir> md <key>
  *   graft.apps.DedupeCli <indexDir> list [prefix] [startAfter]
  *   graft.apps.DedupeCli <indexDir> stats
+ *   graft.apps.DedupeCli <indexDir> import <srcDir>    # file-per-object bulk ingest
+ *   graft.apps.DedupeCli <indexDir> export <outDir>    # distributed reconstruct to files
  */
 object DedupeCli {
 
@@ -77,6 +79,12 @@ object DedupeCli {
         l.objects.foreach(o => println(
           f"${o.objectKey}%-40s ${o.originalLength}%12d ${o.chunkCount}%6d ${o.createdUtc}"))
         l.nextStartAfterKey.foreach(k => println(s"-- next: $k"))
+      case "import" =>
+        engine().ingestDirectory(rest(0))
+        println(s"imported ${rest(0)}")
+      case "export" =>
+        val n = engine().exportAll(rest(0))
+        println(s"exported $n objects -> ${rest(0)}")
       case "stats" =>
         val st = engine().indexStats()
         println(f"objects=${st.objectCount} chunks=${st.chunkCount} " +
