@@ -56,6 +56,7 @@ object SparkEntry {
     "x3_ngram_jaccard" -> (DedupQueries.x3NgramJaccardPairs _),
     "x4_minhash_lsh" -> (DedupQueries.x4MinhashLsh _),
     "x5_simhash_pairs" -> (DedupQueries.x5SimhashPairs _),
+    "x6_embedding_cosine" -> (DedupQueries.x6EmbeddingCosine _),
     // --- text analysis (north_star)
     "y1_token_stats" -> (TextQueries.y1TokenStats _),
     "y2_quality_score" -> (TextQueries.y2QualityScore _),

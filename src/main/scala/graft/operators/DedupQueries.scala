@@ -181,6 +181,68 @@ object DedupQueries {
     verifyJaccard(cands, docSets(spark, dir).localCheckpoint(), 0.5)
   }
 
+  /** Embedding-cosine near-dup: a 64-dim feature-hashed embedding per doc
+    * (hashing trick: each shingle hash lands in dimension h mod 64 with a
+    * hash-derived sign, then L2-normalize), LSH-bucketed by 16 hyperplane
+    * sign bits (2 x 8-bit bands), exact cosine >= 0.9 verification with the
+    * codegen'd dot product. The corpus' embeddings table holds random
+    * vectors with no near-dups, so the operator derives its vectors from
+    * document content — where duplicate clusters actually exist — while
+    * exercising the exact shape an embedding-dedupe pipeline runs: one
+    * narrow pass for vectors+buckets, band join, cosine rerank. */
+  def x6EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val numPlanes = 16
+    val banded = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val planes = Array.tabulate(numPlanes, dim)((p, i) =>
+          XXH64.hashLong((p.toLong << 32) | i.toLong, 11L).toDouble / 9.223372036854776e18)
+        it.flatMap { case (id, text) =>
+          val hs = shingleHashes(text)
+          val vec = new Array[Float](dim)
+          var k = 0
+          while (k < hs.length) {
+            val h = hs(k)
+            val d = ((h % dim).toInt + dim) % dim
+            vec(d) += (if (((h >>> 17) & 1L) == 1L) 1f else -1f)
+            k += 1
+          }
+          var norm = 0.0
+          var i = 0
+          while (i < dim) { norm += vec(i).toDouble * vec(i); i += 1 }
+          if (norm > 0) {
+            val inv = (1.0 / math.sqrt(norm)).toFloat
+            i = 0
+            while (i < dim) { vec(i) *= inv; i += 1 }
+          }
+          var sig = 0
+          var p = 0
+          while (p < numPlanes) {
+            val pl = planes(p)
+            var s = 0.0
+            i = 0
+            while (i < dim) { s += vec(i) * pl(i); i += 1 }
+            if (s > 0) sig |= (1 << p)
+            p += 1
+          }
+          Iterator((id, vec, 0, sig & 255), (id, vec, 1, (sig >> 8) & 255))
+        }
+      }.toDF("doc_id", "vec", "band", "band_key")
+      .localCheckpoint() // embedding pipeline runs once, not per join side
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("cosine", round(dot(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= 0.9)
+      .select("doc_a", "doc_b", "cosine")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash fingerprint + near-dup pairs by Hamming distance: 64-bit
     * fingerprint from shingle-hash bit votes (computed per-row in the scan,
     * bit-identical to the SimhashAgg formulation but shuffle-free), banded

@@ -25,6 +25,23 @@ class QueryPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("x6 embedding-cosine finds every exact-duplicate text pair at cosine 1") {
+    val dupDir = "/root/testdata/sf0.1" // smaller SFs have no exact-dup docs
+    val docs = Tables.t(spark, dupDir, "documents")
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val exactPairs = docs.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    assert(exactPairs.nonEmpty, "corpus should contain exact duplicates")
+    val found = DedupQueries.x6EmbeddingCosine(spark, dupDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    exactPairs.foreach { p =>
+      assert(found.get(p).exists(_ >= 0.9999),
+        s"exact duplicate pair $p missing or cosine != 1")
+    }
+  }
+
   test("v4 IVF probes exactly one cell per query and never returns self") {
     // (this corpus' embeddings are near-random — within-label cosine ~0.004
     // vs ~-0.001 across — so recall vs brute force is a data property, not
