@@ -63,6 +63,7 @@ object SparkEntry {
     "y3_langid" -> (TextQueries.y3LangIdHeuristic _),
     "y4_fingerprint" -> (TextQueries.y4Fingerprint _),
     "y5_json_props" -> (TextQueries.y5JsonProps _),
+    "y6_bpe_tokens" -> (TextQueries.y6BpeTokens _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -324,6 +325,16 @@ object SparkEntry {
         |  round(avg(width * height), 2) AS avg_pixels,
         |  CAST(sum(CASE WHEN duration_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS timed_media
         |FROM m GROUP BY 1 ORDER BY media_type""".stripMargin,
+    "y6_bpe_tokens" ->
+      """WITH d AS (SELECT lang,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS ws_total,
+        |  CAST(sum(bpe_tokens) AS BIGINT) AS bpe_total,
+        |  round(avg(CAST(bpe_tokens AS DOUBLE) / ws_tokens), 4) AS subwords_per_word
+        |FROM d GROUP BY 1 ORDER BY lang""".stripMargin,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT query_id, e.vec_id AS neighbor_id,

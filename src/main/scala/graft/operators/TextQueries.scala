@@ -75,6 +75,26 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** BPE-flavored subword token counting: a regex tokenizer (letter runs /
+    * digit runs / single punctuation — the GPT-2 pre-tokenizer shape,
+    * restricted to dialect-neutral character classes so Spark's Java regex
+    * and DuckDB's RE2 agree) next to the whitespace count, per language.
+    * The "how many tokens is this corpus" question every training-data
+    * budget starts with. */
+  def y6BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    t(spark, dir, "documents")
+      .withColumn("ws_tokens", tokenCount(col("text")))
+      .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(bpeish), lit(0))).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("ws_total"),
+        sum("bpe_tokens").as("bpe_total"),
+        round(avg(col("bpe_tokens").cast("double") / col("ws_tokens")), 4)
+          .as("subwords_per_word"))
+      .orderBy("lang")
+  }
+
   /** JSON property extraction over the events stream: pull `$.k` out of the
     * `props` JSON column (codegen'd get_json_object — no UDF) and aggregate
     * per event type. The semi-structured-column path every telemetry /
