@@ -193,13 +193,18 @@ final class DedupeEngine(
 
   /** Reconstruct objects and write each as a file named by its key under
     * `outDir` — the distributed Get→file sink (executor-side writes; no
-    * driver materialization). */
+    * driver materialization). Keys containing '/' become subdirectories;
+    * an empty index exports 0 files. */
   def exportAll(outDir: String, keys: Option[Seq[String]] = None): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    reconstructAll(keys).map { case (key, bytes) =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(outDir, key), bytes)
+    val counts = reconstructAll(keys).map { case (key, bytes) =>
+      val target = java.nio.file.Paths.get(outDir, key)
+      val parent = target.getParent
+      if (parent != null) java.nio.file.Files.createDirectories(parent)
+      java.nio.file.Files.write(target, bytes)
       1L
-    }.reduce(_ + _)
+    }
+    counts.toDF("n").agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
   }
 
   // ---------------------------------------------------------------- lookups

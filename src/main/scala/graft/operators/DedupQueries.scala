@@ -111,15 +111,21 @@ object DedupQueries {
     val threshold = 0.5
     // per-doc shingle-set arrays: verification side + frequency source
     val sets = docSets(spark, dir).localCheckpoint()
-    // global heavy-hitter frequencies -> broadcast rarest-first order
+    // global heavy-hitter frequencies -> broadcast rarest-first order.
     // f >= 2 because singleton shingles cannot produce a join collision:
     // ordering every repeated shingle after them packs prefixes with
-    // collision-free singletons. (At extreme corpus sizes raise the cutoff —
-    // the table only needs the top of the frequency distribution to be
-    // effective; absent shingles order as rare.)
+    // collision-free singletons. The table is HARD-CAPPED to the top
+    // maxFreqTable entries so driver/broadcast memory stays bounded on any
+    // corpus — ordering correctness needs only consistency, and pruning
+    // quality degrades gracefully to "most frequent shingles leave prefixes
+    // first", exactly what matters.
+    val maxFreqTable = 1 << 20
     val freqMap: Map[Long, Long] = sets.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("f"))
-      .filter(col("f") >= 2).as[(Long, Long)].collect().toMap
+      .filter(col("f") >= 2)
+      .orderBy(col("f").desc, col("h"))
+      .limit(maxFreqTable)
+      .as[(Long, Long)].collect().toMap
     val bcFreq = spark.sparkContext.broadcast(freqMap)
     // per-doc prefix rows derived from the cached arrays (narrow pass)
     val prefix = sets.select(col("doc_id"), col("hs"), col("n")).as[(Long, Array[Long], Int)]
@@ -149,10 +155,12 @@ object DedupQueries {
     val numHashes = 16
     val rowsPerBand = 4
     val numBands = numHashes / rowsPerBand
-    val banded = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val hs = shingleHashes(text)
+    // one cached shingle pass feeds BOTH the signature flatMap and the
+    // verification side (re-scanning documents would double the most
+    // expensive narrow stage)
+    val sets = docSets(spark, dir).localCheckpoint()
+    val banded = sets.select(col("doc_id"), col("hs")).as[(Long, Array[Long])]
+      .flatMap { case (id, hs) =>
         val sigs = Array.fill(numHashes)(Long.MaxValue)
         var k = 0
         while (k < hs.length) {
@@ -177,8 +185,8 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact-Jaccard verification against the per-doc shingle-set arrays
-    verifyJaccard(cands, docSets(spark, dir).localCheckpoint(), 0.5)
+    // exact-Jaccard verification against the same cached shingle-set arrays
+    verifyJaccard(cands, sets, 0.5)
   }
 
   /** Embedding-cosine near-dup: a 64-dim feature-hashed embedding per doc
@@ -249,9 +257,12 @@ object DedupQueries {
     * into 4 x 16-bit blocks for sub-quadratic candidate generation, verified
     * with bit_count(xor). 16-bit bands (65k buckets) over 8-bit ones: with
     * one shared vocabulary the per-bit votes correlate across docs, so 256
-    * coarse buckets collapse and the candidate join quadratically explodes;
-    * 16-bit keys keep buckets near-singleton while still catching every
-    * near-identical pair (their hamming distance concentrates near 0).
+    * coarse buckets collapse and the candidate join quadratically explodes.
+    * Recall contract: 4 disjoint blocks GUARANTEE (pigeonhole) every pair
+    * at hamming <= 3 — which covers the near-identical pairs dedupe targets
+    * (their distance concentrates at 0-2) — and find pairs in (3, 12] only
+    * best-effort (some differing-bit placements evade all four blocks); the
+    * hamming <= 12 output filter bounds precision, not recall.
     *
     * Features are 3-word shingles, not unigrams: this corpus shares one
     * small vocabulary, so unigram simhashes collapse to near-identical

@@ -47,11 +47,13 @@ object SimilarityQueries {
     val banded = e.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        var planes: Array[Array[Double]] = null // built once per partition
+        // plane matrices keyed by dimension: deterministic per (p, i), so
+        // a mixed-dim table still projects every row against a full matrix
+        val byDim = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
         it.flatMap { case (id, emb) =>
-          if (planes == null)
-            planes = Array.tabulate(numPlanes, emb.length)((p, i) =>
-              XXH64.hashLong((p.toLong << 32) | i.toLong, 7L).toDouble / 9.223372036854776e18)
+          val planes = byDim.getOrElseUpdate(emb.length,
+            Array.tabulate(numPlanes, emb.length)((p, i) =>
+              XXH64.hashLong((p.toLong << 32) | i.toLong, 7L).toDouble / 9.223372036854776e18))
           var bucket = 0
           var p = 0
           while (p < numPlanes) {
@@ -96,11 +98,19 @@ object SimilarityQueries {
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
-    // cell assignment: nearest centroid per vector (broadcast M x dim;
-    // float32 centroid is plenty for picking the nearest cell)
+    // cell assignment: nearest centroid by COSINE — centroids must be
+    // L2-normalized before the dot product, else argmax-dot herds vectors
+    // toward large-norm centroids regardless of angle (embeddings are
+    // unit-norm, centroids are plain means with differing norms)
+    val normed = centroids
+      .withColumn("cn", sqrt(aggregate(
+        transform(col("centroid"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("centroid",
+        transform(col("centroid"), x => (x / col("cn")).cast("float")))
+      .drop("cn")
     val assigned = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids.withColumnRenamed("label", "cl")))
-      .withColumn("d", dot(col("embedding"), col("centroid").cast("array<float>")))
+      .crossJoin(broadcast(normed.withColumnRenamed("label", "cl")))
+      .withColumn("d", dot(col("embedding"), col("centroid")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d").desc, col("cl"))))
       .filter(col("rk") === 1)

@@ -89,20 +89,28 @@ final class VersionedTable(spark: SparkSession, path: String, schema: StructType
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // retire directories no longer referenced (single-writer: no concurrent
-    // readers mid-GC locally) and superseded manifests
-    val live = keepSegs.toSet + segName
-    Files.list(dir).iterator().asScala.toList.foreach { p =>
+    // retire directories referenced by neither the new NOR the immediately
+    // previous version: a one-version grace window so DataFrames resolved
+    // from read() before this commit still execute (lazy plans hold segment
+    // paths and only open them at action time)
+    val live = keepSegs.toSet + segName ++ (if (v >= 0) segments(v).toSet else Set.empty)
+    listDir(dir).foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("seg-") && !live(name)) deleteRecursively(p)
-      if (name.startsWith("manifest-") && name != s"manifest-$next.txt")
+      if (name.startsWith("manifest-") && name != s"manifest-$next.txt" &&
+          name != s"manifest-$v.txt")
         Files.deleteIfExists(p)
     }
   }
 
+  /** Files.list with the stream closed (it leaks a directory fd otherwise). */
+  private def listDir(p: java.nio.file.Path): List[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRecursively(c))
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

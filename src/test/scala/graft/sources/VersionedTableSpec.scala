@@ -41,31 +41,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(got === Seq(("a", 1L), ("b", 2L), ("c", 3L)))
   }
 
-  test("publish replaces contents and retires old segments") {
+  test("publish replaces contents in a single-segment manifest") {
     val (dir, t) = fresh()
     t.append(df("a" -> 1L))
     t.append(df("b" -> 2L))
     t.publish(df("z" -> 9L))
-    assert(segDirs(dir).size === 1, "publish leaves a single segment")
+    assert(t.segmentCount === 1, "publish manifest references one segment")
     val got = t.read().collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === Seq(("z", 9L)))
+    // one more commit retires the pre-publish segments (grace window is 1)
+    t.append(df("w" -> 8L))
+    assert(segDirs(dir).size === 2, "only the grace window survives GC")
   }
 
-  test("compact preserves contents in a single segment") {
-    val (dir, t) = fresh()
+  test("compact preserves contents in a single-segment manifest") {
+    val (_, t) = fresh()
     t.append(df("a" -> 1L))
     t.append(df("b" -> 2L))
     t.compact()
-    assert(segDirs(dir).size === 1)
+    assert(t.segmentCount === 1)
     val got = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
     assert(got === Seq(("a", 1L), ("b", 2L)))
   }
 
   test("append auto-compacts past the segment threshold") {
-    val (dir, t) = fresh()
+    val (_, t) = fresh()
     (1 to 5).foreach(i => t.append(df(s"k$i" -> i.toLong), compactThreshold = 4))
-    assert(segDirs(dir).size < 5, "chain must have been folded")
+    assert(t.segmentCount === 1, "chain must have been folded")
     assert(t.read().count() === 5, "compaction preserves all rows")
+  }
+
+  test("a DataFrame resolved before a commit survives that commit (grace)") {
+    val (_, t) = fresh()
+    t.append(df("a" -> 1L, "b" -> 2L))
+    val before = t.read()
+    t.publish(df("z" -> 9L)) // rewrites; old segment must stay one version
+    assert(before.count() === 2, "pre-commit plan still executes after GC")
   }
 
   test("publish of a derived-from-self DataFrame materializes before GC") {
