@@ -134,7 +134,10 @@ object DedupQueries {
         val p = n - math.ceil(threshold * n).toInt + 1
         val sorted = hs.sortBy(h => (fm.getOrElse(h, 1L), h))
         sorted.iterator.take(p).map(h => (id, h, n))
-      }.toDF("doc_id", "h", "n").localCheckpoint()
+      }.toDF("doc_id", "h", "n")
+      // no checkpoint: deriving the prefix from the cached arrays is a
+      // cheap narrow map, cheaper to recompute per join side than to
+      // materialize (one fewer job + write barrier)
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) * threshold <= least(col("a.n"), col("b.n")))
