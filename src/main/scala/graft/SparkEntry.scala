@@ -74,10 +74,13 @@ object SparkEntry {
     //     deterministic stub, so the oracle re-derives its sha256 math)
     "m1_media_summary" -> (MultimodalOps.mm1MediaSummary _),
     // --- streaming engine driven end-to-end (rows-only: the batch forms
-    //     t1/t2 carry the oracles; the spec asserts stream == batch)
+    //     t1/t2 carry the oracles; the spec asserts stream == batch).
+    //     Complete mode: with Append, windows newer than maxTs - watermark
+    //     never finalize when a finite source drains and are silently lost.
     "st1_stream_hourly" -> ((s: SparkSession, dir: String) =>
       graft.streaming.EventStreamOps.runToMemory(s, s"$dir/events.parquet",
-        s"st1_${System.nanoTime()}", graft.streaming.EventStreamOps.hourlyByType)),
+        s"st1_${System.nanoTime()}", graft.streaming.EventStreamOps.hourlyByType,
+        org.apache.spark.sql.streaming.OutputMode.Complete())),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).

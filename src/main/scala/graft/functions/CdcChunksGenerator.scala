@@ -34,11 +34,20 @@ case class CdcChunksGenerator(
     StructField("address", LongType, nullable = false)))
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (child.dataType == BinaryType &&
-      Seq(minE, maxE, shiftE, boundaryE).forall(_.dataType == IntegerType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      "cdc_chunks(binary, int, int, int, int) expected")
+    val params = Seq(minE, maxE, shiftE, boundaryE)
+    // params are eval(null)'d once at open — they must be literals, or the
+    // query would pass analysis and then NPE (column ref) / silently pin one
+    // row's value (non-deterministic expr) inside every task at runtime
+    if (child.dataType != BinaryType || params.exists(_.dataType != IntegerType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "cdc_chunks(binary, int, int, int, int) expected")
+    else if (!params.forall(_.foldable))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "cdc_chunks chunking parameters must be literals (foldable)")
+    else if (params.exists(_.eval(null) == null))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "cdc_chunks chunking parameters must not be null")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
   @transient private lazy val settings = DedupeSettings(

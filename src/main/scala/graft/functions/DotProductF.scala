@@ -33,7 +33,13 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail fast on ragged inputs: silent min-length truncation would return
+    // a plausible partial similarity for a corrupt row (DuckDB's
+    // list_dot_product errors on mismatched lengths too)
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_f: array length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -49,7 +55,11 @@ case class DotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_f: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));

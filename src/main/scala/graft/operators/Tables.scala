@@ -11,6 +11,10 @@ object Tables {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
       // read nanos as long and truncate to microseconds (Spark's native
       // timestamp precision — same truncation a µs-writing producer would do).
+      // NOTE: nanosAsLong is a session-global conf and deliberately stays set
+      // (the lazy plans built here consult it again at execution time); any
+      // other TIMESTAMP(NANOS) parquet read in the session will also see
+      // nanos as BIGINT.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -27,17 +27,25 @@ object EventStreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** One cached staging dir per single-file source path: repeated stream
+    * runs (specs, bench warm+timed) must not each copy the file into a
+    * fresh never-deleted temp dir. */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Open the events parquet path as a stream. The file source requires a
     * directory; a single-file path (the test corpus shape) is staged into a
-    * temp dir once. `maxFilesPerTrigger` bounds per-batch work at scale. */
+    * cached temp dir once. `maxFilesPerTrigger` bounds per-batch work at scale. */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = java.nio.file.Paths.get(path)
     val dir =
       if (java.nio.file.Files.isRegularFile(p)) {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
-        d.toString
+        stagedDirs.computeIfAbsent(path, _ => {
+          val d = java.nio.file.Files.createTempDirectory("graft-stream")
+          java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+          d.toFile.deleteOnExit()
+          d.toString
+        })
       } else path
     spark.readStream
       .schema(eventSchema)
@@ -113,13 +121,18 @@ object EventStreamOps {
           val batch = rows.toSeq
           val prev = state.getOption.getOrElse(UserSession(userId, 0L, 0.0, 0L))
           val maxTs = batch.map(_._2.getTime / 1000).foldLeft(prev.lastTsSec)(math.max)
-          val next = UserSession(userId,
-            prev.nEvents + batch.size,
-            prev.totalValue + batch.map(_._3).sum,
-            maxTs)
-          state.update(next)
           val closed = prev.lastTsSec > 0 &&
             batch.nonEmpty && batch.map(_._2.getTime / 1000).min - prev.lastTsSec > idleGapSec
+          // a closed session RESETS the counters: the update reports the new
+          // session's totals, not a cross-session mixture (closed=true tells
+          // the consumer the previous session ended at prev.lastTsSec)
+          val next =
+            if (closed) UserSession(userId, batch.size.toLong, batch.map(_._3).sum, maxTs)
+            else UserSession(userId,
+              prev.nEvents + batch.size,
+              prev.totalValue + batch.map(_._3).sum,
+              maxTs)
+          state.update(next)
           SessionUpdate(userId, next.nEvents, next.totalValue, closed)
         })
   }

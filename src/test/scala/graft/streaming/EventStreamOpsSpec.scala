@@ -23,7 +23,9 @@ class EventStreamOpsSpec extends SparkSpec {
   test("sliding windows produce more windows than tumbling") {
     val slid = EventStreamOps.runToMemory(spark, eventsPath, "slide_t",
       EventStreamOps.slidingValue, OutputMode.Complete())
-    val tumb = spark.table("hourly_t")
+    // independent tumbling baseline (batch) so this test runs in isolation
+    val tumb = graft.operators.Tables.t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
     assert(slid.count() > tumb.count())
   }
 
