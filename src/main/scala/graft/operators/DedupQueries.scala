@@ -127,20 +127,26 @@ object DedupQueries {
       .limit(maxFreqTable)
       .as[(Long, Long)].collect().toMap
     val bcFreq = spark.sparkContext.broadcast(freqMap)
-    // per-doc prefix rows derived from the cached arrays (narrow pass)
+    // per-doc prefix rows (token + its rank in the global order) derived
+    // from the cached arrays (narrow pass)
     val prefix = sets.select(col("doc_id"), col("hs"), col("n")).as[(Long, Array[Long], Int)]
       .flatMap { case (id, hs, n) =>
         val fm = bcFreq.value
         val p = n - math.ceil(threshold * n).toInt + 1
         val sorted = hs.sortBy(h => (fm.getOrElse(h, 1L), h))
-        sorted.iterator.take(p).map(h => (id, h, n))
-      }.toDF("doc_id", "h", "n")
+        sorted.iterator.take(p).zipWithIndex.map { case (h, i) => (id, h, n, i) }
+      }.toDF("doc_id", "h", "n", "pos")
       // no checkpoint: deriving the prefix from the cached arrays is a
       // cheap narrow map, cheaper to recompute per join side than to
       // materialize (one fewer job + write barrier)
+    // PPJoin positional filter: a match at ranks (i, j) bounds the overlap
+    // by 1 + min(na-i-1, nb-j-1); J >= t needs inter >= t/(1+t)*(na+nb).
+    // Exact — prunes pairs whose BEST-case overlap cannot reach threshold.
+    val interLb = ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          greatest(col("a.n"), col("b.n")) * threshold <= least(col("a.n"), col("b.n")))
+          greatest(col("a.n"), col("b.n")) * threshold <= least(col("a.n"), col("b.n")) &&
+          lit(1) + least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1) >= interLb)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     verifyJaccard(cands, sets, threshold)
