@@ -85,8 +85,9 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
     * Omitted: a3_cdc_chunks, x4_minhash_lsh, x5_simhash_pairs, y4_fingerprint,
-    * v2_ann_lsh, v3_label_centroids — they depend on Spark-side hashing
-    * (xxhash64 / CDC MD5 windows) that DuckDB cannot reproduce.
+    * v2_ann_lsh — they depend on Spark-side hashing (xxhash64 / CDC MD5
+    * windows) that DuckDB cannot reproduce. v3/v4 are pure decimal-mean +
+    * IEEE dot arithmetic and ARE oracled below.
     */
   def oracleSql: Map[String, String] = Map(
     "a6_refcounts" ->
@@ -252,7 +253,7 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "t2_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS ts_s FROM events),
         |w AS (SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev FROM e),
         |n AS (SELECT *, CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END AS new_session FROM w),
         |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
@@ -338,6 +339,41 @@ object SparkEntry {
         |  CAST(sum(bpe_tokens) AS BIGINT) AS bpe_total,
         |  round(avg(CAST(bpe_tokens AS DOUBLE) / ws_tokens), 4) AS subwords_per_word
         |FROM d GROUP BY 1 ORDER BY lang""".stripMargin,
+    "v3_label_centroids" ->
+      """WITH u AS (
+        |  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cm AS (SELECT label, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+        |s AS (SELECT e.label, round(list_dot_product(e.embedding::DOUBLE[], cent.centroid), 6) AS sim
+        |  FROM embeddings e JOIN cent ON e.label = cent.label)
+        |SELECT label, count(*) AS n_vectors,
+        |  round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_sim_to_centroid
+        |FROM s GROUP BY 1 ORDER BY label""".stripMargin,
+    "v4_ivf_search" ->
+      """WITH u AS (
+        |  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cm AS (SELECT label, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+        |  FROM u GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+        |norm AS (SELECT label AS cl,
+        |  list_transform(centroid, x -> CAST(CAST(x / sqrt(list_dot_product(centroid, centroid)) AS FLOAT) AS DOUBLE)) AS nc
+        |  FROM cent),
+        |a AS (SELECT e.vec_id, e.embedding, norm.cl,
+        |        list_dot_product(e.embedding::DOUBLE[], norm.nc) AS d
+        |      FROM embeddings e CROSS JOIN norm),
+        |asg AS (SELECT vec_id, embedding, cl AS cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cl) AS rk FROM a)
+        |  WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM asg WHERE vec_id < 10),
+        |cand AS (SELECT q.query_id, asg.vec_id AS neighbor_id, asg.cell,
+        |    list_dot_product(asg.embedding::DOUBLE[], q.qv::DOUBLE[]) AS s
+        |  FROM asg JOIN q ON asg.cell = q.cell AND asg.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, neighbor_id, cell, round(s, 6) AS sim, rank FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT query_id, e.vec_id AS neighbor_id,

@@ -90,11 +90,14 @@ object SimilarityQueries {
     * quantizer is small by construction. */
   def v4IvfSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-    // coarse quantizer: per-label exact-decimal centroids (same math as v3)
+    // coarse quantizer: per-label exact-decimal centroids (same math as v3).
+    // Decimal sum (exact, order-independent) -> double -> one IEEE divide:
+    // portable across engines, unlike decimal division whose result scale
+    // is engine-specific.
     val centroids = e.select(col("label"), posexplode(col("embedding")))
       .groupBy("label", "pos")
-      .agg((sum(col("col").cast("decimal(28,10)")) / count(lit(1)))
-        .cast("double").as("c"))
+      .agg((sum(col("col").cast("decimal(28,10)")).cast("double") / count(lit(1)))
+        .as("c"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
@@ -136,10 +139,10 @@ object SimilarityQueries {
   def v3LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val unpacked = e.select(col("label"), posexplode(col("embedding")))
-    // exact order-independent mean: decimal sum / count
+    // exact order-independent mean: decimal sum -> double -> one IEEE divide
     val centroids = unpacked.groupBy("label", "pos")
-      .agg((sum(col("col").cast("decimal(28,10)")) / count(lit(1)))
-        .cast("double").as("c"))
+      .agg((sum(col("col").cast("decimal(28,10)")).cast("double") / count(lit(1)))
+        .as("c"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
@@ -148,8 +151,11 @@ object SimilarityQueries {
         aggregate(zip_with(col("embedding"), col("centroid"),
           (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x), 6))
       .groupBy("label")
+      // rounded sims are exact DECIMAL(18,6) values: summing them in decimal
+      // keeps the average independent of partition order (double avg is not)
       .agg(count(lit(1)).as("n_vectors"),
-        round(avg("sim_to_centroid"), 6).as("avg_sim_to_centroid"))
+        round(sum(col("sim_to_centroid").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_sim_to_centroid"))
       .orderBy("label")
   }
 }
