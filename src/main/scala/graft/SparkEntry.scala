@@ -75,12 +75,12 @@ object SparkEntry {
     "m1_media_summary" -> (MultimodalOps.mm1MediaSummary _),
     // --- streaming engine driven end-to-end (rows-only: the batch forms
     //     t1/t2 carry the oracles; the spec asserts stream == batch).
-    //     Complete mode: with Append, windows newer than maxTs - watermark
-    //     never finalize when a finite source drains and are silently lost.
+    //     Production Append path: incremental emit + bounded state; the
+    //     drained finite source's tail windows are flushed by an explicit
+    //     watermark advance (see EventStreamOps.runToMemoryAppend).
     "st1_stream_hourly" -> ((s: SparkSession, dir: String) =>
-      graft.streaming.EventStreamOps.runToMemory(s, s"$dir/events.parquet",
-        s"st1_${System.nanoTime()}", graft.streaming.EventStreamOps.hourlyByType,
-        org.apache.spark.sql.streaming.OutputMode.Complete())),
+      graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
+        s"st1_${System.nanoTime()}", graft.streaming.EventStreamOps.hourlyByType)),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).

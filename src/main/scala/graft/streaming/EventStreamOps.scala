@@ -138,7 +138,14 @@ object EventStreamOps {
   }
 
   /** Run a streaming query over the batch events dir into a memory sink and
-    * return the materialized result (synchronous — for specs and smoke). */
+    * return the materialized result (synchronous — for specs and smoke).
+    *
+    * FINITE-REPLAY / TEST ONLY when passed `OutputMode.Complete()`: Complete
+    * re-emits the entire accumulated state every micro-batch and never GCs
+    * it — O(total windows) per batch, unbounded on a real stream. The
+    * production path for watermarked aggregations is [[runToMemoryAppend]],
+    * which keeps Append's incremental-emit/bounded-state contract and
+    * flushes the drained-source tail explicitly. */
   def runToMemory(spark: SparkSession, dir: String, name: String,
       transform: DataFrame => DataFrame,
       mode: OutputMode = OutputMode.Append()): DataFrame = {
@@ -146,5 +153,65 @@ object EventStreamOps {
       .writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+  }
+
+  /** Event type of the synthetic end-of-replay flush row (never emitted by
+    * a windowed agg: its window is beyond every real watermark). */
+  val FlushEventType = "__flush__"
+
+  /** Production streaming entry point: Append output mode — incremental
+    * emit, watermark-bounded state, the only mode that scales on an
+    * unbounded stream. On an unbounded source new data advances the
+    * watermark continuously and nothing more is needed; on a FINITE replay
+    * the last `watermark + window` of windows would never finalize once the
+    * source drains, so after `processAllAvailable` one synthetic far-future
+    * event (`event_type = "__flush__"`) is appended to push the watermark
+    * past every real window. The flush row's own window never finalizes and
+    * is never emitted; for non-windowed transforms that would pass it
+    * through, the returned frame filters it back out. The source is staged
+    * into a private temp dir so the flush file cannot leak into other runs. */
+  def runToMemoryAppend(spark: SparkSession, path: String, name: String,
+      transform: DataFrame => DataFrame, flushTail: Boolean = true): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(path)
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-append")
+    d.toFile.deleteOnExit()
+    if (java.nio.file.Files.isRegularFile(src))
+      java.nio.file.Files.copy(src, d.resolve(src.getFileName))
+    else {
+      val files = java.nio.file.Files.list(src)
+      try
+
+        files.filter(f => f.toString.endsWith(".parquet"))
+          .forEach(f => java.nio.file.Files.copy(f, d.resolve(f.getFileName)))
+      finally files.close()
+    }
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(d.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = transform(stream)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      if (flushTail) {
+        val maxNs = spark.read.schema(eventSchema).parquet(d.toString)
+          .agg(max("ts")).head().getLong(0)
+        // one year past the last event, in nanos: beyond any watermark
+        // delay + window width a transform here uses
+        val flushNs = maxNs + 365L * 24 * 3600 * 1000000000L
+        import spark.implicits._
+        Seq((-1L, flushNs, -1L, FlushEventType, 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(d.toString)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table(name)
+    if (out.columns.contains("event_type"))
+      out.filter(col("event_type") =!= FlushEventType)
+    else out
   }
 }

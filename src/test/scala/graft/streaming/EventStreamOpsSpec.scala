@@ -20,6 +20,19 @@ class EventStreamOpsSpec extends SparkSpec {
     assert(sTot == bTot)
   }
 
+  test("Append production path with tail flush equals Complete replay and batch") {
+    val appended = EventStreamOps.runToMemoryAppend(spark, eventsPath, "hourly_ap",
+      EventStreamOps.hourlyByType)
+    val batch = graft.operators.Tables.t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    assert(appended.count() == batch.count(),
+      "Append + watermark flush must finalize every window, including the tail")
+    val aTot = appended.agg(sum("n")).head().getLong(0)
+    val bTot = batch.agg(sum("n")).head().getLong(0)
+    assert(aTot == bTot, "no event may be double-counted by the flush")
+  }
+
   test("sliding windows produce more windows than tumbling") {
     val slid = EventStreamOps.runToMemory(spark, eventsPath, "slide_t",
       EventStreamOps.slidingValue, OutputMode.Complete())
