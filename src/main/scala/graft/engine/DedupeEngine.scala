@@ -85,7 +85,8 @@ final case class IndexStats(
  */
 final class DedupeEngine(
     val spark: SparkSession, basePath: String,
-    val settings: DedupeSettings = DedupeSettings()) {
+    val settings: DedupeSettings = DedupeSettings(),
+    payloadStore: Option[PayloadStore] = None) {
 
   import spark.implicits._
 
@@ -93,12 +94,15 @@ final class DedupeEngine(
     implicitly[org.apache.spark.sql.Encoder[ObjectRow]].schema)
   private val objmapT = new VersionedTable(spark, s"$basePath/objmap",
     implicitly[org.apache.spark.sql.Encoder[MapRow]].schema)
-  private val payloadsT = new VersionedTable(spark, s"$basePath/payloads",
-    implicitly[org.apache.spark.sql.Encoder[PayloadRow]].schema)
+  /** Payload bytes behind the storage-strategy seam (reference keeps them
+    * behind user callbacks, DedupeCallbacks.cs:15-58); parquet snapshot
+    * table by default, any [[PayloadStore]] by injection. */
+  private val store: PayloadStore =
+    payloadStore.getOrElse(new ParquetPayloadStore(spark, s"$basePath/payloads"))
 
   def objects: Dataset[ObjectRow] = objectsT.read().as[ObjectRow]
   def objmap: Dataset[MapRow] = objmapT.read().as[MapRow]
-  def payloads: Dataset[PayloadRow] = payloadsT.read().as[PayloadRow]
+  def payloads: Dataset[PayloadRow] = store.read().as[PayloadRow]
 
   /** Derived chunk table: metadata + refcount from the map edges
     * (replaces reference's mutable dedupechunk rows, DedupeChunk.cs:11-36). */
@@ -145,6 +149,16 @@ final class DedupeEngine(
     }.toDF("objectKey", "chunkKey", "chunkLength", "chunkPosition", "chunkAddress", "data")
       .localCheckpoint() // chunk once; three tables derive from this
 
+    // a key duplicated INSIDE the batch would silently interleave two
+    // payloads into one object (the reference rejects duplicate keys on
+    // every write); every object has exactly one position-0 chunk, so >1
+    // such row per key means the batch itself collides
+    val inBatchDup = chunked.filter($"chunkPosition" === 0)
+      .groupBy($"objectKey").count().filter($"count" > 1).limit(1).collect()
+    if (inBatchDup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate object key within ingest batch: ${inBatchDup.head.getString(0)}")
+
     val existingKeys = objects.select($"objectKey")
     val dupes = chunked.select($"objectKey").distinct()
       .join(existingKeys, Seq("objectKey"), "left_semi").limit(1).collect()
@@ -167,7 +181,7 @@ final class DedupeEngine(
       // dropDuplicates shuffle): each parquet row-group covers a narrow key
       // range, so chunkKey point lookups prune row-groups via footer stats
       .sortWithinPartitions("chunkKey")
-    payloadsT.append(newPayloads)
+    store.append(newPayloads)
 
     val now = new Timestamp(System.currentTimeMillis())
     val newObjects = chunked.groupBy($"objectKey").agg(
@@ -179,15 +193,26 @@ final class DedupeEngine(
     objectsT.append(newObjects)
   }
 
-  /** Ingest every file under `path` as one object each (key = file name),
+  /** Ingest every file under `path` (recursively) as one object each,
     * through Spark's binaryFile source — the distributed analog of the
     * reference sample apps' file-per-object storage
-    * (reference: src/Test/Program.cs:184-207). */
+    * (reference: src/Test/Program.cs:184-207). Keys are paths RELATIVE to
+    * the source root, not basenames: same-named files in different
+    * subdirectories must stay distinct objects, not collide in one key. */
   def ingestDirectory(path: String): Unit = {
-    val files = spark.read.format("binaryFile").load(path)
+    val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(path)
       .select($"path", $"content")
       .as[(String, Array[Byte])]
-      .map { case (p, bytes) => (p.substring(p.lastIndexOf('/') + 1), bytes) }
+      .map { case (p, bytes) =>
+        // binaryFile reports URI-style paths (file:/...); relativize
+        val local = p.stripPrefix("file:")
+        val key =
+          if (local.startsWith(root + "/")) local.substring(root.length + 1)
+          else local.substring(local.lastIndexOf('/') + 1)
+        (key, bytes)
+      }
     ingest(files)
   }
 
@@ -197,8 +222,13 @@ final class DedupeEngine(
     * an empty index exports 0 files. */
   def exportAll(outDir: String, keys: Option[Seq[String]] = None): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val outRootStr = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize.toString
     val counts = reconstructAll(keys).map { case (key, bytes) =>
-      val target = java.nio.file.Paths.get(outDir, key)
+      // object keys are untrusted: a '..' segment must not escape outDir
+      val outRoot = java.nio.file.Paths.get(outRootStr)
+      val target = outRoot.resolve(key).normalize
+      require(target.startsWith(outRoot),
+        s"object key escapes the export directory: $key")
       val parent = target.getParent
       if (parent != null) java.nio.file.Files.createDirectories(parent)
       java.nio.file.Files.write(target, bytes)
@@ -255,31 +285,42 @@ final class DedupeEngine(
     Some(out.toByteArray)
   }
 
-  /** Lazy chunk-at-a-time read (reference DedupeStream, DedupeStream.cs:13-175):
-    * an iterator over address-ordered chunks, fetching payloads one at a time —
-    * the random-access path without materializing the object. */
+  /** Chunk-at-a-time read (reference DedupeStream, DedupeStream.cs:13-175):
+    * an iterator over address-ordered chunks. All of the object's payloads
+    * are prefetched in ONE batched pass (a point-read API must not run one
+    * Spark job per chunk — a 100-chunk object would launch 100 query
+    * executions); objects are at most a few thousand chunks by construction,
+    * so the prefetch is the same memory envelope as `get`. */
   def getStream(key: String): Option[Iterator[Array[Byte]]] = {
     val m = objmap.filter($"objectKey" === key)
       .orderBy($"chunkAddress").select($"chunkKey").as[String].collect()
     if (m.isEmpty) None
-    else Some(m.iterator.map { ck =>
-      payloads.filter($"chunkKey" === ck).select($"data")
-        .as[Array[Byte]].head()
-    })
+    else {
+      val prefetched = store.fetch(m.distinct.toSeq) // ONE pass for all chunks
+      Some(m.iterator.map(prefetched(_)))
+    }
   }
 
   /** Seekable java.io.InputStream over a deduped object (the reference's
     * DedupeStream facade) — each refill resolves the covering chunk via the
-    * position lookup (C1) and copies the overlap. Diverges deliberately from
-    * two reference bugs (SURVEY §7): reads past EOF return -1 (not a
-    * buffer-offset bail, DedupeStream.cs:89) and seeking to any position in
-    * [0, length] is allowed (DedupeStream.cs:125 rejects offset == Length).
+    * position lookup (C1) and copies the overlap. Opening costs exactly two
+    * Spark jobs (map collect + batched payload prefetch — never one job per
+    * chunk); reads and seeks after open touch no Spark at all. Diverges
+    * deliberately from two reference bugs (SURVEY §7): reads past EOF return
+    * -1 (not a buffer-offset bail, DedupeStream.cs:89) and seeking to any
+    * position in [0, length] is allowed (DedupeStream.cs:125 rejects
+    * offset == Length).
     */
-  def openStream(key: String): Option[DedupeObjectStream] =
-    getMetadata(key).map { md =>
-      new DedupeObjectStream(md.obj.originalLength, md.map.sortBy(_.chunkAddress),
-        ck => payloads.filter($"chunkKey" === ck).select($"data").as[Array[Byte]].head())
+  def openStream(key: String): Option[DedupeObjectStream] = {
+    val m = objmap.filter($"objectKey" === key).collect().toSeq
+    if (m.isEmpty) None
+    else {
+      val length = m.iterator.map(r => r.chunkAddress + r.chunkLength).max
+      val prefetched = store.fetch(m.map(_.chunkKey).distinct)
+      Some(new DedupeObjectStream(length, m.sortBy(_.chunkAddress),
+        ck => prefetched.getOrElse(ck, store.fetch(Seq(ck))(ck))))
     }
+  }
 
   /** Distributed bulk reconstruction — every object (or a filtered set)
     * rebuilt in one job via the ordered binary-concat aggregator: map rows
@@ -335,10 +376,14 @@ final class DedupeEngine(
     val gc = objmap.filter($"objectKey" === key).select($"chunkKey").distinct()
       .join(remainingMap.select($"chunkKey").distinct(), Seq("chunkKey"), "left_anti")
       .as[String].collect().toSeq
-    objmapT.publish(remainingMap.toDF())
-    payloadsT.publish(payloads.join(
-      spark.createDataset(gc).toDF("chunkKey"), Seq("chunkKey"), "left_anti").toDF())
+    // commit order matters (the three publishes are not one transaction —
+    // the reference wraps these in one SQLite tx, SqliteProvider.cs:495):
+    // retire the OBJECTS row first, so a crash mid-delete degrades to
+    // orphaned-but-unreachable map/payload rows (exists=false, get=None,
+    // list hides it) instead of a live key whose get() returns empty bytes
     objectsT.publish(objects.filter($"objectKey" =!= key).toDF())
+    objmapT.publish(remainingMap.toDF())
+    store.delete(gc)
     gc
   }
 }

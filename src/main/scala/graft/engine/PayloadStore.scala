@@ -1,0 +1,118 @@
+package graft.engine
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/**
+ * Where chunk payload bytes live — the storage-strategy seam.
+ *
+ * The reference keeps payloads entirely behind user callbacks
+ * (reference: src/DedupeLibrary/DedupeCallbacks.cs:15-58 —
+ * WriteChunk/ReadChunk/DeleteChunk), so storage is user-swappable; every
+ * sample app plugs in a flat-file-per-chunk layout
+ * (reference: src/Test/Program.cs:184-207). This trait is the Spark-first
+ * re-expression: batch-shaped writes/reads (DataFrames, so ingest and
+ * reconstruction stay distributed) plus a one-pass point fetch for the
+ * seekable-stream path.
+ *
+ * Contracts:
+ *   - `append` receives only NEW chunk keys (the engine dedupes against
+ *     `read()` before calling);
+ *   - `fetch` must resolve all requested keys in one pass (at most one
+ *     Spark job), never one job per key — the point-read latency contract;
+ *   - `delete` removes orphaned keys (the GC path).
+ */
+trait PayloadStore {
+
+  /** All stored payloads as (chunkKey STRING, data BINARY). */
+  def read(): DataFrame
+
+  /** Append a batch of (chunkKey, data) rows — all keys new by contract. */
+  def append(payloads: DataFrame): Unit
+
+  /** Remove the given chunk keys (GC). */
+  def delete(keys: Seq[String]): Unit
+
+  /** Fetch the payloads for `keys` in ONE pass (≤ 1 Spark job). */
+  def fetch(keys: Seq[String]): Map[String, Array[Byte]]
+}
+
+/**
+ * Default store: payloads as a first-class binary column in a
+ * [[graft.sources.VersionedTable]] parquet snapshot table — the layout the
+ * distributed reconstruction join wants (co-partitionable by chunkKey,
+ * row-group pruned by the ingest-time chunkKey sort).
+ */
+final class ParquetPayloadStore(spark: SparkSession, path: String)
+    extends PayloadStore {
+  import spark.implicits._
+
+  private val table = new VersionedTable(spark, path,
+    implicitly[org.apache.spark.sql.Encoder[PayloadRow]].schema)
+
+  override def read(): DataFrame = table.read()
+
+  override def append(payloads: DataFrame): Unit = table.append(payloads)
+
+  override def delete(keys: Seq[String]): Unit =
+    table.publish(read().join(
+      spark.createDataset(keys).toDF("chunkKey"), Seq("chunkKey"), "left_anti"))
+
+  /** One filtered scan for the whole key set: an IN predicate (pushed to the
+    * parquet scan, where the ingest-time chunkKey sort makes row-group
+    * footer stats prune almost everything) — exactly ONE Spark job, unlike a
+    * broadcast semi-join whose broadcast build is a job of its own. Point
+    * reads are ≤ a few thousand keys by construction, well within IN-list
+    * planning range. */
+  override def fetch(keys: Seq[String]): Map[String, Array[Byte]] =
+    read().filter(col("chunkKey").isInCollection(keys))
+      .as[(String, Array[Byte])].collect().toMap
+}
+
+/**
+ * Second store: one flat file per chunk, named by its chunk key — the
+ * reference sample apps' layout (reference: src/Test/Program.cs:184-207,
+ * Callbacks.WriteChunk writing `chunks/<key>`). Chunk keys are urlsafe
+ * base64 (SURVEY §2 H3), hence valid file names by construction.
+ *
+ * Writes run executor-side (`foreachPartition`), so ingest stays
+ * distributed; `dir` must be a filesystem every executor can reach (local
+ * in tests, shared FS on a cluster — an object-store client would slot in
+ * the same way). Point fetches are direct file reads: zero Spark jobs.
+ */
+final class FlatFilePayloadStore(spark: SparkSession, dir: String)
+    extends PayloadStore {
+  import spark.implicits._
+
+  Files.createDirectories(Paths.get(dir))
+
+  override def read(): DataFrame = {
+    val d = dir // avoid capturing `this` in the map closure
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) => (p.substring(p.lastIndexOf('/') + 1), bytes) }
+      .toDF("chunkKey", "data")
+  }
+
+  override def append(payloads: DataFrame): Unit = {
+    val d = dir
+    payloads.select(col("chunkKey"), col("data"))
+      .as[(String, Array[Byte])]
+      .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        it.foreach { case (key, bytes) =>
+          Files.write(Paths.get(d, key), bytes)
+        }
+      }
+  }
+
+  override def delete(keys: Seq[String]): Unit =
+    keys.foreach(k => Files.deleteIfExists(Paths.get(dir, k)))
+
+  override def fetch(keys: Seq[String]): Map[String, Array[Byte]] =
+    keys.iterator.map { k =>
+      k -> Files.readAllBytes(Paths.get(dir, k))
+    }.toMap
+}

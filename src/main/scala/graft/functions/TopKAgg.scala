@@ -18,8 +18,13 @@ import org.apache.spark.sql.expressions.Aggregator
 final class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // "better than"
+  // "better than", via Double.compare so NaN has a total-order position
+  // (raw > / == are both false for NaN, which would let a NaN score occupy
+  // a slot non-deterministically and interleave differently across merges)
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Array[(Double, Long)] = Array.empty
 

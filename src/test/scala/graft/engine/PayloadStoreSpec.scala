@@ -1,0 +1,112 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.core.DedupeSettings
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** The storage-strategy seam (reference: DedupeCallbacks.cs:15-58): the
+  * engine must behave identically over the parquet snapshot store and the
+  * flat-file-per-chunk store (the reference sample apps' layout), and the
+  * point-read path must never run one Spark job per chunk. */
+class PayloadStoreSpec extends SparkSpec {
+
+  private def randomBytes(n: Int, seed: Long): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    val a = new Array[Byte](n); r.nextBytes(a); a
+  }
+
+  private def engines(): Seq[(String, DedupeEngine)] = {
+    val parquetDir = Files.createTempDirectory("graft-ps-parquet").toString
+    val flatDir = Files.createTempDirectory("graft-ps-flat").toString
+    Seq(
+      "parquet" -> new DedupeEngine(spark, parquetDir, DedupeSettings(256, 2048, 8, 1)),
+      "flat-file" -> new DedupeEngine(spark, flatDir, DedupeSettings(256, 2048, 8, 1),
+        Some(new FlatFilePayloadStore(spark, s"$flatDir/payloads-ff"))))
+  }
+
+  test("write/get/delete round-trip identically over BOTH payload stores") {
+    for ((label, e) <- engines()) {
+      val shared = randomBytes(10000, 21)
+      val unique = randomBytes(9000, 22)
+      e.ingest(Seq("a" -> shared, "b" -> shared, "c" -> unique))
+      assert(java.util.Arrays.equals(e.get("a").get, shared), s"[$label] get a")
+      assert(java.util.Arrays.equals(e.get("c").get, unique), s"[$label] get c")
+      val st = e.indexStats()
+      assert(st.objectCount == 3, s"[$label] objects")
+      // two sharers + one unique: physical ~= one shared copy + one unique copy
+      assert(st.physicalBytes < st.logicalBytes, s"[$label] dedupe happened")
+      assert(e.delete("a").isEmpty, s"[$label] shared chunks survive first delete")
+      val gcd = e.delete("b")
+      assert(gcd.nonEmpty, s"[$label] last sharer GCs")
+      val left = e.payloads.collect().map(_.chunkKey).toSet
+      assert(gcd.forall(k => !left.contains(k)), s"[$label] GC removed payloads")
+      assert(java.util.Arrays.equals(e.get("c").get, unique), s"[$label] c intact")
+      // streams work over both stores
+      val rebuilt = e.getStream("c").get.reduce(_ ++ _)
+      assert(java.util.Arrays.equals(rebuilt, unique), s"[$label] stream c")
+    }
+  }
+
+  test("openStream + full sequential read executes at most 2 Spark jobs") {
+    val e = engines().head._2
+    val data = randomBytes(30000, 23) // many 256..2048-byte chunks
+    e.write("big", data)
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val st = e.openStream("big").get
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      var n = st.read(buf, 0, buf.length)
+      while (n > 0) { out.write(buf, 0, n); n = st.read(buf, 0, buf.length) }
+      assert(java.util.Arrays.equals(out.toByteArray, data))
+      // listener events are delivered async; give the bus a moment
+      Thread.sleep(1500)
+      val count = jobs.get()
+      assert(count >= 1, "listener must have observed the open")
+      assert(count <= 2,
+        s"point read ran $count Spark jobs — the payload prefetch must be ONE batched job, not one per chunk")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ingest rejects a batch that duplicates a key within itself") {
+    val e = engines().head._2
+    val ex = intercept[IllegalArgumentException](
+      e.ingest(Seq("dup" -> randomBytes(500, 24), "dup" -> randomBytes(600, 25))))
+    assert(ex.getMessage.contains("dup"))
+    assert(e.indexStats().objectCount == 0, "failed batch must not publish objects")
+  }
+
+  test("ingestDirectory keys by relative path: same-named files in subdirs stay distinct") {
+    val e = engines().head._2
+    val src = Files.createTempDirectory("graft-reldir")
+    Files.createDirectories(src.resolve("sub1"))
+    Files.createDirectories(src.resolve("sub2"))
+    val d1 = randomBytes(3000, 26)
+    val d2 = randomBytes(4000, 27)
+    Files.write(src.resolve("sub1/same.bin"), d1)
+    Files.write(src.resolve("sub2/same.bin"), d2)
+    e.ingestDirectory(src.toString)
+    assert(e.indexStats().objectCount == 2, "both files must become objects")
+    assert(java.util.Arrays.equals(e.get("sub1/same.bin").get, d1))
+    assert(java.util.Arrays.equals(e.get("sub2/same.bin").get, d2))
+  }
+
+  test("exportAll refuses object keys that escape the output directory") {
+    val e = engines().head._2
+    e.write("../escape.bin", randomBytes(500, 28))
+    val out = Files.createTempDirectory("graft-export")
+    val ex = intercept[Exception](e.exportAll(out.toString))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
+    assert(msgs(ex).contains("escapes"), s"unexpected failure: ${msgs(ex)}")
+    assert(!Files.exists(out.getParent.resolve("escape.bin")),
+      "no file may be written outside the export root")
+  }
+}
