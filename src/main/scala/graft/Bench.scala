@@ -23,17 +23,34 @@ object Bench {
       // First execution compiles the plan (Janino codegen, ~1-3 s per unique
       // plan shape — a fixed cost that amortizes to zero over a real corpus);
       // the timed second execution measures steady-state engine throughput,
-      // re-running the full pipeline from the parquet scan.
+      // re-running the full pipeline from the parquet scan. A query that
+      // throws is reported as an err entry — NEVER as a fast timing (a
+      // broken query must not read as a perf win).
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val outcome: Either[String, Long] =
+        try Right(fn(spark, sfDir).count())
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, outcome)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    // "queries" keeps the driver contract (name -> seconds, numbers only):
+    // failed queries are EXCLUDED from it and reported under "errors" with
+    // the exception text; successful ones also report row counts.
+    val qs = results.collect { case (k, v, Right(_)) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rows = results.collect { case (k, _, Right(n)) => s"${jstr(k)}:$n" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, Right(_)) => v }.sum
+    val errCount = results.count(_._3.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errCount > 0) sys.exit(1)
   }
 
   /** One cheap pass through each hot code path: parquet scan, hash agg,

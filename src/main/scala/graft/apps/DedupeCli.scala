@@ -16,9 +16,9 @@ import java.nio.file.{Files, Paths}
  *   graft.apps.DedupeCli <indexDir> get <key> <outFile>
  *   graft.apps.DedupeCli <indexDir> del <key>
  *   graft.apps.DedupeCli <indexDir> exists <key>
- *   graft.apps.DedupeCli <indexDir> md <key>
- *   graft.apps.DedupeCli <indexDir> list [prefix] [startAfter]
- *   graft.apps.DedupeCli <indexDir> stats
+ *   graft.apps.DedupeCli <indexDir> md <key> [--chunks]
+ *   graft.apps.DedupeCli <indexDir> list [prefix] [--idxstart <key>] [--results <n>]
+ *   graft.apps.DedupeCli <indexDir> stats [--chunks]
  *   graft.apps.DedupeCli <indexDir> import <srcDir>    # file-per-object bulk ingest
  *   graft.apps.DedupeCli <indexDir> export <outDir>    # distributed reconstruct to files
  */
@@ -40,7 +40,27 @@ object DedupeCli {
     finally spark.stop()
   }
 
-  private def run(spark: SparkSession, indexDir: String, cmd: String, rest: Array[String]): Unit = {
+  /** Split `--flag [value]` options (reference CLI flag style,
+    * Cli/Program.cs:52-130: --results/--idxstart/--chunks) from
+    * positional args. Boolean flags: --chunks; valued: --idxstart, --results. */
+  private[apps] def parseArgs(rest: Array[String]): (Seq[String], Map[String, String]) = {
+    val pos = Seq.newBuilder[String]
+    val flags = Map.newBuilder[String, String]
+    var i = 0
+    while (i < rest.length) {
+      rest(i) match {
+        case "--chunks" => flags += ("chunks" -> "true")
+        case f @ ("--idxstart" | "--results") =>
+          require(i + 1 < rest.length, s"$f requires a value")
+          flags += (f.stripPrefix("--") -> rest(i + 1)); i += 1
+        case p => pos += p
+      }
+      i += 1
+    }
+    (pos.result(), flags.result())
+  }
+
+  private[apps] def run(spark: SparkSession, indexDir: String, cmd: String, rest: Array[String]): Unit = {
     def engine() = DedupeEngine.open(spark, indexDir)
     cmd match {
       case "create" =>
@@ -65,17 +85,29 @@ object DedupeCli {
       case "exists" =>
         println(engine().exists(rest(0)))
       case "md" =>
-        engine().getMetadata(rest(0)) match {
+        // --chunks adds the per-chunk map + refcount detail
+        // (reference: Cli/Program.cs md --chunks)
+        val (pos, flags) = parseArgs(rest)
+        engine().getMetadata(pos(0)) match {
           case Some(md) =>
             println(s"key=${md.obj.objectKey} len=${md.obj.originalLength} chunks=${md.obj.chunkCount}")
-            md.map.foreach(m => println(
-              f"  pos=${m.chunkPosition}%4d addr=${m.chunkAddress}%10d len=${m.chunkLength}%7d key=${m.chunkKey}"))
-          case None => println(s"not found: ${rest(0)}"); sys.exit(1)
+            if (flags.contains("chunks")) {
+              md.map.foreach(m => println(
+                f"  pos=${m.chunkPosition}%4d addr=${m.chunkAddress}%10d len=${m.chunkLength}%7d key=${m.chunkKey}"))
+              md.chunks.foreach(c => println(
+                f"  chunk ${c.chunkKey} len=${c.length}%7d refs=${c.refCount}"))
+            }
+          case None => println(s"not found: ${pos(0)}"); sys.exit(1)
         }
       case "list" =>
-        val prefix = rest.lift(0).filter(_.nonEmpty)
-        val start = rest.lift(1).filter(_.nonEmpty)
-        val l = engine().listObjects(prefix, start)
+        // --results = page size, --idxstart = keyset continuation
+        // (reference: Cli/Program.cs:52-130); bare positional startAfter
+        // stays accepted for compatibility with the round-1 surface
+        val (pos, flags) = parseArgs(rest)
+        val prefix = pos.lift(0).filter(_.nonEmpty)
+        val start = flags.get("idxstart").orElse(pos.lift(1)).filter(_.nonEmpty)
+        val max = flags.get("results").map(_.toInt).getOrElse(100)
+        val l = engine().listObjects(prefix, start, max)
         l.objects.foreach(o => println(
           f"${o.objectKey}%-40s ${o.originalLength}%12d ${o.chunkCount}%6d ${o.createdUtc}"))
         l.nextStartAfterKey.foreach(k => println(s"-- next: $k"))
@@ -86,10 +118,15 @@ object DedupeCli {
         val n = engine().exportAll(rest(0))
         println(s"exported $n objects -> ${rest(0)}")
       case "stats" =>
-        val st = engine().indexStats()
+        val (_, flags) = parseArgs(rest)
+        val e = engine()
+        val st = e.indexStats()
         println(f"objects=${st.objectCount} chunks=${st.chunkCount} " +
           f"logical=${st.logicalBytes} physical=${st.physicalBytes} " +
           f"ratioX=${st.ratioX}%.2f ratioPct=${st.ratioPercent}%.2f")
+        if (flags.contains("chunks")) // full chunk dump (reference stats --chunks)
+          e.chunks.orderBy("chunkKey").collect().foreach(c =>
+            println(f"  chunk ${c.chunkKey} len=${c.length}%7d refs=${c.refCount}"))
       case other =>
         println(s"unknown command: $other"); sys.exit(2)
     }

@@ -120,20 +120,30 @@ object DedupQueries {
     // quality degrades gracefully to "most frequent shingles leave prefixes
     // first", exactly what matters.
     val maxFreqTable = 1 << 20
-    val freqMap: Map[Long, Long] = sets.select(explode(col("hs")).as("h"))
+    val freqRows = sets.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("f"))
       .filter(col("f") >= 2)
       .orderBy(col("f").desc, col("h"))
       .limit(maxFreqTable)
-      .as[(Long, Long)].collect().toMap
-    val bcFreq = spark.sparkContext.broadcast(freqMap)
+      .as[(Long, Long)].collect()
+    // two key-sorted primitive arrays + binary search instead of a boxed
+    // Map[Long, Long]: at the 2^20 cap that is 16 MB flat per executor
+    // instead of ~10x that in boxed map entries
+    val byKey = freqRows.sortBy(_._1)
+    val fKeys = byKey.map(_._1)
+    val fFreqs = byKey.map(_._2)
+    val bcFreq = spark.sparkContext.broadcast((fKeys, fFreqs))
     // per-doc prefix rows (token + its rank in the global order) derived
     // from the cached arrays (narrow pass)
     val prefix = sets.select(col("doc_id"), col("hs"), col("n")).as[(Long, Array[Long], Int)]
       .flatMap { case (id, hs, n) =>
-        val fm = bcFreq.value
+        val (ks, fs) = bcFreq.value
+        def freqOf(h: Long): Long = {
+          val i = java.util.Arrays.binarySearch(ks, h)
+          if (i >= 0) fs(i) else 1L
+        }
         val p = n - math.ceil(threshold * n).toInt + 1
-        val sorted = hs.sortBy(h => (fm.getOrElse(h, 1L), h))
+        val sorted = hs.sortBy(h => (freqOf(h), h))
         sorted.iterator.take(p).zipWithIndex.map { case (h, i) => (id, h, n, i) }
       }.toDF("doc_id", "h", "n", "pos")
       // no checkpoint: deriving the prefix from the cached arrays is a
@@ -261,8 +271,8 @@ object DedupQueries {
   }
 
   /** SimHash fingerprint + near-dup pairs by Hamming distance: 64-bit
-    * fingerprint from shingle-hash bit votes (computed per-row in the scan,
-    * bit-identical to the SimhashAgg formulation but shuffle-free), banded
+    * fingerprint from shingle-hash bit votes (computed per-row in the scan —
+    * shuffle-free, unlike an aggregator-over-exploded-shingles shape), banded
     * into 4 x 16-bit blocks for sub-quadratic candidate generation, verified
     * with bit_count(xor). 16-bit bands (65k buckets) over 8-bit ones: with
     * one shared vocabulary the per-bit votes correlate across docs, so 256
