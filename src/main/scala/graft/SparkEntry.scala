@@ -69,6 +69,7 @@ object SparkEntry {
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
     "v3_label_centroids" -> (SimilarityQueries.v3LabelCentroids _),
     "v4_ivf_search" -> (SimilarityQueries.v4IvfSearch _),
+    "v5_ivf_kmeans" -> (SimilarityQueries.v5IvfKmeans _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -371,6 +372,57 @@ object SparkEntry {
         |cand AS (SELECT q.query_id, asg.vec_id AS neighbor_id, asg.cell,
         |    list_dot_product(asg.embedding::DOUBLE[], q.qv::DOUBLE[]) AS s
         |  FROM asg JOIN q ON asg.cell = q.cell AND asg.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, neighbor_id, cell, round(s, 6) AS sim, rank FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    // Lloyd's iterations unrolled (3 passes, matching the Spark
+    // broadcast-loop exactly): init = k lowest vec_ids, assignment =
+    // argmax dot - ||c||^2/2 with (score DESC, cell) ties, centroid =
+    // decimal-sum/count per element. Same decimal+IEEE building blocks as
+    // v3/v4, so the hash must match.
+    "v5_ivf_kmeans" ->
+      """WITH c0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS centroid
+        |  FROM embeddings WHERE vec_id < 10),
+        |a0 AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+        |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+        |c1 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+        |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
+        |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a0)
+        |  GROUP BY 1, 2) GROUP BY 1),
+        |a1 AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+        |  FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1),
+        |c2 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+        |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
+        |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a1)
+        |  GROUP BY 1, 2) GROUP BY 1),
+        |a2 AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+        |  FROM embeddings e CROSS JOIN c2 c) WHERE rk = 1),
+        |c3 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+        |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
+        |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a2)
+        |  GROUP BY 1, 2) GROUP BY 1),
+        |af AS (SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+        |  FROM embeddings e CROSS JOIN c3 c) WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM af WHERE vec_id < 10),
+        |cand AS (SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
+        |    list_dot_product(a.embedding::DOUBLE[], q.qv::DOUBLE[]) AS s
+        |  FROM af a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank FROM cand)
         |SELECT query_id, neighbor_id, cell, round(s, 6) AS sim, rank FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,

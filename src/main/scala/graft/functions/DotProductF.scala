@@ -19,16 +19,21 @@ case class DotProductF(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"dot_f(array<float>, array<float>) expected, got (${left.dataType}, ${right.dataType})")
+      s"dot_f(array<float|double>, array<float|double>) expected, got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -40,10 +45,14 @@ case class DotProductF(left: Expression, right: Expression)
     if (b.numElements() != n)
       throw new IllegalArgumentException(
         s"dot_f: array length mismatch ($n vs ${b.numElements()})")
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
       i += 1
     }
     acc
@@ -54,6 +63,8 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -62,7 +73,7 @@ case class DotProductF(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ($getA) * ($getB);
          |}
          |${ev.value} = $acc;
        """.stripMargin

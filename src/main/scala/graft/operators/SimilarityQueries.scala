@@ -133,6 +133,73 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Lloyd's k-means as a broadcast-loop of DataFrame passes — the real
+    * (unsupervised) IVF coarse quantizer, vs v4's label-centroid stand-in.
+    * Each iteration: tiny centroid table broadcast to a single corpus scan
+    * (assignment = argmin Euclidean distance, computed as
+    * argmax dot(e,c) - ||c||²/2 since ||e|| is constant per row), then an
+    * exact-decimal per-cell mean. Centroids are collected per iteration
+    * (k x dim doubles — trivially driver-sized), which truncates lineage:
+    * iteration N is ONE compact job over the corpus, not a replay of
+    * iterations 1..N-1. Deterministic: init = the k lowest vec_ids,
+    * decimal sums are order-independent, ties break by cell id. Cells that
+    * lose all members drop out (k shrinks monotonically, also determinist).
+    */
+  def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+      .map { case (id, emb) => (id, emb.map(_.toDouble).toSeq) }
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(cents.toDF("cell", "centroid")
+        .withColumn("cn2", dot(col("centroid"), col("centroid"))))
+      cents = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cdf)
+        .withColumn("score", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
+        .filter(col("rk") === 1)
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("col").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    }
+    cents.toDF("cell", "centroid")
+  }
+
+  /** IVF probe search over the k-means quantizer (the production IVF shape;
+    * v4 is the supervised-label variant). Assignment + probe are the same
+    * broadcast passes as v4: at 100 TB the index build is `iters + 1`
+    * corpus scans and each query touches 1/k of the corpus. */
+  def v5IvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cdf = broadcast(kmeansCentroids(spark, e, 10, 3)
+      .withColumn("cn2", dot(col("centroid"), col("centroid"))))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(cdf)
+      .withColumn("score", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint() // assignment feeds both probe sides
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    val cand = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("embedding"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-flavored per-label centroids + assignment check: exact-decimal
     * element-wise centroid per label, then each vector's cosine to its own
     * label centroid — the coarse-quantizer building block of an IVF index. */

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Lloyd's k-means quantizer + IVF probe, asserted on data where clusters
+  * actually exist. (The testdata embeddings table is near-random across
+  * labels — within-label cosine ~0.004 — so ANN recall CANNOT be asserted
+  * there; this spec builds a deterministic clustered corpus instead.) */
+class KmeansIvfSpec extends SparkSpec {
+
+  private val dim = 8
+  private val nClusters = 5
+  private val perCluster = 40
+
+  /** Deterministic clustered corpus: unit-norm cluster centers spread on
+    * axes, members = center + small deterministic noise, re-normalized. */
+  private def clustered() = {
+    import spark.implicits._
+    def normed(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val center = Array.tabulate(dim)(d => if (d == c) 1.0 else 0.2 * ((c + d) % 3))
+      val r = new scala.util.Random(c * 1000 + i)
+      val v = center.map(x => x + 0.05 * r.nextGaussian())
+      (c.toLong * perCluster + i, normed(v), c)
+    }
+    // vec_id 0..4 are one member of each cluster => k-means init spans all
+    // clusters (ids 0, 40, 80... belong to clusters 0..4; remap so the k
+    // lowest ids hit distinct clusters)
+    val remapped = rows.zipWithIndex.map { case ((_, v, c), i) =>
+      val id = if (i % perCluster == 0) c.toLong else nClusters.toLong + i.toLong
+      (id, v, c)
+    }
+    remapped.toDF("vec_id", "embedding", "true_cluster")
+  }
+
+  test("k-means converges to the planted clusters (purity >= 0.95)") {
+    val df = clustered().localCheckpoint()
+    val cents = SimilarityQueries.kmeansCentroids(spark, df, nClusters, 5)
+    assert(cents.count() == nClusters.toLong, "no cluster may collapse on clustered data")
+    // assign every vector to its nearest final centroid; each k-means cell
+    // should be dominated by one true cluster
+    val cdf = broadcast(cents.withColumn("cn2",
+      graft.operators.Tables.dot(col("centroid"), col("centroid"))))
+    val assigned = df.crossJoin(cdf)
+      .withColumn("score",
+        graft.operators.Tables.dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
+      .filter(col("rk") === 1)
+    val purity = assigned.groupBy("cell", "true_cluster").count()
+      .withColumn("r", row_number().over(
+        Window.partitionBy("cell").orderBy(col("count").desc)))
+      .filter(col("r") === 1)
+      .agg(sum("count")).head().getLong(0).toDouble / (nClusters * perCluster)
+    assert(purity >= 0.95, s"k-means purity $purity below 0.95")
+  }
+
+  test("IVF probe recall@3 >= 0.9 vs brute-force ground truth on clustered data") {
+    import spark.implicits._
+    val df = clustered().localCheckpoint()
+    val cents = SimilarityQueries.kmeansCentroids(spark, df, nClusters, 5)
+    val cdf = broadcast(cents.withColumn("cn2",
+      graft.operators.Tables.dot(col("centroid"), col("centroid"))))
+    val assigned = df.crossJoin(cdf)
+      .withColumn("score",
+        graft.operators.Tables.dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    // IVF: probe own cell only
+    val ivf = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", graft.operators.Tables.dot(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    // brute force: full corpus
+    val truth = assigned.crossJoin(broadcast(q.drop("cell")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", graft.operators.Tables.dot(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (ivf & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"IVF probe recall@3 was $recall vs brute force")
+  }
+}
