@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.core.{Chunker, DedupeSettings}
-import graft.sources.VersionedTable
+import graft.sources.{TableStore, VersionedTable}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -86,13 +86,19 @@ final case class IndexStats(
 final class DedupeEngine(
     val spark: SparkSession, basePath: String,
     val settings: DedupeSettings = DedupeSettings(),
-    payloadStore: Option[PayloadStore] = None) {
+    payloadStore: Option[PayloadStore] = None,
+    indexBackend: Option[(String, org.apache.spark.sql.types.StructType) => TableStore] = None) {
 
   import spark.implicits._
 
-  private val objectsT = new VersionedTable(spark, s"$basePath/objects",
+  /** Index tables behind the [[graft.sources.TableStore]] seam (the
+    * reference's DbProvider swap point, DbProvider.cs:10-155); parquet
+    * VersionedTable by default, any backend by injection. */
+  private val newTable: (String, org.apache.spark.sql.types.StructType) => TableStore =
+    indexBackend.getOrElse((p, s) => new VersionedTable(spark, p, s))
+  private val objectsT = newTable(s"$basePath/objects",
     implicitly[org.apache.spark.sql.Encoder[ObjectRow]].schema)
-  private val objmapT = new VersionedTable(spark, s"$basePath/objmap",
+  private val objmapT = newTable(s"$basePath/objmap",
     implicitly[org.apache.spark.sql.Encoder[MapRow]].schema)
   /** Payload bytes behind the storage-strategy seam (reference keeps them
     * behind user callbacks, DedupeCallbacks.cs:15-58); parquet snapshot

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/**
+ * Index-table backend seam — the reference abstracts its whole index behind
+ * `DbProvider` (reference: src/DedupeLibrary/Database/DbProvider.cs:10-155)
+ * so SQLite can be swapped for external MySQL/Postgres
+ * (reference: src/Test.External/Program.cs:182-192). The engine touches its
+ * index tables only through these three methods, so a backend swap (Delta
+ * table, JDBC catalog, in-memory) is confined to one implementation of this
+ * trait.
+ */
+trait TableStore {
+  /** Current snapshot (empty-with-schema before the first commit). */
+  def read(): DataFrame
+  /** Append-only commit of new rows — O(new data). */
+  def append(df: DataFrame): Unit
+  /** Full-snapshot commit (delete/compaction path). */
+  def publish(df: DataFrame): Unit
+}
+
+/**
+ * Second backend proving the seam: rows held on the driver, snapshots
+ * rebuilt per read. Suited to ephemeral indexes and tests — the metadata
+ * tables of a small index are KB-scale — while the parquet
+ * [[VersionedTable]] remains the durable default; a Delta or JDBC backend
+ * would implement the same three methods.
+ */
+final class InMemoryTable(spark: SparkSession, schema: StructType) extends TableStore {
+
+  private var rows: Array[Row] = Array.empty
+
+  override def read(): DataFrame = synchronized {
+    spark.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
+  override def append(df: DataFrame): Unit = {
+    val collected = df.collect() // materialize BEFORE mutating (df may read this table)
+    synchronized { rows = rows ++ collected }
+  }
+
+  override def publish(df: DataFrame): Unit = {
+    val collected = df.collect()
+    synchronized { rows = collected }
+  }
+}

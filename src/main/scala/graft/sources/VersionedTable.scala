@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
  * touches this class through read()/append()/publish(), so that swap is
  * confined here.
  */
-final class VersionedTable(spark: SparkSession, path: String, schema: StructType) {
+final class VersionedTable(spark: SparkSession, path: String, schema: StructType)
+    extends TableStore {
 
   private val dir = Paths.get(path)
   private val pointer = dir.resolve("_CURRENT")
@@ -47,7 +48,7 @@ final class VersionedTable(spark: SparkSession, path: String, schema: StructType
       .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Current snapshot as a DataFrame; empty (with schema) before first commit. */
-  def read(): DataFrame = {
+  override def read(): DataFrame = {
     val segs = segments(currentVersion)
     if (segs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -61,7 +62,9 @@ final class VersionedTable(spark: SparkSession, path: String, schema: StructType
     * Cost is proportional to the NEW rows only. When the segment chain
     * exceeds `compactThreshold`, the append folds everything into one
     * segment instead (amortized O(new); keeps scan fan-in bounded). */
-  def append(df: DataFrame, compactThreshold: Int = 32): Unit = {
+  override def append(df: DataFrame): Unit = append(df, 32)
+
+  def append(df: DataFrame, compactThreshold: Int): Unit = {
     val v = currentVersion
     val segs = segments(v)
     if (segs.size >= compactThreshold) publish(read().unionByName(df))
@@ -70,7 +73,7 @@ final class VersionedTable(spark: SparkSession, path: String, schema: StructType
 
   /** Full-snapshot commit: write `df` as the only segment (compaction /
     * delete path); superseded segments are retired after the flip. */
-  def publish(df: DataFrame): Unit =
+  override def publish(df: DataFrame): Unit =
     commit(currentVersion, Nil, df)
 
   /** Rewrite the current contents into a single segment (manifest GC). */

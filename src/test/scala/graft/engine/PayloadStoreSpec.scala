@@ -20,10 +20,17 @@ class PayloadStoreSpec extends SparkSpec {
   private def engines(): Seq[(String, DedupeEngine)] = {
     val parquetDir = Files.createTempDirectory("graft-ps-parquet").toString
     val flatDir = Files.createTempDirectory("graft-ps-flat").toString
+    val memDir = Files.createTempDirectory("graft-ps-mem").toString
     Seq(
       "parquet" -> new DedupeEngine(spark, parquetDir, DedupeSettings(256, 2048, 8, 1)),
-      "flat-file" -> new DedupeEngine(spark, flatDir, DedupeSettings(256, 2048, 8, 1),
-        Some(new FlatFilePayloadStore(spark, s"$flatDir/payloads-ff"))))
+      // full alternate stack: flat-file payloads + in-memory index tables —
+      // both storage seams swapped at once (the reference's
+      // external-DbProvider + file-callback sample shape)
+      "flat-file+memindex" -> new DedupeEngine(spark, flatDir, DedupeSettings(256, 2048, 8, 1),
+        Some(new FlatFilePayloadStore(spark, s"$flatDir/payloads-ff")),
+        Some((_, schema) => new graft.sources.InMemoryTable(spark, schema))),
+      "mem-index" -> new DedupeEngine(spark, memDir, DedupeSettings(256, 2048, 8, 1),
+        None, Some((_, schema) => new graft.sources.InMemoryTable(spark, schema))))
   }
 
   test("write/get/delete round-trip identically over BOTH payload stores") {
