@@ -94,6 +94,45 @@ object EventStreamOps {
         col("click_ts"), col("view_id"), col("view_ts"))
   }
 
+  /** Left-outer watermarked stream-stream join: every view, attributed to a
+    * click by the same user within the NEXT 30 minutes — or emitted with a
+    * NULL click once the watermark passes the view's match window and no
+    * click arrived (unattributed-impression reporting). The outer side's
+    * emission is watermark-driven: state for a view is held exactly until
+    * click-watermark > view_ts + 30 min, then released — bounded, like the
+    * inner join. */
+  def viewClickOuterJoin(events: DataFrame): DataFrame = {
+    // Outer-side NULL release is watermark-driven, and each side's
+    // watermark advances only on rows that survive that side's event-type
+    // filter. So both filters ADMIT heartbeat/punctuation rows — the
+    // standard mechanism for advancing event time on a type-skewed or
+    // drained stream (here the end-of-replay flush rows). A heartbeat row
+    // self-matches (same timestamp on both sides) and surfaces with
+    // NEGATIVE ids; consumers drop those AFTER materialization
+    // (`view_id >= 0`). The admission must stay untouched inside the
+    // streaming query: an id/type guard in the join condition or an extra
+    // carried column each empirically suppress Spark's outer NULL
+    // emission, and an output filter would be pushed below the watermark
+    // node and stall it.
+    val views = events
+      .filter(col("event_type") === "view" || col("event_type") === FlushEventType)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events
+      .filter(col("event_type") === "click" || col("event_type") === FlushEventType)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("view_id"), col("v_user").as("user_id"),
+        col("view_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact dedupe: drop replayed/duplicate event_ids, keeping
     * state only within the watermark horizon — the streaming face of the
     * engine's exact-dedupe story (bounded state, unlike a global distinct). */
@@ -200,13 +239,20 @@ object EventStreamOps {
         val maxNs = spark.read.schema(eventSchema).parquet(d.toString)
           .agg(max("ts")).head().getLong(0)
         // one year past the last event, in nanos: beyond any watermark
-        // delay + window width a transform here uses
-        val flushNs = maxNs + 365L * 24 * 3600 * 1000000000L
+        // delay + window width a transform here uses. TWO flush batches:
+        // watermarks advance at the END of a micro-batch, and state
+        // eviction (outer-join NULLs, final windows) runs in the NEXT
+        // batch using the advanced watermark — a second flush row
+        // guarantees that next batch exists and is waited on by
+        // processAllAvailable (a no-data batch can race q.stop()).
         import spark.implicits._
-        Seq((-1L, flushNs, -1L, FlushEventType, 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("append").parquet(d.toString)
-        q.processAllAvailable()
+        for (i <- 1 to 2) {
+          val flushNs = maxNs + i * 365L * 24 * 3600 * 1000000000L
+          Seq((-i.toLong, flushNs, -1L, FlushEventType, 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("append").parquet(d.toString)
+          q.processAllAvailable()
+        }
       }
     } finally q.stop()
     val out = spark.table(name)

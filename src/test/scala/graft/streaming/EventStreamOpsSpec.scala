@@ -73,6 +73,33 @@ class EventStreamOpsSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("left-outer stream-stream join emits unmatched views with NULL click") {
+    // Append path with tail flush: outer-side NULL rows only emit once the
+    // watermark passes a view's match window, so the drained-source flush is
+    // what releases the tail (without it the unmatched tail is silently held)
+    val streamed = EventStreamOps.runToMemoryAppend(spark, eventsPath, "vcoj_t",
+      EventStreamOps.viewClickOuterJoin)
+      .filter(col("view_id") >= 0) // drop self-matched heartbeat rows (negative ids)
+    val e = graft.operators.Tables.t(spark, sfDir, "events")
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val batch = v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    assert(streamed.count() == batch.count(),
+      "outer join must emit matched + watermark-released unmatched rows, same as batch")
+    val streamedNulls = streamed.filter(col("click_id").isNull).count()
+    val batchNulls = batch.filter(col("click_id").isNull).count()
+    assert(streamedNulls == batchNulls, "unmatched views must emit with NULL click")
+    assert(streamedNulls > 0, "corpus must exercise the outer path")
+  }
+
   test("stateful user sessions accumulate counts per user") {
     val sessions = EventStreamOps.runToMemory(spark, eventsPath, "sess_t",
       df => EventStreamOps.userSessions(spark, df).toDF(),
