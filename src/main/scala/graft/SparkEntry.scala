@@ -82,6 +82,12 @@ object SparkEntry {
     "st1_stream_hourly" -> ((s: SparkSession, dir: String) =>
       graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
         s"st1_${System.nanoTime()}", graft.streaming.EventStreamOps.hourlyByType)),
+    //     st2: native session_window sessions (streaming face of t2);
+    //     rows-only — spec asserts stream == batch session_window exactly
+    "st2_stream_sessions" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
+        s"st2_${System.nanoTime()}", graft.streaming.EventStreamOps.sessionizeByUser)
+        .filter(org.apache.spark.sql.functions.col("user_id") >= 0)),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).

@@ -64,6 +64,20 @@ object EventStreamOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Native session windows: per-user sessions split on a 30-minute idle
+    * gap (the streaming face of batch t2, via `session_window` — dynamic
+    * merging windowed state, watermark-bounded; the mapGroupsWithState
+    * variant below is the hand-rolled comparison). On a finite replay the
+    * flush row forms its own far-future session for user -1; consumers
+    * drop `user_id < 0` after materialization. */
+  def sessionizeByUser(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
   /** Sliding window: 1-hour windows every 15 minutes, per event type. */
   def slidingValue(events: DataFrame): DataFrame =
     events

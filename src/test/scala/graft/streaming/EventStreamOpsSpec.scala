@@ -100,6 +100,20 @@ class EventStreamOpsSpec extends SparkSpec {
     assert(streamedNulls > 0, "corpus must exercise the outer path")
   }
 
+  test("streaming session_window equals the batch session_window") {
+    val streamed = EventStreamOps.runToMemoryAppend(spark, eventsPath, "sess_w",
+      EventStreamOps.sessionizeByUser)
+      .filter(col("user_id") >= 0) // drop the flush row's own session
+    val batch = graft.operators.Tables.t(spark, sfDir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+    assert(streamed.count() == batch.count(),
+      "every session, including the tail ones, must finalize and emit")
+    val sTot = streamed.agg(sum("n_events")).head().getLong(0)
+    val bTot = batch.agg(sum("n_events")).head().getLong(0)
+    assert(sTot == bTot, "no event may be lost or double-counted")
+  }
+
   test("stateful user sessions accumulate counts per user") {
     val sessions = EventStreamOps.runToMemory(spark, eventsPath, "sess_t",
       df => EventStreamOps.userSessions(spark, df).toDF(),
