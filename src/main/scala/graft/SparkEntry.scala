@@ -37,7 +37,9 @@ object SparkEntry {
     // --- generic analytics (north_star: joins/windows/aggs first-class)
     "q1_pricing_summary" -> (AnalyticsQueries.q1PricingSummary _),
     "q3_top_revenue" -> (AnalyticsQueries.q3TopRevenue _),
+    "q4_order_priority" -> (AnalyticsQueries.q4OrderPriority _),
     "q5_region_revenue" -> (AnalyticsQueries.q5RegionRevenue _),
+    "q10_returned_revenue" -> (AnalyticsQueries.q10ReturnedRevenue _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
     "w3_topk_agg" -> (AnalyticsQueries.w3TopKAgg _),
@@ -161,6 +163,18 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue

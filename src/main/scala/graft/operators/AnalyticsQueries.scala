@@ -38,6 +38,37 @@ object AnalyticsQueries {
       .limit(10)
   }
 
+  /** TPC-H Q4-shaped semi-join aggregate: orders with at least one item
+    * shipped after the order date, counted by priority. The EXISTS becomes
+    * a left-semi join with the correlated date predicate in the join
+    * condition — one shuffle on orderkey, no fact duplication. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q10-shaped: top 20 customers by revenue on returned items.
+    * Fact-fact join shuffles once on orderkey; the customer dim joins the
+    * POST-aggregation per-customer rows broadcast-side, so the dim join
+    * touches |customers-with-returns| rows, not the fact table. */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(o("o_custkey"))
+      .agg(moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q5-shaped multi-join: revenue by nation within one region.
     * Dims (region→nation→customer/supplier) broadcast; facts shuffle once. */
   def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
