@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch driver for interactive probing (see .claude/skills/verify):
   * drives one engine round-trip and one driver query end-to-end. */
