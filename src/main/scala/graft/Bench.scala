@@ -35,11 +35,20 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, outcome)
     }
+    println(renderJson(results, sfDir))
+    spark.stop()
+    if (results.exists(_._3.isLeft)) sys.exit(1)
+  }
+
+  /** One JSON line for the driver. "queries" keeps the driver contract
+    * (name -> seconds, numbers only): failed queries are EXCLUDED from it
+    * and reported under "errors" with the exception text — a broken query
+    * must never read as a fast timing; successful ones also report row
+    * counts. */
+  private[graft] def renderJson(
+      results: Seq[(String, Double, Either[String, Long])], sfDir: String): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    // "queries" keeps the driver contract (name -> seconds, numbers only):
-    // failed queries are EXCLUDED from it and reported under "errors" with
-    // the exception text; successful ones also report row counts.
     val qs = results.collect { case (k, v, Right(_)) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val rows = results.collect { case (k, _, Right(n)) => s"${jstr(k)}:$n" }
@@ -47,10 +56,7 @@ object Bench {
     val errs = results.collect { case (k, _, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, Right(_)) => v }.sum
-    val errCount = results.count(_._3.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}""")
-    spark.stop()
-    if (errCount > 0) sys.exit(1)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
   }
 
   /** One cheap pass through each hot code path: parquet scan, hash agg,
