@@ -48,7 +48,7 @@ object Bench {
   private[graft] def renderJson(
       results: Seq[(String, Double, Either[String, Long])], sfDir: String): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+      .replaceAll("\\p{Cntrl}", " ") + "\""
     val qs = results.collect { case (k, v, Right(_)) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val rows = results.collect { case (k, _, Right(n)) => s"${jstr(k)}:$n" }

@@ -273,12 +273,17 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // NOTE session_id is CAST to BIGINT: DuckDB types sum(INTEGER) as
+    // HUGEINT (int128), and a pandas materialization of a HUGEINT column
+    // degrades to float64 — hashing "3.0" against Spark's "3" on every row
+    // (rows/schema match, hash doesn't; the exact r1/r2 gate signature).
+    // This was the only uncast integer-sum OUTPUT column in the oracle map.
     "t2_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS ts_s FROM events),
         |w AS (SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev FROM e),
         |n AS (SELECT *, CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END AS new_session FROM w),
-        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM n)
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(min(ts_s) AS BIGINT) AS session_start,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value

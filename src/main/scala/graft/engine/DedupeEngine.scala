@@ -212,12 +212,15 @@ final class DedupeEngine(
       .select($"path", $"content")
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
-        // binaryFile reports URI-style paths (file:/...); relativize
-        val local = p.stripPrefix("file:")
-        val key =
-          if (local.startsWith(root + "/")) local.substring(root.length + 1)
-          else local.substring(local.lastIndexOf('/') + 1)
-        (key, bytes)
+        // binaryFile reports URI-style paths (file:/..., possibly with
+        // percent-encoding); decode + normalize via URI before relativizing,
+        // and fail loudly on a path outside the root — a silent basename
+        // fallback would reintroduce same-name collisions across subdirs
+        val local = new java.net.URI(p).getPath
+        if (!local.startsWith(root + "/"))
+          throw new IllegalStateException(
+            s"binaryFile path '$p' (decoded '$local') is not under ingest root '$root'")
+        (local.substring(root.length + 1), bytes)
       }
     ingest(files)
   }
@@ -389,7 +392,9 @@ final class DedupeEngine(
     // list hides it) instead of a live key whose get() returns empty bytes
     objectsT.publish(objects.filter($"objectKey" =!= key).toDF())
     objmapT.publish(remainingMap.toDF())
-    store.delete(gc)
+    // deleting an object whose chunks are all still shared must not pay a
+    // full payload-table rewrite for a no-op
+    if (gc.nonEmpty) store.delete(gc)
     gc
   }
 }

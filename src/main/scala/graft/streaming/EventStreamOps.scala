@@ -239,9 +239,19 @@ object EventStreamOps {
           .forEach(f => java.nio.file.Files.copy(f, d.resolve(f.getFileName)))
       finally files.close()
     }
+    // Ingest the whole staged snapshot in ONE micro-batch. With a small
+    // per-trigger file cap, every part file of a multi-file snapshot spans
+    // the full time range (typical Spark output), so the first batch would
+    // advance the watermark to ~(global max ts - delay) and silently drop
+    // events arriving in later batches — stream != batch. A per-batch cap
+    // only belongs on genuinely unbounded sources (readEventStream).
+    val staged = {
+      val files = java.nio.file.Files.list(d)
+      try files.filter(_.toString.endsWith(".parquet")).count() finally files.close()
+    }
     val stream = spark.readStream
       .schema(eventSchema)
-      .option("maxFilesPerTrigger", "4")
+      .option("maxFilesPerTrigger", math.max(staged, 1L).toString)
       .parquet(d.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = transform(stream)
@@ -250,8 +260,12 @@ object EventStreamOps {
     try {
       q.processAllAvailable()
       if (flushTail) {
-        val maxNs = spark.read.schema(eventSchema).parquet(d.toString)
-          .agg(max("ts")).head().getLong(0)
+        val maxRow = spark.read.schema(eventSchema).parquet(d.toString)
+          .agg(max("ts")).head()
+        if (maxRow.isNullAt(0))
+          throw new IllegalArgumentException(
+            s"runToMemoryAppend: no rows in events source '$path'; nothing to flush")
+        val maxNs = maxRow.getLong(0)
         // one year past the last event, in nanos: beyond any watermark
         // delay + window width a transform here uses. TWO flush batches:
         // watermarks advance at the END of a micro-batch, and state

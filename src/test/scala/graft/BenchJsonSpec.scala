@@ -20,6 +20,15 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(json.contains("""column \"nope\" missing"""))
   }
 
+  test("control characters in exception text are flattened to spaces") {
+    // \b, \f, NUL would pass a naive \n\r\t-only filter and break the
+    // driver's JSON parse of the errors map
+    val json = Bench.renderJson(Seq(
+      ("q", 0.5, Left("bad\b\f\u0000\u001ftext\nline2"))), "/tmp/sf")
+    assert(json.contains(""""errors":{"q":"bad    text line2"}"""))
+    assert(!json.exists(c => c < ' '), "emitted line must contain no raw control chars")
+  }
+
   test("total sums only successful queries") {
     val json = Bench.renderJson(Seq(
       ("a", 2.0, Right(1L)), ("b", 100.0, Left("boom")), ("c", 3.0, Right(2L))),

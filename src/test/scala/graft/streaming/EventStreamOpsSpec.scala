@@ -100,6 +100,38 @@ class EventStreamOpsSpec extends SparkSpec {
     assert(streamedNulls > 0, "corpus must exercise the outer path")
   }
 
+  test("Append path over a MULTI-FILE snapshot loses no events") {
+    // Every part file of a repartitioned snapshot spans the full time range
+    // (round-robin split) — exactly the shape where a small per-trigger file
+    // cap would let the first micro-batch advance the watermark past events
+    // still waiting in later files, silently dropping them. The finite
+    // replay must ingest the snapshot in one batch instead.
+    val src = java.nio.file.Files.createTempDirectory("multi_events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(eventsPath)
+      .repartition(6)
+      .write.mode("overwrite").parquet(src.toString)
+    val streamed = EventStreamOps.runToMemoryAppend(spark, src.toString, "multi_ap",
+      EventStreamOps.hourlyByType)
+    val batch = graft.operators.Tables.t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count(),
+      "all windows must finalize even when the snapshot arrives as many files")
+    val sTot = streamed.agg(sum("n")).head().getLong(0)
+    val bTot = batch.agg(sum("n")).head().getLong(0)
+    assert(sTot == bTot, "no event from any part file may be dropped")
+  }
+
+  test("empty events source fails the tail flush loudly, not with an NPE") {
+    val empty = java.nio.file.Files.createTempDirectory("empty_events")
+    val e = intercept[IllegalArgumentException] {
+      EventStreamOps.runToMemoryAppend(spark, empty.toString, "empty_ap",
+        EventStreamOps.hourlyByType)
+    }
+    assert(e.getMessage.contains("no rows"))
+  }
+
   test("streaming session_window equals the batch session_window") {
     val streamed = EventStreamOps.runToMemoryAppend(spark, eventsPath, "sess_w",
       EventStreamOps.sessionizeByUser)

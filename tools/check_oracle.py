@@ -47,6 +47,20 @@ def main(outdir, sfdir):
             cur = con.execute(oracle[name])
             duck_cols = [c[0] for c in cur.description]
             duck_rows = cur.fetchall()
+            # The driver may materialize oracle results via pandas, where
+            # HUGEINT (e.g. sum(INTEGER)) degrades to float64 and DECIMAL to
+            # float/object — their string forms then diverge from Spark's
+            # (e.g. "3.0" vs "3") even though fetchall() would match. Flag
+            # any output column whose declared type is in that class.
+            try:
+                desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+                risky = [(c, t) for (c, t, *_) in desc
+                         if "HUGEINT" in t.upper() or t.upper().startswith("DECIMAL")]
+                if risky:
+                    results[name] = f"PANDAS-RISK cols={risky} (cast to BIGINT/DOUBLE in the oracle)"
+                    continue
+            except Exception:
+                pass  # DESCRIBE quirk: fall through to the value compare
         except Exception as e:
             results[name] = f"ORACLE-ERROR {str(e)[:120]}"
             continue
