@@ -199,9 +199,12 @@ object EventStreamOps {
     * production path for watermarked aggregations is [[runToMemoryAppend]],
     * which keeps Append's incremental-emit/bounded-state contract and
     * flushes the drained-source tail explicitly. */
-  def runToMemory(spark: SparkSession, dir: String, name: String,
+  def runToMemory(rootSpark: SparkSession, dir: String, name: String,
       transform: DataFrame => DataFrame,
       mode: OutputMode = OutputMode.Append()): DataFrame = {
+    // child session: replay-sized state partitions (see runToMemoryAppend)
+    val spark = rootSpark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = transform(readEventStream(spark, dir))
       .writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
@@ -223,8 +226,17 @@ object EventStreamOps {
     * is never emitted; for non-windowed transforms that would pass it
     * through, the returned frame filters it back out. The source is staged
     * into a private temp dir so the flush file cannot leak into other runs. */
-  def runToMemoryAppend(spark: SparkSession, path: String, name: String,
+  def runToMemoryAppend(rootSpark: SparkSession, path: String, name: String,
       transform: DataFrame => DataFrame, flushTail: Boolean = true): DataFrame = {
+    // Finite replay runs in a CHILD session with state partitions right-sized
+    // to the staged corpus: stateful operators pin their state-store count to
+    // spark.sql.shuffle.partitions at query start, and 32 HDFS-backed stores
+    // churning checkpoint files per micro-batch is pure overhead for a
+    // memory-sink replay. The production entry point (readEventStream on an
+    // unbounded source) inherits the session conf untouched — at cluster
+    // scale you size state partitions UP, not down.
+    val spark = rootSpark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(path)
     val d = java.nio.file.Files.createTempDirectory("graft-stream-append")
