@@ -212,11 +212,13 @@ final class DedupeEngine(
       .select($"path", $"content")
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
-        // binaryFile reports URI-style paths (file:/..., possibly with
-        // percent-encoding); decode + normalize via URI before relativizing,
-        // and fail loudly on a path outside the root — a silent basename
-        // fallback would reintroduce same-name collisions across subdirs
-        val local = new java.net.URI(p).getPath
+        // binaryFile reports Hadoop-style paths (file:/...) whose path part
+        // is already DECODED — a space or literal '%' appears raw, so
+        // java.net.URI would reject ('a b.bin') or mis-decode ('p%25q.bin')
+        // them. hadoop.fs.Path round-trips both. Fail loudly on a path
+        // outside the root — a silent basename fallback would reintroduce
+        // same-name collisions across subdirs
+        val local = new org.apache.hadoop.fs.Path(p).toUri.getPath
         if (!local.startsWith(root + "/"))
           throw new IllegalStateException(
             s"binaryFile path '$p' (decoded '$local') is not under ingest root '$root'")

@@ -1,31 +1,42 @@
 package graft.tools
 
+import graft.core.DedupeSettings
+import graft.engine.DedupeEngine
 import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
 
-/** Scratch driver for interactive probing (see .claude/skills/verify):
-  * drives one engine round-trip and one driver query end-to-end. */
+/** Scratch end-to-end drive (verify recipe): ingest a real directory with
+  * odd filenames through the CLI-visible surface, reconstruct, byte-diff. */
 object DevDrive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("graft-devdrive")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    // engine round-trip on a real file with repeated content
-    val dir = java.nio.file.Files.createTempDirectory("drive-engine").toString
-    val e = new graft.engine.DedupeEngine(spark, dir,
-      graft.core.DedupeSettings(256, 2048, 8, 1))
-    val sample = java.nio.file.Paths.get("/root/reference/src/Test/SampleFiles/small.txt")
-    val data = java.nio.file.Files.readAllBytes(sample)
-    e.write("small.txt", data)
-    val back = e.get("small.txt").get
-    println(s"[drive] round-trip ok=${java.util.Arrays.equals(back, data)} " +
-      s"stats=${e.indexStats().toTabularString.linesIterator.next()}")
-
-    // one driver query
-    val df = graft.SparkEntry.queries("q5_region_revenue")(spark, "/root/testdata/sf0.001")
-    println(s"[drive] q5 rows=${df.count()}")
-    spark.stop()
+    try {
+      val src = Files.createTempDirectory("drive-src")
+      val ref = Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/src/Test/SampleFiles/small.txt"))
+      Files.write(src.resolve("a b.txt"), ref)
+      Files.write(src.resolve("p%25q.txt"), ref)
+      Files.createDirectories(src.resolve("sub dir"))
+      Files.write(src.resolve("sub dir/100%done.txt"), ref)
+      val idx = Files.createTempDirectory("drive-idx").toString + "/idx"
+      val e = DedupeEngine.create(spark, idx, DedupeSettings(256, 2048, 8, 1))
+      e.ingestDirectory(src.toString)
+      val st = e.indexStats()
+      println(s"[drive] objects=${st.objectCount} chunks=${st.chunkCount} " +
+        s"logical=${st.logicalBytes} physical=${st.physicalBytes}")
+      for (k <- Seq("a b.txt", "p%25q.txt", "sub dir/100%done.txt")) {
+        val got = e.get(k)
+        println(s"[probe] key='$k' found=${got.isDefined} " +
+          s"byteEqual=${got.exists(java.util.Arrays.equals(_, ref))}")
+      }
+      println(s"[probe] decodedGhost=${e.get("p%q.txt").isDefined} (must be false)")
+      // 3 identical files: physical must be ~1/3 of logical (dedupe across objects)
+      println(s"[probe] dedupeRatioX=${st.ratioX}")
+    } finally spark.stop()
   }
 }

@@ -105,6 +105,25 @@ class PayloadStoreSpec extends SparkSpec {
     assert(java.util.Arrays.equals(e.get("sub2/same.bin").get, d2))
   }
 
+  test("ingestDirectory handles filenames with spaces and literal percent signs") {
+    // binaryFile reports DECODED paths: 'a b.bin' stays raw (java.net.URI
+    // would throw) and 'p%25q.bin' must not be silently decoded to 'p%q.bin'
+    val e = engines().head._2
+    val src = Files.createTempDirectory("graft-oddnames")
+    val d1 = randomBytes(2000, 31)
+    val d2 = randomBytes(2500, 32)
+    val d3 = randomBytes(1500, 33)
+    Files.write(src.resolve("a b.bin"), d1)
+    Files.write(src.resolve("p%25q.bin"), d2)
+    Files.write(src.resolve("100%done.bin"), d3)
+    e.ingestDirectory(src.toString)
+    assert(e.indexStats().objectCount == 3)
+    assert(java.util.Arrays.equals(e.get("a b.bin").get, d1))
+    assert(java.util.Arrays.equals(e.get("p%25q.bin").get, d2), "literal %25 must stay a literal, not decode to '%'")
+    assert(java.util.Arrays.equals(e.get("100%done.bin").get, d3))
+    assert(e.get("p%q.bin").isEmpty, "no silently-decoded key may exist")
+  }
+
   test("exportAll refuses object keys that escape the output directory") {
     val e = engines().head._2
     e.write("../escape.bin", randomBytes(500, 28))
