@@ -95,7 +95,10 @@ final class DedupeEngine(
     * reference's DbProvider swap point, DbProvider.cs:10-155); parquet
     * VersionedTable by default, any backend by injection. */
   private val newTable: (String, org.apache.spark.sql.types.StructType) => TableStore =
-    indexBackend.getOrElse((p, s) => new VersionedTable(spark, p, s))
+    indexBackend.getOrElse((p, s) => new VersionedTable(spark, p, s,
+      // leading key column feeds per-segment min/max stats, making deletes
+      // O(intersecting segments) (objects/objmap key on objectKey)
+      statsCol = s.fieldNames.headOption.filter(Set("objectKey", "chunkKey"))))
   private val objectsT = newTable(s"$basePath/objects",
     implicitly[org.apache.spark.sql.Encoder[ObjectRow]].schema)
   private val objmapT = newTable(s"$basePath/objmap",
@@ -387,13 +390,15 @@ final class DedupeEngine(
     val gc = objmap.filter($"objectKey" === key).select($"chunkKey").distinct()
       .join(remainingMap.select($"chunkKey").distinct(), Seq("chunkKey"), "left_anti")
       .as[String].collect().toSeq
-    // commit order matters (the three publishes are not one transaction —
+    // commit order matters (the three commits are not one transaction —
     // the reference wraps these in one SQLite tx, SqliteProvider.cs:495):
     // retire the OBJECTS row first, so a crash mid-delete degrades to
     // orphaned-but-unreachable map/payload rows (exists=false, get=None,
-    // list hides it) instead of a live key whose get() returns empty bytes
-    objectsT.publish(objects.filter($"objectKey" =!= key).toDF())
-    objmapT.publish(remainingMap.toDF())
+    // list hides it) instead of a live key whose get() returns empty bytes.
+    // deleteKeys rewrites only segments whose key range covers the victim —
+    // O(touched segments), never a full-table republish
+    objectsT.deleteKeys("objectKey", Seq(key))
+    objmapT.deleteKeys("objectKey", Seq(key))
     // deleting an object whose chunks are all still shared must not pay a
     // full payload-table rewrite for a no-op
     if (gc.nonEmpty) store.delete(gc)

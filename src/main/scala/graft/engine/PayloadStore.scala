@@ -50,15 +50,19 @@ final class ParquetPayloadStore(spark: SparkSession, path: String)
   import spark.implicits._
 
   private val table = new VersionedTable(spark, path,
-    implicitly[org.apache.spark.sql.Encoder[PayloadRow]].schema)
+    implicitly[org.apache.spark.sql.Encoder[PayloadRow]].schema,
+    statsCol = Some("chunkKey"))
 
   override def read(): DataFrame = table.read()
 
   override def append(payloads: DataFrame): Unit = table.append(payloads)
 
+  /** GC path: O(touched segments) via the table's per-segment chunkKey
+    * stats. Content-hash keys span the keyspace, so a segment is skipped
+    * only when its range genuinely misses every victim — the win grows as
+    * segments narrow (compaction sorts by chunkKey). */
   override def delete(keys: Seq[String]): Unit =
-    table.publish(read().join(
-      spark.createDataset(keys).toDF("chunkKey"), Seq("chunkKey"), "left_anti"))
+    table.deleteKeys("chunkKey", keys)
 
   /** One filtered scan for the whole key set: an IN predicate (pushed to the
     * parquet scan, where the ingest-time chunkKey sort makes row-group

@@ -20,6 +20,14 @@ trait TableStore {
   def append(df: DataFrame): Unit
   /** Full-snapshot commit (delete/compaction path). */
   def publish(df: DataFrame): Unit
+  /** Remove rows whose `keyCol` value is in `keys` — the row-delete path
+    * (reference semantics: SqliteProvider.cs:522-523). Backends with
+    * per-segment key stats override this to touch only intersecting
+    * segments; the default is a full filtered rewrite. */
+  def deleteKeys(keyCol: String, keys: Seq[String]): Unit =
+    if (keys.nonEmpty)
+      publish(read().filter(
+        !org.apache.spark.sql.functions.col(keyCol).isInCollection(keys)))
 }
 
 /**

@@ -1,58 +1,112 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max => sqlMax, min => sqlMin}
 import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOption}
+import java.util.Base64
 import scala.jdk.CollectionConverters._
 
+/** A concurrent writer claimed the same version first. The losing commit
+  * changed nothing on disk — re-read the table and retry. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** One immutable segment of a [[VersionedTable]] version, with optional
+  * min/max stats over the table's key column (absent on pre-stats manifests
+  * or key-less tables — treated as "may contain anything"). */
+final case class Segment(name: String, minKey: Option[String], maxKey: Option[String]) {
+  /** Could a row with this key live here? Unknown stats ⇒ yes. */
+  def mayContain(key: String): Boolean = (minKey, maxKey) match {
+    case (Some(lo), Some(hi)) => key >= lo && key <= hi
+    case _ => true
+  }
+}
+
 /**
- * Minimal atomic snapshot table over Parquet with incremental appends.
+ * Minimal atomic snapshot table over Parquet with incremental appends and
+ * segment-targeted deletes.
  *
- * The reference mutates SQLite rows in place under locks
- * (reference: src/DedupeLibrary/Database/SqliteProvider.cs:29-30).
- * On a distributed filesystem the idiomatic equivalent is
- * write-then-publish: every mutation writes immutable data and then
- * atomically flips a `_CURRENT` pointer to a manifest. Readers resolve the
- * pointer once and read immutable directories, so concurrent reads never
- * observe a torn write — the same commit-protocol shape Delta Lake /
- * Iceberg use, reduced to a single-writer engine.
+ * The reference mutates SQLite rows in place, serializing writers with
+ * in-process locks (reference: src/DedupeLibrary/Database/SqliteProvider.cs:29-30)
+ * and transactions (SqliteProvider.cs:495). On a distributed filesystem the
+ * idiomatic equivalent is write-then-publish: every mutation writes immutable
+ * data, then atomically claims the next version — the commit-protocol shape
+ * Delta Lake / Iceberg use.
  *
- * A version is a MANIFEST (list of segment directories), not a single data
- * directory, so:
- *   - `append(df)`  writes ONLY the new rows as a fresh segment and commits
- *     a manifest of old-segments + new — O(new data), the ingest path; at
- *     100 TB appending a batch never rewrites the table;
- *   - `publish(df)` writes a full single-segment snapshot — the
- *     delete/compaction path (O(table), rare by design).
+ * Commit protocol (multi-writer safe):
+ *   1. write the new rows as an immutable, uniquely-named segment directory;
+ *   2. write the full manifest body to a temp file;
+ *   3. CLAIM the version by hard-linking the temp file to
+ *      `manifest-<v+1>.txt` — link(2) fails atomically if the name exists,
+ *      so of N racing writers exactly one wins; losers remove their own
+ *      segment and throw a clean, retryable [[CommitConflictException]]
+ *      (nothing of theirs was ever reachable). The manifest appears with its
+ *      full content in one atomic step — no torn reads, no `_CURRENT`
+ *      pointer to flip.
+ * The current version is simply the highest manifest present. A writer that
+ * dies before its claim leaves only an unreferenced segment directory —
+ * readers are unaffected, the next commit succeeds, [[vacuum]] sweeps it.
  *
- * At 100 TB you would swap this for Delta (MERGE/OPTIMIZE); the engine only
- * touches this class through read()/append()/publish(), so that swap is
- * confined here.
+ * A version is a MANIFEST (list of segments + per-segment key stats), so:
+ *   - `append(df)`  commits ONLY the new rows as a fresh segment — O(new
+ *     data); at 100 TB appending a batch never rewrites the table;
+ *   - `deleteKeys`  rewrites ONLY segments whose [min,max] key range can
+ *     contain a victim key — O(touched segments), the row-delete path
+ *     (reference semantics: SqliteProvider.cs:522-523); non-intersecting
+ *     segment directories are never read, never rewritten;
+ *   - `publish(df)` writes a full single-segment snapshot — the compaction
+ *     path (O(table), rare by design).
+ *
+ * At 100 TB you would swap this for Delta (MERGE/OPTIMIZE/deletion vectors);
+ * the engine only touches this class through the [[TableStore]] seam, so
+ * that swap is confined here.
  */
-final class VersionedTable(spark: SparkSession, path: String, schema: StructType)
+class VersionedTable(spark: SparkSession, path: String, schema: StructType,
+    statsCol: Option[String] = None)
     extends TableStore {
 
   private val dir = Paths.get(path)
-  private val pointer = dir.resolve("_CURRENT")
+  private val ManifestName = "^manifest-(\\d+)\\.txt$".r
 
   private def currentVersion: Long =
-    if (Files.exists(pointer)) new String(Files.readAllBytes(pointer), "UTF-8").trim.toLong
-    else -1L
+    if (!Files.isDirectory(dir)) -1L
+    else listDir(dir).map(_.getFileName.toString)
+      .collect { case ManifestName(n) => n.toLong }
+      .foldLeft(-1L)(math.max)
 
   private def manifestPath(v: Long) = dir.resolve(s"manifest-$v.txt")
 
-  /** Segment dir names referenced by version `v` (oldest first). */
-  private def segments(v: Long): Seq[String] =
+  // keys are arbitrary user strings (may contain tabs/newlines); stats are
+  // base64-armored so the manifest stays line/tab-structured
+  private def b64(s: String) =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String) = new String(Base64.getUrlDecoder.decode(s), "UTF-8")
+
+  private def segLine(s: Segment): String = (s.minKey, s.maxKey) match {
+    case (Some(lo), Some(hi)) => s"${s.name}\t${b64(lo)}\t${b64(hi)}"
+    case _ => s.name
+  }
+
+  /** Segments referenced by version `v` (oldest first). */
+  private def segments(v: Long): Seq[Segment] =
     if (v < 0) Nil
     else new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      .linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        line.split("\t", -1) match {
+          case Array(n, lo, hi) => Segment(n, Some(unb64(lo)), Some(unb64(hi)))
+          case parts => Segment(parts(0), None, None)
+        }
+      }.toSeq
+
+  private def segmentsIfExists(v: Long): Seq[Segment] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Nil else segments(v)
 
   /** Current snapshot as a DataFrame; empty (with schema) before first commit. */
   override def read(): DataFrame = {
     val segs = segments(currentVersion)
     if (segs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(segs.map(s => dir.resolve(s).toString): _*)
+    else spark.read.schema(schema).parquet(segs.map(s => dir.resolve(s.name).toString): _*)
   }
 
   /** Number of segments in the current version (compaction signal). */
@@ -67,47 +121,110 @@ final class VersionedTable(spark: SparkSession, path: String, schema: StructType
   def append(df: DataFrame, compactThreshold: Int): Unit = {
     val v = currentVersion
     val segs = segments(v)
-    if (segs.size >= compactThreshold) publish(read().unionByName(df))
+    if (segs.size >= compactThreshold) commit(v, Nil, read().unionByName(df))
     else commit(v, segs, df)
   }
 
-  /** Full-snapshot commit: write `df` as the only segment (compaction /
-    * delete path); superseded segments are retired after the flip. */
+  /** Full-snapshot commit: write `df` as the only segment (compaction path);
+    * superseded segments are retired after a one-version grace window. */
   override def publish(df: DataFrame): Unit =
     commit(currentVersion, Nil, df)
 
   /** Rewrite the current contents into a single segment (manifest GC). */
   def compact(): Unit = publish(read())
 
-  private def commit(v: Long, keepSegs: Seq[String], newData: DataFrame): Unit = {
+  /** Remove rows whose `keyCol` is in `keys`, rewriting ONLY segments whose
+    * key-range stats can contain a victim — O(touched segments), not
+    * O(table). Untouched segment directories are never read or modified.
+    * Stats help most when segment key ranges are narrow (time/name-ordered
+    * ingest); content-hash keys span the space, so hash-keyed tables degrade
+    * gracefully toward a full rewrite. */
+  override def deleteKeys(keyCol: String, keys: Seq[String]): Unit = {
+    if (keys.isEmpty) return
+    val v = currentVersion
+    val segs = segments(v)
+    val (touched, untouched) = segs.partition(s => keys.exists(s.mayContain))
+    if (touched.isEmpty) return // no segment can hold a victim: free no-op
+    val survivors = spark.read.schema(schema)
+      .parquet(touched.map(s => dir.resolve(s.name).toString): _*)
+      .filter(!col(keyCol).isInCollection(keys))
+    commit(v, untouched, survivors)
+  }
+
+  /** Test seam: runs between the segment write and the atomic manifest
+    * claim — the window where a competing writer can win or this one can
+    * die. Production no-op. */
+  protected def onBeforeManifestClaim(): Unit = ()
+
+  private def commit(v: Long, keepSegs: Seq[Segment], newData: DataFrame): Unit = {
     val next = v + 1
-    val segName = s"seg-$next"
-    newData.write.mode("overwrite").parquet(dir.resolve(segName).toString)
-    val manifest = (keepSegs :+ segName).mkString("", "\n", "\n")
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val segName = s"seg-$next-$attempt" // unique per attempt: racing writers never clobber
+    val segPath = dir.resolve(segName)
+    newData.write.mode("overwrite").parquet(segPath.toString)
+    // stats (and emptiness) from one narrow readback of the new files: the
+    // agg prunes to the key column, so the cost is one small column scan of
+    // the NEW rows only
+    val newSeg: Option[Segment] = statsCol match {
+      case Some(c) =>
+        val r = spark.read.schema(schema).parquet(segPath.toString)
+          .agg(count(lit(1)), sqlMin(col(c)).cast("string"), sqlMax(col(c)).cast("string"))
+          .head()
+        if (r.getLong(0) == 0L) { deleteRecursively(segPath); None }
+        else Some(Segment(segName, Option(r.getString(1)), Option(r.getString(2))))
+      case None => Some(Segment(segName, None, None))
+    }
+    val segs = keepSegs ++ newSeg
+    val body = segs.map(segLine).mkString("", "\n", "\n")
     Files.createDirectories(dir)
-    Files.write(manifestPath(next), manifest.getBytes("UTF-8"),
+    val tmp = dir.resolve(s".manifest-$next.tmp-$attempt")
+    Files.write(tmp, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    val tmp = dir.resolve(s"_CURRENT.tmp$next")
-    Files.write(tmp, next.toString.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // retire directories referenced by neither the new NOR the immediately
-    // previous version: a one-version grace window so DataFrames resolved
-    // from read() before this commit still execute (lazy plans hold segment
-    // paths and only open them at action time)
-    val live = keepSegs.toSet + segName ++ (if (v >= 0) segments(v).toSet else Set.empty)
+    onBeforeManifestClaim()
+    try Files.createLink(manifestPath(next), tmp) // atomic CAS: link(2) is EEXCL
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        newSeg.foreach(s => deleteRecursively(dir.resolve(s.name)))
+        throw new CommitConflictException(
+          s"version $next of $path was claimed by a concurrent writer; re-read and retry")
+    }
+    Files.deleteIfExists(tmp)
+    // retire manifests strictly below the base version (one-version grace
+    // window: plans resolved before this commit still execute — lazy
+    // DataFrames hold segment paths and open them only at action time),
+    // plus their segments referenced by neither the new nor the base
+    // version. Unreferenced crash debris is left for vacuum(): deleting any
+    // not-yet-claimed segment here could race an in-flight writer.
+    val live = (segs ++ (if (v >= 0) segments(v) else Nil)).map(_.name).toSet
+    listDir(dir).foreach { p =>
+      p.getFileName.toString match {
+        case ManifestName(n) if n.toLong < v =>
+          val retired = segmentsIfExists(n.toLong).map(_.name).filterNot(live)
+          Files.deleteIfExists(p)
+          retired.foreach(s => deleteRecursively(dir.resolve(s)))
+        case _ => ()
+      }
+    }
+  }
+
+  /** Sweep crash debris: segment directories referenced by no retained
+    * manifest and stale temp manifests. Maintenance op — run only while no
+    * writer is in flight (a racing writer's fresh segment is unreferenced
+    * until its claim lands). */
+  def vacuum(): Unit = {
+    val v = currentVersion
+    val live = (segmentsIfExists(v) ++ segmentsIfExists(v - 1)).map(_.name).toSet
     listDir(dir).foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("seg-") && !live(name)) deleteRecursively(p)
-      if (name.startsWith("manifest-") && name != s"manifest-$next.txt" &&
-          name != s"manifest-$v.txt")
-        Files.deleteIfExists(p)
+      if (name.startsWith(".manifest-")) Files.deleteIfExists(p)
     }
   }
 
   /** Files.list with the stream closed (it leaks a directory fd otherwise). */
   private def listDir(p: java.nio.file.Path): List[java.nio.file.Path] = {
+    if (!Files.isDirectory(p)) return Nil
     val s = Files.list(p)
     try s.iterator().asScala.toList finally s.close()
   }

@@ -37,6 +37,15 @@ object DevDrive {
       println(s"[probe] decodedGhost=${e.get("p%q.txt").isDefined} (must be false)")
       // 3 identical files: physical must be ~1/3 of logical (dedupe across objects)
       println(s"[probe] dedupeRatioX=${st.ratioX}")
+      // drive the delete/GC path over the new CAS-committed, stats-targeted tables
+      val gcd = e.delete("a b.txt")
+      println(s"[probe] deleteSharedGc=${gcd.size} (0: chunks still shared)")
+      val gcd2 = e.delete("p%25q.txt")
+      val gcd3 = e.delete("sub dir/100%done.txt")
+      println(s"[probe] lastSharerGc=${gcd3.size} (>0: orphans collected)")
+      val st2 = e.indexStats()
+      println(s"[probe] afterDeletes objects=${st2.objectCount} chunks=${st2.chunkCount} " +
+        s"physical=${st2.physicalBytes} (all zero expected); gcd2=${gcd2.size}")
     } finally spark.stop()
   }
 }

@@ -121,6 +121,45 @@ class DedupeEngineSpec extends SparkSpec {
     assertThrows[NoSuchElementException](e.delete("nope"))
   }
 
+  test("delete touches only index segments whose key range covers the victim") {
+    val dir = Files.createTempDirectory("graft-engine-del").toString
+    val e = new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1))
+    // three ingest batches with disjoint, ordered key ranges → each index
+    // table gets three segments with non-overlapping objectKey stats
+    e.ingest(Seq("a1" -> randomBytes(3000, 61), "a2" -> randomBytes(3000, 62)))
+    e.ingest(Seq("b1" -> randomBytes(3000, 63), "b2" -> randomBytes(3000, 64)))
+    e.ingest(Seq("c1" -> randomBytes(3000, 65), "c2" -> randomBytes(3000, 66)))
+    def fingerprints(sub: String): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(dir, sub)
+      val out = Map.newBuilder[String, (Long, Long)]
+      def walk(p: java.nio.file.Path): Unit =
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().forEachRemaining(walk) finally s.close()
+        } else out += root.relativize(p).toString ->
+          ((Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      walk(root)
+      out.result()
+    }
+    val objBefore = fingerprints("objects")
+    val mapBefore = fingerprints("objmap")
+    e.delete("b1")
+    // a- and c-batch segments must be byte-identical (never read or
+    // rewritten); only the b segment is replaced
+    for ((sub, before) <- Seq("objects" -> objBefore, "objmap" -> mapBefore)) {
+      val after = fingerprints(sub)
+      val survivors = before.keySet.intersect(after.keySet)
+      for (f <- survivors)
+        assert(after(f) === before(f), s"$sub/$f was modified by an unrelated delete")
+      assert(survivors.exists(_.startsWith("seg-0")), s"$sub a-segment must survive untouched")
+      assert(survivors.exists(_.startsWith("seg-2")), s"$sub c-segment must survive untouched")
+    }
+    // semantics intact
+    assert(!e.exists("b1") && e.exists("b2") && e.exists("a1") && e.exists("c2"))
+    assert(java.util.Arrays.equals(e.get("b2").get, randomBytes(3000, 64)))
+    assert(e.indexStats().objectCount === 5)
+  }
+
   test("writeOrReplace upserts content") {
     val e = newEngine()
     val v1 = randomBytes(5000, 11)

@@ -87,4 +87,121 @@ class VersionedTableSpec extends SparkSpec {
     val got = t.read().collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === Seq(("b", 2L)))
   }
+
+  // ------------------------------------------------ commit protocol (CAS)
+
+  /** name -> (size, mtime, md5) for every regular file under the table dir,
+    * keyed by path relative to it — the byte-identity fingerprint. */
+  private def fileFingerprints(dir: String): Map[String, (Long, Long, String)] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = Map.newBuilder[String, (Long, Long, String)]
+    def walk(p: java.nio.file.Path): Unit =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p); try s.iterator().asScala.foreach(walk) finally s.close()
+      } else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        out += root.relativize(p).toString ->
+          ((Files.size(p), Files.getLastModifiedTime(p).toMillis,
+            md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString))
+      }
+    walk(root)
+    out.result()
+  }
+
+  test("concurrent appends: exactly one wins; the loser throws a clean retryable conflict") {
+    val dir = Files.createTempDirectory("vt_cas").toString
+    val winner = new VersionedTable(spark, dir, schema)
+    val reachedClaim = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    // the slow writer pauses in the window between its segment write and its
+    // manifest claim; the winner commits fully inside that window
+    val slow = new VersionedTable(spark, dir, schema) {
+      override protected def onBeforeManifestClaim(): Unit = {
+        reachedClaim.countDown()
+        proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    }
+    @volatile var slowFailure: Option[Throwable] = None
+    val t = new Thread(() =>
+      try slow.append(df("slow" -> 1L))
+      catch { case e: Throwable => slowFailure = Some(e) })
+    t.start()
+    assert(reachedClaim.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    winner.append(df("fast" -> 2L)) // claims the contended version
+    proceed.countDown()
+    t.join(60000)
+    assert(slowFailure.exists(_.isInstanceOf[CommitConflictException]),
+      s"loser must throw CommitConflictException, got $slowFailure")
+    val got = winner.read().collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("fast", 2L)), "only the winner's rows are visible")
+    // the conflict is retryable: a re-read + retry lands on the next version
+    slow.append(df("slow" -> 1L))
+    val all = winner.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(all.toSeq === Seq(("fast", 2L), ("slow", 1L)))
+  }
+
+  test("a writer dying before its manifest claim is invisible; next commit succeeds; vacuum sweeps debris") {
+    val dir = Files.createTempDirectory("vt_crash").toString
+    val t = new VersionedTable(spark, dir, schema)
+    t.append(df("a" -> 1L))
+    val crasher = new VersionedTable(spark, dir, schema) {
+      override protected def onBeforeManifestClaim(): Unit =
+        throw new RuntimeException("simulated crash between segment write and claim")
+    }
+    intercept[RuntimeException](crasher.append(df("b" -> 2L)))
+    // reader is unaffected: the dead writer's segment was never referenced
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a", 1L)), "crash debris must not surface in reads")
+    assert(segDirs(dir).size === 2, "the orphan segment is still on disk")
+    // the version was never claimed, so the next writer takes it cleanly
+    t.append(df("c" -> 3L))
+    val after = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(after.toSeq === Seq(("a", 1L), ("c", 3L)))
+    t.vacuum()
+    assert(segDirs(dir).size === 2, "vacuum removed exactly the orphan")
+    assert(!Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".manifest-")),
+      "vacuum removed the stale temp manifest")
+    val afterVacuum = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(afterVacuum.toSeq === Seq(("a", 1L), ("c", 3L)), "vacuum never touches live data")
+  }
+
+  // ------------------------------------------- targeted deletes via stats
+
+  test("deleteKeys rewrites only segments whose key range intersects a victim") {
+    val dir = Files.createTempDirectory("vt_del").toString
+    val t = new VersionedTable(spark, dir, schema, statsCol = Some("k"))
+    t.append(df("a1" -> 1L, "a2" -> 2L))
+    t.append(df("b1" -> 3L, "b2" -> 4L))
+    t.append(df("c1" -> 5L, "c2" -> 6L))
+    val before = fileFingerprints(dir)
+    val segsBefore = segDirs(dir).toSet
+    t.deleteKeys("k", Seq("b1"))
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq(("a1", 1L), ("a2", 2L), ("b2", 4L), ("c1", 5L), ("c2", 6L)))
+    // IMMUTABILITY: no pre-existing file anywhere in the table dir changed
+    val after = fileFingerprints(dir)
+    for ((name, fp) <- before if after.contains(name))
+      assert(after(name) === fp, s"pre-existing file $name was modified in place")
+    // exactly ONE new segment appeared, and it holds only the touched
+    // segment's survivors — proof the a- and c-segments were never read
+    val newSegs = segDirs(dir).toSet -- segsBefore
+    assert(newSegs.size === 1, s"expected one replacement segment, got $newSegs")
+    val repl = spark.read.schema(schema)
+      .parquet(java.nio.file.Paths.get(dir, newSegs.head).toString)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(repl.toSeq === Seq(("b2", 4L)),
+      "replacement segment must contain only the touched segment's survivors")
+  }
+
+  test("deleteKeys with no intersecting segment is a free no-op") {
+    val dir = Files.createTempDirectory("vt_del_noop").toString
+    val t = new VersionedTable(spark, dir, schema, statsCol = Some("k"))
+    t.append(df("a1" -> 1L))
+    t.append(df("b1" -> 2L))
+    val before = fileFingerprints(dir)
+    t.deleteKeys("k", Seq("zz_not_there"))
+    assert(fileFingerprints(dir) === before, "no file may change when no range intersects")
+    assert(t.read().count() === 2)
+  }
 }
