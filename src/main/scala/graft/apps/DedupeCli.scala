@@ -70,8 +70,14 @@ object DedupeCli {
         DedupeEngine.create(spark, indexDir, s)
         println(s"created index at $indexDir with $s")
       case "write" =>
+        // streamed, never whole-file bytes: bounded memory regardless of
+        // object size, and '-' pipes stdin like the reference CLI
+        // (reference: Cli/Program.cs:211-228)
         val Array(key, file) = rest.take(2)
-        engine().write(key, Files.readAllBytes(Paths.get(file)))
+        val in = new java.io.BufferedInputStream(
+          if (file == "-") System.in else Files.newInputStream(Paths.get(file)))
+        try engine().writeStream(key, in)
+        finally if (file != "-") in.close()
         println(s"wrote $key")
       case "get" =>
         val Array(key, out) = rest.take(2)

@@ -104,4 +104,67 @@ object Chunker {
       val slice = java.util.Arrays.copyOfRange(data, addr.toInt, addr.toInt + clen)
       ChunkWithData(ChunkRef(chunkKey(slice), clen, pos, addr), slice)
     }
+
+  /** First chunk boundary of the buffer's leading chunk: the batch loop
+    * specialized to chunkStart = 0. `avail >= maxChunkSize + shiftCount`
+    * must hold unless the stream is exhausted (windows are sized so a
+    * boundary always fires inside that lookahead), which is what makes the
+    * per-chunk decisions byte-identical to the batch pass. */
+  private def firstCutMd5(buf: Array[Byte], avail: Int, s: DedupeSettings): Int = {
+    val md5 = MessageDigest.getInstance("MD5")
+    var winEnd = s.minChunkSize
+    while (winEnd < avail) {
+      md5.reset()
+      md5.update(buf, winEnd - s.minChunkSize, s.minChunkSize)
+      val h = md5.digest()
+      var zero = true
+      var i = 0
+      while (zero && i < s.boundaryCheckBytes) { zero = h(i) == 0; i += 1 }
+      if (zero || winEnd >= s.maxChunkSize) return winEnd
+      winEnd += s.shiftCount
+    }
+    avail // stream tail (only reachable at EOF)
+  }
+
+  /**
+   * Stream chunking with BOUNDED memory (maxChunkSize + shiftCount
+   * lookahead) — the ingest path for objects larger than a JVM array
+   * (behavioral contract of the reference's Stream consumption,
+   * DedupeLibrary.cs:605-717). Output is byte-identical to
+   * [[DedupeSettings.chunkWithData]] over the same bytes for BOTH profiles:
+   * neither boundary rule ever looks across a committed boundary, so
+   * processing one leading chunk at a time is exact.
+   */
+  def chunkStream(in: java.io.InputStream, s: DedupeSettings): Iterator[ChunkWithData] =
+    new Iterator[ChunkWithData] {
+      private val cap = s.maxChunkSize + s.shiftCount
+      private val buf = new Array[Byte](cap)
+      private var avail = 0
+      private var eof = false
+      private var address = 0L
+      private var pos = 0
+
+      private def refill(): Unit =
+        while (!eof && avail < cap) {
+          val n = in.read(buf, avail, cap - avail)
+          if (n < 0) eof = true else avail += n
+        }
+
+      override def hasNext: Boolean = { refill(); avail > 0 }
+
+      override def next(): ChunkWithData = {
+        if (!hasNext) throw new NoSuchElementException("stream exhausted")
+        val cut =
+          if (s.profile == DedupeSettings.GearProfile)
+            GearChunker.firstCut(buf, avail, s.minChunkSize, s.maxChunkSize, s.gearMaskBits)
+          else firstCutMd5(buf, avail, s)
+        val slice = java.util.Arrays.copyOfRange(buf, 0, cut)
+        val ref = ChunkRef(chunkKey(slice), cut, pos, address)
+        address += cut
+        pos += 1
+        System.arraycopy(buf, cut, buf, 0, avail - cut)
+        avail -= cut
+        ChunkWithData(ref, slice)
+      }
+    }
 }

@@ -49,6 +49,12 @@ final case class DedupeSettings(
       GearChunker.chunkWithData(data, minChunkSize, maxChunkSize, gearMaskBits)
     else Chunker.chunkWithData(data, this)
 
+  /** Stream-chunk with this settings' profile: output identical to
+    * [[chunkWithData]] over the same bytes, memory bounded by
+    * maxChunkSize + shiftCount — for objects larger than a JVM array. */
+  def chunkStream(in: java.io.InputStream): Iterator[ChunkWithData] =
+    Chunker.chunkStream(in, this)
+
   /** Serialize for the config table (reference: DedupeLibrary.cs:589-592 keys
     * + the profile extension). */
   def toConfigMap: Map[String, String] = Map(

@@ -67,6 +67,27 @@ object GearChunker {
     out.result()
   }
 
+  /** First boundary of the buffer's leading chunk (the batch loop
+    * specialized to start = 0); `avail >= maxChunkSize` must hold unless
+    * the stream is exhausted. Backs [[Chunker.chunkStream]]. */
+  private[core] def firstCut(buf: Array[Byte], avail: Int, minChunkSize: Int,
+      maxChunkSize: Int, maskBits: Int): Int = {
+    val mask = (1L << maskBits) - 1
+    val hardEnd = math.min(maxChunkSize, avail)
+    var i = minChunkSize
+    var cut = hardEnd
+    if (i < hardEnd) {
+      var h = 0L
+      var done = false
+      while (!done && i < hardEnd) {
+        h = (h << 1) + gear(buf(i) & 0xff)
+        if ((h & mask) == 0L) { cut = i + 1; done = true }
+        i += 1
+      }
+    }
+    cut
+  }
+
   /** Chunk refs with the same identity scheme as the MD5-window chunker. */
   def chunk(data: Array[Byte], minChunkSize: Int, maxChunkSize: Int,
       maskBits: Int): IndexedSeq[ChunkRef] =

@@ -202,14 +202,77 @@ final class DedupeEngine(
     objectsT.append(newObjects)
   }
 
+  /**
+   * Store one object from a stream with BOUNDED memory — the path for
+   * objects beyond [[DedupeEngine.MaxObjectBytes]] (the reference likewise
+   * consumes a Stream, never whole-file bytes: DedupeLibrary.cs:605-717;
+   * its CLI pipes stdin, Cli/Program.cs:211-228). Chunks spool in batches
+   * of ~`batchBytes`; each batch commits map+payload segments incrementally.
+   * The OBJECTS row commits LAST, so a crash mid-write degrades to
+   * unreachable rows (exists = false, get = None — the same degradation
+   * contract as a crash mid-delete), never a half-readable object.
+   */
+  def writeStream(key: String, in: java.io.InputStream,
+      batchBytes: Long = 64L << 20): Unit = {
+    require(key != null && key.nonEmpty, "object key required")
+    if (exists(key)) throw new IllegalArgumentException(s"object key already exists: $key")
+    val it = settings.chunkStream(in)
+    require(it.hasNext, "data required")
+    var totalLen = 0L
+    var totalChunks = 0L
+    val batch = scala.collection.mutable.ArrayBuffer.empty[graft.core.ChunkWithData]
+    var batchSize = 0L
+    def flush(): Unit = if (batch.nonEmpty) {
+      val df = spark.createDataset(batch.toSeq.map(c =>
+          (key, c.ref.chunkKey, c.ref.length, c.ref.position, c.ref.address, c.data)))
+        .toDF("objectKey", "chunkKey", "chunkLength", "chunkPosition", "chunkAddress", "data")
+        .localCheckpoint() // chunk rows feed two commits; don't re-serialize twice
+      objmapT.append(df.select($"objectKey", $"chunkKey", $"chunkLength",
+        $"chunkPosition", $"chunkAddress"))
+      store.append(df.select($"chunkKey", $"data")
+        .dropDuplicates("chunkKey")
+        .join(payloads.select($"chunkKey"), Seq("chunkKey"), "left_anti")
+        .sortWithinPartitions("chunkKey"))
+      batch.clear()
+      batchSize = 0L
+    }
+    while (it.hasNext) {
+      val c = it.next()
+      totalLen += c.ref.length
+      totalChunks += 1
+      batch += c
+      batchSize += c.ref.length
+      if (batchSize >= batchBytes) flush()
+    }
+    flush()
+    val now = new Timestamp(System.currentTimeMillis())
+    objectsT.append(spark.createDataset(Seq(
+      ObjectRow(key, totalLen, totalLen, totalChunks, now))).toDF())
+  }
+
   /** Ingest every file under `path` (recursively) as one object each,
     * through Spark's binaryFile source — the distributed analog of the
     * reference sample apps' file-per-object storage
     * (reference: src/Test/Program.cs:184-207). Keys are paths RELATIVE to
     * the source root, not basenames: same-named files in different
-    * subdirectories must stay distinct objects, not collide in one key. */
-  def ingestDirectory(path: String): Unit = {
+    * subdirectories must stay distinct objects, not collide in one key.
+    * binaryFile materializes each file as ONE row, so files beyond
+    * `maxObjectBytes` (JVM array bound by default) are rejected loudly
+    * up front — from a status-only scan, before any payload bytes move —
+    * with a pointer to the [[writeStream] ] path that handles them. */
+  def ingestDirectory(path: String,
+      maxObjectBytes: Long = DedupeEngine.MaxObjectBytes): Unit = {
     val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    val oversized = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(path)
+      .select($"path", $"length") // file-status columns only: no content read
+      .filter($"length" > maxObjectBytes)
+      .limit(3).collect()
+    if (oversized.nonEmpty)
+      throw new IllegalArgumentException(
+        s"file(s) exceed the $maxObjectBytes-byte single-row ingest bound: " +
+          oversized.map(r => s"${r.getString(0)} (${r.getLong(1)} B)").mkString(", ") +
+          " ...; ingest oversized objects individually via writeStream")
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(path)
       .select($"path", $"content")
@@ -258,16 +321,45 @@ final class DedupeEngine(
     !objects.filter($"objectKey" === key).limit(1).isEmpty
 
   /** Point metadata lookup enriched with ordered map + chunk info
-    * (reference: SqliteProvider.cs:282-305). */
+    * (reference: SqliteProvider.cs:282-305). Exactly TWO Spark jobs — the
+    * point-read latency contract `openStream` set: job 1 collects the object
+    * row AND its map rows in one union scan; job 2 computes the global
+    * refcounts for just this object's chunk keys (an IN filter pushed under
+    * the objmap agg — refcounts are cross-object, so they need their own
+    * pass). Never a job per table, never a broadcast build job. */
   def getMetadata(key: String): Option[ObjectMetadata] = {
-    val obj = objects.filter($"objectKey" === key).limit(1).collect().headOption
-    obj.map { o =>
-      val m = objmap.filter($"objectKey" === key)
-        .orderBy($"chunkAddress").collect().toSeq
-      val ck = chunks.join(
-        objmap.filter($"objectKey" === key).select($"chunkKey").distinct(),
-        Seq("chunkKey"), "left_semi").as[ChunkInfo].collect().toSeq
-      ObjectMetadata(o, m, ck)
+    val o = objects.filter($"objectKey" === key)
+      .select(lit("o").as("kind"), $"objectKey", $"originalLength",
+        $"compressedLength", $"chunkCount", $"createdUtc",
+        lit(null).cast(StringType).as("chunkKey"),
+        lit(null).cast(IntegerType).as("chunkLength"),
+        lit(null).cast(IntegerType).as("chunkPosition"),
+        lit(null).cast(LongType).as("chunkAddress"))
+    val m = objmap.filter($"objectKey" === key)
+      .select(lit("m").as("kind"), $"objectKey",
+        lit(null).cast(LongType).as("originalLength"),
+        lit(null).cast(LongType).as("compressedLength"),
+        lit(null).cast(LongType).as("chunkCount"),
+        lit(null).cast(TimestampType).as("createdUtc"),
+        $"chunkKey", $"chunkLength", $"chunkPosition", $"chunkAddress")
+    val rows = o.unionByName(m).collect() // job 1
+    val objRow = rows.find(_.getString(0) == "o").map(r => ObjectRow(
+      r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getTimestamp(5)))
+    objRow.map { obj =>
+      val mapRows = rows.iterator.filter(_.getString(0) == "m").map(r => MapRow(
+        r.getString(1), r.getString(6), r.getInt(7), r.getInt(8), r.getLong(9)))
+        .toSeq.sortBy(_.chunkAddress)
+      val keys = mapRows.map(_.chunkKey).distinct
+      // job 2: one shuffle-free filtered scan of the map edges touching this
+      // object's chunks, aggregated driver-side (a groupBy would be correct
+      // but AQE runs its shuffle as an extra job; collected rows = sum of
+      // these chunks' refcounts — point-lookup sized by construction)
+      val refs = objmap.filter($"chunkKey".isInCollection(keys))
+        .select($"chunkKey", $"chunkLength").as[(String, Int)].collect()
+      val ck = refs.groupBy(_._1).map { case (k, rs) =>
+        ChunkInfo(k, rs.head._2, rs.length.toLong)
+      }.toSeq
+      ObjectMetadata(obj, mapRows, ck)
     }
   }
 
@@ -411,6 +503,11 @@ final class DedupeEngine(
   * DedupeLibrary.cs:583-603 — chunking params live with the index so every
   * later open chunks identically). */
 object DedupeEngine {
+
+  /** Hard byte bound of the array-based ingest paths: `write`/`ingest`/
+    * `ingestDirectory` hold one `Array[Byte]` per object (JVM arrays cap
+    * near 2^31). Objects beyond it must go through [[DedupeEngine.writeStream]]. */
+  val MaxObjectBytes: Long = Int.MaxValue.toLong - 64
 
   private def configPath(basePath: String) =
     java.nio.file.Paths.get(basePath, "config.properties")

@@ -160,6 +160,42 @@ class DedupeEngineSpec extends SparkSpec {
     assert(e.indexStats().objectCount === 5)
   }
 
+  test("writeStream: bounded-memory multi-batch write round-trips and dedupes against array writes") {
+    val e = newEngine()
+    val data = randomBytes(50000, 71) // many 256..2048-byte chunks
+    // tiny batchBytes forces several map/payload flushes for one object
+    e.writeStream("streamed", new java.io.ByteArrayInputStream(data), batchBytes = 4096L)
+    assert(java.util.Arrays.equals(e.get("streamed").get, data))
+    val md = e.getMetadata("streamed").get
+    assert(md.obj.originalLength === data.length.toLong)
+    assert(md.map.map(_.chunkLength.toLong).sum === data.length.toLong, "map tiles the object")
+    // identical content via the ARRAY path must produce the same chunk keys
+    // (stream and batch chunking are byte-identical) => full dedupe
+    val before = e.indexStats().physicalBytes
+    e.write("arrayed", data)
+    val after = e.indexStats()
+    assert(after.physicalBytes === before, "second copy must add zero physical bytes")
+    assert(after.objectCount === 2)
+    // duplicate-key contract holds on the stream path too
+    assertThrows[IllegalArgumentException](
+      e.writeStream("streamed", new java.io.ByteArrayInputStream(data)))
+    // crash-degradation contract: objects row commits last, so both paths
+    // agree on the reconstructed bytes
+    assert(java.util.Arrays.equals(e.get("arrayed").get, e.get("streamed").get))
+  }
+
+  test("ingestDirectory rejects files beyond the single-row bound, loudly and up front") {
+    val e = newEngine()
+    val src = Files.createTempDirectory("graft-bound")
+    Files.write(src.resolve("ok.bin"), randomBytes(400, 72))
+    Files.write(src.resolve("huge.bin"), randomBytes(1000, 73))
+    val ex = intercept[IllegalArgumentException](
+      e.ingestDirectory(src.toString, maxObjectBytes = 500L))
+    assert(ex.getMessage.contains("huge.bin"), s"error must name the offender: ${ex.getMessage}")
+    assert(ex.getMessage.contains("writeStream"), "error must point at the streaming path")
+    assert(e.indexStats().objectCount === 0, "rejection must happen before any ingest")
+  }
+
   test("writeOrReplace upserts content") {
     val e = newEngine()
     val v1 = randomBytes(5000, 11)

@@ -82,6 +82,32 @@ class PayloadStoreSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("getMetadata executes at most 2 Spark jobs") {
+    val e = engines().head._2
+    e.write("meta", randomBytes(20000, 29)) // several chunks, some shared refs
+    e.write("meta2", randomBytes(20000, 29).take(10000)) // overlapping prefix content
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val md = e.getMetadata("meta").get
+      assert(md.obj.objectKey == "meta")
+      assert(md.map.nonEmpty && md.chunks.nonEmpty)
+      assert(md.map.map(_.chunkAddress) == md.map.map(_.chunkAddress).sorted,
+        "map rows must come back address-ordered")
+      assert(md.chunks.map(_.chunkKey).toSet == md.map.map(_.chunkKey).toSet,
+        "chunk info covers exactly this object's chunks")
+      Thread.sleep(1500) // listener bus is async
+      val count = jobs.get()
+      assert(count >= 1, "listener must have observed the lookup")
+      assert(count <= 2,
+        s"getMetadata ran $count Spark jobs — object+map must share one union scan, refcounts one more")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ingest rejects a batch that duplicates a key within itself") {
     val e = engines().head._2
     val ex = intercept[IllegalArgumentException](
