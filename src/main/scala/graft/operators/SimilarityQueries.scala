@@ -39,11 +39,19 @@ object SimilarityQueries {
     * JIT'd mapPartitions (plane matrix derived once per partition from
     * xxhash64, so the op stays deterministic and shuffle-free until the
     * band join), not as nested column HOFs (interpreted, ~100x slower). */
-  def v2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  def v2AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annCandidatePairs(spark, t(spark, dir, "embeddings"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+
+  /** The banded candidate stage of [[v2AnnLsh]] with exact rerank sims,
+    * pre-top-k — exposed over an arbitrary (vec_id, embedding) frame so
+    * specs can assert LSH recall against v1's exact top-k on a corpus
+    * where neighbors actually exist (KmeansIvfSpec's clustered one). */
+  def annCandidatePairs(spark: SparkSession, e: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import spark.implicits._
     val numPlanes = 16
-    val e = t(spark, dir, "embeddings")
     val banded = e.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -76,8 +84,6 @@ object SimilarityQueries {
       .dropDuplicates("vec_a", "vec_b")
     pairs.withColumn("sim", round(dot(col("ea"), col("eb")), 6))
       .select("vec_a", "vec_b", "sim")
-      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-      .limit(50)
   }
 
   /** IVF probe search: the two-stage ANN an inverted-file index runs.

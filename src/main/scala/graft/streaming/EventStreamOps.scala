@@ -205,11 +205,52 @@ object EventStreamOps {
     // child session: replay-sized state partitions (see runToMemoryAppend)
     val spark = rootSpark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = transform(readEventStream(spark, dir))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // finite replays go through the SAME staged one-batch source as
+    // runToMemoryAppend: a small per-trigger cap over a multi-file snapshot
+    // would advance the watermark on the first batch and silently drop
+    // later files' events from any watermarked transform (the cap belongs
+    // only on genuinely unbounded readEventStream sources)
+    val (staged, n) = stageReplay(dir)
+    val q = transform(replayStream(spark, staged, n))
       .writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Stage a finite replay (one parquet file or a directory of part files)
+    * into a private temp dir — flush rows and repeated runs can never leak
+    * across sources; returns the dir and its parquet file count. */
+  private def stageReplay(path: String): (java.nio.file.Path, Long) = {
+    val src = java.nio.file.Paths.get(path)
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-replay")
+    d.toFile.deleteOnExit()
+    if (java.nio.file.Files.isRegularFile(src))
+      java.nio.file.Files.copy(src, d.resolve(src.getFileName))
+    else {
+      val files = java.nio.file.Files.list(src)
+      try files.filter(_.toString.endsWith(".parquet"))
+        .forEach(f => java.nio.file.Files.copy(f, d.resolve(f.getFileName)))
+      finally files.close()
+    }
+    val staged = {
+      val files = java.nio.file.Files.list(d)
+      try files.filter(_.toString.endsWith(".parquet")).count() finally files.close()
+    }
+    (d, staged)
+  }
+
+  /** Open a staged finite replay so the WHOLE snapshot lands in one
+    * micro-batch: every part file of a multi-file snapshot typically spans
+    * the full time range, so any smaller per-trigger cap lets the first
+    * batch advance the watermark past later files' events — stream != batch. */
+  private def replayStream(spark: SparkSession, stagedDir: java.nio.file.Path,
+      fileCount: Long): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", math.max(fileCount, 1L).toString)
+      .parquet(stagedDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Event type of the synthetic end-of-replay flush row (never emitted by
     * a windowed agg: its window is beyond every real watermark). */
@@ -238,35 +279,8 @@ object EventStreamOps {
     val spark = rootSpark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(path)
-    val d = java.nio.file.Files.createTempDirectory("graft-stream-append")
-    d.toFile.deleteOnExit()
-    if (java.nio.file.Files.isRegularFile(src))
-      java.nio.file.Files.copy(src, d.resolve(src.getFileName))
-    else {
-      val files = java.nio.file.Files.list(src)
-      try
-
-        files.filter(f => f.toString.endsWith(".parquet"))
-          .forEach(f => java.nio.file.Files.copy(f, d.resolve(f.getFileName)))
-      finally files.close()
-    }
-    // Ingest the whole staged snapshot in ONE micro-batch. With a small
-    // per-trigger file cap, every part file of a multi-file snapshot spans
-    // the full time range (typical Spark output), so the first batch would
-    // advance the watermark to ~(global max ts - delay) and silently drop
-    // events arriving in later batches — stream != batch. A per-batch cap
-    // only belongs on genuinely unbounded sources (readEventStream).
-    val staged = {
-      val files = java.nio.file.Files.list(d)
-      try files.filter(_.toString.endsWith(".parquet")).count() finally files.close()
-    }
-    val stream = spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", math.max(staged, 1L).toString)
-      .parquet(d.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = transform(stream)
+    val (d, staged) = stageReplay(path)
+    val q = transform(replayStream(spark, d, staged))
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName(name).start()
     try {

@@ -100,4 +100,30 @@ class KmeansIvfSpec extends SparkSpec {
     val recall = (ivf & truth).size.toDouble / truth.size
     assert(recall >= 0.9, s"IVF probe recall@3 was $recall vs brute force")
   }
+
+  test("hyperplane-LSH candidates recover v1's exact top-5 pairs (recall@5) on clustered data") {
+    import spark.implicits._
+    // run the REAL v1 query over the clustered corpus staged as an
+    // embeddings table, so the exact top-k ground truth and the LSH
+    // candidate set come from the production code paths
+    val tmp = java.nio.file.Files.createTempDirectory("ann_recall").toString
+    val corpus = clustered().select(col("vec_id"), col("embedding"))
+    corpus.write.parquet(s"$tmp/embeddings.parquet")
+    val exact = SimilarityQueries.v1CosineTopK(spark, tmp)
+      .select(least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val candidates = SimilarityQueries
+      .annCandidatePairs(spark, graft.operators.Tables.t(spark, tmp, "embeddings"))
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(candidates.contains).toDouble / exact.size
+    // 2 bands x 8 planes over near-duplicate cluster members: the banded
+    // buckets must surface nearly every true top-5 pair without all-pairs
+    assert(recall >= 0.85, s"LSH candidate recall@5 was $recall vs v1 exact top-5")
+    // and the candidate set must stay sub-quadratic on clustered data
+    val allPairs = corpus.count() * (corpus.count() - 1) / 2
+    assert(candidates.size < allPairs / 2,
+      s"candidate set ${candidates.size} is not meaningfully sub-quadratic (all-pairs $allPairs)")
+  }
 }

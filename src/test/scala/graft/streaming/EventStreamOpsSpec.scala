@@ -56,6 +56,54 @@ class EventStreamOpsSpec extends SparkSpec {
       "replayed copy must be fully deduplicated within the watermark")
   }
 
+  test("watermarked transforms survive a many-file source (no cross-file watermark drops)") {
+    // 6 part files, each spanning the FULL time range (typical Spark output):
+    // if any file lands in a later micro-batch than another, the advanced
+    // watermark silently drops its events from a watermarked Append
+    // transform — the replay path must ingest the whole snapshot in one batch
+    val src = java.nio.file.Files.createTempDirectory("manyfile_events").toString + "/parts"
+    graft.operators.Tables.t(spark, sfDir, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // back to raw ns longs
+      .repartition(6)
+      .write.parquet(src)
+    val deduped = EventStreamOps.runToMemory(spark, src, "manyfile_t",
+      EventStreamOps.dedupedEvents)
+    val total = graft.operators.Tables.t(spark, sfDir, "events").count()
+    assert(deduped.count() == total,
+      s"all $total events must survive a 6-file watermarked replay (got ${deduped.count()})")
+  }
+
+  test("hourlyByType runs over a live rate source (transforms not coupled to file replay)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // deterministic synthetic stream: fixed rows per batch, event time
+    // advancing 10 minutes per batch from epoch 0
+    val rate = s2.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "100")
+      .option("startTimestamp", "0")
+      .option("advanceMillisPerBatch", "600000")
+      .load()
+    val events = rate.select(
+      col("value").as("event_id"),
+      col("timestamp").as("ts"),
+      (col("value") % 7).as("user_id"),
+      concat(lit("t"), (col("value") % 3).cast("string")).as("event_type"),
+      (col("value") % 100).cast("double").as("value"),
+      lit("{}").as("props"))
+    val q = EventStreamOps.hourlyByType(events)
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName("rate_hourly").start()
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      while (s2.table("rate_hourly").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(!s2.table("rate_hourly").isEmpty,
+        "hourly agg must emit from a live rate source")
+      val n = s2.table("rate_hourly").agg(sum("n")).head().getLong(0)
+      assert(n > 0 && n % 100 == 0, s"complete batches of 100 expected, saw $n")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventStreamOps.runToMemory(spark, eventsPath, "ssj_t",
       EventStreamOps.clickViewJoin)
