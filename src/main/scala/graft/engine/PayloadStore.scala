@@ -49,9 +49,12 @@ final class ParquetPayloadStore(spark: SparkSession, path: String)
     extends PayloadStore {
   import spark.implicits._
 
+  // bucketed: content-hash keys span the keyspace, so flat per-commit
+  // min/max stats would never let GC skip a segment; one-character key-range
+  // buckets make each delete touch only the buckets its victims hash into
   private val table = new VersionedTable(spark, path,
     implicitly[org.apache.spark.sql.Encoder[PayloadRow]].schema,
-    statsCol = Some("chunkKey"))
+    statsCol = Some("chunkKey"), bucketed = true)
 
   override def read(): DataFrame = table.read()
 

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max => sqlMax, min => sqlMin}
+import org.apache.spark.sql.functions.{col, concat, count, lit, substring, max => sqlMax, min => sqlMin}
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOption}
 import java.util.Base64
@@ -62,7 +62,7 @@ final case class Segment(name: String, minKey: Option[String], maxKey: Option[St
  * that swap is confined here.
  */
 class VersionedTable(spark: SparkSession, path: String, schema: StructType,
-    statsCol: Option[String] = None)
+    statsCol: Option[String] = None, bucketed: Boolean = false)
     extends TableStore {
 
   private val dir = Paths.get(path)
@@ -121,7 +121,11 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
   def append(df: DataFrame, compactThreshold: Int): Unit = {
     val v = currentVersion
     val segs = segments(v)
-    if (segs.size >= compactThreshold) commit(v, Nil, read().unionByName(df))
+    // a bucketed commit contributes many manifest entries; the fold trigger
+    // counts COMMITS (top-level segment dirs), not entries, or bucketing
+    // would force pathological O(table) compaction every few appends
+    val commits = segs.map(_.name.takeWhile(_ != '/')).distinct.size
+    if (commits >= compactThreshold) commit(v, Nil, read().unionByName(df))
     else commit(v, segs, df)
   }
 
@@ -161,20 +165,44 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val segName = s"seg-$next-$attempt" // unique per attempt: racing writers never clobber
     val segPath = dir.resolve(segName)
-    newData.write.mode("overwrite").parquet(segPath.toString)
-    // stats (and emptiness) from one narrow readback of the new files: the
-    // agg prunes to the key column, so the cost is one small column scan of
-    // the NEW rows only
-    val newSeg: Option[Segment] = statsCol match {
+    // stats (and emptiness) come from one narrow readback of the new files:
+    // the agg prunes to the key column, so the cost is one small column scan
+    // of the NEW rows only
+    val newSegs: Seq[Segment] = statsCol match {
+      case Some(c) if bucketed =>
+        // key-range bucketing for content-hash keys: a hash key's min/max
+        // spans the whole keyspace, so per-commit stats alone never let a
+        // delete skip a segment. Partitioning each commit by the key's
+        // leading character yields sub-segments with one-character key
+        // ranges — a delete then touches only the buckets its victims hash
+        // into, even on uniformly-distributed keys. ('b' prefix keeps the
+        // partition value inference-proof for digit characters.)
+        newData
+          .withColumn("__bucket", concat(lit("b"), substring(col(c), 0, 1)))
+          .write.mode("overwrite").partitionBy("__bucket").parquet(segPath.toString)
+        val stats =
+          try spark.read.parquet(segPath.toString) // partition col re-inferred
+            .groupBy(col("__bucket"))
+            .agg(sqlMin(col(c)).cast("string").as("lo"), sqlMax(col(c)).cast("string").as("hi"))
+            .collect().toSeq
+          catch { // an empty write leaves no files to infer a schema from
+            case _: org.apache.spark.sql.AnalysisException => Nil
+          }
+        stats.map(r => Segment(s"$segName/__bucket=${r.getString(0)}",
+          Option(r.getString(1)), Option(r.getString(2)))).sortBy(_.name)
       case Some(c) =>
+        newData.write.mode("overwrite").parquet(segPath.toString)
         val r = spark.read.schema(schema).parquet(segPath.toString)
           .agg(count(lit(1)), sqlMin(col(c)).cast("string"), sqlMax(col(c)).cast("string"))
           .head()
-        if (r.getLong(0) == 0L) { deleteRecursively(segPath); None }
-        else Some(Segment(segName, Option(r.getString(1)), Option(r.getString(2))))
-      case None => Some(Segment(segName, None, None))
+        if (r.getLong(0) == 0L) Nil
+        else Seq(Segment(segName, Option(r.getString(1)), Option(r.getString(2))))
+      case None =>
+        newData.write.mode("overwrite").parquet(segPath.toString)
+        Seq(Segment(segName, None, None))
     }
-    val segs = keepSegs ++ newSeg
+    if (newSegs.isEmpty) deleteRecursively(segPath)
+    val segs = keepSegs ++ newSegs
     val body = segs.map(segLine).mkString("", "\n", "\n")
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".manifest-$next.tmp-$attempt")
@@ -185,7 +213,7 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     catch {
       case _: FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
-        newSeg.foreach(s => deleteRecursively(dir.resolve(s.name)))
+        deleteRecursively(segPath) // our own never-referenced attempt
         throw new CommitConflictException(
           s"version $next of $path was claimed by a concurrent writer; re-read and retry")
     }
@@ -202,7 +230,7 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
         case ManifestName(n) if n.toLong < v =>
           val retired = segmentsIfExists(n.toLong).map(_.name).filterNot(live)
           Files.deleteIfExists(p)
-          retired.foreach(s => deleteRecursively(dir.resolve(s)))
+          retired.foreach(deleteSegEntry)
         case _ => ()
       }
     }
@@ -215,10 +243,27 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
   def vacuum(): Unit = {
     val v = currentVersion
     val live = (segmentsIfExists(v) ++ segmentsIfExists(v - 1)).map(_.name).toSet
+    // a bucketed commit's entries are subdirs — the top-level dir is live
+    // while ANY of its buckets is referenced
+    def isLive(top: String) = live(top) || live.exists(_.startsWith(top + "/"))
     listDir(dir).foreach { p =>
       val name = p.getFileName.toString
-      if (name.startsWith("seg-") && !live(name)) deleteRecursively(p)
+      if (name.startsWith("seg-") && !isLive(name)) deleteRecursively(p)
       if (name.startsWith(".manifest-")) Files.deleteIfExists(p)
+    }
+  }
+
+  /** Delete one manifest entry (a whole segment dir, or one bucket subdir of
+    * a bucketed commit — in which case the parent goes too once only marker
+    * files remain). */
+  private def deleteSegEntry(name: String): Unit = {
+    deleteRecursively(dir.resolve(name))
+    val slash = name.indexOf('/')
+    if (slash > 0) {
+      val parent = dir.resolve(name.substring(0, slash))
+      if (Files.isDirectory(parent) &&
+          listDir(parent).forall(_.getFileName.toString.startsWith("_")))
+        deleteRecursively(parent)
     }
   }
 

@@ -143,6 +143,7 @@ class DedupeEngineSpec extends SparkSpec {
     }
     val objBefore = fingerprints("objects")
     val mapBefore = fingerprints("objmap")
+    val payBefore = fingerprints("payloads")
     e.delete("b1")
     // a- and c-batch segments must be byte-identical (never read or
     // rewritten); only the b segment is replaced
@@ -154,6 +155,14 @@ class DedupeEngineSpec extends SparkSpec {
       assert(survivors.exists(_.startsWith("seg-0")), s"$sub a-segment must survive untouched")
       assert(survivors.exists(_.startsWith("seg-2")), s"$sub c-segment must survive untouched")
     }
+    // payload GC is bucketed by chunkKey first char: the few buckets holding
+    // b1's ~2 orphaned hash keys get rewritten, the rest stay byte-identical
+    val payAfter = fingerprints("payloads")
+    val paySurvivors = payBefore.keySet.intersect(payAfter.keySet)
+      .filter(_.startsWith("seg-"))
+    assert(paySurvivors.nonEmpty, "most payload buckets must survive a 2-chunk GC untouched")
+    for (f <- paySurvivors)
+      assert(payAfter(f) === payBefore(f), s"payloads/$f was modified by an unrelated GC")
     // semantics intact
     assert(!e.exists("b1") && e.exists("b2") && e.exists("a1") && e.exists("c2"))
     assert(java.util.Arrays.equals(e.get("b2").get, randomBytes(3000, 64)))

@@ -194,6 +194,31 @@ class VersionedTableSpec extends SparkSpec {
       "replacement segment must contain only the touched segment's survivors")
   }
 
+  test("bucketed table: hash-keyed deletes touch only the victims' buckets") {
+    val dir = Files.createTempDirectory("vt_bucket").toString
+    val t = new VersionedTable(spark, dir, schema, statsCol = Some("k"), bucketed = true)
+    // keys with leading chars spread across the space, like content hashes
+    t.append(df("Aaa" -> 1L, "Mbb" -> 2L, "Zcc" -> 3L))
+    t.append(df("Add" -> 4L, "Mee" -> 5L, "Zff" -> 6L))
+    val before = fileFingerprints(dir)
+    t.deleteKeys("k", Seq("Mbb"))
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq(("Aaa", 1L), ("Add", 4L), ("Mee", 5L), ("Zcc", 3L), ("Zff", 6L)))
+    // only the M-bucket of the FIRST commit may be rewritten: every A- and
+    // Z-bucket file, and the second commit's M-bucket, must be untouched
+    val after = fileFingerprints(dir)
+    for ((name, fp) <- before if after.contains(name))
+      assert(after(name) === fp, s"pre-existing file $name was modified")
+    val rewrittenGone = (before.keySet -- after.keySet).filter(_.startsWith("seg-"))
+    assert(rewrittenGone.forall(_.contains("__bucket=bM")),
+      s"only M-bucket entries may be retired, got $rewrittenGone")
+    // fold everything and delete again: still correct after compaction
+    t.compact()
+    t.deleteKeys("k", Seq("Zff", "Aaa"))
+    val after2 = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(after2.toSeq === Seq(("Add", 4L), ("Mee", 5L), ("Zcc", 3L)))
+  }
+
   test("deleteKeys with no intersecting segment is a free no-op") {
     val dir = Files.createTempDirectory("vt_del_noop").toString
     val t = new VersionedTable(spark, dir, schema, statsCol = Some("k"))
