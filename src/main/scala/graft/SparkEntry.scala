@@ -40,6 +40,8 @@ object SparkEntry {
     "q4_order_priority" -> (AnalyticsQueries.q4OrderPriority _),
     "q5_region_revenue" -> (AnalyticsQueries.q5RegionRevenue _),
     "q10_returned_revenue" -> (AnalyticsQueries.q10ReturnedRevenue _),
+    "q18_large_orders" -> (AnalyticsQueries.q18LargeOrders _),
+    "q7_volume_shipping" -> (AnalyticsQueries.q7VolumeShipping _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
     "w3_topk_agg" -> (AnalyticsQueries.w3TopKAgg _),
@@ -59,6 +61,7 @@ object SparkEntry {
     "x4_minhash_lsh" -> (DedupQueries.x4MinhashLsh _),
     "x5_simhash_pairs" -> (DedupQueries.x5SimhashPairs _),
     "x6_embedding_cosine" -> (DedupQueries.x6EmbeddingCosine _),
+    "x7_dup_clusters" -> (DedupQueries.x7DupClusters _),
     // --- text analysis (north_star)
     "y1_token_stats" -> (TextQueries.y1TokenStats _),
     "y2_quality_score" -> (TextQueries.y2QualityScore _),
@@ -175,6 +178,24 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  o_totalprice, CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3, 4, 5 HAVING sum(l_quantity) > 250
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
@@ -309,6 +330,27 @@ object SparkEntry {
         |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x7_dup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+        |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "y1_token_stats" ->
       """WITH d AS (SELECT lang, n_chars,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)

@@ -89,6 +89,49 @@ object AnalyticsQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q18-shaped large-volume orders: orders whose total quantity
+    * exceeds 250 (top ~1%), joined back to their customer. The HAVING
+    * filter runs on the pre-aggregated per-order rollup, so the order and
+    * customer joins touch only qualifying keys — never a fact re-scan. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 250)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q7-shaped volume shipping: the cross-border revenue matrix —
+    * revenue flowing from every supplier nation to every DIFFERENT customer
+    * nation, split by ship year. Supplier and customer sides pre-join their
+    * broadcast nation dims; facts shuffle once on orderkey. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val s = t(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation")) // cross-border only
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Window ranking: top-3 parts by revenue within each brand. */
   def w1TopPerBrand(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")

@@ -287,6 +287,39 @@ object DedupQueries {
     * small vocabulary, so unigram simhashes collapse to near-identical
     * values.
     */
+  /** Near-duplicate CLUSTERS: connected components over the exact-Jaccard
+    * pair graph (x3), by min-label propagation — every doc converges to the
+    * smallest doc_id reachable from it, which becomes the cluster id (the
+    * canonical keep-doc of a training-data dedupe sweep). Each iteration is
+    * one join + min-agg over the EDGE set only (pairs, never the corpus),
+    * with a localCheckpoint truncating lineage like the v5 k-means loop;
+    * near-dup components are tiny by construction so the loop converges in
+    * a few diameter-bounded passes. At billion-edge scale the same loop
+    * upgrades to the large-star/small-star CC variant — the per-iteration
+    * plan is already the edge-local join that algorithm needs. */
+  def x7DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = x3NgramJaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val und = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+      .localCheckpoint()
+    var labels = und.select(col("src").as("doc")).distinct()
+      .withColumn("cluster_id", col("doc")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val viaNeighbor = und.join(labels, und("dst") === labels("doc"))
+        .select(col("src").as("doc"), col("cluster_id"))
+      val next = labels.select(col("doc"), col("cluster_id")).union(viaNeighbor)
+        .groupBy("doc").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc"))
+        .filter(col("cluster_id") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("cluster_id")).orderBy("doc_id")
+  }
+
   def x5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val banded = t(spark, dir, "documents").select(col("doc_id"), col("text"))
