@@ -79,6 +79,7 @@ object SparkEntry {
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
     "m1_media_summary" -> (MultimodalOps.mm1MediaSummary _),
+    "m2_frame_stats" -> (MultimodalOps.mm2FrameStats _),
     // --- streaming engine driven end-to-end (rows-only: the batch forms
     //     t1/t2 carry the oracles; the spec asserts stream == batch).
     //     Production Append path: incremental emit + bounded state; the
@@ -397,6 +398,17 @@ object SparkEntry {
         |  round(avg(width * height), 2) AS avg_pixels,
         |  CAST(sum(CASE WHEN duration_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS timed_media
         |FROM m GROUP BY 1 ORDER BY media_type""".stripMargin,
+    "m2_frame_stats" ->
+      """WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |f AS (SELECT doc_id, h, unnest(generate_series(0, 2)) AS frame_idx FROM d),
+        |b AS (SELECT doc_id, frame_idx,
+        |  unnest([('0x' || substr(h, 2 * ((frame_idx * 8 + i) % 32) + 1, 2))::INT
+        |          for i in generate_series(0, 7)]) AS byte
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(sum(CASE WHEN byte >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(byte) AS BIGINT) AS byte_sum
+        |FROM b GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
     "y6_bpe_tokens" ->
       """WITH d AS (SELECT lang,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,

@@ -82,6 +82,22 @@ object MultimodalOps {
     * over the decoded corpus. Snake-case output columns so the DuckDB
     * oracle (which re-derives the stub's sha256 arithmetic in SQL) aligns
     * under the driver's name-sorted column compare. */
+  /** Per-frame feature digest over the long-form feature table: positive-
+    * component count and recovered byte mass per (doc, frame). Both measures
+    * are INTEGER-exact through the float features (x > 0 ⇔ source byte ≥
+    * 128; rint((x+1)/2·255) recovers the byte exactly), so the DuckDB
+    * oracle re-derives them from sha256 bytes with no float-rounding
+    * hazard — the hash-match proves the whole decode→frame-sample→feature
+    * plumbing end to end, not just row counts. */
+  def mm2FrameStats(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir).toDF()
+      .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+        explode(col("feature")).as("x"))
+      .groupBy("doc_id", "frame_idx")
+      .agg(sum(when(col("x") > 0f, 1L).otherwise(0L)).as("n_pos"),
+        sum(round((col("x") + lit(1.0d)) / 2.0d * 255.0d).cast("long")).as("byte_sum"))
+      .orderBy("doc_id", "frame_idx")
+
   def mm1MediaSummary(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(spark, dir).toDF()
       .groupBy(col("mediaType").as("media_type"))
