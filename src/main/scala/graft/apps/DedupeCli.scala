@@ -19,6 +19,7 @@ import java.nio.file.{Files, Paths}
  *   graft.apps.DedupeCli <indexDir> md <key> [--chunks]
  *   graft.apps.DedupeCli <indexDir> list [prefix] [--idxstart <key>] [--results <n>]
  *   graft.apps.DedupeCli <indexDir> stats [--chunks]
+ *   graft.apps.DedupeCli <indexDir> repair             # reclaim crash debris
  *   graft.apps.DedupeCli <indexDir> import <srcDir>    # file-per-object bulk ingest
  *   graft.apps.DedupeCli <indexDir> export <outDir>    # distributed reconstruct to files
  */
@@ -123,6 +124,9 @@ object DedupeCli {
       case "export" =>
         val n = engine().exportAll(rest(0))
         println(s"exported $n objects -> ${rest(0)}")
+      case "repair" =>
+        val (objs, chunks) = engine().repairIndex()
+        println(s"repaired: ${objs.size} orphaned object keys, ${chunks.size} orphaned chunks")
       case "stats" =>
         val (_, flags) = parseArgs(rest)
         val e = engine()

@@ -496,6 +496,28 @@ final class DedupeEngine(
     if (gc.nonEmpty) store.delete(gc)
     gc
   }
+
+  /** Reclaim unreachable crash debris: map rows whose objects row never
+    * committed (a `writeStream` died mid-spool) and payload rows no
+    * surviving map row references (either crash, or a `delete` that died
+    * between its index commits and its GC). The commit ORDER makes all such
+    * debris invisible to reads — objects row lands last on ingest and first
+    * on delete — so repair only reclaims space and re-tightens derived
+    * stats; it never changes a read result. Run it with no writer in
+    * flight. Returns (orphaned object keys, orphaned chunk keys). */
+  def repairIndex(): (Seq[String], Seq[String]) = {
+    val orphanObjs = objmap.select($"objectKey").distinct()
+      .join(objects.select($"objectKey"), Seq("objectKey"), "left_anti")
+      .as[String].collect().toSeq
+    if (orphanObjs.nonEmpty) objmapT.deleteKeys("objectKey", orphanObjs)
+    // computed AFTER the map cleanup so chunks the debris alone referenced
+    // are reclaimed in the same pass
+    val orphanChunks = payloads.select($"chunkKey")
+      .join(objmap.select($"chunkKey").distinct(), Seq("chunkKey"), "left_anti")
+      .as[String].collect().toSeq
+    if (orphanChunks.nonEmpty) store.delete(orphanChunks)
+    (orphanObjs, orphanChunks)
+  }
 }
 
 /** Index lifecycle + config persistence (reference A7: InitializeIndex /

@@ -193,6 +193,45 @@ class DedupeEngineSpec extends SparkSpec {
     assert(java.util.Arrays.equals(e.get("arrayed").get, e.get("streamed").get))
   }
 
+  test("a writeStream crash leaves debris invisible to reads; repairIndex reclaims it") {
+    val e = newEngine()
+    val survivor = randomBytes(8000, 81)
+    e.write("survivor", survivor)
+    val statsBefore = e.indexStats()
+    // stream that dies after 12 KB — several 4 KB batches have already
+    // spooled map+payload segments, but the objects row never commits
+    val doomed = new java.io.InputStream {
+      private val src = randomBytes(40000, 82)
+      private var pos = 0
+      override def read(): Int = {
+        if (pos >= 12000) throw new java.io.IOException("simulated media failure")
+        val b = src(pos) & 0xff; pos += 1; b
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (pos >= 12000) throw new java.io.IOException("simulated media failure")
+        val n = math.min(len, 12000 - pos)
+        System.arraycopy(src, pos, b, off, n); pos += n; n
+      }
+    }
+    intercept[java.io.IOException](e.writeStream("doomed", doomed, batchBytes = 4096L))
+    // the contract: debris is unreachable, not half-readable
+    assert(!e.exists("doomed"))
+    assert(e.get("doomed").isEmpty)
+    assert(java.util.Arrays.equals(e.get("survivor").get, survivor))
+    assert(e.objmap.filter(_.objectKey == "doomed").count() > 0,
+      "the crash must actually have left spooled map rows for this test to mean anything")
+    val (objs, chunks) = e.repairIndex()
+    assert(objs == Seq("doomed"))
+    assert(chunks.nonEmpty, "the doomed object's unshared chunks must be reclaimed")
+    val statsAfter = e.indexStats()
+    assert(statsAfter.chunkCount === statsBefore.chunkCount,
+      "derived stats must re-tighten to the pre-crash state")
+    assert(statsAfter.physicalBytes === statsBefore.physicalBytes)
+    assert(java.util.Arrays.equals(e.get("survivor").get, survivor), "repair never touches live data")
+    // idempotent
+    assert(e.repairIndex() === ((Seq.empty, Seq.empty)))
+  }
+
   test("ingestDirectory rejects files beyond the single-row bound, loudly and up front") {
     val e = newEngine()
     val src = Files.createTempDirectory("graft-bound")
