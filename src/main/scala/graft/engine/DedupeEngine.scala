@@ -82,6 +82,14 @@ final case class IndexStats(
  *
  * refCount is never stored: it is `objmap.groupBy(chunkKey).count()`, which
  * makes garbage collection a left-anti join instead of a locked counter.
+ *
+ * Concurrency contract: READS are always safe (immutable snapshots). WRITES
+ * to one index are single-writer-at-a-time — the VersionedTable commit guard
+ * makes a violation loud (`CommitConflictException`, no data loss) rather
+ * than silent, matching the reference's writer locks
+ * (SqliteProvider.cs:29-30). On a conflict, retry the whole ingest/delete:
+ * its dedupe decisions (payload left-anti, duplicate-key checks) were
+ * derived from a snapshot another writer has since advanced.
  */
 final class DedupeEngine(
     val spark: SparkSession, basePath: String,
