@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** One row per stored object (reference: src/DedupeLibrary/DedupeObject.cs:12-49).
   * `compressedLength` keeps the reference's (misnomer) semantics:
@@ -182,6 +183,14 @@ final class DedupeEngine(
     if (dupes.nonEmpty)
       throw new IllegalArgumentException(s"object key already exists: ${dupes.head.getString(0)}")
 
+    // crash debris: a prior attempt that died between its objmap and
+    // objects commits left map rows for keys now absent from objects —
+    // appending over them would interleave two writes into one object
+    val debris = chunked.select($"objectKey").distinct()
+      .join(objmap.select($"objectKey").distinct(), Seq("objectKey"), "left_semi")
+      .as[String].collect()
+    if (debris.nonEmpty) objmapT.deleteKeys("objectKey", debris.toSeq)
+
     // incremental commits: each table gains ONE new segment holding only the
     // batch's rows (O(new data) — at scale an ingest never rewrites tables)
     val newMap = chunked.select($"objectKey", $"chunkKey", $"chunkLength",
@@ -214,48 +223,80 @@ final class DedupeEngine(
    * Store one object from a stream with BOUNDED memory — the path for
    * objects beyond [[DedupeEngine.MaxObjectBytes]] (the reference likewise
    * consumes a Stream, never whole-file bytes: DedupeLibrary.cs:605-717;
-   * its CLI pipes stdin, Cli/Program.cs:211-228). Chunks spool in batches
-   * of ~`batchBytes`; each batch commits map+payload segments incrementally.
-   * The OBJECTS row commits LAST, so a crash mid-write degrades to
-   * unreachable rows (exists = false, get = None — the same degradation
-   * contract as a crash mid-delete), never a half-readable object.
+   * its CLI pipes stdin, Cli/Program.cs:211-228).
+   *
+   * Chunks spool in ~`batchBytes` slabs into a staging parquet directory
+   * under the index (plain files, NOT table commits), then the three tables
+   * commit exactly ONCE each — so a 2 TB object costs 3 commits, not
+   * thousands (per-slab table appends would re-trigger the segment-fold
+   * compaction every 32 slabs: quadratic write amplification). The OBJECTS
+   * row commits LAST, so a crash degrades to unreachable rows at worst
+   * (exists = false, get = None) and usually to nothing but a staging dir
+   * the next [[repairIndex]]-free retry ignores; staging is removed on both
+   * success and failure.
    */
   def writeStream(key: String, in: java.io.InputStream,
       batchBytes: Long = 64L << 20): Unit = {
     require(key != null && key.nonEmpty, "object key required")
     if (exists(key)) throw new IllegalArgumentException(s"object key already exists: $key")
-    val it = settings.chunkStream(in)
-    require(it.hasNext, "data required")
-    var totalLen = 0L
-    var totalChunks = 0L
-    val batch = scala.collection.mutable.ArrayBuffer.empty[graft.core.ChunkWithData]
-    var batchSize = 0L
-    def flush(): Unit = if (batch.nonEmpty) {
-      val df = spark.createDataset(batch.toSeq.map(c =>
-          (key, c.ref.chunkKey, c.ref.length, c.ref.position, c.ref.address, c.data)))
-        .toDF("objectKey", "chunkKey", "chunkLength", "chunkPosition", "chunkAddress", "data")
-        .localCheckpoint() // chunk rows feed two commits; don't re-serialize twice
-      objmapT.append(df.select($"objectKey", $"chunkKey", $"chunkLength",
+    purgeDebrisFor(Seq(key)) // a dead prior attempt's map rows must not merge in
+    val stage = s"$basePath/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val it = settings.chunkStream(in)
+      require(it.hasNext, "data required")
+      var totalLen = 0L
+      var totalChunks = 0L
+      val batch = scala.collection.mutable.ArrayBuffer.empty[graft.core.ChunkWithData]
+      var batchSize = 0L
+      def flush(): Unit = if (batch.nonEmpty) {
+        spark.createDataset(batch.toSeq.map(c =>
+            (key, c.ref.chunkKey, c.ref.length, c.ref.position, c.ref.address, c.data)))
+          .toDF("objectKey", "chunkKey", "chunkLength", "chunkPosition", "chunkAddress", "data")
+          .write.mode("append").parquet(stage)
+        batch.clear()
+        batchSize = 0L
+      }
+      while (it.hasNext) {
+        val c = it.next()
+        totalLen += c.ref.length
+        totalChunks += 1
+        batch += c
+        batchSize += c.ref.length
+        if (batchSize >= batchBytes) flush()
+      }
+      flush()
+      val staged = spark.read.parquet(stage)
+      objmapT.append(staged.select($"objectKey", $"chunkKey", $"chunkLength",
         $"chunkPosition", $"chunkAddress"))
-      store.append(df.select($"chunkKey", $"data")
+      store.append(staged.select($"chunkKey", $"data")
         .dropDuplicates("chunkKey")
         .join(payloads.select($"chunkKey"), Seq("chunkKey"), "left_anti")
         .sortWithinPartitions("chunkKey"))
-      batch.clear()
-      batchSize = 0L
+      val now = new Timestamp(System.currentTimeMillis())
+      objectsT.append(spark.createDataset(Seq(
+        ObjectRow(key, totalLen, totalLen, totalChunks, now))).toDF())
+    } finally {
+      val d = java.nio.file.Paths.get(stage)
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala.foreach(rm)
+          finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(d)
     }
-    while (it.hasNext) {
-      val c = it.next()
-      totalLen += c.ref.length
-      totalChunks += 1
-      batch += c
-      batchSize += c.ref.length
-      if (batchSize >= batchBytes) flush()
-    }
-    flush()
-    val now = new Timestamp(System.currentTimeMillis())
-    objectsT.append(spark.createDataset(Seq(
-      ObjectRow(key, totalLen, totalLen, totalChunks, now))).toDF())
+  }
+
+  /** Remove crash-debris map rows for keys about to be (re)written: a prior
+    * attempt that died between its objmap commit and its objects commit left
+    * rows that would silently merge with the new write's map. Cheap when
+    * clean — one point-filtered existence probe, no table rewrite. */
+  private def purgeDebrisFor(keys: Seq[String]): Unit = {
+    val debris = objmap.filter($"objectKey".isInCollection(keys))
+      .select($"objectKey").distinct().as[String].collect()
+    if (debris.nonEmpty) objmapT.deleteKeys("objectKey", debris.toSeq)
   }
 
   /** Ingest every file under `path` (recursively) as one object each,

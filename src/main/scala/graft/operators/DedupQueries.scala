@@ -306,7 +306,11 @@ object DedupQueries {
       .withColumn("cluster_id", col("doc")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIters = 64 // propagation strictly lowers labels, so it MUST
+    // converge within the longest component diameter; past the cap the
+    // result would silently disagree with the transitive-closure oracle —
+    // fail loudly instead (see the guard below the loop)
+    while (changed > 0 && iter < maxIters) {
       val viaNeighbor = und.join(labels, und("dst") === labels("doc"))
         .select(col("src").as("doc"), col("cluster_id"))
       val next = labels.select(col("doc"), col("cluster_id")).union(viaNeighbor)
@@ -317,6 +321,9 @@ object DedupQueries {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"x7DupClusters did not converge in $maxIters iterations — a component has a longer diameter; raise the cap")
     labels.select(col("doc").as("doc_id"), col("cluster_id")).orderBy("doc_id")
   }
 

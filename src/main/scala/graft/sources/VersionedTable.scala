@@ -15,10 +15,33 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   * min/max stats over the table's key column (absent on pre-stats manifests
   * or key-less tables — treated as "may contain anything"). */
 final case class Segment(name: String, minKey: Option[String], maxKey: Option[String]) {
-  /** Could a row with this key live here? Unknown stats ⇒ yes. */
+  /** Could a row with this key live here? Unknown stats ⇒ yes. The compare
+    * MUST match the ordering that produced the stats: Spark's string min/max
+    * ranks by unsigned UTF-8 bytes (UTF8String), which disagrees with Java's
+    * UTF-16 compareTo for supplementary characters vs [U+E000, U+FFFF] — a
+    * String-order compare here could silently skip a segment that holds the
+    * victim. */
   def mayContain(key: String): Boolean = (minKey, maxKey) match {
-    case (Some(lo), Some(hi)) => key >= lo && key <= hi
+    case (Some(lo), Some(hi)) =>
+      Segment.utf8Compare(key, lo) >= 0 && Segment.utf8Compare(key, hi) <= 0
     case _ => true
+  }
+}
+
+object Segment {
+  /** Unsigned lexicographic compare of the UTF-8 encodings — Spark's
+    * StringType ordering. */
+  private[sources] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 }
 
@@ -101,16 +124,31 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
   private def segmentsIfExists(v: Long): Seq[Segment] =
     if (v < 0 || !Files.exists(manifestPath(v))) Nil else segments(v)
 
+  /** Resolve (version, segments) tolerating the list-then-read race: a fast
+    * concurrent writer can commit twice and retire the manifest a reader
+    * just listed (the grace window keeps only v and v-1). The retry lands on
+    * a newer manifest; reads stay safe under concurrent writers. */
+  private def currentSnapshot(): (Long, Seq[Segment]) = {
+    var attempts = 0
+    while (attempts < 8) {
+      val v = currentVersion
+      try return (v, segments(v))
+      catch { case _: java.nio.file.NoSuchFileException => attempts += 1 }
+    }
+    throw new IllegalStateException(
+      s"manifest of $path kept vanishing mid-read after 8 attempts — writers are outpacing the grace window")
+  }
+
   /** Current snapshot as a DataFrame; empty (with schema) before first commit. */
   override def read(): DataFrame = {
-    val segs = segments(currentVersion)
+    val (_, segs) = currentSnapshot()
     if (segs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(segs.map(s => dir.resolve(s.name).toString): _*)
   }
 
   /** Number of segments in the current version (compaction signal). */
-  def segmentCount: Int = segments(currentVersion).size
+  def segmentCount: Int = currentSnapshot()._2.size
 
   /** Append-only commit: write `df` as one new segment, manifest = old + new.
     * Cost is proportional to the NEW rows only. When the segment chain
@@ -119,8 +157,7 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
   override def append(df: DataFrame): Unit = append(df, 32)
 
   def append(df: DataFrame, compactThreshold: Int): Unit = {
-    val v = currentVersion
-    val segs = segments(v)
+    val (v, segs) = currentSnapshot()
     // a bucketed commit contributes many manifest entries; the fold trigger
     // counts COMMITS (top-level segment dirs), not entries, or bucketing
     // would force pathological O(table) compaction every few appends
@@ -145,8 +182,7 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     * gracefully toward a full rewrite. */
   override def deleteKeys(keyCol: String, keys: Seq[String]): Unit = {
     if (keys.isEmpty) return
-    val v = currentVersion
-    val segs = segments(v)
+    val (v, segs) = currentSnapshot()
     val (touched, untouched) = segs.partition(s => keys.exists(s.mayContain))
     if (touched.isEmpty) return // no segment can hold a victim: free no-op
     val survivors = spark.read.schema(schema)

@@ -218,25 +218,36 @@ object EventStreamOps {
     spark.table(name)
   }
 
-  /** Stage a finite replay (one parquet file or a directory of part files)
-    * into a private temp dir — flush rows and repeated runs can never leak
-    * across sources; returns the dir and its parquet file count. */
+  /** Stage a finite replay (one parquet file or a directory tree of part
+    * files) into a private temp dir — flush rows and repeated runs can never
+    * leak across sources; returns the dir and its parquet file count.
+    * The walk is RECURSIVE (nested part files are flattened with their
+    * relative path encoded in the name, so same-named files in different
+    * subdirs can't collide), and an empty staging is a loud error — a
+    * silently empty stream would read as "no events", not as the layout
+    * mistake it is. */
   private def stageReplay(path: String): (java.nio.file.Path, Long) = {
     val src = java.nio.file.Paths.get(path)
     val d = java.nio.file.Files.createTempDirectory("graft-stream-replay")
     d.toFile.deleteOnExit()
-    if (java.nio.file.Files.isRegularFile(src))
+    var staged = 0L
+    if (java.nio.file.Files.isRegularFile(src)) {
       java.nio.file.Files.copy(src, d.resolve(src.getFileName))
-    else {
-      val files = java.nio.file.Files.list(src)
-      try files.filter(_.toString.endsWith(".parquet"))
-        .forEach(f => java.nio.file.Files.copy(f, d.resolve(f.getFileName)))
-      finally files.close()
+      staged = 1L
+    } else {
+      val walk = java.nio.file.Files.walk(src)
+      try walk.filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val flat = src.relativize(f).toString.replace('/', '_')
+          java.nio.file.Files.copy(f, d.resolve(flat))
+          staged += 1
+        }
+      finally walk.close()
     }
-    val staged = {
-      val files = java.nio.file.Files.list(d)
-      try files.filter(_.toString.endsWith(".parquet")).count() finally files.close()
-    }
+    if (staged == 0)
+      throw new IllegalArgumentException(
+        s"no .parquet files found under '$path' — nothing to replay")
     (d, staged)
   }
 

@@ -129,18 +129,7 @@ class DedupeEngineSpec extends SparkSpec {
     e.ingest(Seq("a1" -> randomBytes(3000, 61), "a2" -> randomBytes(3000, 62)))
     e.ingest(Seq("b1" -> randomBytes(3000, 63), "b2" -> randomBytes(3000, 64)))
     e.ingest(Seq("c1" -> randomBytes(3000, 65), "c2" -> randomBytes(3000, 66)))
-    def fingerprints(sub: String): Map[String, (Long, Long)] = {
-      val root = java.nio.file.Paths.get(dir, sub)
-      val out = Map.newBuilder[String, (Long, Long)]
-      def walk(p: java.nio.file.Path): Unit =
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try s.iterator().forEachRemaining(walk) finally s.close()
-        } else out += root.relativize(p).toString ->
-          ((Files.size(p), Files.getLastModifiedTime(p).toMillis))
-      walk(root)
-      out.result()
-    }
+    def fingerprints(sub: String) = fileFingerprints(s"$dir/$sub")
     val objBefore = fingerprints("objects")
     val mapBefore = fingerprints("objmap")
     val payBefore = fingerprints("payloads")
@@ -193,13 +182,13 @@ class DedupeEngineSpec extends SparkSpec {
     assert(java.util.Arrays.equals(e.get("arrayed").get, e.get("streamed").get))
   }
 
-  test("a writeStream crash leaves debris invisible to reads; repairIndex reclaims it") {
+  test("a mid-stream source failure leaves NO debris: staging is swept, retry round-trips") {
     val e = newEngine()
     val survivor = randomBytes(8000, 81)
     e.write("survivor", survivor)
     val statsBefore = e.indexStats()
-    // stream that dies after 12 KB — several 4 KB batches have already
-    // spooled map+payload segments, but the objects row never commits
+    // stream that dies after 12 KB — several 4 KB slabs are already staged,
+    // but no table has committed anything
     val doomed = new java.io.InputStream {
       private val src = randomBytes(40000, 82)
       private var pos = 0
@@ -214,22 +203,70 @@ class DedupeEngineSpec extends SparkSpec {
       }
     }
     intercept[java.io.IOException](e.writeStream("doomed", doomed, batchBytes = 4096L))
-    // the contract: debris is unreachable, not half-readable
+    assert(!e.exists("doomed"))
+    assert(e.objmap.filter(_.objectKey == "doomed").count() === 0,
+      "a source failure must commit nothing — staging only")
+    assert(e.indexStats() === statsBefore, "index state is untouched by the failed write")
+    // a plain retry succeeds with no repair step
+    val data = randomBytes(40000, 82)
+    e.writeStream("doomed", new java.io.ByteArrayInputStream(data), batchBytes = 4096L)
+    assert(java.util.Arrays.equals(e.get("doomed").get, data))
+    assert(java.util.Arrays.equals(e.get("survivor").get, survivor))
+  }
+
+  test("a crash between objmap and objects commits: debris invisible, retry self-heals, repairIndex reclaims") {
+    // simulate the narrow crash window with an objects table that dies on
+    // its next append (the LAST commit of the write sequence)
+    val dir = Files.createTempDirectory("graft-crashwin").toString
+    final class FailingOnce(inner: graft.sources.TableStore) extends graft.sources.TableStore {
+      @volatile var armed = false
+      override def read() = inner.read()
+      override def append(df: org.apache.spark.sql.DataFrame): Unit = {
+        if (armed) { armed = false; throw new RuntimeException("simulated crash before objects commit") }
+        inner.append(df)
+      }
+      override def publish(df: org.apache.spark.sql.DataFrame): Unit = inner.publish(df)
+      override def deleteKeys(keyCol: String, keys: Seq[String]): Unit =
+        inner.deleteKeys(keyCol, keys)
+    }
+    var objectsTable: FailingOnce = null
+    val e = new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1), None,
+      Some((p, s) => {
+        val inner = new graft.sources.VersionedTable(spark, p, s,
+          statsCol = s.fieldNames.headOption.filter(Set("objectKey", "chunkKey")))
+        if (s.fieldNames.contains("originalLength")) {
+          objectsTable = new FailingOnce(inner); objectsTable
+        } else inner
+      }))
+    val survivor = randomBytes(8000, 83)
+    e.write("survivor", survivor)
+    val statsBefore = e.indexStats()
+    val data = randomBytes(30000, 84)
+    objectsTable.armed = true
+    intercept[RuntimeException](
+      e.writeStream("doomed", new java.io.ByteArrayInputStream(data), batchBytes = 4096L))
+    // debris: map+payload rows committed, objects row missing
     assert(!e.exists("doomed"))
     assert(e.get("doomed").isEmpty)
-    assert(java.util.Arrays.equals(e.get("survivor").get, survivor))
     assert(e.objmap.filter(_.objectKey == "doomed").count() > 0,
-      "the crash must actually have left spooled map rows for this test to mean anything")
+      "this test must actually produce the narrow-window debris")
+    // path 1: a plain retry purges the debris itself and round-trips
+    e.writeStream("doomed", new java.io.ByteArrayInputStream(data), batchBytes = 4096L)
+    assert(java.util.Arrays.equals(e.get("doomed").get, data))
+    val md = e.getMetadata("doomed").get
+    assert(md.map.map(_.chunkLength.toLong).sum === data.length.toLong,
+      "retry after crash must not interleave debris map rows")
+    // path 2: delete it, re-create debris, and let repairIndex reclaim
+    e.delete("doomed")
+    objectsTable.armed = true
+    intercept[RuntimeException](
+      e.writeStream("doomed", new java.io.ByteArrayInputStream(data), batchBytes = 4096L))
     val (objs, chunks) = e.repairIndex()
     assert(objs == Seq("doomed"))
     assert(chunks.nonEmpty, "the doomed object's unshared chunks must be reclaimed")
-    val statsAfter = e.indexStats()
-    assert(statsAfter.chunkCount === statsBefore.chunkCount,
-      "derived stats must re-tighten to the pre-crash state")
-    assert(statsAfter.physicalBytes === statsBefore.physicalBytes)
+    assert(e.indexStats() === statsBefore, "derived stats re-tighten to the pre-crash state")
     assert(java.util.Arrays.equals(e.get("survivor").get, survivor), "repair never touches live data")
-    // idempotent
-    assert(e.repairIndex() === ((Seq.empty, Seq.empty)))
+    assert(e.repairIndex() === ((Seq.empty, Seq.empty)), "repair is idempotent")
   }
 
   test("ingestDirectory rejects files beyond the single-row bound, loudly and up front") {

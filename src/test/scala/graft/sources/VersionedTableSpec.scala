@@ -90,24 +90,6 @@ class VersionedTableSpec extends SparkSpec {
 
   // ------------------------------------------------ commit protocol (CAS)
 
-  /** name -> (size, mtime, md5) for every regular file under the table dir,
-    * keyed by path relative to it — the byte-identity fingerprint. */
-  private def fileFingerprints(dir: String): Map[String, (Long, Long, String)] = {
-    val root = java.nio.file.Paths.get(dir)
-    val out = Map.newBuilder[String, (Long, Long, String)]
-    def walk(p: java.nio.file.Path): Unit =
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p); try s.iterator().asScala.foreach(walk) finally s.close()
-      } else {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        out += root.relativize(p).toString ->
-          ((Files.size(p), Files.getLastModifiedTime(p).toMillis,
-            md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString))
-      }
-    walk(root)
-    out.result()
-  }
-
   test("concurrent appends: exactly one wins; the loser throws a clean retryable conflict") {
     val dir = Files.createTempDirectory("vt_cas").toString
     val winner = new VersionedTable(spark, dir, schema)

@@ -171,13 +171,13 @@ class EventStreamOpsSpec extends SparkSpec {
     assert(sTot == bTot, "no event from any part file may be dropped")
   }
 
-  test("empty events source fails the tail flush loudly, not with an NPE") {
+  test("empty events source fails loudly at staging, not with an NPE") {
     val empty = java.nio.file.Files.createTempDirectory("empty_events")
     val e = intercept[IllegalArgumentException] {
       EventStreamOps.runToMemoryAppend(spark, empty.toString, "empty_ap",
         EventStreamOps.hourlyByType)
     }
-    assert(e.getMessage.contains("no rows"))
+    assert(e.getMessage.contains("nothing to replay"))
   }
 
   test("streaming session_window equals the batch session_window") {
