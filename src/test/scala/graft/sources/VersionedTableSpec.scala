@@ -201,6 +201,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(after2.toSeq === Seq(("Add", 4L), ("Mee", 5L), ("Zcc", 3L)))
   }
 
+  test("deleteKeys range checks use UTF-8 byte order (supplementary chars don't dodge deletion)") {
+    // U+1F4F7 (camera emoji, 4-byte UTF-8) sorts ABOVE U+E000 in UTF-8 byte
+    // order (Spark's min/max) but BELOW it in Java UTF-16 order — a
+    // String-order mayContain would classify the segment as untouched and
+    // silently skip the delete
+    val dir = Files.createTempDirectory("vt_utf8").toString
+    val t = new VersionedTable(spark, dir, schema, statsCol = Some("k"))
+    val camera = new String(Character.toChars(0x1F4F7)) + "b"
+    val privateUse = "a"
+    t.append(df(privateUse -> 1L, camera -> 2L))
+    t.deleteKeys("k", Seq(camera))
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq((privateUse, 1L)),
+      s"the supplementary-character key must actually be deleted, got ${got.toSeq}")
+  }
+
   test("deleteKeys with no intersecting segment is a free no-op") {
     val dir = Files.createTempDirectory("vt_del_noop").toString
     val t = new VersionedTable(spark, dir, schema, statsCol = Some("k"))
