@@ -151,20 +151,36 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
   def segmentCount: Int = currentSnapshot()._2.size
 
   /** Append-only commit: write `df` as one new segment, manifest = old + new.
-    * Cost is proportional to the NEW rows only. When the segment chain
-    * exceeds `compactThreshold`, the append folds everything into one
-    * segment instead (amortized O(new); keeps scan fan-in bounded). */
+    * Cost is proportional to the NEW rows only. When the commit chain
+    * exceeds `compactThreshold`, the append folds the SMALLEST half of the
+    * commits (by on-disk bytes) plus the new rows into one segment and
+    * leaves the large tail untouched — size-tiered, LSM-style: big segments
+    * are rewritten only once they are small relative to the table, so
+    * append-heavy ingest never pays an O(table) rewrite (a flat fold-all
+    * would, every `compactThreshold` appends), while scan fan-in stays
+    * bounded at ~compactThreshold. */
   override def append(df: DataFrame): Unit = append(df, 32)
 
   def append(df: DataFrame, compactThreshold: Int): Unit = {
     val (v, segs) = currentSnapshot()
-    // a bucketed commit contributes many manifest entries; the fold trigger
-    // counts COMMITS (top-level segment dirs), not entries, or bucketing
-    // would force pathological O(table) compaction every few appends
-    val commits = segs.map(_.name.takeWhile(_ != '/')).distinct.size
-    if (commits >= compactThreshold) commit(v, Nil, read().unionByName(df))
-    else commit(v, segs, df)
+    // a bucketed commit contributes many manifest entries; fold bookkeeping
+    // runs on COMMITS (top-level segment dirs), not entries, or bucketing
+    // would force pathological compaction every few appends
+    val topOrder = segs.map(_.name.takeWhile(_ != '/')).distinct
+    if (topOrder.size < compactThreshold) commit(v, segs, df)
+    else {
+      val bySize = topOrder.map(top => top -> dirBytes(dir.resolve(top))).sortBy(_._2)
+      val foldTops = bySize.take(topOrder.size - compactThreshold / 2).map(_._1).toSet
+      val (folded, kept) = segs.partition(s => foldTops(s.name.takeWhile(_ != '/')))
+      val foldedDf = spark.read.schema(schema)
+        .parquet(folded.map(s => dir.resolve(s.name).toString): _*)
+      commit(v, kept, foldedDf.unionByName(df))
+    }
   }
+
+  private def dirBytes(p: java.nio.file.Path): Long =
+    if (Files.isDirectory(p)) listDir(p).map(dirBytes).sum
+    else if (Files.exists(p)) Files.size(p) else 0L
 
   /** Full-snapshot commit: write `df` as the only segment (compaction path);
     * superseded segments are retired after a one-version grace window. */

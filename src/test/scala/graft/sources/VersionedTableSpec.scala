@@ -64,11 +64,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(got === Seq(("a", 1L), ("b", 2L)))
   }
 
-  test("append auto-compacts past the segment threshold") {
-    val (_, t) = fresh()
-    (1 to 5).foreach(i => t.append(df(s"k$i" -> i.toLong), compactThreshold = 4))
-    assert(t.segmentCount === 1, "chain must have been folded")
-    assert(t.read().count() === 5, "compaction preserves all rows")
+  test("append folds only the smallest commits past the threshold (size-tiered)") {
+    val (dir, t) = fresh()
+    t.append(df((1 to 50).map(i => s"big$i" -> i.toLong): _*))
+    (1 to 3).foreach(i => t.append(df(s"k$i" -> i.toLong), compactThreshold = 4))
+    // 4 commits; the next append folds the two SMALLEST + the new rows and
+    // must leave the big first segment byte-identical — append-heavy ingest
+    // never pays an O(table) rewrite
+    val bigSegBefore = fileFingerprints(dir).filter(_._1.startsWith("seg-0"))
+    assert(bigSegBefore.nonEmpty)
+    t.append(df("k4" -> 4L), compactThreshold = 4)
+    assert(t.read().count() === 54, "tiered fold preserves all rows")
+    assert(t.segmentCount <= 3, "fold must bound the chain at threshold/2 + 1")
+    val after = fileFingerprints(dir)
+    for ((f, fp) <- bigSegBefore)
+      assert(after.get(f).contains(fp),
+        s"largest segment file $f must survive a tiered fold untouched")
   }
 
   test("a DataFrame resolved before a commit survives that commit (grace)") {
