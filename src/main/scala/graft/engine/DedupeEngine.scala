@@ -185,11 +185,19 @@ final class DedupeEngine(
 
     // crash debris: a prior attempt that died between its objmap and
     // objects commits left map rows for keys now absent from objects —
-    // appending over them would interleave two writes into one object
-    val debris = chunked.select($"objectKey").distinct()
-      .join(objmap.select($"objectKey").distinct(), Seq("objectKey"), "left_semi")
-      .as[String].collect()
-    if (debris.nonEmpty) objmapT.deleteKeys("objectKey", debris.toSeq)
+    // appending over them would interleave two writes into one object.
+    // Cheap probe first (narrow early-terminating key-column scan, same
+    // cost class as the duplicate check above); the full purge runs only
+    // in the rare after-a-crash case
+    val batchKeys = chunked.select($"objectKey").distinct()
+    val hasDebris = !objmap.select($"objectKey")
+      .join(batchKeys, Seq("objectKey"), "left_semi").limit(1).isEmpty
+    if (hasDebris) {
+      val debris = objmap.select($"objectKey")
+        .join(batchKeys, Seq("objectKey"), "left_semi")
+        .distinct().as[String].collect()
+      objmapT.deleteKeys("objectKey", debris.toSeq)
+    }
 
     // incremental commits: each table gains ONE new segment holding only the
     // batch's rows (O(new data) — at scale an ingest never rewrites tables)
@@ -552,8 +560,11 @@ final class DedupeEngine(
     * between its index commits and its GC). The commit ORDER makes all such
     * debris invisible to reads — objects row lands last on ingest and first
     * on delete — so repair only reclaims space and re-tightens derived
-    * stats; it never changes a read result. Run it with no writer in
-    * flight. Returns (orphaned object keys, orphaned chunk keys). */
+    * stats; it never changes a read result. Also sweeps `.stage-*`
+    * directories a killed writeStream left behind (they can hold the whole
+    * object's spooled bytes). Run it with no writer in flight — an
+    * in-flight writeStream's staging dir must not be swept. Returns
+    * (orphaned object keys, orphaned chunk keys). */
   def repairIndex(): (Seq[String], Seq[String]) = {
     val orphanObjs = objmap.select($"objectKey").distinct()
       .join(objects.select($"objectKey"), Seq("objectKey"), "left_anti")
@@ -565,6 +576,26 @@ final class DedupeEngine(
       .join(objmap.select($"chunkKey").distinct(), Seq("chunkKey"), "left_anti")
       .as[String].collect().toSeq
     if (orphanChunks.nonEmpty) store.delete(orphanChunks)
+    // staging dirs a killed writeStream never cleaned (its finally block
+    // died with it) — can hold up to the whole object's spooled bytes and
+    // no table-level vacuum ever sees them
+    val base = java.nio.file.Paths.get(basePath)
+    if (java.nio.file.Files.isDirectory(base)) {
+      val s = java.nio.file.Files.list(base)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".stage-"))
+        .foreach { p =>
+          def rm(q: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(q)) {
+              val l = java.nio.file.Files.list(q)
+              try l.iterator().asScala.foreach(rm) finally l.close()
+            }
+            java.nio.file.Files.deleteIfExists(q)
+          }
+          rm(p)
+        }
+      finally s.close()
+    }
     (orphanObjs, orphanChunks)
   }
 }

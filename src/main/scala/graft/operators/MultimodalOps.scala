@@ -78,10 +78,6 @@ object MultimodalOps {
     }
   }
 
-  /** Metadata rollup per media type — the query a curation pipeline runs
-    * over the decoded corpus. Snake-case output columns so the DuckDB
-    * oracle (which re-derives the stub's sha256 arithmetic in SQL) aligns
-    * under the driver's name-sorted column compare. */
   /** Per-frame feature digest over the long-form feature table: positive-
     * component count and recovered byte mass per (doc, frame). Both measures
     * are INTEGER-exact through the float features (x > 0 ⇔ source byte ≥
@@ -98,6 +94,10 @@ object MultimodalOps {
         sum(round((col("x") + lit(1.0d)) / 2.0d * 255.0d).cast("long")).as("byte_sum"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Metadata rollup per media type — the query a curation pipeline runs
+    * over the decoded corpus. Snake-case output columns so the DuckDB
+    * oracle (which re-derives the stub's sha256 arithmetic in SQL) aligns
+    * under the driver's name-sorted column compare. */
   def mm1MediaSummary(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(spark, dir).toDF()
       .groupBy(col("mediaType").as("media_type"))

@@ -168,7 +168,10 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     // would force pathological compaction every few appends
     val topOrder = segs.map(_.name.takeWhile(_ != '/')).distinct
     if (topOrder.size < compactThreshold) commit(v, segs, df)
-    else {
+    else asConflict("tiered fold") {
+      // sizing + reading the folded segments races a fast concurrent
+      // writer's retirement of them; asConflict converts the resulting
+      // missing-file errors into the documented clean retryable conflict
       val bySize = topOrder.map(top => top -> dirBytes(dir.resolve(top))).sortBy(_._2)
       val foldTops = bySize.take(topOrder.size - compactThreshold / 2).map(_._1).toSet
       val (folded, kept) = segs.partition(s => foldTops(s.name.takeWhile(_ != '/')))
@@ -177,6 +180,22 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
       commit(v, kept, foldedDf.unionByName(df))
     }
   }
+
+  /** Convert missing-file failures from reading segments a concurrent
+    * writer retired mid-operation into the clean retryable conflict the
+    * multi-writer contract promises. */
+  private def asConflict[T](op: String)(body: => T): T =
+    try body
+    catch {
+      case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+        throw new CommitConflictException(
+          s"$op on $path raced a concurrent writer's segment retirement; re-read and retry")
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && (e.getMessage.contains("PATH_NOT_FOUND") ||
+            e.getMessage.contains("Path does not exist")) =>
+        throw new CommitConflictException(
+          s"$op on $path raced a concurrent writer's segment retirement; re-read and retry")
+    }
 
   private def dirBytes(p: java.nio.file.Path): Long =
     if (Files.isDirectory(p)) listDir(p).map(dirBytes).sum
@@ -201,10 +220,12 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     val (v, segs) = currentSnapshot()
     val (touched, untouched) = segs.partition(s => keys.exists(s.mayContain))
     if (touched.isEmpty) return // no segment can hold a victim: free no-op
-    val survivors = spark.read.schema(schema)
-      .parquet(touched.map(s => dir.resolve(s.name).toString): _*)
-      .filter(!col(keyCol).isInCollection(keys))
-    commit(v, untouched, survivors)
+    asConflict("targeted delete") {
+      val survivors = spark.read.schema(schema)
+        .parquet(touched.map(s => dir.resolve(s.name).toString): _*)
+        .filter(!col(keyCol).isInCollection(keys))
+      commit(v, untouched, survivors)
+    }
   }
 
   /** Test seam: runs between the segment write and the atomic manifest

@@ -232,14 +232,28 @@ object EventStreamOps {
     d.toFile.deleteOnExit()
     var staged = 0L
     if (java.nio.file.Files.isRegularFile(src)) {
+      if (!src.toString.endsWith(".parquet"))
+        throw new IllegalArgumentException(
+          s"'$path' is not a .parquet file — nothing to replay")
       java.nio.file.Files.copy(src, d.resolve(src.getFileName))
       staged = 1L
     } else {
       val walk = java.nio.file.Files.walk(src)
-      try walk.filter(f => java.nio.file.Files.isRegularFile(f) &&
-          f.toString.endsWith(".parquet"))
+      try walk.filter { f =>
+          // mirror Spark's own reader: skip _temporary/_spark_metadata/
+          // hidden paths, or the replay would include uncommitted files
+          // the batch side never sees
+          val rel = src.relativize(f)
+          java.nio.file.Files.isRegularFile(f) && f.toString.endsWith(".parquet") &&
+            (0 until rel.getNameCount).forall { i =>
+              val seg = rel.getName(i).toString
+              !seg.startsWith("_") && !seg.startsWith(".")
+            }
+        }
         .forEach { f =>
-          val flat = src.relativize(f).toString.replace('/', '_')
+          // counter prefix: nested part files flatten without any chance of
+          // colliding with a sibling whose name already matches the flat form
+          val flat = s"p${staged}_${src.relativize(f).toString.replace('/', '_')}"
           java.nio.file.Files.copy(f, d.resolve(flat))
           staged += 1
         }
