@@ -576,6 +576,19 @@ final class DedupeEngine(
       .join(objmap.select($"chunkKey").distinct(), Seq("chunkKey"), "left_anti")
       .as[String].collect().toSeq
     if (orphanChunks.nonEmpty) store.delete(orphanChunks)
+    // duplicate payload rows (two racing ingests that both won their CAS
+    // on different tables can append the same chunkKey twice — documented
+    // out of contract, but reconstruction would concatenate the chunk
+    // twice, so repair heals it): keep one exemplar per key. Payloads for
+    // one key are byte-identical by construction (SHA-256 content key),
+    // so any exemplar is correct.
+    val dupKeys = payloads.groupBy($"chunkKey").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1).select($"chunkKey").as[String].collect().toSeq
+    if (dupKeys.nonEmpty) {
+      val exemplars = store.fetch(dupKeys) // one row per key by contract
+      store.delete(dupKeys)
+      store.append(spark.createDataset(exemplars.toSeq).toDF("chunkKey", "data"))
+    }
     // staging dirs a killed writeStream never cleaned (its finally block
     // died with it) — can hold up to the whole object's spooled bytes and
     // no table-level vacuum ever sees them

@@ -269,6 +269,25 @@ class DedupeEngineSpec extends SparkSpec {
     assert(e.repairIndex() === ((Seq.empty, Seq.empty)), "repair is idempotent")
   }
 
+  test("repairIndex heals duplicate payload rows from out-of-contract concurrent appends") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dup").toString
+    val e = new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1))
+    val data = randomBytes(5000, 91)
+    e.write("obj", data)
+    // simulate two racing ingests that both appended the same chunk payload
+    // (documented out of contract — repair must still heal it, or every
+    // reconstruction of the object concatenates that chunk twice)
+    val rogue = new ParquetPayloadStore(spark, s"$dir/payloads")
+    val k = e.objmap.head().chunkKey
+    val bytes = rogue.fetch(Seq(k))(k)
+    rogue.append(Seq((k, bytes)).toDF("chunkKey", "data"))
+    assert(e.payloads.filter(_.chunkKey == k).count() === 2, "the dup must exist for this test to bite")
+    e.repairIndex()
+    assert(e.payloads.filter(_.chunkKey == k).count() === 1, "exactly one exemplar survives")
+    assert(java.util.Arrays.equals(e.get("obj").get, data), "object reads correctly after healing")
+  }
+
   test("ingestDirectory rejects files beyond the single-row bound, loudly and up front") {
     val e = newEngine()
     val src = Files.createTempDirectory("graft-bound")
