@@ -584,11 +584,7 @@ final class DedupeEngine(
     // so any exemplar is correct.
     val dupKeys = payloads.groupBy($"chunkKey").agg(count(lit(1)).as("n"))
       .filter($"n" > 1).select($"chunkKey").as[String].collect().toSeq
-    if (dupKeys.nonEmpty) {
-      val exemplars = store.fetch(dupKeys) // one row per key by contract
-      store.delete(dupKeys)
-      store.append(spark.createDataset(exemplars.toSeq).toDF("chunkKey", "data"))
-    }
+    if (dupKeys.nonEmpty) store.dedupe(dupKeys) // atomic for the parquet store
     // staging dirs a killed writeStream never cleaned (its finally block
     // died with it) — can hold up to the whole object's spooled bytes and
     // no table-level vacuum ever sees them

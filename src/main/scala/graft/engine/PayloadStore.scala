@@ -4,6 +4,7 @@ import graft.sources.VersionedTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /**
  * Where chunk payload bytes live — the storage-strategy seam.
@@ -37,6 +38,27 @@ trait PayloadStore {
 
   /** Fetch the payloads for `keys` in ONE pass (≤ 1 Spark job). */
   def fetch(keys: Seq[String]): Map[String, Array[Byte]]
+
+  /** Collapse duplicate rows for `keys` to one exemplar each (repair path —
+    * duplicates only arise from out-of-contract concurrent appends).
+    * Default is fetch→delete→re-append, which has a crash window between
+    * the two commits where the chunks are missing; stores with an atomic
+    * snapshot commit should override. */
+  def dedupe(keys: Seq[String]): Unit = {
+    if (keys.isEmpty) return
+    val exemplars = fetch(keys)
+    delete(keys)
+    append(sparkForStore.createDataFrame(
+      exemplars.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("chunkKey",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("data",
+          org.apache.spark.sql.types.BinaryType)))))
+  }
+
+  /** Session for default-method frame construction. */
+  protected def sparkForStore: SparkSession
 }
 
 /**
@@ -66,6 +88,16 @@ final class ParquetPayloadStore(spark: SparkSession, path: String)
     * segments narrow (compaction sorts by chunkKey). */
   override def delete(keys: Seq[String]): Unit =
     table.deleteKeys("chunkKey", keys)
+
+  /** Atomic dedupe: ONE snapshot commit replaces the table with a
+    * per-chunkKey-distinct copy — no crash window where chunks are missing
+    * (the trait default's delete→append has one). Repair-frequency op, so
+    * the O(table) publish is acceptable. */
+  override def dedupe(keys: Seq[String]): Unit =
+    if (keys.nonEmpty)
+      table.publish(read().dropDuplicates("chunkKey").sortWithinPartitions("chunkKey"))
+
+  override protected def sparkForStore: SparkSession = spark
 
   /** One filtered scan for the whole key set: an IN predicate (pushed to the
     * parquet scan, where the ingest-time chunkKey sort makes row-group
@@ -122,4 +154,9 @@ final class FlatFilePayloadStore(spark: SparkSession, dir: String)
     keys.iterator.map { k =>
       k -> Files.readAllBytes(Paths.get(dir, k))
     }.toMap
+
+  /** One file per key: duplicates cannot exist, dedupe is a no-op. */
+  override def dedupe(keys: Seq[String]): Unit = ()
+
+  override protected def sparkForStore: SparkSession = spark
 }
