@@ -133,6 +133,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(all.toSeq === Seq(("fast", 2L), ("slow", 1L)))
   }
 
+  test("three writers appending concurrently with retry-on-conflict lose no rows") {
+    val dir = Files.createTempDirectory("vt_stress").toString
+    val perWriter = 5
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { w =>
+      new Thread(() => {
+        val t = new VersionedTable(spark, dir, schema)
+        try {
+          for (i <- 0 until perWriter) {
+            var done = false
+            var attempts = 0
+            while (!done) {
+              try { t.append(df(s"w$w-$i" -> (w * 100L + i))); done = true }
+              catch {
+                case _: CommitConflictException =>
+                  attempts += 1
+                  if (attempts > 50) throw new IllegalStateException("retry budget exhausted")
+              }
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(failures.isEmpty, s"writers must converge via clean retries, got $failures")
+    val t = new VersionedTable(spark, dir, schema)
+    val got = t.read().collect().map(_.getString(0)).sorted
+    val expected = (for (w <- 0 until 3; i <- 0 until perWriter) yield s"w$w-$i").sorted
+    assert(got.toSeq === expected, "every writer's every row must survive the contention")
+  }
+
   test("a writer dying before its manifest claim is invisible; next commit succeeds; vacuum sweeps debris") {
     val dir = Files.createTempDirectory("vt_crash").toString
     val t = new VersionedTable(spark, dir, schema)
