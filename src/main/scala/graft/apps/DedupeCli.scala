@@ -12,8 +12,8 @@ import java.nio.file.{Files, Paths}
  *
  * Usage:
  *   graft.apps.DedupeCli <indexDir> create [min max shift boundary]
- *   graft.apps.DedupeCli <indexDir> write <key> <file>
- *   graft.apps.DedupeCli <indexDir> get <key> <outFile>
+ *   graft.apps.DedupeCli <indexDir> write <key> <file>   # '-' = stdin
+ *   graft.apps.DedupeCli <indexDir> get <key> <outFile>  # '-' = stdout
  *   graft.apps.DedupeCli <indexDir> del <key>
  *   graft.apps.DedupeCli <indexDir> exists <key>
  *   graft.apps.DedupeCli <indexDir> md <key> [--chunks]
@@ -81,9 +81,15 @@ object DedupeCli {
         finally if (file != "-") in.close()
         println(s"wrote $key")
       case "get" =>
+        // '-' streams raw bytes to stdout like the reference CLI
+        // (reference: Cli/Program.cs:192-209)
         val Array(key, out) = rest.take(2)
         engine().get(key) match {
-          case Some(bytes) => Files.write(Paths.get(out), bytes); println(s"read ${bytes.length} bytes -> $out")
+          case Some(bytes) if out == "-" =>
+            Console.out.write(bytes); Console.out.flush()
+          case Some(bytes) =>
+            Files.write(Paths.get(out), bytes)
+            println(s"read ${bytes.length} bytes -> $out")
           case None => println(s"not found: $key"); sys.exit(1)
         }
       case "del" =>

@@ -26,6 +26,24 @@ class DedupeCliSpec extends SparkSpec {
     dir
   }
 
+  private def captureRaw(body: => Unit): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos))(body)
+    bos.toByteArray
+  }
+
+  test("get '-' streams raw object bytes to stdout (reference stdout parity)") {
+    val dir = Files.createTempDirectory("graft-cli-stdout").toString
+    val e = DedupeEngine.create(spark, dir, DedupeSettings(256, 2048, 8, 1))
+    val r = new scala.util.Random(11)
+    val data = new Array[Byte](5000)
+    r.nextBytes(data)
+    e.write("raw", data)
+    val out = captureRaw(DedupeCli.run(spark, dir, "get", Array("raw", "-")))
+    assert(java.util.Arrays.equals(out, data),
+      "stdout must carry exactly the object bytes, no report line")
+  }
+
   test("parseArgs splits positionals from --flags") {
     val (pos, flags) = DedupeCli.parseArgs(
       Array("pref", "--results", "7", "--idxstart", "k005", "--chunks"))
