@@ -260,6 +260,34 @@ class VersionedTableSpec extends SparkSpec {
       s"the supplementary-character key must actually be deleted, got ${got.toSeq}")
   }
 
+  test("tiered fold over a bucketed table preserves rows and re-buckets the fold") {
+    val dir = Files.createTempDirectory("vt_bucket_fold").toString
+    val t = new VersionedTable(spark, dir, schema, statsCol = Some("k"), bucketed = true)
+    (1 to 5).foreach(i => t.append(df(s"A$i" -> i.toLong, s"Z$i" -> (10L + i)),
+      compactThreshold = 4))
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.length === 10, "fold must preserve every row across bucket sub-segments")
+    assert(got.map(_._1).toSeq ===
+      (1 to 5).flatMap(i => Seq(s"A$i", s"Z$i")).sorted)
+    // settle the fold's grace-window history so the next commit's
+    // retirement sweeps only stale manifests, then prove the delete WRITES
+    // only A-bucket data: the fold's replacement commit is itself bucketed
+    // with tight stats
+    t.append(df("A6" -> 6L, "Z6" -> 16L), compactThreshold = 99)
+    val before = fileFingerprints(dir)
+    t.deleteKeys("k", Seq("A3"))
+    val after = fileFingerprints(dir)
+    for ((name, fp) <- before if after.contains(name))
+      assert(after(name) === fp, s"$name modified by an A-key delete")
+    val newSegFiles = (after.keySet -- before.keySet).filter { f =>
+      val base = f.substring(f.lastIndexOf('/') + 1)
+      f.startsWith("seg-") && !base.startsWith("_") && !base.startsWith(".")
+    }
+    assert(newSegFiles.nonEmpty && newSegFiles.forall(_.contains("__bucket=bA")),
+      s"an A-key delete may write only A-bucket replacement data, got $newSegFiles")
+    assert(t.read().count() === 11)
+  }
+
   test("deleteKeys with no intersecting segment is a free no-op") {
     val dir = Files.createTempDirectory("vt_del_noop").toString
     val t = new VersionedTable(spark, dir, schema, statsCol = Some("k"))
