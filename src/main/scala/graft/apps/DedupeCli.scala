@@ -82,15 +82,27 @@ object DedupeCli {
         println(s"wrote $key")
       case "get" =>
         // '-' streams raw bytes to stdout like the reference CLI
-        // (reference: Cli/Program.cs:192-209)
+        // (reference: Cli/Program.cs:192-209) — chunk-at-a-time via
+        // getStream, never one whole-object array, so objects written
+        // through the streaming path read back at any size. Diagnostics go
+        // to stderr (stdout is the data channel) and a downstream pipe
+        // failure is a nonzero exit, not silent truncation.
         val Array(key, out) = rest.take(2)
-        engine().get(key) match {
-          case Some(bytes) if out == "-" =>
-            Console.out.write(bytes); Console.out.flush()
+        if (out == "-") {
+          engine().getStream(key) match {
+            case Some(chunks) =>
+              chunks.foreach(Console.out.write)
+              Console.out.flush()
+              if (Console.out.checkError()) {
+                Console.err.println("error writing object bytes to stdout"); sys.exit(3)
+              }
+            case None => Console.err.println(s"not found: $key"); sys.exit(1)
+          }
+        } else engine().get(key) match {
           case Some(bytes) =>
             Files.write(Paths.get(out), bytes)
             println(s"read ${bytes.length} bytes -> $out")
-          case None => println(s"not found: $key"); sys.exit(1)
+          case None => Console.err.println(s"not found: $key"); sys.exit(1)
         }
       case "del" =>
         val gcd = engine().delete(rest(0))
@@ -131,8 +143,10 @@ object DedupeCli {
         val n = engine().exportAll(rest(0))
         println(s"exported $n objects -> ${rest(0)}")
       case "repair" =>
-        val (objs, chunks) = engine().repairIndex()
-        println(s"repaired: ${objs.size} orphaned object keys, ${chunks.size} orphaned chunks")
+        val r = engine().repairIndex()
+        println(s"repaired: ${r.orphanObjects.size} orphaned object keys, " +
+          s"${r.orphanChunks.size} orphaned chunks, " +
+          s"${r.healedDuplicates.size} duplicated payloads healed")
       case "stats" =>
         val (_, flags) = parseArgs(rest)
         val e = engine()

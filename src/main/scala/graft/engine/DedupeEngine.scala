@@ -557,34 +557,31 @@ final class DedupeEngine(
   /** Reclaim unreachable crash debris: map rows whose objects row never
     * committed (a `writeStream` died mid-spool) and payload rows no
     * surviving map row references (either crash, or a `delete` that died
-    * between its index commits and its GC). The commit ORDER makes all such
-    * debris invisible to reads — objects row lands last on ingest and first
-    * on delete — so repair only reclaims space and re-tightens derived
-    * stats; it never changes a read result. Also sweeps `.stage-*`
-    * directories a killed writeStream left behind (they can hold the whole
-    * object's spooled bytes). Run it with no writer in flight — an
-    * in-flight writeStream's staging dir must not be swept. Returns
-    * (orphaned object keys, orphaned chunk keys). */
-  def repairIndex(): (Seq[String], Seq[String]) = {
+    * between its index commits and its GC). The commit ORDER makes that
+    * debris invisible to reads — objects row lands last on ingest and
+    * first on delete — so those steps only reclaim space and re-tighten
+    * derived stats. Repair ALSO heals duplicate payload rows (the
+    * out-of-contract concurrent-append race), which REPAIRS the reads the
+    * duplicates had corrupted — `get` of an affected object returns the
+    * correct bytes afterwards, not the doubled chunk. Sweeps `.stage-*`
+    * directories a killed writeStream left behind. Run it with no writer
+    * in flight — an in-flight writeStream's staging dir must not be
+    * swept. */
+  def repairIndex(): RepairReport = {
     val orphanObjs = objmap.select($"objectKey").distinct()
       .join(objects.select($"objectKey"), Seq("objectKey"), "left_anti")
       .as[String].collect().toSeq
     if (orphanObjs.nonEmpty) objmapT.deleteKeys("objectKey", orphanObjs)
     // computed AFTER the map cleanup so chunks the debris alone referenced
-    // are reclaimed in the same pass
-    val orphanChunks = payloads.select($"chunkKey")
+    // are reclaimed in the same pass; distinct on the payload side because
+    // a duplicated-and-orphaned key must be deleted (and reported) once
+    val orphanChunks = payloads.select($"chunkKey").distinct()
       .join(objmap.select($"chunkKey").distinct(), Seq("chunkKey"), "left_anti")
       .as[String].collect().toSeq
     if (orphanChunks.nonEmpty) store.delete(orphanChunks)
-    // duplicate payload rows (two racing ingests that both won their CAS
-    // on different tables can append the same chunkKey twice — documented
-    // out of contract, but reconstruction would concatenate the chunk
-    // twice, so repair heals it): keep one exemplar per key. Payloads for
-    // one key are byte-identical by construction (SHA-256 content key),
-    // so any exemplar is correct.
-    val dupKeys = payloads.groupBy($"chunkKey").agg(count(lit(1)).as("n"))
-      .filter($"n" > 1).select($"chunkKey").as[String].collect().toSeq
-    if (dupKeys.nonEmpty) store.dedupe(dupKeys) // atomic for the parquet store
+    // duplicate payload rows: detection and healing live behind the store
+    // seam (the flat-file store skips even the scan — one file per key)
+    val healed = store.healDuplicates()
     // staging dirs a killed writeStream never cleaned (its finally block
     // died with it) — can hold up to the whole object's spooled bytes and
     // no table-level vacuum ever sees them
@@ -605,9 +602,14 @@ final class DedupeEngine(
         }
       finally s.close()
     }
-    (orphanObjs, orphanChunks)
+    RepairReport(orphanObjs, orphanChunks, healed)
   }
 }
+
+/** What [[DedupeEngine.repairIndex]] reclaimed and healed. */
+final case class RepairReport(
+    orphanObjects: Seq[String], orphanChunks: Seq[String],
+    healedDuplicates: Seq[String])
 
 /** Index lifecycle + config persistence (reference A7: InitializeIndex /
   * IsInitialized / config upsert-lookup, SqliteProvider.cs:65-149,

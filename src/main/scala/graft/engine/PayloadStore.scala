@@ -4,7 +4,6 @@ import graft.sources.VersionedTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
 /**
  * Where chunk payload bytes live — the storage-strategy seam.
@@ -39,26 +38,27 @@ trait PayloadStore {
   /** Fetch the payloads for `keys` in ONE pass (≤ 1 Spark job). */
   def fetch(keys: Seq[String]): Map[String, Array[Byte]]
 
-  /** Collapse duplicate rows for `keys` to one exemplar each (repair path —
-    * duplicates only arise from out-of-contract concurrent appends).
-    * Default is fetch→delete→re-append, which has a crash window between
-    * the two commits where the chunks are missing; stores with an atomic
-    * snapshot commit should override. */
-  def dedupe(keys: Seq[String]): Unit = {
-    if (keys.isEmpty) return
-    val exemplars = fetch(keys)
-    delete(keys)
-    append(sparkForStore.createDataFrame(
-      exemplars.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("chunkKey",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("data",
-          org.apache.spark.sql.types.BinaryType)))))
+  /** Detect and heal duplicate rows — the same chunkKey appended twice by
+    * out-of-contract concurrent writers — keeping one exemplar per key
+    * (payloads for one key are byte-identical by construction: SHA-256
+    * content keys). Returns the healed keys. The default detects via a
+    * key-only pass over read() and heals with fetch→delete→re-append
+    * (which has a crash window between the two commits); stores whose
+    * layout precludes duplicates, or that can swap the snapshot
+    * atomically, should override. */
+  def healDuplicates(): Seq[String] = {
+    val df = read()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dups = df.groupBy(col("chunkKey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("chunkKey")).as[String].collect().toSeq
+    if (dups.nonEmpty) {
+      val exemplars = fetch(dups)
+      delete(dups)
+      append(exemplars.toSeq.toDF("chunkKey", "data"))
+    }
+    dups
   }
-
-  /** Session for default-method frame construction. */
-  protected def sparkForStore: SparkSession
 }
 
 /**
@@ -89,15 +89,18 @@ final class ParquetPayloadStore(spark: SparkSession, path: String)
   override def delete(keys: Seq[String]): Unit =
     table.deleteKeys("chunkKey", keys)
 
-  /** Atomic dedupe: ONE snapshot commit replaces the table with a
-    * per-chunkKey-distinct copy — no crash window where chunks are missing
-    * (the trait default's delete→append has one). Repair-frequency op, so
-    * the O(table) publish is acceptable. */
-  override def dedupe(keys: Seq[String]): Unit =
-    if (keys.nonEmpty)
+  /** Atomic dup healing: detection is a chunkKey-only scan (column-pruned —
+    * never touches payload bytes), and the heal is ONE snapshot commit
+    * replacing the table with a per-chunkKey-distinct copy — no crash
+    * window where chunks are missing (the trait default's delete→append
+    * has one). Repair-frequency op, so the O(table) publish is acceptable. */
+  override def healDuplicates(): Seq[String] = {
+    val dups = table.read().groupBy($"chunkKey").count().filter($"count" > 1)
+      .select($"chunkKey").as[String].collect().toSeq
+    if (dups.nonEmpty)
       table.publish(read().dropDuplicates("chunkKey").sortWithinPartitions("chunkKey"))
-
-  override protected def sparkForStore: SparkSession = spark
+    dups
+  }
 
   /** One filtered scan for the whole key set: an IN predicate (pushed to the
     * parquet scan, where the ingest-time chunkKey sort makes row-group
@@ -155,8 +158,7 @@ final class FlatFilePayloadStore(spark: SparkSession, dir: String)
       k -> Files.readAllBytes(Paths.get(dir, k))
     }.toMap
 
-  /** One file per key: duplicates cannot exist, dedupe is a no-op. */
-  override def dedupe(keys: Seq[String]): Unit = ()
-
-  override protected def sparkForStore: SparkSession = spark
+  /** One file per key: duplicates are structurally impossible — skip even
+    * the detection scan (read() here materializes payload bytes). */
+  override def healDuplicates(): Seq[String] = Nil
 }

@@ -183,19 +183,32 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
 
   /** Convert missing-file failures from reading segments a concurrent
     * writer retired mid-operation into the clean retryable conflict the
-    * multi-writer contract promises. */
+    * multi-writer contract promises. Walks the CAUSE CHAIN: an executor-side
+    * FileNotFoundException surfaces driver-side wrapped in SparkException,
+    * and a bare type match would leak it as a non-retryable error. */
   private def asConflict[T](op: String)(body: => T): T =
     try body
     catch {
-      case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
-        throw new CommitConflictException(
-          s"$op on $path raced a concurrent writer's segment retirement; re-read and retry")
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage != null && (e.getMessage.contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("Path does not exist")) =>
+      case e: Throwable if causeChain(e).exists(isMissingFile) =>
         throw new CommitConflictException(
           s"$op on $path raced a concurrent writer's segment retirement; re-read and retry")
     }
+
+  private def causeChain(e: Throwable): Seq[Throwable] = {
+    val out = Seq.newBuilder[Throwable]
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 16) { out += cur; cur = cur.getCause; depth += 1 }
+    out.result()
+  }
+
+  private def isMissingFile(t: Throwable): Boolean = t match {
+    case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException => true
+    case a: org.apache.spark.sql.AnalysisException =>
+      a.getMessage != null && (a.getMessage.contains("PATH_NOT_FOUND") ||
+        a.getMessage.contains("Path does not exist"))
+    case _ => false
+  }
 
   private def dirBytes(p: java.nio.file.Path): Long =
     if (Files.isDirectory(p)) listDir(p).map(dirBytes).sum

@@ -261,12 +261,12 @@ class DedupeEngineSpec extends SparkSpec {
     objectsTable.armed = true
     intercept[RuntimeException](
       e.writeStream("doomed", new java.io.ByteArrayInputStream(data), batchBytes = 4096L))
-    val (objs, chunks) = e.repairIndex()
-    assert(objs == Seq("doomed"))
-    assert(chunks.nonEmpty, "the doomed object's unshared chunks must be reclaimed")
+    val r = e.repairIndex()
+    assert(r.orphanObjects == Seq("doomed"))
+    assert(r.orphanChunks.nonEmpty, "the doomed object's unshared chunks must be reclaimed")
     assert(e.indexStats() === statsBefore, "derived stats re-tighten to the pre-crash state")
     assert(java.util.Arrays.equals(e.get("survivor").get, survivor), "repair never touches live data")
-    assert(e.repairIndex() === ((Seq.empty, Seq.empty)), "repair is idempotent")
+    assert(e.repairIndex() === RepairReport(Nil, Nil, Nil), "repair is idempotent")
   }
 
   test("repairIndex heals duplicate payload rows from out-of-contract concurrent appends") {
@@ -283,7 +283,7 @@ class DedupeEngineSpec extends SparkSpec {
     val bytes = rogue.fetch(Seq(k))(k)
     rogue.append(Seq((k, bytes)).toDF("chunkKey", "data"))
     assert(e.payloads.filter(_.chunkKey == k).count() === 2, "the dup must exist for this test to bite")
-    e.repairIndex()
+    assert(e.repairIndex().healedDuplicates === Seq(k), "the healed key must be reported")
     assert(e.payloads.filter(_.chunkKey == k).count() === 1, "exactly one exemplar survives")
     assert(java.util.Arrays.equals(e.get("obj").get, data), "object reads correctly after healing")
   }
