@@ -41,6 +41,7 @@ object SparkEntry {
     "q5_region_revenue" -> (AnalyticsQueries.q5RegionRevenue _),
     "q10_returned_revenue" -> (AnalyticsQueries.q10ReturnedRevenue _),
     "q18_large_orders" -> (AnalyticsQueries.q18LargeOrders _),
+    "q14_promo_share" -> (AnalyticsQueries.q14PromoShare _),
     "q7_volume_shipping" -> (AnalyticsQueries.q7VolumeShipping _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
@@ -186,6 +187,16 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2, 3, 4, 5 HAVING sum(l_quantity) > 250
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
+        |  round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,

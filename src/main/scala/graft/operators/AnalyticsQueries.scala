@@ -132,6 +132,27 @@ object AnalyticsQueries {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q14-shaped conditional aggregation: PROMO revenue share per ship
+    * month — filtered numerator and full denominator from ONE pass over the
+    * join (a correlated-subquery formulation would scan the facts twice).
+    * Part dim broadcast; the ratio is one IEEE divide over decimal-exact
+    * double sums, so the answer is partition-count independent. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val l = t(spark, dir, "lineitem")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+      .agg(
+        moneySumExpr(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0)))
+          .as("promo_revenue"),
+        moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4))
+      .orderBy("ship_month")
+  }
+
   /** Window ranking: top-3 parts by revenue within each brand. */
   def w1TopPerBrand(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")
