@@ -90,7 +90,14 @@ final case class IndexStats(
  * than silent, matching the reference's writer locks
  * (SqliteProvider.cs:29-30). On a conflict, retry the whole ingest/delete:
  * its dedupe decisions (payload left-anti, duplicate-key checks) were
- * derived from a snapshot another writer has since advanced.
+ * derived from a snapshot another writer has since advanced. Concurrent
+ * ingests of DIFFERENT keys never conflict on the index tables (pure
+ * appends), and the one anomaly they can produce — the same chunkKey
+ * appended to payloads by both, each having passed its left-anti against
+ * the same stale snapshot — is contained: every read path resolves map
+ * rows through a per-chunkKey exemplar, so `get`/`getStream`/
+ * `reconstructAll` return correct bytes THROUGH the duplicate window, and
+ * [[repairIndex]] merely reclaims the wasted bytes afterwards.
  */
 final class DedupeEngine(
     val spark: SparkSession, basePath: String,
@@ -441,6 +448,16 @@ final class DedupeEngine(
     val parts = objmap.filter($"objectKey" === key)
       .join(payloads, Seq("chunkKey"))
       .select($"chunkAddress", $"data")
+      // out-of-contract concurrent ingests can leave the SAME chunkKey at
+      // two payload versions (both passed their left-anti against one stale
+      // snapshot); each map row must then resolve to ONE exemplar or the
+      // join doubles the chunk. chunkAddress is unique per object (the
+      // tiling invariant), and payloads for one key are byte-identical
+      // (SHA-256 content keys), so any survivor is correct. Post-join on
+      // the point path: dedupes this object's few rows — never forces an
+      // exchange of the whole payload table the way a pre-join
+      // dropDuplicates("chunkKey") would here.
+      .dropDuplicates("chunkAddress")
       .orderBy($"chunkAddress")
       .collect()
     val out = new java.io.ByteArrayOutputStream()
@@ -492,7 +509,12 @@ final class DedupeEngine(
   def reconstructAll(keys: Option[Seq[String]] = None): Dataset[(String, Array[Byte])] = {
     val m = keys.fold(objmap.toDF())(ks =>
       objmap.join(spark.createDataset(ks).toDF("objectKey"), Seq("objectKey"), "left_semi"))
-    m.join(payloads, Seq("chunkKey"))
+    // exemplar view: concurrent-ingest races can duplicate a chunkKey across
+    // payload versions; deduping the payload side BEFORE the join costs no
+    // extra shuffle — the dedupe's exchange+sort on chunkKey is exactly the
+    // distribution the sort-merge join requires, so Catalyst reuses it —
+    // and it shrinks the join's build input besides
+    m.join(payloads.dropDuplicates("chunkKey"), Seq("chunkKey"))
       .select($"objectKey", $"chunkAddress", $"data")
       .as[(String, Long, Array[Byte])]
       .groupByKey(_._1)
@@ -561,9 +583,10 @@ final class DedupeEngine(
     * debris invisible to reads — objects row lands last on ingest and
     * first on delete — so those steps only reclaim space and re-tighten
     * derived stats. Repair ALSO heals duplicate payload rows (the
-    * out-of-contract concurrent-append race), which REPAIRS the reads the
-    * duplicates had corrupted — `get` of an affected object returns the
-    * correct bytes afterwards, not the doubled chunk. Sweeps `.stage-*`
+    * out-of-contract concurrent-append race). Reads were already correct
+    * through the duplicate window — every read path resolves map rows
+    * through a per-chunkKey exemplar (see [[get]]/[[reconstructAll]]) —
+    * so healing reclaims the duplicated bytes, nothing more. Sweeps `.stage-*`
     * directories a killed writeStream left behind. Run it with no writer
     * in flight — an in-flight writeStream's staging dir must not be
     * swept. */

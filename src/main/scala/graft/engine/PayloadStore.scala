@@ -19,14 +19,29 @@ import java.nio.file.{Files, Paths}
  *
  * Contracts:
  *   - `append` receives only NEW chunk keys (the engine dedupes against
- *     `read()` before calling);
+ *     `read()` before calling). Two CONCURRENT ingests can both pass that
+ *     check against one stale snapshot and append the same key twice —
+ *     `read()` may therefore expose duplicate chunkKey rows until
+ *     [[healDuplicates]] runs. Payloads for one key are byte-identical by
+ *     construction (SHA-256 content keys), so every engine read path
+ *     resolves map rows through a per-key EXEMPLAR (post-join address
+ *     dedupe on point gets, pre-join `dropDuplicates("chunkKey")` on bulk
+ *     reconstruction) — reads stay correct through the window; healing
+ *     only reclaims the wasted bytes;
  *   - `fetch` must resolve all requested keys in one pass (at most one
- *     Spark job), never one job per key — the point-read latency contract;
- *   - `delete` removes orphaned keys (the GC path).
+ *     Spark job), never one job per key — the point-read latency
+ *     contract — and return exactly ONE payload per key (a Map, so
+ *     duplicate rows collapse structurally);
+ *   - `delete` removes ALL rows of the given chunk keys (the GC path —
+ *     duplicates of a victim key go with it).
  */
 trait PayloadStore {
 
-  /** All stored payloads as (chunkKey STRING, data BINARY). */
+  /** All stored payloads as (chunkKey STRING, data BINARY). May contain
+    * duplicate chunkKey rows after out-of-contract concurrent appends —
+    * consumers that JOIN this frame must read through a per-key exemplar
+    * (see the trait contract); key-only uses (left-anti, distinct counts)
+    * are unaffected. */
   def read(): DataFrame
 
   /** Append a batch of (chunkKey, data) rows — all keys new by contract. */
@@ -38,27 +53,17 @@ trait PayloadStore {
   /** Fetch the payloads for `keys` in ONE pass (≤ 1 Spark job). */
   def fetch(keys: Seq[String]): Map[String, Array[Byte]]
 
-  /** Detect and heal duplicate rows — the same chunkKey appended twice by
-    * out-of-contract concurrent writers — keeping one exemplar per key
-    * (payloads for one key are byte-identical by construction: SHA-256
-    * content keys). Returns the healed keys. The default detects via a
-    * key-only pass over read() and heals with fetch→delete→re-append
-    * (which has a crash window between the two commits); stores whose
-    * layout precludes duplicates, or that can swap the snapshot
-    * atomically, should override. */
-  def healDuplicates(): Seq[String] = {
-    val df = read()
-    val spark = df.sparkSession
-    import spark.implicits._
-    val dups = df.groupBy(col("chunkKey")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).select(col("chunkKey")).as[String].collect().toSeq
-    if (dups.nonEmpty) {
-      val exemplars = fetch(dups)
-      delete(dups)
-      append(exemplars.toSeq.toDF("chunkKey", "data"))
-    }
-    dups
-  }
+  /** Detect and remove duplicate rows — the same chunkKey appended twice by
+    * concurrent writers racing one stale snapshot — keeping one exemplar
+    * per key; returns the healed keys. ABSTRACT ON PURPOSE: against this
+    * trait's generic surface the only possible generic heal is
+    * fetch→delete→re-append (a crash between those commits loses the
+    * chunk) or append-then-delete (delete is by key, so it would take the
+    * fresh exemplar too). Neither is safe, so each store must heal with
+    * its own atomic primitive — one-commit snapshot swap
+    * ([[ParquetPayloadStore]]), structural impossibility
+    * ([[FlatFilePayloadStore]]), or equivalent. */
+  def healDuplicates(): Seq[String]
 }
 
 /**

@@ -25,9 +25,12 @@ trait TableStore {
     * per-segment key stats override this to touch only intersecting
     * segments; the default is a full filtered rewrite. */
   def deleteKeys(keyCol: String, keys: Seq[String]): Unit =
-    if (keys.nonEmpty)
-      publish(read().filter(
-        !org.apache.spark.sql.functions.col(keyCol).isInCollection(keys)))
+    if (keys.nonEmpty) {
+      val c = org.apache.spark.sql.functions.col(keyCol)
+      // !isInCollection is NULL for a null key (three-valued logic) — keep
+      // null-key rows explicitly or they'd be deleted along with the victims
+      publish(read().filter(c.isNull || !c.isInCollection(keys)))
+    }
 }
 
 /**

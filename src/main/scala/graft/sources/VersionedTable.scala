@@ -231,12 +231,21 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
   override def deleteKeys(keyCol: String, keys: Seq[String]): Unit = {
     if (keys.isEmpty) return
     val (v, segs) = currentSnapshot()
-    val (touched, untouched) = segs.partition(s => keys.exists(s.mayContain))
+    // segment stats were computed over statsCol — pruning on any OTHER
+    // column would silently skip segments that hold victims, so a
+    // mismatched keyCol degrades to touching every segment (correct, just
+    // unpruned) instead of a wrong answer
+    val (touched, untouched) =
+      if (statsCol.contains(keyCol)) segs.partition(s => keys.exists(s.mayContain))
+      else (segs, Seq.empty[Segment])
     if (touched.isEmpty) return // no segment can hold a victim: free no-op
     asConflict("targeted delete") {
       val survivors = spark.read.schema(schema)
         .parquet(touched.map(s => dir.resolve(s.name).toString): _*)
-        .filter(!col(keyCol).isInCollection(keys))
+        // !isInCollection is NULL (not true) for a null key under SQL
+        // three-valued logic — keep null-key rows explicitly or they would
+        // vanish along with the victims
+        .filter(col(keyCol).isNull || !col(keyCol).isInCollection(keys))
       commit(v, untouched, survivors)
     }
   }
@@ -310,7 +319,11 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     // plus their segments referenced by neither the new nor the base
     // version. Unreferenced crash debris is left for vacuum(): deleting any
     // not-yet-claimed segment here could race an in-flight writer.
-    val live = (segs ++ (if (v >= 0) segments(v) else Nil)).map(_.name).toSet
+    // tolerant read: a faster writer that already committed next+1 retires
+    // manifest v — this commit's claim LANDED, so a missing base manifest
+    // must degrade to "nothing extra to keep", never surface as a failure
+    // (the caller would retry a commit that succeeded, duplicating rows)
+    val live = (segs ++ (if (v >= 0) segmentsIfExists(v) else Nil)).map(_.name).toSet
     listDir(dir).foreach { p =>
       p.getFileName.toString match {
         case ManifestName(n) if n.toLong < v =>

@@ -42,8 +42,14 @@ object EventStreamOps {
       if (java.nio.file.Files.isRegularFile(p)) {
         stagedDirs.computeIfAbsent(path, _ => {
           val d = java.nio.file.Files.createTempDirectory("graft-stream")
-          java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+          val staged = d.resolve(p.getFileName)
+          java.nio.file.Files.copy(p, staged)
+          // register the FILE too: File.delete on a non-empty dir is a
+          // silent no-op, so the dir registration alone would leak the copy.
+          // deleteOnExit runs in REVERSE registration order — dir first here,
+          // so at exit the file goes first and the then-empty dir second.
           d.toFile.deleteOnExit()
+          staged.toFile.deleteOnExit()
           d.toString
         })
       } else path
@@ -212,10 +218,15 @@ object EventStreamOps {
     // later files' events from any watermarked transform (the cap belongs
     // only on genuinely unbounded readEventStream sources)
     val (staged, n) = stageReplay(dir)
-    val q = transform(replayStream(spark, staged, n))
-      .writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    try {
+      val q = transform(replayStream(spark, staged, n))
+        .writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      // memory sink holds the materialized rows — the staged parquet copies
+      // are dead weight once the query stops; leaving them to deleteOnExit
+      // would leak a full snapshot copy per run for the JVM's lifetime
+      spark.table(name)
+    } finally deleteStagingDir(staged)
   }
 
   /** Stage a finite replay (one parquet file or a directory tree of part
@@ -227,9 +238,27 @@ object EventStreamOps {
     * silently empty stream would read as "no events", not as the layout
     * mistake it is. */
   private def stageReplay(path: String): (java.nio.file.Path, Long) = {
-    val src = java.nio.file.Paths.get(path)
     val d = java.nio.file.Files.createTempDirectory("graft-stream-replay")
-    d.toFile.deleteOnExit()
+    try stageReplayInto(path, d)
+    catch { case e: Throwable => deleteStagingDir(d); throw e }
+  }
+
+  /** Recursively remove a staging dir — File.delete on a non-empty dir is a
+    * silent no-op, so a flat delete (or deleteOnExit on the dir alone) would
+    * leak every staged copy under java.io.tmpdir forever. */
+  private def deleteStagingDir(d: java.nio.file.Path): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().forEachRemaining(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(d)
+  }
+
+  private def stageReplayInto(path: String, d: java.nio.file.Path): (java.nio.file.Path, Long) = {
+    val src = java.nio.file.Paths.get(path)
     var staged = 0L
     if (java.nio.file.Files.isRegularFile(src)) {
       if (!src.toString.endsWith(".parquet"))
@@ -305,6 +334,13 @@ object EventStreamOps {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (d, staged) = stageReplay(path)
+    try runAppendStaged(spark, d, staged, name, transform, flushTail)
+    finally deleteStagingDir(d)
+  }
+
+  private def runAppendStaged(spark: SparkSession, d: java.nio.file.Path,
+      staged: Long, name: String, transform: DataFrame => DataFrame,
+      flushTail: Boolean): DataFrame = {
     val q = transform(replayStream(spark, d, staged))
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName(name).start()
@@ -315,7 +351,7 @@ object EventStreamOps {
           .agg(max("ts")).head()
         if (maxRow.isNullAt(0))
           throw new IllegalArgumentException(
-            s"runToMemoryAppend: no rows in events source '$path'; nothing to flush")
+            s"runToMemoryAppend: no rows in staged events source '$d'; nothing to flush")
         val maxNs = maxRow.getLong(0)
         // one year past the last event, in nanos: beyond any watermark
         // delay + window width a transform here uses. TWO flush batches:

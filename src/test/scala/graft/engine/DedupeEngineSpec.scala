@@ -288,6 +288,61 @@ class DedupeEngineSpec extends SparkSpec {
     assert(java.util.Arrays.equals(e.get("obj").get, data), "object reads correctly after healing")
   }
 
+  test("racing ingests sharing chunks: reads are correct IMMEDIATELY, repair only reclaims bytes") {
+    val dir = Files.createTempDirectory("graft-race").toString
+    val settings = DedupeSettings(256, 2048, 8, 1)
+    val data = randomBytes(6000, 77) // same content under two keys: every chunk shared
+    // Engine B is a plain second writer on the same index. Engine A's payload
+    // store is wrapped so that A's FIRST payload append lets B's whole ingest
+    // run first — the exact interleaving where BOTH ingests have already
+    // derived their payload left-anti from the same stale snapshot (A's plan
+    // was resolved before B committed), so A re-appends every chunk B just
+    // stored. This drives the duplicate window through the REAL ingest path,
+    // not a hand-built post-race state.
+    val engineB = new DedupeEngine(spark, dir, settings)
+    val inner = new ParquetPayloadStore(spark, s"$dir/payloads")
+    var raced = false
+    val racingStore = new PayloadStore {
+      def read() = inner.read()
+      def delete(keys: Seq[String]) = inner.delete(keys)
+      def fetch(keys: Seq[String]) = inner.fetch(keys)
+      def healDuplicates() = inner.healDuplicates()
+      def append(payloads: org.apache.spark.sql.DataFrame): Unit = {
+        if (!raced) { raced = true; engineB.ingest(Seq("objB" -> data)) }
+        inner.append(payloads) // left-anti side resolved pre-race: duplicates land
+      }
+    }
+    val engineA = new DedupeEngine(spark, dir, settings, payloadStore = Some(racingStore))
+    engineA.ingest(Seq("objA" -> data))
+    assert(raced, "the race hook must have fired")
+    import spark.implicits._
+    val dupKeys = engineA.payloads.groupBy($"chunkKey").count()
+      .filter($"count" > 1).count()
+    assert(dupKeys > 0, "the race must actually produce duplicate payload rows, or this test is vacuous")
+    // reads are correct THROUGH the duplicate window — no repair has run
+    assert(java.util.Arrays.equals(engineA.get("objA").get, data),
+      "get(objA) must not return doubled chunks during the duplicate window")
+    assert(java.util.Arrays.equals(engineA.get("objB").get, data),
+      "get(objB) must not return doubled chunks during the duplicate window")
+    val streamed = {
+      val out = new java.io.ByteArrayOutputStream()
+      engineA.getStream("objA").get.foreach(out.write)
+      out.toByteArray
+    }
+    assert(java.util.Arrays.equals(streamed, data), "getStream must read through the exemplar too")
+    val rebuilt = engineA.reconstructAll().collect().toMap
+    assert(rebuilt.keySet === Set("objA", "objB"))
+    assert(java.util.Arrays.equals(rebuilt("objA"), data) &&
+      java.util.Arrays.equals(rebuilt("objB"), data),
+      "bulk reconstruction must dedupe the payload side before the join")
+    // repair now only reclaims the duplicated bytes; reads stay identical
+    val healed = engineA.repairIndex().healedDuplicates
+    assert(healed.nonEmpty, "repair must report the reclaimed duplicate keys")
+    assert(engineA.payloads.groupBy($"chunkKey").count().filter($"count" > 1).count() === 0L)
+    assert(java.util.Arrays.equals(engineA.get("objA").get, data))
+    assert(java.util.Arrays.equals(engineA.get("objB").get, data))
+  }
+
   test("ingestDirectory rejects files beyond the single-row bound, loudly and up front") {
     val e = newEngine()
     val src = Files.createTempDirectory("graft-bound")
