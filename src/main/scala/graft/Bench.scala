@@ -19,14 +19,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // First execution compiles the plan (Janino codegen, ~1-3 s per unique
-      // plan shape — a fixed cost that amortizes to zero over a real corpus);
-      // the timed second execution measures steady-state engine throughput,
-      // re-running the full pipeline from the parquet scan. A query that
-      // throws is reported as an err entry — NEVER as a fast timing (a
-      // broken query must not read as a perf win).
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Untimed first executions compile every plan (Janino codegen, ~1-3 s
+    // per unique plan shape — a fixed cost that amortizes to zero over a
+    // real corpus); the timed pass then measures steady-state engine
+    // throughput, re-running each full pipeline from the parquet scan.
+    sorted.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    // The dedupe operators share one memoized candidate stage per session
+    // (docSets / verified pairs). Clear it so the TIMED pass pays that
+    // build exactly once, at the first query that needs it (x3), and later
+    // queries (x4/x7) show their real incremental cost — the sweep shape a
+    // real session runs. Without this, the warmup pass pre-fills the memo
+    // and the timed x3 would report a cache lookup as the build cost.
+    graft.operators.DedupQueries.clearMemo()
+    val results = sorted.map { case (name, fn) =>
+      // A query that throws is reported as an err entry — NEVER as a fast
+      // timing (a broken query must not read as a perf win).
       val t0 = System.nanoTime()
       val outcome: Either[String, Long] =
         try Right(fn(spark, sfDir).count())

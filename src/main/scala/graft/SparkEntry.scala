@@ -98,10 +98,11 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
-    * Omitted: a3_cdc_chunks, x4_minhash_lsh, x5_simhash_pairs, y4_fingerprint,
-    * v2_ann_lsh — they depend on Spark-side hashing (xxhash64 / CDC MD5
-    * windows) that DuckDB cannot reproduce. v3/v4 are pure decimal-mean +
-    * IEEE dot arithmetic and ARE oracled below.
+    * Omitted: a3_cdc_chunks, x5_simhash_pairs, y4_fingerprint, v2_ann_lsh —
+    * they depend on Spark-side hashing (xxhash64 / CDC MD5 windows) that
+    * DuckDB cannot reproduce. x4 IS oracled: its verified pair set is
+    * hash-independent (x3's SQL). v3/v4 are pure decimal-mean + IEEE dot
+    * arithmetic and ARE oracled below.
     */
   def oracleSql: Map[String, String] = Map(
     "a6_refcounts" ->
@@ -330,6 +331,25 @@ object SparkEntry {
         |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY 1 ORDER BY norm_key""".stripMargin,
     "x3_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // x4's OUTPUT is oracle-able even though MinHash itself is not: the
+    // emitted rows are the exact-Jaccard-VERIFIED pair set (doc_a, doc_b,
+    // jaccard), which is hash-independent — banding only generates
+    // candidates, and on near-identical dup clusters (jaccard >= 0.5 with
+    // 4x4 banding) every true pair collides in some band, so the verified
+    // set equals x3's exact set; DedupQueriesSpec pins that equality.
+    "x4_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
         |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),

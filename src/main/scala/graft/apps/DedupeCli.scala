@@ -25,6 +25,13 @@ import java.nio.file.{Files, Paths}
  */
 object DedupeCli {
 
+  /** Nonzero-exit signal from [[run]]: thrown instead of calling
+    * `sys.exit` directly so the process-level side effect stays in [[main]]
+    * and specs can assert exit codes (1 = not found, 2 = unknown command,
+    * 3 = downstream pipe failure) without killing the test JVM. */
+  private[apps] final case class CliExit(code: Int)
+      extends RuntimeException(s"exit $code")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DedupeCli <indexDir> <cmd> [args...]")
     val indexDir = args(0)
@@ -37,8 +44,11 @@ object DedupeCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try run(spark, indexDir, cmd, args.drop(2))
-    finally spark.stop()
+    val code =
+      try { run(spark, indexDir, cmd, args.drop(2)); 0 }
+      catch { case CliExit(c) => c }
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
   /** Split `--flag [value]` options (reference CLI flag style,
@@ -94,15 +104,15 @@ object DedupeCli {
               chunks.foreach(Console.out.write)
               Console.out.flush()
               if (Console.out.checkError()) {
-                Console.err.println("error writing object bytes to stdout"); sys.exit(3)
+                Console.err.println("error writing object bytes to stdout"); throw CliExit(3)
               }
-            case None => Console.err.println(s"not found: $key"); sys.exit(1)
+            case None => Console.err.println(s"not found: $key"); throw CliExit(1)
           }
         } else engine().get(key) match {
           case Some(bytes) =>
             Files.write(Paths.get(out), bytes)
             println(s"read ${bytes.length} bytes -> $out")
-          case None => Console.err.println(s"not found: $key"); sys.exit(1)
+          case None => Console.err.println(s"not found: $key"); throw CliExit(1)
         }
       case "del" =>
         val gcd = engine().delete(rest(0))
@@ -122,7 +132,7 @@ object DedupeCli {
               md.chunks.foreach(c => println(
                 f"  chunk ${c.chunkKey} len=${c.length}%7d refs=${c.refCount}"))
             }
-          case None => println(s"not found: ${pos(0)}"); sys.exit(1)
+          case None => println(s"not found: ${pos(0)}"); throw CliExit(1)
         }
       case "list" =>
         // --results = page size, --idxstart = keyset continuation
@@ -158,7 +168,7 @@ object DedupeCli {
           e.chunks.orderBy("chunkKey").collect().foreach(c =>
             println(f"  chunk ${c.chunkKey} len=${c.length}%7d refs=${c.refCount}"))
       case other =>
-        println(s"unknown command: $other"); sys.exit(2)
+        println(s"unknown command: $other"); throw CliExit(2)
     }
   }
 }

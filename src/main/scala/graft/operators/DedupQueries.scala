@@ -50,19 +50,54 @@ object DedupQueries {
     if (m == n) out else java.util.Arrays.copyOf(out, m)
   }
 
+  /** Session-scoped memo of the expensive shared stages — the per-doc
+    * shingle-set arrays and the verified near-dup pair set — keyed by
+    * (SparkContext, corpus dir). A real dedupe sweep computes pairs AND
+    * clusters in one session (the bench does too); without sharing, x7
+    * re-ran x3's whole candidate build — the costliest narrow stage in the
+    * repo — doubling the corpus pass. Entries are localCheckpointed (an
+    * un-materialized DataFrame would re-execute per action, memoizing only
+    * the plan), tiny relative to the corpus (arrays of longs / verified
+    * pairs), and FIFO-capped: dropping the reference lets Spark's
+    * ContextCleaner reclaim the checkpoint blocks. Correctness assumes a
+    * corpus dir is immutable within a session — the testdata contract, and
+    * the safe default for an immutable-input batch pipeline. */
+  private val memo = new java.util.LinkedHashMap[String, DataFrame]()
+
+  /** Drop every memoized stage. The bench calls this between its untimed
+    * codegen-warmup pass and its timed pass so the timed sweep pays the
+    * candidate build exactly ONCE, at the query that triggers it — a
+    * pre-warmed memo would report a cache lookup as x3's cost. */
+  private[graft] def clearMemo(): Unit = memo.synchronized(memo.clear())
+
+  private def memoized(spark: SparkSession, dir: String, stage: String)(
+      build: => DataFrame): DataFrame = memo.synchronized {
+    val key = s"${spark.sparkContext.applicationId}|$stage|$dir"
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      val df = build
+      memo.put(key, df)
+      if (memo.size > 16) { val it = memo.keySet.iterator; it.next(); it.remove() }
+      df
+    }
+  }
+
   /** One row per doc: `(doc_id, hs ARRAY<LONG>, n)` — the verification-side
-    * shape. Joining candidate pairs to these arrays and intersecting with
+    * shape, computed once per (session, corpus) and shared by x3/x4/x7.
+    * Joining candidate pairs to these arrays and intersecting with
     * `array_intersect` is O(|cands| * shingles), versus exploding every
     * candidate into its shingle rows and re-aggregating (which was 50x the
     * rows and dominated the pair-verification cost). */
-  private def docSets(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val hs = shingleHashes(text)
-        (id, hs, hs.length)
-      }.toDF("doc_id", "hs", "n")
-  }
+  private def docSets(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "docSets") {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val hs = shingleHashes(text)
+          (id, hs, hs.length)
+        }.toDF("doc_id", "hs", "n").localCheckpoint()
+    }
 
   /** Exact-Jaccard verification of candidate `(doc_a, doc_b)` pairs against
     * per-doc shingle-set arrays; emits pairs at or above `threshold`. */
@@ -106,11 +141,16 @@ object DedupQueries {
     * broadcastable at any corpus size; absent shingles order as rare.
     * x4 MinHash-LSH is the approximate alternative with per-doc signatures.
     */
-  def x3NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def x3NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "x3pairs") {
+      x3Build(spark, dir).localCheckpoint() // verified pairs: tiny; shared with x7
+    }
+
+  private def x3Build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val threshold = 0.5
     // per-doc shingle-set arrays: verification side + frequency source
-    val sets = docSets(spark, dir).localCheckpoint()
+    val sets = docSets(spark, dir)
     // global heavy-hitter frequencies -> broadcast rarest-first order.
     // f >= 2 because singleton shingles cannot produce a join collision:
     // ordering every repeated shingle after them packs prefixes with
@@ -176,8 +216,8 @@ object DedupQueries {
     val numBands = numHashes / rowsPerBand
     // one cached shingle pass feeds BOTH the signature flatMap and the
     // verification side (re-scanning documents would double the most
-    // expensive narrow stage)
-    val sets = docSets(spark, dir).localCheckpoint()
+    // expensive narrow stage) — and is shared with x3/x7 via the memo
+    val sets = docSets(spark, dir)
     val banded = sets.select(col("doc_id"), col("hs")).as[(Long, Array[Long])]
       .flatMap { case (id, hs) =>
         val sigs = Array.fill(numHashes)(Long.MaxValue)
@@ -221,13 +261,14 @@ object DedupQueries {
     import spark.implicits._
     val dim = 64
     val numPlanes = 16
-    val banded = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    // consumes the memoized shingle arrays: a sweep running x3..x7 in one
+    // session tokenizes the corpus ONCE, not once per operator
+    val banded = docSets(spark, dir).select(col("doc_id"), col("hs"))
+      .as[(Long, Array[Long])]
       .mapPartitions { it =>
         val planes = Array.tabulate(numPlanes, dim)((p, i) =>
           XXH64.hashLong((p.toLong << 32) | i.toLong, 11L).toDouble / 9.223372036854776e18)
-        it.flatMap { case (id, text) =>
-          val hs = shingleHashes(text)
+        it.flatMap { case (id, hs) =>
           val vec = new Array[Float](dim)
           var k = 0
           while (k < hs.length) {
@@ -288,32 +329,45 @@ object DedupQueries {
     * values.
     */
   /** Near-duplicate CLUSTERS: connected components over the exact-Jaccard
-    * pair graph (x3), by min-label propagation — every doc converges to the
-    * smallest doc_id reachable from it, which becomes the cluster id (the
-    * canonical keep-doc of a training-data dedupe sweep). Each iteration is
-    * one join + min-agg over the EDGE set only (pairs, never the corpus),
-    * with a localCheckpoint truncating lineage like the v5 k-means loop;
-    * near-dup components are tiny by construction so the loop converges in
-    * a few diameter-bounded passes. At billion-edge scale the same loop
-    * upgrades to the large-star/small-star CC variant — the per-iteration
-    * plan is already the edge-local join that algorithm needs. */
+    * pair graph (x3), by min-label propagation with POINTER HALVING — every
+    * doc converges to the smallest doc_id reachable from it, which becomes
+    * the cluster id (the canonical keep-doc of a training-data dedupe
+    * sweep). Each iteration is two edge/label-local joins + a min-agg over
+    * the EDGE set only (pairs, never the corpus), with a localCheckpoint
+    * truncating lineage like the v5 k-means loop. The halving step follows
+    * each label's own label (`doc -> label -> label-of-label`), doubling
+    * the propagated distance per pass, so convergence is O(log diameter)
+    * iterations, not O(diameter) — a 10^6-long chain needs ~20 passes, the
+    * same shape Hash-to-Min / large-star-small-star CC algorithms use
+    * (Rastogi et al., "Finding Connected Components in Map-Reduce in
+    * Logarithmic Rounds", ICDE'13). */
   def x7DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = x3NgramJaccardPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // the pair set arrives MATERIALIZED from the session memo — running
+    // pairs then clusters costs ONE candidate build, and x7 alone costs
+    // little more than its propagation loop
+    val pairs = x3NgramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val und = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
       .localCheckpoint()
     var labels = und.select(col("src").as("doc")).distinct()
       .withColumn("cluster_id", col("doc")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    val maxIters = 64 // propagation strictly lowers labels, so it MUST
-    // converge within the longest component diameter; past the cap the
-    // result would silently disagree with the transitive-closure oracle —
-    // fail loudly instead (see the guard below the loop)
+    val maxIters = 64 // labels strictly decrease and halving doubles reach
+    // per pass, so 64 covers any component diameter up to ~2^64; past the
+    // cap the result would silently disagree with the transitive-closure
+    // oracle — fail loudly instead (see the guard below the loop)
     while (changed > 0 && iter < maxIters) {
       val viaNeighbor = und.join(labels, und("dst") === labels("doc"))
         .select(col("src").as("doc"), col("cluster_id"))
-      val next = labels.select(col("doc"), col("cluster_id")).union(viaNeighbor)
+      val hop = labels.select(col("doc"), col("cluster_id")).union(viaNeighbor)
+        .groupBy("doc").agg(min("cluster_id").as("cluster_id"))
+      // pointer halving: adopt the label's OWN label. Every label is a doc
+      // present in `hop` (labels start as self and only ever move to other
+      // docs' ids via min), so the inner self-join is total; composing
+      // doc->label with label->label propagates 2^iter hops by pass `iter`.
+      val viaLabel = hop.as("l").join(hop.as("p"), col("l.cluster_id") === col("p.doc"))
+        .select(col("l.doc").as("doc"), col("p.cluster_id").as("cluster_id"))
+      val next = hop.union(viaLabel)
         .groupBy("doc").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc"))
@@ -329,10 +383,9 @@ object DedupQueries {
 
   def x5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val banded = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val hs = shingleHashes(text)
+    val banded = docSets(spark, dir).select(col("doc_id"), col("hs"))
+      .as[(Long, Array[Long])] // shared memoized shingle pass (see docSets)
+      .flatMap { case (id, hs) =>
         val votes = new Array[Int](64)
         var k = 0
         while (k < hs.length) {

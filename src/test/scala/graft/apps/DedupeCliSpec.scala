@@ -44,6 +44,59 @@ class DedupeCliSpec extends SparkSpec {
       "stdout must carry exactly the object bytes, no report line")
   }
 
+  test("write '-' ingests stdin; get '-' streams it back byte-identically (full pipe round trip)") {
+    val dir = Files.createTempDirectory("graft-cli-stdin").toString
+    DedupeEngine.create(spark, dir, DedupeSettings(256, 2048, 8, 1))
+    val r = new scala.util.Random(13)
+    val data = new Array[Byte](50000)
+    r.nextBytes(data)
+    val realIn = System.in
+    try {
+      System.setIn(new java.io.ByteArrayInputStream(data))
+      captureOut(DedupeCli.run(spark, dir, "write", Array("piped", "-")))
+    } finally System.setIn(realIn)
+    // engine-level identity: the CLI stdin path must hit the same streaming
+    // ingest as the API (chunked, not one opaque blob)
+    val e = DedupeEngine.open(spark, dir)
+    assert(java.util.Arrays.equals(e.get("piped").get, data),
+      "bytes written via CLI stdin must read back identically through the API")
+    assert(e.getMetadata("piped").get.obj.chunkCount > 1,
+      "the stdin path must chunk like the engine, not store one blob")
+    // CLI-level identity: stdin -> index -> stdout with no framing bytes
+    val out = captureRaw(DedupeCli.run(spark, dir, "get", Array("piped", "-")))
+    assert(java.util.Arrays.equals(out, data),
+      "get '-' must emit exactly the bytes write '-' consumed")
+  }
+
+  test("get '-' of a missing key exits 1; a broken downstream pipe exits 3") {
+    val dir = newIndex()
+    val missing = intercept[DedupeCli.CliExit](
+      Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream()))(
+        DedupeCli.run(spark, dir, "get", Array("nope", "-"))))
+    assert(missing.code === 1)
+    // a sink that fails mid-write (downstream pipe closed): PrintStream
+    // swallows the IOException but latches its error flag — the CLI must
+    // turn that into exit 3, never silent truncation
+    val brokenPipe = new java.io.OutputStream {
+      private var written = 0
+      override def write(b: Int): Unit = {
+        written += 1
+        if (written > 1000) throw new java.io.IOException("broken pipe")
+      }
+    }
+    val broken = intercept[DedupeCli.CliExit](
+      Console.withOut(new java.io.PrintStream(brokenPipe))(
+        DedupeCli.run(spark, dir, "get", Array("k001", "-"))))
+    assert(broken.code === 3)
+  }
+
+  test("unknown command exits 2") {
+    val dir = newIndex()
+    val e = intercept[DedupeCli.CliExit](
+      captureOut(DedupeCli.run(spark, dir, "frobnicate", Array())))
+    assert(e.code === 2)
+  }
+
   test("parseArgs splits positionals from --flags") {
     val (pos, flags) = DedupeCli.parseArgs(
       Array("pref", "--results", "7", "--idxstart", "k005", "--chunks"))

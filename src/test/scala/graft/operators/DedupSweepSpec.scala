@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Dedupe-sweep semantics the DuckDB gate can't reach alone: x7's
+  * propagation depth on a long chain, x4's verified-pair equality with the
+  * exact x3 set (the basis of its oracle bridge), and the shared candidate
+  * stage memo. */
+class DedupSweepSpec extends SparkSpec {
+
+  /** A 51-doc CHAIN corpus: doc i = 16 globally-unique tokens starting at
+    * 4i, so consecutive docs share 12 tokens → 10 of 18 distinct shingles
+    * (J = 0.556 ≥ 0.5) while docs two apart share only 6 of 22 (J = 0.27):
+    * the pair graph is exactly the path 0-1-…-50, diameter 50. */
+  private lazy val chainDir: String = {
+    val dir = Files.createTempDirectory("graft-chain").toString
+    val words = (0 until 4 * 50 + 16).map(i => s"tok$i")
+    val docs = (0 to 50).map { i =>
+      (100L + i, words.slice(4 * i, 4 * i + 16).mkString(" "))
+    }
+    import spark.implicits._
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x3 on the chain corpus finds exactly the 50 consecutive pairs") {
+    val pairs = DedupQueries.x3NgramJaccardPairs(spark, chainDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0 until 50).map(i => (100L + i, 101L + i)).toSet,
+      "corpus must induce a pure path graph or the diameter claim is void")
+  }
+
+  test("x7 collapses a diameter-50 chain into one cluster without tripping the guard") {
+    // pointer halving doubles propagation reach per pass: a 50-hop chain
+    // converges in ~log2(50)+2 iterations, far under the 64 cap — the
+    // convergence guard throwing here would fail the test by itself
+    val rows = DedupQueries.x7DupClusters(spark, chainDir).collect()
+    assert(rows.length === 51)
+    assert(rows.forall(_.getLong(1) == 100L),
+      "every doc in the chain must converge to the smallest reachable doc_id")
+  }
+
+  test("x4's verified pair set equals x3's exact pair set (the oracle bridge)") {
+    // MinHash banding only GENERATES candidates; emitted pairs are
+    // exact-Jaccard verified, so on dup clusters (near-identical docs,
+    // J >= 0.5 with 4x4 banding) the output must equal the exact set —
+    // which is why x4's oracleSql can be x3's hash-free SQL
+    val x3 = DedupQueries.x3NgramJaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val x4 = DedupQueries.x4MinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(x3.nonEmpty, "sf0.001 must contain near-dup pairs for this test to bite")
+    assert(x4 === x3)
+  }
+
+  test("the candidate stage is computed once per (session, corpus)") {
+    // the memo returns the same materialized frame, so a sweep running
+    // pairs then clusters pays ONE candidate build (the r4 perf-weak item)
+    val a = DedupQueries.x3NgramJaccardPairs(spark, sfDir)
+    val b = DedupQueries.x3NgramJaccardPairs(spark, sfDir)
+    assert(a eq b, "repeated x3 calls must hit the session memo")
+  }
+}
