@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
  * create|stats|write|get|del|list|exists|md).
  *
  * Usage:
- *   graft.apps.DedupeCli <indexDir> create [min max shift boundary]
+ *   graft.apps.DedupeCli <indexDir> create [min max shift boundary] [--bucketed]
  *   graft.apps.DedupeCli <indexDir> write <key> <file>   # '-' = stdin
  *   graft.apps.DedupeCli <indexDir> get <key> <outFile>  # '-' = stdout
  *   graft.apps.DedupeCli <indexDir> del <key>
@@ -61,6 +61,7 @@ object DedupeCli {
     while (i < rest.length) {
       rest(i) match {
         case "--chunks" => flags += ("chunks" -> "true")
+        case "--bucketed" => flags += ("bucketed" -> "true")
         case f @ ("--idxstart" | "--results") =>
           require(i + 1 < rest.length, s"$f requires a value")
           flags += (f.stripPrefix("--") -> rest(i + 1)); i += 1
@@ -71,14 +72,18 @@ object DedupeCli {
     (pos.result(), flags.result())
   }
 
-  private[apps] def run(spark: SparkSession, indexDir: String, cmd: String, rest: Array[String]): Unit = {
+  private[graft] def run(spark: SparkSession, indexDir: String, cmd: String, rest: Array[String]): Unit = {
     def engine() = DedupeEngine.open(spark, indexDir)
     cmd match {
       case "create" =>
-        val s = if (rest.length >= 4)
-          DedupeSettings(rest(0).toInt, rest(1).toInt, rest(2).toInt, rest(3).toInt)
+        // --bucketed: persist the hash-key index layout (buckets by leading
+        // key char) so deletes on content-hash object keys stay O(touched
+        // buckets); recorded in config, so later opens commit the same way
+        val (pos, flags) = parseArgs(rest)
+        val s = if (pos.length >= 4)
+          DedupeSettings(pos(0).toInt, pos(1).toInt, pos(2).toInt, pos(3).toInt)
         else DedupeSettings()
-        DedupeEngine.create(spark, indexDir, s)
+        DedupeEngine.create(spark, indexDir, s, bucketedIndex = flags.contains("bucketed"))
         println(s"created index at $indexDir with $s")
       case "write" =>
         // streamed, never whole-file bytes: bounded memory regardless of

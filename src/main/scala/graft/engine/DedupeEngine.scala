@@ -103,18 +103,29 @@ final class DedupeEngine(
     val spark: SparkSession, basePath: String,
     val settings: DedupeSettings = DedupeSettings(),
     payloadStore: Option[PayloadStore] = None,
-    indexBackend: Option[(String, org.apache.spark.sql.types.StructType) => TableStore] = None) {
+    indexBackend: Option[(String, org.apache.spark.sql.types.StructType) => TableStore] = None,
+    bucketedIndex: Boolean = false) {
 
   import spark.implicits._
 
   /** Index tables behind the [[graft.sources.TableStore]] seam (the
     * reference's DbProvider swap point, DbProvider.cs:10-155); parquet
-    * VersionedTable by default, any backend by injection. */
+    * VersionedTable by default, any backend by injection.
+    *
+    * `bucketedIndex = true` partitions each index commit by the leading
+    * character of the object key — the right call when USER keys are
+    * content hashes (a common pattern: callers of the reference often key
+    * objects by their own digest). Hash keys span the keyspace, so flat
+    * per-commit min/max stats never let a delete skip a segment; bucketing
+    * restores O(touched buckets) deletes, exactly as the payload table
+    * already does for chunkKey. Leave it false for name/time-ordered keys,
+    * where whole-commit stats are already narrow. */
   private val newTable: (String, org.apache.spark.sql.types.StructType) => TableStore =
     indexBackend.getOrElse((p, s) => new VersionedTable(spark, p, s,
       // leading key column feeds per-segment min/max stats, making deletes
       // O(intersecting segments) (objects/objmap key on objectKey)
-      statsCol = s.fieldNames.headOption.filter(Set("objectKey", "chunkKey"))))
+      statsCol = s.fieldNames.headOption.filter(Set("objectKey", "chunkKey")),
+      bucketed = bucketedIndex))
   private val objectsT = newTable(s"$basePath/objects",
     implicitly[org.apache.spark.sql.Encoder[ObjectRow]].schema)
   private val objmapT = newTable(s"$basePath/objmap",
@@ -651,24 +662,30 @@ object DedupeEngine {
   def isInitialized(basePath: String): Boolean =
     java.nio.file.Files.exists(configPath(basePath))
 
-  /** Create a new index directory, persisting the chunking params. */
+  /** Create a new index directory, persisting the chunking params and the
+    * index storage layout. Pass `bucketedIndex = true` when user object
+    * keys are content hashes — the layout choice lives with the index, so
+    * every later [[open]] commits with the same bucketing. */
   def create(spark: SparkSession, basePath: String,
-      settings: DedupeSettings = DedupeSettings()): DedupeEngine = {
+      settings: DedupeSettings = DedupeSettings(),
+      bucketedIndex: Boolean = false): DedupeEngine = {
     require(!isInitialized(basePath), s"index already initialized: $basePath")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(basePath))
-    val body = settings.toConfigMap.toSeq.sorted
+    val body = (settings.toConfigMap + ("bucketed_index" -> bucketedIndex.toString))
+      .toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
     java.nio.file.Files.write(configPath(basePath), body.getBytes("UTF-8"))
-    new DedupeEngine(spark, basePath, settings)
+    new DedupeEngine(spark, basePath, settings, bucketedIndex = bucketedIndex)
   }
 
-  /** Open an existing index with its persisted chunking params. */
+  /** Open an existing index with its persisted chunking params and layout. */
   def open(spark: SparkSession, basePath: String): DedupeEngine = {
     require(isInitialized(basePath), s"index not initialized: $basePath (create first)")
     val m = new String(java.nio.file.Files.readAllBytes(configPath(basePath)), "UTF-8")
       .linesIterator.filter(_.contains("=")).map { l =>
         val Array(k, v) = l.split("=", 2); k.trim -> v.trim
       }.toMap
-    new DedupeEngine(spark, basePath, DedupeSettings.fromConfigMap(m))
+    new DedupeEngine(spark, basePath, DedupeSettings.fromConfigMap(m),
+      bucketedIndex = m.get("bucketed_index").contains("true"))
   }
 }

@@ -4,6 +4,7 @@ import graft.core.DedupeSettings
 import graft.engine.DedupeEngine
 import org.apache.spark.sql.SparkSession
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Scratch end-to-end drive (verify recipe): ingest a real directory with
   * odd filenames through the CLI-visible surface, reconstruct, byte-diff. */
@@ -46,6 +47,32 @@ object DevDrive {
       val st2 = e.indexStats()
       println(s"[probe] afterDeletes objects=${st2.objectCount} chunks=${st2.chunkCount} " +
         s"physical=${st2.physicalBytes} (all zero expected); gcd2=${gcd2.size}")
+      // drive the bucketed-index layout through the CLI surface: create
+      // --bucketed persists the layout, a hash-keyed write commits bucketed
+      // segments, reopen + delete round-trips
+      val bidx = Files.createTempDirectory("drive-bidx").toString + "/idx"
+      graft.apps.DedupeCli.run(spark, bidx, "create", Array("256", "2048", "8", "1", "--bucketed"))
+      val cfg = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(bidx, "config.properties")), "UTF-8")
+      println(s"[probe] bucketedPersisted=${cfg.contains("bucketed_index=true")}")
+      val hk = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(ref).map("%02x".format(_)).mkString
+      val tmpFile = Files.createTempFile("drive-b", ".bin")
+      Files.write(tmpFile, ref)
+      graft.apps.DedupeCli.run(spark, bidx, "write", Array(hk, tmpFile.toString))
+      val be = DedupeEngine.open(spark, bidx)
+      val bGot = be.get(hk)
+      println(s"[probe] bucketedRoundTrip=${bGot.exists(java.util.Arrays.equals(_, ref))}")
+      val bucketDirs = Files.list(java.nio.file.Paths.get(bidx, "objects")).iterator()
+      var sawBucket = false
+      while (bucketDirs.hasNext) {
+        val p = bucketDirs.next()
+        if (Files.isDirectory(p) && Files.list(p).iterator().asScala.exists(
+            _.getFileName.toString.startsWith("__bucket="))) sawBucket = true
+      }
+      println(s"[probe] bucketedLayout=$sawBucket (objects segment partitioned by key char)")
+      be.delete(hk)
+      println(s"[probe] bucketedDelete ok objects=${be.indexStats().objectCount}")
     } finally spark.stop()
   }
 }

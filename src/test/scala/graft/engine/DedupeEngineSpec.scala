@@ -158,6 +158,57 @@ class DedupeEngineSpec extends SparkSpec {
     assert(e.indexStats().objectCount === 5)
   }
 
+  test("bucketedIndex: a delete on hash-like object keys touches only the victims' index buckets") {
+    val dir = Files.createTempDirectory("graft-engine-bidx").toString
+    val e = DedupeEngine.create(spark, dir, DedupeSettings(256, 2048, 8, 1),
+      bucketedIndex = true)
+    // user keys ARE content hashes (a common caller pattern the reference
+    // anticipates) — their min/max spans the keyspace, so without bucketing
+    // every delete would rewrite every index segment
+    def hkey(i: Int): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"doc-$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 17+ hex-keyed objects pigeonhole at least one shared leading char;
+    // picking the victim from a shared bucket guarantees its replacement
+    // commit is non-empty (the surviving co-bucketed rows)
+    val objs = (1 to 20).map(i => hkey(i) -> randomBytes(3000, 200 + i))
+    e.ingest(objs)
+    val victim = objs.map(_._1).groupBy(_.head).values
+      .filter(_.size >= 2).flatten.toSeq.sorted.head
+    def fingerprints(sub: String) = fileFingerprints(s"$dir/$sub")
+    val objBefore = fingerprints("objects")
+    val mapBefore = fingerprints("objmap")
+    e.delete(victim)
+    for ((sub, before) <- Seq("objects" -> objBefore, "objmap" -> mapBefore)) {
+      val after = fingerprints(sub)
+      val survivors = before.keySet.intersect(after.keySet).filter(_.contains("seg-"))
+      assert(survivors.nonEmpty, s"$sub: non-victim buckets must survive the delete untouched")
+      for (f <- survivors)
+        assert(after(f) === before(f), s"$sub/$f was modified by an unrelated delete")
+      // the delete's replacement commit may hold ONLY the victim's
+      // one-character bucket — proof the rewrite pruned to intersecting
+      // buckets instead of rewriting the whole hash-keyed table
+      val newBucketFiles = after.keySet.diff(before.keySet).filter(_.contains("__bucket="))
+      assert(newBucketFiles.nonEmpty, s"$sub: the delete must commit a replacement bucket")
+      assert(newBucketFiles.forall(_.contains(s"__bucket=b${victim.head}")),
+        s"$sub rewrote buckets outside the victim's key range: $newBucketFiles")
+    }
+    assert(!e.exists(victim))
+    for ((k, data) <- objs if k != victim) {
+      assert(e.exists(k))
+      assert(java.util.Arrays.equals(e.get(k).get, data))
+    }
+    assert(e.indexStats().objectCount === 19)
+    // the layout choice is persisted with the index: a plain open() commits
+    // bucketed too (new objects segments carry __bucket= partition dirs)
+    val reopened = DedupeEngine.open(spark, dir)
+    val objAfterDelete = fingerprints("objects")
+    reopened.write(hkey(99), randomBytes(3000, 299))
+    val newFiles = fingerprints("objects").keySet.diff(objAfterDelete.keySet)
+    assert(newFiles.exists(_.contains("__bucket=")),
+      "reopened engine must keep committing bucketed index segments")
+    assert(reopened.indexStats().objectCount === 20)
+  }
+
   test("writeStream: bounded-memory multi-batch write round-trips and dedupes against array writes") {
     val e = newEngine()
     val data = randomBytes(50000, 71) // many 256..2048-byte chunks
