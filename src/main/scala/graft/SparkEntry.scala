@@ -81,20 +81,30 @@ object SparkEntry {
     //     deterministic stub, so the oracle re-derives its sha256 math)
     "m1_media_summary" -> (MultimodalOps.mm1MediaSummary _),
     "m2_frame_stats" -> (MultimodalOps.mm2FrameStats _),
-    // --- streaming engine driven end-to-end (rows-only: the batch forms
-    //     t1/t2 carry the oracles; the spec asserts stream == batch).
+    // --- streaming engine driven end-to-end, ORACLED: the streaming aggs
+    //     accumulate in decimal (order-independent), so the finalized
+    //     Append-mode output is bit-identical to the batch/DuckDB answer.
     //     Production Append path: incremental emit + bounded state; the
     //     drained finite source's tail windows are flushed by an explicit
-    //     watermark advance (see EventStreamOps.runToMemoryAppend).
+    //     watermark advance (see EventStreamOps.runToMemoryAppend). The
+    //     post-stream select only reshapes finalized rows for the oracle
+    //     (hour string / epoch-µs session start).
     "st1_stream_hourly" -> ((s: SparkSession, dir: String) =>
       graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
-        s"st1_${System.nanoTime()}", graft.streaming.EventStreamOps.hourlyByType)),
+        s"st1_${System.nanoTime()}", graft.streaming.EventStreamOps.hourlyByType)
+        .select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")),
     //     st2: native session_window sessions (streaming face of t2);
-    //     rows-only — spec asserts stream == batch session_window exactly
+    //     session identity for the oracle is (user_id, start epoch-µs)
     "st2_stream_sessions" -> ((s: SparkSession, dir: String) =>
       graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
         s"st2_${System.nanoTime()}", graft.streaming.EventStreamOps.sessionizeByUser)
-        .filter(org.apache.spark.sql.functions.col("user_id") >= 0)),
+        .filter(org.apache.spark.sql.functions.col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("session_start")).as("session_start_us"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start_us")),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
@@ -102,7 +112,9 @@ object SparkEntry {
     * they depend on Spark-side hashing (xxhash64 / CDC MD5 windows) that
     * DuckDB cannot reproduce. x4 IS oracled: its verified pair set is
     * hash-independent (x3's SQL). v3/v4 are pure decimal-mean + IEEE dot
-    * arithmetic and ARE oracled below.
+    * arithmetic and ARE oracled below. st1/st2 ARE oracled: the streaming
+    * aggs accumulate in decimal, so the finalized Append output is
+    * bit-identical to the equivalent batch SQL.
     */
   def oracleSql: Map[String, String] = Map(
     "a6_refcounts" ->
@@ -322,6 +334,27 @@ object SparkEntry {
         |  CAST(min(ts_s) AS BIGINT) AS session_start,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    // st1's streamed answer is the batch hourly rollup (decimal-exact sums,
+    // Append mode finalizes every window on the staged one-batch replay) —
+    // the oracle is t1's SQL
+    "st1_stream_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // st2 oracle replicates session_window MERGE semantics at µs precision:
+    // an event's [ts, ts+30min) window merges with the previous one only if
+    // they OVERLAP, so a gap of exactly 30 minutes starts a NEW session
+    // (>=, where t2's gap rule is >) — and boundaries are on raw µs, not
+    // t2's second-truncated ts
+    "st2_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |n AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS ns FROM w),
+        |s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM n)
+        |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
     "x1_exact_dup_stats" ->
       """SELECT count(*) AS total_docs, count(DISTINCT sha256(text)) AS distinct_docs,
         |  count(*) - count(DISTINCT sha256(text)) AS duplicate_docs

@@ -66,7 +66,11 @@ object EventStreamOps {
     events
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      // decimal accumulate, surface as double: bit-identical regardless of
+      // per-partition addition order, so the stream's answer is the batch
+      // (and DuckDB-oracle) answer down to the hash
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -80,7 +84,9 @@ object EventStreamOps {
     events
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      // decimal accumulate (see hourlyByType): order-independent exactness
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
