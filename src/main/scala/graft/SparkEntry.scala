@@ -63,6 +63,7 @@ object SparkEntry {
     "x5_simhash_pairs" -> (DedupQueries.x5SimhashPairs _),
     "x6_embedding_cosine" -> (DedupQueries.x6EmbeddingCosine _),
     "x7_dup_clusters" -> (DedupQueries.x7DupClusters _),
+    "x8_contamination" -> (DedupQueries.x8Contamination _),
     // --- text analysis (north_star)
     "y1_token_stats" -> (TextQueries.y1TokenStats _),
     "y2_quality_score" -> (TextQueries.y2QualityScore _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "y4_fingerprint" -> (TextQueries.y4Fingerprint _),
     "y5_json_props" -> (TextQueries.y5JsonProps _),
     "y6_bpe_tokens" -> (TextQueries.y6BpeTokens _),
+    "y7_hash_sample" -> (TextQueries.y7HashSample _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -416,6 +418,25 @@ object SparkEntry {
         |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
         |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // x8: shingle formula matches x3's (hashing preserves set identity, so
+    // shared-gram counts agree); eval slice = every 50th doc_id
+    "x8_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |ev AS (SELECT doc_id AS eval_id, g FROM e WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id AS train_id, g FROM e WHERE doc_id % 50 <> 0)
+        |SELECT train_id, eval_id, count(*) AS n_shared
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "y7_hash_sample" ->
+      """SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 AS BIGINT) AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 < 2
+        |ORDER BY doc_id""".stripMargin,
     "y1_token_stats" ->
       """WITH d AS (SELECT lang, n_chars,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)

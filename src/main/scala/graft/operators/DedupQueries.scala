@@ -381,6 +381,33 @@ object DedupQueries {
     labels.select(col("doc").as("doc_id"), col("cluster_id")).orderBy("doc_id")
   }
 
+  /** Benchmark DECONTAMINATION: which training documents leak n-grams into
+    * the held-out eval slice (here: every 50th doc_id — a stand-in for an
+    * external benchmark set)? Emits (train_id, eval_id, n_shared) for every
+    * train/eval pair sharing >= 3 distinct 3-word shingles — the standard
+    * n-gram-overlap contamination test run before training.
+    *
+    * Scale design: the eval side of a decontamination run is always small
+    * (benchmarks are thousands of docs, the corpus is billions), so its
+    * exploded gram rows BROADCAST; the train side streams through the
+    * memoized shingle pass (shared with x3/x4/x7 — a sweep tokenizes the
+    * corpus once) and the broadcast hash-semi-join discards non-matching
+    * grams inside the scan. Only matching (train_id, eval_id) long pairs
+    * ever shuffle — no text, no full gram explosion across the exchange. */
+  def x8Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sets = docSets(spark, dir)
+    val evalGrams = sets.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    val trainGrams = sets.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+    trainGrams.join(broadcast(evalGrams), "h")
+      // hs arrays are distinct per doc, so the match count IS the distinct
+      // shared-gram count (hashing preserves set identity, as in x3)
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("train_id", "eval_id")
+  }
+
   def x5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val banded = docSets(spark, dir).select(col("doc_id"), col("hs"))

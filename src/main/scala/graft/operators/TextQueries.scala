@@ -110,6 +110,24 @@ object TextQueries {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Deterministic hash sampling: a reproducible corpus split keyed on
+    * md5(doc_id) — the standard way a training pipeline carves stable
+    * train/holdout slices (re-running over a grown corpus keeps every
+    * previously-sampled doc in the same slice; no RNG state, no seed
+    * coordination across executors). The first 4 hex chars mod 10 < 2
+    * select a ~20% slice; output is per-lang slice counts plus the exact
+    * membership, so downstream joins can consume the slice directly.
+    * Fully codegen'd expressions; md5 over the decimal doc_id string has an
+    * exact DuckDB analog. */
+  def y7HashSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % 10)
+      .filter(col("bucket") < 2)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
   /** Document fingerprinting (winnowing-flavored): distinct-ordered set of
     * the k smallest shingle hashes per doc — a compact content signature
     * robust to local edits. Spark-only (seeded xxhash64 has no DuckDB

@@ -42,6 +42,42 @@ class QueryPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("x8 contamination equals a brute-force shingle-intersection count") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), DedupQueries.shingleHashes(r.getString(1)).toSet))
+    val eval = docs.filter(_._1 % 50 == 0)
+    val train = docs.filter(_._1 % 50 != 0)
+    val expected = (for {
+      (tid, ts) <- train
+      (eid, es) <- eval
+      n = ts.intersect(es).size
+      if n >= 3
+    } yield ((tid, eid), n.toLong)).toMap
+    val got = DedupQueries.x8Contamination(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === expected, "operator must equal the brute-force overlap count")
+    assert(expected.nonEmpty, "corpus must exercise the contamination path")
+  }
+
+  test("y7 hash sample is deterministic and matches a JVM md5 of the id") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 10
+    }
+    val all = Tables.t(spark, sfDir, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    val expected = all.filter(bucket(_) < 2).sorted
+    val got = TextQueries.y7HashSample(spark, sfDir).collect().map(_.getLong(0))
+    assert(got.toSeq === expected.toSeq, "slice membership must be exactly md5-derived")
+    // stable across runs (no RNG anywhere)
+    val again = TextQueries.y7HashSample(spark, sfDir).collect().map(_.getLong(0))
+    assert(again.toSeq === got.toSeq)
+    val ratio = got.length.toDouble / all.length
+    assert(ratio > 0.1 && ratio < 0.3, s"~20% slice expected, got $ratio")
+  }
+
   test("v4 IVF probes exactly one cell per query and never returns self") {
     // (this corpus' embeddings are near-random — within-label cosine ~0.004
     // vs ~-0.001 across — so recall vs brute force is a data property, not
