@@ -43,6 +43,7 @@ object SparkEntry {
     "q18_large_orders" -> (AnalyticsQueries.q18LargeOrders _),
     "q14_promo_share" -> (AnalyticsQueries.q14PromoShare _),
     "q7_volume_shipping" -> (AnalyticsQueries.q7VolumeShipping _),
+    "q13_order_distribution" -> (AnalyticsQueries.q13OrderDistribution _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
     "w3_topk_agg" -> (AnalyticsQueries.w3TopKAgg _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "y5_json_props" -> (TextQueries.y5JsonProps _),
     "y6_bpe_tokens" -> (TextQueries.y6BpeTokens _),
     "y7_hash_sample" -> (TextQueries.y7HashSample _),
+    "y8_repetition" -> (TextQueries.y8Repetition _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -223,6 +225,13 @@ object SparkEntry {
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
         |WHERE sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
@@ -437,6 +446,18 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 < 2
         |ORDER BY doc_id""".stripMargin,
+    // y8: same truncating-tail shingle formula as x3/y4's oracles
+    "y8_repetition" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT lang, [array_to_string(toks[i:i+2], ' ')
+        |  for i in generate_series(1, greatest(len(toks) - 2, 1))] AS sh FROM t),
+        |m AS (SELECT lang, len(sh) AS n_grams, len(list_distinct(sh)) AS n_distinct FROM s),
+        |r AS (SELECT lang, round(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4) AS rep_ratio FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+        |  round(avg(rep_ratio), 4) AS avg_rep_ratio,
+        |  round(max(rep_ratio), 4) AS max_rep_ratio
+        |FROM r GROUP BY 1 ORDER BY lang""".stripMargin,
     "y1_token_stats" ->
       """WITH d AS (SELECT lang, n_chars,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)

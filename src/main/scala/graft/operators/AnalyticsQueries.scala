@@ -108,6 +108,23 @@ object AnalyticsQueries {
       .orderBy(col("total_qty").desc, col("o_orderkey"))
   }
 
+  /** TPC-H Q13-shaped customer order distribution: how many customers
+    * placed exactly k orders, including k = 0 (the classic outer-join
+    * aggregation). Orders pre-aggregate to one count per custkey BEFORE
+    * the customer join (map-side combine collapses the fact side to
+    * |customers| rows), so the join never sees raw order rows; customers
+    * with no orders survive via the left join and count as 0. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"))
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    c.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** TPC-H Q7-shaped volume shipping: the cross-border revenue matrix —
     * revenue flowing from every supplier nation to every DIFFERENT customer
     * nation, split by ship year. Supplier and customer sides pre-join their

@@ -128,6 +128,32 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** Intra-document repetition scoring — the Gopher/C4-family quality rule:
+    * what fraction of a doc's 3-word shingles are repeats of an earlier
+    * shingle in the SAME doc? Boilerplate, templated spam, and decoding
+    * loops score high and get filtered before training. Pure column HOFs
+    * over the same truncating-tail shingle formula as x3/y4 (total vs
+    * distinct shingle counts), so the whole metric stays in codegen with an
+    * exact DuckDB analog; one narrow pass, one agg exchange. */
+  def y8Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    t(spark, dir, "documents")
+      .withColumn("n_grams", size(sh).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(sh)).cast("long"))
+      .withColumn("rep_ratio",
+        round((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"), 4))
+      .withColumn("flagged", (col("rep_ratio") > lit(0.2)).cast("int"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("flagged").as("flagged_docs"),
+        round(avg("rep_ratio"), 4).as("avg_rep_ratio"),
+        round(max("rep_ratio"), 4).as("max_rep_ratio"))
+      .orderBy("lang")
+  }
+
   /** Document fingerprinting (winnowing-flavored): distinct-ordered set of
     * the k smallest shingle hashes per doc — a compact content signature
     * robust to local edits. Spark-only (seeded xxhash64 has no DuckDB

@@ -78,6 +78,35 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(ratio > 0.1 && ratio < 0.3, s"~20% slice expected, got $ratio")
   }
 
+  test("y8 repetition ratio equals a brute-force shingle count per lang") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def shingles(text: String): Seq[String] = {
+      val toks = text.split(' ').toSeq
+      val n = math.max(toks.length - 2, 1)
+      (0 until n).map(i => toks.slice(i, i + 3).mkString(" "))
+    }
+    val perDoc = docs.map { case (lang, text) =>
+      val sh = shingles(text)
+      val ratio = (sh.size - sh.distinct.size).toDouble / sh.size
+      (lang, BigDecimal(ratio).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = perDoc.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.count(_._2 > 0.2).toLong,
+        rs.map(_._2).max)
+    }.toMap
+    val got = TextQueries.y8Repetition(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((lang, (n, flagged, maxR)) <- expected) {
+      val (gn, gf, gm) = got(lang)
+      assert(gn === n, s"$lang doc count")
+      assert(gf === flagged, s"$lang flagged count")
+      assert(math.abs(gm - maxR) < 1e-9, s"$lang max ratio")
+    }
+  }
+
   test("v4 IVF probes exactly one cell per query and never returns self") {
     // (this corpus' embeddings are near-random — within-label cosine ~0.004
     // vs ~-0.001 across — so recall vs brute force is a data property, not
