@@ -50,6 +50,9 @@ object SparkEntry {
     "r1_rollup" -> (AnalyticsQueries.r1Rollup _),
     "r2_cube" -> (AnalyticsQueries.r2Cube _),
     "p1_percentiles" -> (AnalyticsQueries.p1Percentiles _),
+    // p2: approx_percentile sketch (Spark-only — DuckDB's approx_quantile is
+    // a different sketch family; QueryPropertiesSpec bounds the error vs p1)
+    "p2_approx_percentiles" -> (AnalyticsQueries.p2ApproxPercentiles _),
     "s2_exact_stats" -> (AnalyticsQueries.s2ExactStats _),
     "s1_set_ops" -> (AnalyticsQueries.s1SetOps _),
     "j1_asof_join" -> (JoinQueries.j1AsofJoin _),

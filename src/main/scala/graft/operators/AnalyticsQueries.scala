@@ -264,6 +264,23 @@ object AnalyticsQueries {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_median"))
       .orderBy("l_returnflag")
 
+  /** Sketch percentiles next to the exact answer — the O(1)-state profiler
+    * path (q6 is the cardinality face of the same trade): Spark's
+    * `approx_percentile` (KLL-family quantile sketch, bounded state + exact
+    * merge) against the exact `percentile`. At 100 TB the exact form must
+    * shuffle-collect every group's values; the sketch aggregates in fixed
+    * memory with map-side partial merges. Spark-only: DuckDB's
+    * approx_quantile is a different sketch (t-digest), so the spec pins the
+    * accuracy envelope instead of an oracle. */
+  def p2ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)").as("approx_q"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("exact_q50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_price_median"))
+      .orderBy("l_returnflag")
+
   /** Moment statistics (mean/variance/correlation) from EXACT decimal sums:
     * raw-double `avg`/`var_pop`/`corr` are partition-order-dependent, so
     * instead each moment is a decimal sum (exact, order-independent) cast

@@ -32,6 +32,24 @@ class DedupeCliSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("create --bucketed persists the layout and mixes with chunking params") {
+    val dir = Files.createTempDirectory("graft-cli-bkt").toString + "/idx"
+    captureOut(DedupeCli.run(spark, dir, "create",
+      Array("256", "2048", "8", "1", "--bucketed")))
+    val cfg = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "config.properties")), "UTF-8")
+    assert(cfg.contains("bucketed_index=true"))
+    assert(cfg.contains("min_chunk_size=256"), "positional params must survive flag parsing")
+    // a write through plain open() commits bucketed segments
+    val e = DedupeEngine.open(spark, dir)
+    val data = new Array[Byte](3000)
+    new scala.util.Random(17).nextBytes(data)
+    e.write("deadbeef01", data)
+    assert(java.util.Arrays.equals(e.get("deadbeef01").get, data))
+    val segFiles = fileFingerprints(s"$dir/objects").keySet
+    assert(segFiles.exists(_.contains("__bucket=")), "objects commit must be bucketed")
+  }
+
   test("get '-' streams raw object bytes to stdout (reference stdout parity)") {
     val dir = Files.createTempDirectory("graft-cli-stdout").toString
     val e = DedupeEngine.create(spark, dir, DedupeSettings(256, 2048, 8, 1))
