@@ -20,6 +20,7 @@ import java.nio.file.{Files, Paths}
  *   graft.apps.DedupeCli <indexDir> list [prefix] [--idxstart <key>] [--results <n>]
  *   graft.apps.DedupeCli <indexDir> stats [--chunks]
  *   graft.apps.DedupeCli <indexDir> repair             # reclaim crash debris
+ *   graft.apps.DedupeCli <indexDir> compact            # sorted major compaction
  *   graft.apps.DedupeCli <indexDir> import <srcDir>    # file-per-object bulk ingest
  *   graft.apps.DedupeCli <indexDir> export <outDir>    # distributed reconstruct to files
  */
@@ -162,6 +163,9 @@ object DedupeCli {
         println(s"repaired: ${r.orphanObjects.size} orphaned object keys, " +
           s"${r.orphanChunks.size} orphaned chunks, " +
           s"${r.healedDuplicates.size} duplicated payloads healed")
+      case "compact" =>
+        engine().compactIndex()
+        println(s"compacted index at $indexDir")
       case "stats" =>
         val (_, flags) = parseArgs(rest)
         val e = engine()

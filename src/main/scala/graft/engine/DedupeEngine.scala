@@ -601,6 +601,23 @@ final class DedupeEngine(
     * directories a killed writeStream left behind. Run it with no writer
     * in flight — an in-flight writeStream's staging dir must not be
     * swept. */
+  /** LSM "major compaction" for the whole index: rewrite each table as one
+    * globally key-SORTED snapshot. Appends leave a chain of segments (the
+    * tiered fold bounds fan-in but never fully merges) whose key ranges
+    * overlap — after enough churn every delete touches most segments. A
+    * sorted single-snapshot commit gives each output file a disjoint key
+    * range, so segment stats and parquet row-group footers prune maximally
+    * again. O(table) by design; a rare, explicit maintenance op (CLI:
+    * `compact`), run with no writer in flight — same contract as
+    * [[repairIndex]]. The sort is one range-partitioned shuffle per table;
+    * at 100 TB you run it per-partition/incrementally via the same
+    * publish seam. */
+  def compactIndex(): Unit = {
+    objectsT.publish(objectsT.read().orderBy("objectKey"))
+    objmapT.publish(objmapT.read().orderBy("objectKey", "chunkPosition"))
+    store.compact()
+  }
+
   def repairIndex(): RepairReport = {
     val orphanObjs = objmap.select($"objectKey").distinct()
       .join(objects.select($"objectKey"), Seq("objectKey"), "left_anti")

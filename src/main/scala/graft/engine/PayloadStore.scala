@@ -64,6 +64,13 @@ trait PayloadStore {
     * ([[ParquetPayloadStore]]), structural impossibility
     * ([[FlatFilePayloadStore]]), or equivalent. */
   def healDuplicates(): Seq[String]
+
+  /** Rewrite storage into its most scan- and prune-friendly layout (LSM
+    * "major compaction"). Safe no-op default: stores whose layout never
+    * fragments (file-per-chunk) need nothing; segment-based stores override
+    * with a single-snapshot rewrite. Maintenance op — run with no writer in
+    * flight. */
+  def compact(): Unit = ()
 }
 
 /**
@@ -106,6 +113,13 @@ final class ParquetPayloadStore(spark: SparkSession, path: String)
       table.publish(read().dropDuplicates("chunkKey").sortWithinPartitions("chunkKey"))
     dups
   }
+
+  /** One sorted single-snapshot commit: the chunkKey sort tightens every
+    * bucket's row-group footer stats, so post-compaction point fetches and
+    * GC deletes prune maximally. Same atomic publish primitive as
+    * [[healDuplicates]] — no window where a chunk is unreadable. */
+  override def compact(): Unit =
+    table.publish(table.read().sortWithinPartitions("chunkKey"))
 
   /** One filtered scan for the whole key set: an IN predicate (pushed to the
     * parquet scan, where the ingest-time chunkKey sort makes row-group

@@ -73,6 +73,11 @@ object DevDrive {
       println(s"[probe] bucketedLayout=$sawBucket (objects segment partitioned by key char)")
       be.delete(hk)
       println(s"[probe] bucketedDelete ok objects=${be.indexStats().objectCount}")
+      // maintenance surface: sorted major compaction through the CLI
+      graft.apps.DedupeCli.run(spark, bidx, "write", Array("ffee0011", tmpFile.toString))
+      graft.apps.DedupeCli.run(spark, bidx, "compact", Array())
+      val cGot = DedupeEngine.open(spark, bidx).get("ffee0011")
+      println(s"[probe] compactRoundTrip=${cGot.exists(java.util.Arrays.equals(_, ref))}")
     } finally spark.stop()
   }
 }

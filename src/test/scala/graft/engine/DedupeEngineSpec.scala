@@ -209,6 +209,38 @@ class DedupeEngineSpec extends SparkSpec {
     assert(reopened.indexStats().objectCount === 20)
   }
 
+  test("compactIndex folds the commit chain to one sorted snapshot; reads/deletes intact") {
+    val dir = Files.createTempDirectory("graft-engine-compact").toString
+    val e = new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1))
+    val objs = (1 to 5).map(i => f"obj$i%02d" -> randomBytes(3000, 300 + i))
+    objs.foreach { case (k, d) => e.write(k, d) } // 5 separate commits
+    def topCommits(sub: String): Int = {
+      val d = java.nio.file.Paths.get(dir, sub)
+      val manifests = Files.list(d).iterator()
+      var latest: java.nio.file.Path = null
+      var maxV = -1L
+      while (manifests.hasNext) {
+        val p = manifests.next()
+        val m = "^manifest-(\\d+)\\.txt$".r.findFirstMatchIn(p.getFileName.toString)
+        m.foreach(g => if (g.group(1).toLong > maxV) { maxV = g.group(1).toLong; latest = p })
+      }
+      new String(Files.readAllBytes(latest), "UTF-8").linesIterator
+        .filter(_.nonEmpty).map(_.takeWhile(c => c != '/' && c != '\t')).toSet.size
+    }
+    assert(topCommits("objects") === 5, "each write commits its own segment")
+    val statsBefore = e.indexStats()
+    e.compactIndex()
+    assert(topCommits("objects") === 1, "compaction folds objects to one snapshot")
+    assert(topCommits("objmap") === 1, "compaction folds objmap to one snapshot")
+    assert(e.indexStats() === statsBefore, "compaction changes layout, never content")
+    for ((k, d) <- objs) assert(java.util.Arrays.equals(e.get(k).get, d))
+    // post-compaction deletes and writes keep working on the folded table
+    e.delete("obj03")
+    assert(!e.exists("obj03") && e.exists("obj01"))
+    e.write("obj99", randomBytes(2000, 399))
+    assert(e.indexStats().objectCount === 5)
+  }
+
   test("writeStream: bounded-memory multi-batch write round-trips and dedupes against array writes") {
     val e = newEngine()
     val data = randomBytes(50000, 71) // many 256..2048-byte chunks
