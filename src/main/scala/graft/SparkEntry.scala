@@ -44,6 +44,7 @@ object SparkEntry {
     "q14_promo_share" -> (AnalyticsQueries.q14PromoShare _),
     "q7_volume_shipping" -> (AnalyticsQueries.q7VolumeShipping _),
     "q13_order_distribution" -> (AnalyticsQueries.q13OrderDistribution _),
+    "q22_dormant_balance" -> (AnalyticsQueries.q22DormantBalance _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
     "w3_topk_agg" -> (AnalyticsQueries.w3TopKAgg _),
@@ -228,6 +229,18 @@ object SparkEntry {
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
         |WHERE sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // q22: average in decimal to match Spark's exact accumulate; the
+    // comparison value is then one double, identical in both engines
+    "q22_dormant_balance" ->
+      """WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin,
     "q13_order_distribution" ->
       """WITH pc AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

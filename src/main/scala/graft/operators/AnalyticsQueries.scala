@@ -125,6 +125,35 @@ object AnalyticsQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q22-shaped dormant high-balance customers: per nation, the
+    * customers whose balance beats the global positive-balance average yet
+    * placed no order since 2000 (every customer in this corpus has SOME
+    * order, so dormancy is recency-based). Composes the two remaining
+    * classic shapes: a scalar subquery (the global average computes once
+    * and broadcasts into the filter as a literal-like 1-row cross join)
+    * and a LEFT-ANTI join (customer minus recent orders on custkey — no
+    * row ever duplicates, unlike a NOT IN rewrite). The date filter is
+    * pushed to the orders scan, so the anti join's build side holds only
+    * recent custkeys. */
+  def q22DormantBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    // exact decimal accumulate, ONE cast to double, then IEEE division —
+    // the same evaluation order as the oracle's CAST(sum AS DOUBLE)/count
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("nationkey")
+  }
+
   /** TPC-H Q7-shaped volume shipping: the cross-border revenue matrix —
     * revenue flowing from every supplier nation to every DIFFERENT customer
     * nation, split by ship year. Supplier and customer sides pre-join their
