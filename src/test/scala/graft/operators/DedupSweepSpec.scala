@@ -55,6 +55,17 @@ class DedupSweepSpec extends SparkSpec {
     assert(x4 === x3)
   }
 
+  test("x8 on the chain corpus reports exactly the near-neighbor contamination") {
+    // eval slice = doc_id % 50 == 0 → docs 100 and 150 (the chain's ends).
+    // Consecutive docs share 10 distinct shingles, two-apart share 6,
+    // three-apart only 2 (< 3 threshold) — so contamination is exactly the
+    // two nearest chain neighbors of each eval doc, with known counts.
+    val got = DedupQueries.x8Contamination(spark, chainDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((101L, 100L, 10L), (102L, 100L, 6L),
+      (148L, 150L, 6L), (149L, 150L, 10L)))
+  }
+
   test("the candidate stage is computed once per (session, corpus)") {
     // the memo returns the same materialized frame, so a sweep running
     // pairs then clusters pays ONE candidate build (the r4 perf-weak item)
