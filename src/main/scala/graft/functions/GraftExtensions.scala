@@ -34,7 +34,10 @@ object GraftExtensions {
     ("cdc_chunks",
       new ExpressionInfo(classOf[CdcChunksGenerator].getName, "cdc_chunks"),
       (args: Seq[Expression]) =>
-        CdcChunksGenerator(args(0), args(1), args(2), args(3), args(4))))
+        CdcChunksGenerator(args(0), args(1), args(2), args(3), args(4))),
+    ("sorted_intersect_size",
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
 
   /** Register on an already-built session (tests, driver harness). */
   def register(spark: SparkSession): Unit =

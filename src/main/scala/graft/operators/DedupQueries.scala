@@ -23,10 +23,14 @@ import org.apache.spark.unsafe.Platform
 object DedupQueries {
   import Tables._
 
-  /** Distinct 3-word-shingle xxhash64s of a document, first-occurrence
-    * order, one tight loop (same truncating tail slices + distinct as the
-    * DuckDB oracle's list comprehension; hashing preserves set identity,
-    * so Jaccard values are unchanged barring 64-bit collisions).
+  /** Distinct 3-word-shingle xxhash64s of a document, SORTED ascending,
+    * one tight loop (same truncating tail slices + distinct as the DuckDB
+    * oracle's list comprehension; hashing preserves set identity, so
+    * Jaccard values are unchanged barring 64-bit collisions). The sort
+    * costs one primitive Arrays.sort per doc and buys the verification
+    * stage its zero-allocation two-pointer intersect
+    * ([[graft.functions.SortedIntersectSize]]) — every consumer is
+    * order-independent (set semantics).
     */
   private[graft] def shingleHashes(text: String): Array[Long] = {
     val toks = text.split(' ')
@@ -47,7 +51,9 @@ object DedupQueries {
       if (seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
-    if (m == n) out else java.util.Arrays.copyOf(out, m)
+    val trimmed = if (m == n) out else java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(trimmed)
+    trimmed
   }
 
   /** Session-scoped memo of the expensive shared stages — the per-doc
@@ -100,12 +106,16 @@ object DedupQueries {
     }
 
   /** Exact-Jaccard verification of candidate `(doc_a, doc_b)` pairs against
-    * per-doc shingle-set arrays; emits pairs at or above `threshold`. */
+    * per-doc shingle-set arrays; emits pairs at or above `threshold`.
+    * Intersection via the codegen'd two-pointer merge over the sorted
+    * arrays — `size(array_intersect(...))` builds a boxed hash set per row
+    * and dominated the sweep once candidates reached ~10^5. */
   private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(col("ha"), col("hb")))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

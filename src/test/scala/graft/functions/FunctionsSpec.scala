@@ -21,6 +21,30 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-4))
   }
 
+  test("sorted_intersect_size equals size(array_intersect) on sorted distinct arrays") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // random sorted-distinct long sets with forced overlaps, plus edge cases
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 200).map { _ =>
+      val common = Array.fill(rnd.nextInt(20))(rnd.nextLong())
+      val a = (common ++ Array.fill(rnd.nextInt(30))(rnd.nextLong())).distinct.sorted
+      val b = (common ++ Array.fill(rnd.nextInt(30))(rnd.nextLong())).distinct.sorted
+      (a, b)
+    } :+ ((Array.empty[Long], Array(1L, 2L))) :+ ((Array(5L), Array(5L)))
+    val df = rows.toDF("a", "b")
+    val checked = df.select(
+      SortedIntersectSize.sortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(checked.filter(col("fast") =!= col("ref")).isEmpty,
+      "two-pointer merge must equal the built-in intersect size")
+    // SQL registration + interpreted path (eval) via a literal-free filter
+    df.createOrReplaceTempView("sis_t")
+    val viaSql = spark.sql(
+      "SELECT sorted_intersect_size(a, b) AS s, size(array_intersect(a, b)) AS r FROM sis_t")
+    assert(viaSql.filter(col("s") =!= col("r")).isEmpty)
+  }
+
   test("cdc_chunks generator matches the Chunker on the same payload") {
     GraftExtensions.register(spark)
     spark.read.parquet(s"$sfDir/documents.parquet")
