@@ -21,6 +21,7 @@ import java.nio.file.{Files, Paths}
  *   graft.apps.DedupeCli <indexDir> stats [--chunks]
  *   graft.apps.DedupeCli <indexDir> repair             # reclaim crash debris
  *   graft.apps.DedupeCli <indexDir> compact            # sorted major compaction
+ *   graft.apps.DedupeCli <indexDir> vacuum             # sweep crash debris
  *   graft.apps.DedupeCli <indexDir> import <srcDir>    # file-per-object bulk ingest
  *   graft.apps.DedupeCli <indexDir> export <outDir>    # distributed reconstruct to files
  */
@@ -166,6 +167,9 @@ object DedupeCli {
       case "compact" =>
         engine().compactIndex()
         println(s"compacted index at $indexDir")
+      case "vacuum" =>
+        engine().vacuumIndex()
+        println(s"vacuumed index at $indexDir")
       case "stats" =>
         val (_, flags) = parseArgs(rest)
         val e = engine()

@@ -618,6 +618,18 @@ final class DedupeEngine(
     store.compact()
   }
 
+  /** Sweep storage debris no snapshot references — segment directories a
+    * crashed writer wrote but never claimed, stale temp manifests. Commits
+    * already retire superseded segments as they go; vacuum only reclaims
+    * what a crash orphaned. Run with no writer in flight (an in-flight
+    * writer's fresh segment is unreferenced until its claim lands). CLI:
+    * `vacuum`. */
+  def vacuumIndex(): Unit = {
+    objectsT.vacuum()
+    objmapT.vacuum()
+    store.vacuum()
+  }
+
   def repairIndex(): RepairReport = {
     val orphanObjs = objmap.select($"objectKey").distinct()
       .join(objects.select($"objectKey"), Seq("objectKey"), "left_anti")

@@ -71,6 +71,11 @@ trait PayloadStore {
     * with a single-snapshot rewrite. Maintenance op — run with no writer in
     * flight. */
   def compact(): Unit = ()
+
+  /** Sweep storage debris unreachable from any live snapshot (crashed
+    * writers' never-claimed segments). Safe no-op default; maintenance op —
+    * run with no writer in flight. */
+  def vacuum(): Unit = ()
 }
 
 /**
@@ -120,6 +125,8 @@ final class ParquetPayloadStore(spark: SparkSession, path: String)
     * [[healDuplicates]] — no window where a chunk is unreadable. */
   override def compact(): Unit =
     table.publish(table.read().sortWithinPartitions("chunkKey"))
+
+  override def vacuum(): Unit = table.vacuum()
 
   /** One filtered scan for the whole key set: an IN predicate (pushed to the
     * parquet scan, where the ingest-time chunkKey sort makes row-group

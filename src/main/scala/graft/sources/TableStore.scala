@@ -20,6 +20,12 @@ trait TableStore {
   def append(df: DataFrame): Unit
   /** Full-snapshot commit (delete/compaction path). */
   def publish(df: DataFrame): Unit
+  /** Sweep storage debris unreachable from any live snapshot (crashed
+    * writers' never-claimed segments, stale temp files). Safe no-op
+    * default: backends without such debris need nothing. Maintenance op —
+    * run with no writer in flight. */
+  def vacuum(): Unit = ()
+
   /** Remove rows whose `keyCol` value is in `keys` — the row-delete path
     * (reference semantics: SqliteProvider.cs:522-523). Backends with
     * per-segment key stats override this to touch only intersecting

@@ -339,7 +339,7 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     * manifest and stale temp manifests. Maintenance op — run only while no
     * writer is in flight (a racing writer's fresh segment is unreferenced
     * until its claim lands). */
-  def vacuum(): Unit = {
+  override def vacuum(): Unit = {
     val v = currentVersion
     val live = (segmentsIfExists(v) ++ segmentsIfExists(v - 1)).map(_.name).toSet
     // a bucketed commit's entries are subdirs — the top-level dir is live

@@ -78,6 +78,9 @@ object DevDrive {
       graft.apps.DedupeCli.run(spark, bidx, "compact", Array())
       val cGot = DedupeEngine.open(spark, bidx).get("ffee0011")
       println(s"[probe] compactRoundTrip=${cGot.exists(java.util.Arrays.equals(_, ref))}")
+      graft.apps.DedupeCli.run(spark, bidx, "vacuum", Array())
+      val vGot = DedupeEngine.open(spark, bidx).get("ffee0011")
+      println(s"[probe] vacuumRoundTrip=${vGot.exists(java.util.Arrays.equals(_, ref))}")
     } finally spark.stop()
   }
 }

@@ -241,6 +241,35 @@ class DedupeEngineSpec extends SparkSpec {
     assert(e.indexStats().objectCount === 5)
   }
 
+  test("vacuumIndex sweeps unreferenced crash debris and nothing else") {
+    val dir = Files.createTempDirectory("graft-engine-vac").toString
+    val e = new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1))
+    val objs = (1 to 3).map(i => f"v$i" -> randomBytes(3000, 500 + i))
+    objs.foreach { case (k, d) => e.write(k, d) }
+    // plant the debris a crashed writer leaves: a written-but-never-claimed
+    // segment dir and a stale temp manifest, in an index table AND payloads
+    for (sub <- Seq("objects", "payloads")) {
+      val seg = java.nio.file.Paths.get(dir, sub, "seg-99-deadbeef")
+      Files.createDirectories(seg)
+      Files.write(seg.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+      Files.write(java.nio.file.Paths.get(dir, sub, ".manifest-99.tmp-dead"),
+        "junk\n".getBytes("UTF-8"))
+    }
+    val statsBefore = e.indexStats()
+    e.vacuumIndex()
+    for (sub <- Seq("objects", "payloads")) {
+      assert(!Files.exists(java.nio.file.Paths.get(dir, sub, "seg-99-deadbeef")),
+        s"$sub: unclaimed segment must be swept")
+      assert(!Files.exists(java.nio.file.Paths.get(dir, sub, ".manifest-99.tmp-dead")),
+        s"$sub: stale temp manifest must be swept")
+    }
+    assert(e.indexStats() === statsBefore, "vacuum never touches live data")
+    for ((k, d) <- objs) assert(java.util.Arrays.equals(e.get(k).get, d))
+    // still writable afterwards
+    e.write("v9", randomBytes(1000, 509))
+    assert(e.exists("v9"))
+  }
+
   test("writeStream: bounded-memory multi-batch write round-trips and dedupes against array writes") {
     val e = newEngine()
     val data = randomBytes(50000, 71) // many 256..2048-byte chunks
