@@ -601,6 +601,30 @@ final class DedupeEngine(
     * directories a killed writeStream left behind. Run it with no writer
     * in flight — an in-flight writeStream's staging dir must not be
     * swept. */
+  /** Run `body` with the documented conflict-retry loop: on
+    * [[graft.sources.CommitConflictException]] the whole operation re-runs
+    * against a fresh snapshot (its dedupe decisions were derived from a
+    * snapshot another writer has since advanced — re-reading is the fix,
+    * not resuming), with jittered linear backoff so N contending writers
+    * don't re-collide in lockstep. Use around `write`/`ingest`/`delete`
+    * when multiple writers share one index:
+    * {{{ engine.retryOnConflict() { engine.ingest(batch) } }}} */
+  def retryOnConflict[T](maxAttempts: Int = 8)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: graft.sources.CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"operation kept conflicting after $maxAttempts attempts", e)
+          Thread.sleep(attempt * 20L + scala.util.Random.nextInt(40))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** LSM "major compaction" for the whole index: rewrite each table as one
     * globally key-SORTED snapshot. Appends leave a chain of segments (the
     * tiered fold bounds fan-in but never fully merges) whose key ranges

@@ -241,6 +241,29 @@ class DedupeEngineSpec extends SparkSpec {
     assert(e.indexStats().objectCount === 5)
   }
 
+  test("retryOnConflict: N contending writers all land, no lost writes") {
+    val dir = Files.createTempDirectory("graft-engine-retry").toString
+    val e = new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 3).map { w =>
+      new Thread(() => {
+        try e.retryOnConflict() { e.write(s"writer-$w", randomBytes(4000, 600 + w)) }
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.isEmpty, s"every contending writer must land: ${failures.peek()}")
+    assert(e.indexStats().objectCount === 3)
+    for (w <- 1 to 3)
+      assert(java.util.Arrays.equals(e.get(s"writer-$w").get, randomBytes(4000, 600 + w)))
+    // the loop gives up loudly rather than spinning forever
+    val boom = intercept[IllegalStateException](e.retryOnConflict(maxAttempts = 2) {
+      throw new graft.sources.CommitConflictException("synthetic")
+    })
+    assert(boom.getMessage.contains("2 attempts"))
+  }
+
   test("vacuumIndex sweeps unreferenced crash debris and nothing else") {
     val dir = Files.createTempDirectory("graft-engine-vac").toString
     val e = new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1))
