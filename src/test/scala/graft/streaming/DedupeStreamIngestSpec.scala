@@ -66,4 +66,58 @@ class DedupeStreamIngestSpec extends SparkSpec {
     val lateKey = more.select("objectKey").as[String].head()
     assert(streamed.exists(lateKey))
   }
+
+  test("a mid-batch crash recovers via checkpoint replay (effectively-once through failure)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-singest-crash")
+    val streamDir = root.resolve("incoming").toString
+    val docs = graft.operators.Tables.t(spark, sfDir, "documents").limit(20)
+      .select(concat(lit("c-"), col("doc_id")).as("objectKey"),
+        col("text").cast("binary").as("data"))
+    docs.write.parquet(streamDir)
+    // engine whose OBJECTS table dies on its next append — the last commit
+    // of the ingest sequence, i.e. the narrow crash window where payload
+    // and map rows are already durable
+    final class FailingOnce(inner: graft.sources.TableStore) extends graft.sources.TableStore {
+      @volatile var armed = false
+      override def read() = inner.read()
+      override def append(df: org.apache.spark.sql.DataFrame): Unit = {
+        if (armed) { armed = false; throw new RuntimeException("simulated crash in stream batch") }
+        inner.append(df)
+      }
+      override def publish(df: org.apache.spark.sql.DataFrame): Unit = inner.publish(df)
+      override def deleteKeys(keyCol: String, keys: Seq[String]): Unit =
+        inner.deleteKeys(keyCol, keys)
+    }
+    var objectsTable: FailingOnce = null
+    val engine = new DedupeEngine(spark, root.resolve("idx").toString,
+      DedupeSettings(256, 2048, 8, 1), None,
+      Some((p, s) => {
+        val inner = new graft.sources.VersionedTable(spark, p, s,
+          statsCol = s.fieldNames.headOption.filter(Set("objectKey", "chunkKey")))
+        if (s.fieldNames.contains("originalLength")) {
+          objectsTable = new FailingOnce(inner); objectsTable
+        } else inner
+      }))
+    val ckpt = root.resolve("ckpt").toString
+    val objSrc = () => spark.readStream.schema(objSchema).parquet(streamDir)
+    objectsTable.armed = true
+    val q = DedupeStreamIngest.start(engine, objSrc(), ckpt)
+    val failed = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    assert(failed.getMessage != null)
+    assert(engine.objects.count() === 0, "crash window: no objects row committed yet")
+    // restart from the SAME checkpoint: the failed batch replays (its
+    // offsets never committed); the left-anti sees no objects rows, so the
+    // ingest re-runs and purges the orphaned map/payload debris itself
+    val q2 = DedupeStreamIngest.start(engine, objSrc(), ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val reference = new DedupeEngine(spark, root.resolve("ref-idx").toString,
+      DedupeSettings(256, 2048, 8, 1))
+    reference.ingest(docs.as[(String, Array[Byte])])
+    assert(engine.indexStats() === reference.indexStats(),
+      "replayed ingest must converge to the exact clean-run state")
+    val (k, d) = docs.as[(String, Array[Byte])].head()
+    assert(java.util.Arrays.equals(engine.get(k).get, d))
+  }
 }
