@@ -302,16 +302,7 @@ final class DedupeEngine(
       objectsT.append(spark.createDataset(Seq(
         ObjectRow(key, totalLen, totalLen, totalChunks, now))).toDF())
     } finally {
-      val d = java.nio.file.Paths.get(stage)
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val s = java.nio.file.Files.list(p)
-          try s.iterator().asScala.foreach(rm)
-          finally s.close()
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(d)
+      graft.core.FsUtil.deleteRecursively(java.nio.file.Paths.get(stage))
     }
   }
 
@@ -677,16 +668,7 @@ final class DedupeEngine(
       val s = java.nio.file.Files.list(base)
       try s.iterator().asScala
         .filter(_.getFileName.toString.startsWith(".stage-"))
-        .foreach { p =>
-          def rm(q: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(q)) {
-              val l = java.nio.file.Files.list(q)
-              try l.iterator().asScala.foreach(rm) finally l.close()
-            }
-            java.nio.file.Files.deleteIfExists(q)
-          }
-          rm(p)
-        }
+        .foreach(graft.core.FsUtil.deleteRecursively)
       finally s.close()
     }
     RepairReport(orphanObjs, orphanChunks, healed)

@@ -369,8 +369,13 @@ object DedupQueries {
     while (changed > 0 && iter < maxIters) {
       val viaNeighbor = und.join(labels, und("dst") === labels("doc"))
         .select(col("src").as("doc"), col("cluster_id"))
+      // materialized: `hop` appears THREE times in `next`'s plan (the union
+      // arm and both sides of the halving self-join) — un-checkpointed, the
+      // edge join + min-agg would re-execute per occurrence, tripling each
+      // iteration's cost and eroding the O(log d) win halving buys
       val hop = labels.select(col("doc"), col("cluster_id")).union(viaNeighbor)
         .groupBy("doc").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
       // pointer halving: adopt the label's OWN label. Every label is a doc
       // present in `hop` (labels start as self and only ever move to other
       // docs' ids via min), so the inner self-join is total; composing
@@ -397,20 +402,23 @@ object DedupQueries {
     * train/eval pair sharing >= 3 distinct 3-word shingles — the standard
     * n-gram-overlap contamination test run before training.
     *
-    * Scale design: the eval side of a decontamination run is always small
-    * (benchmarks are thousands of docs, the corpus is billions), so its
-    * exploded gram rows BROADCAST; the train side streams through the
-    * memoized shingle pass (shared with x3/x4/x7 — a sweep tokenizes the
-    * corpus once) and the broadcast hash-semi-join discards non-matching
-    * grams inside the scan. Only matching (train_id, eval_id) long pairs
-    * ever shuffle — no text, no full gram explosion across the exchange. */
+    * Scale design: in a REAL decontamination run the eval side is a
+    * bounded external benchmark set (thousands of docs against billions),
+    * and Spark/AQE broadcasts it on its own; this stand-in slice is
+    * doc_id %% 50 — 2% OF THE CORPUS, which grows with it — so the join
+    * carries no broadcast hint: small eval corpora broadcast anyway, and a
+    * corpus-proportional one falls back to a shuffled hash join instead of
+    * OOMing the driver. The train side streams through the memoized
+    * shingle pass (shared with x3/x4/x7 — a sweep tokenizes the corpus
+    * once); only gram-matched (train_id, eval_id) long pairs reach the
+    * aggregation exchange — no text, ever. */
   def x8Contamination(spark: SparkSession, dir: String): DataFrame = {
     val sets = docSets(spark, dir)
     val evalGrams = sets.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
     val trainGrams = sets.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
-    trainGrams.join(broadcast(evalGrams), "h")
+    trainGrams.join(evalGrams, "h")
       // hs arrays are distinct per doc, so the match count IS the distinct
       // shared-gram count (hashing preserves set identity, as in x3)
       .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, lit, substring, max => sqlMax, min => sqlMin}
+import org.apache.spark.sql.functions.{col, concat, count, hex, lit, substring, max => sqlMax, min => sqlMin}
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOption}
 import java.util.Base64
@@ -270,10 +270,16 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
         // delete skip a segment. Partitioning each commit by the key's
         // leading character yields sub-segments with one-character key
         // ranges — a delete then touches only the buckets its victims hash
-        // into, even on uniformly-distributed keys. ('b' prefix keeps the
-        // partition value inference-proof for digit characters.)
+        // into, even on uniformly-distributed keys. The bucket NAME is the
+        // hex of the leading char's UTF-8 bytes ('b' prefix keeps it
+        // inference-proof): user keys may start with characters Hadoop
+        // escapes in partition paths ('%', ':', '=', …), and an escaped
+        // on-disk name recorded unescaped in the manifest would make every
+        // later read miss the path — hex is alnum, never escaped, so disk
+        // and manifest always agree. Pruning is unaffected: mayContain
+        // reads the per-bucket min/max STATS, never the bucket name.
         newData
-          .withColumn("__bucket", concat(lit("b"), substring(col(c), 0, 1)))
+          .withColumn("__bucket", concat(lit("b"), hex(substring(col(c), 0, 1))))
           .write.mode("overwrite").partitionBy("__bucket").parquet(segPath.toString)
         val stats =
           try spark.read.parquet(segPath.toString) // partition col re-inferred
@@ -373,8 +379,6 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     try s.iterator().asScala.toList finally s.close()
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.core.FsUtil.deleteRecursively(p)
 }

@@ -252,16 +252,8 @@ object EventStreamOps {
   /** Recursively remove a staging dir — File.delete on a non-empty dir is a
     * silent no-op, so a flat delete (or deleteOnExit on the dir alone) would
     * leak every staged copy under java.io.tmpdir forever. */
-  private def deleteStagingDir(d: java.nio.file.Path): Unit = {
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator().forEachRemaining(rm) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(d)
-  }
+  private def deleteStagingDir(d: java.nio.file.Path): Unit =
+    graft.core.FsUtil.deleteRecursively(d)
 
   private def stageReplayInto(path: String, d: java.nio.file.Path): (java.nio.file.Path, Long) = {
     val src = java.nio.file.Paths.get(path)

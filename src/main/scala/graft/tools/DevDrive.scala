@@ -63,13 +63,13 @@ object DevDrive {
       val be = DedupeEngine.open(spark, bidx)
       val bGot = be.get(hk)
       println(s"[probe] bucketedRoundTrip=${bGot.exists(java.util.Arrays.equals(_, ref))}")
-      val bucketDirs = Files.list(java.nio.file.Paths.get(bidx, "objects")).iterator()
-      var sawBucket = false
-      while (bucketDirs.hasNext) {
-        val p = bucketDirs.next()
-        if (Files.isDirectory(p) && Files.list(p).iterator().asScala.exists(
-            _.getFileName.toString.startsWith("__bucket="))) sawBucket = true
+      def listClosed(p: java.nio.file.Path): List[java.nio.file.Path] = {
+        val s = Files.list(p)
+        try s.iterator().asScala.toList finally s.close()
       }
+      val sawBucket = listClosed(java.nio.file.Paths.get(bidx, "objects"))
+        .exists(p => Files.isDirectory(p) &&
+          listClosed(p).exists(_.getFileName.toString.startsWith("__bucket=")))
       println(s"[probe] bucketedLayout=$sawBucket (objects segment partitioned by key char)")
       be.delete(hk)
       println(s"[probe] bucketedDelete ok objects=${be.indexStats().objectCount}")

@@ -189,7 +189,8 @@ class DedupeEngineSpec extends SparkSpec {
       // buckets instead of rewriting the whole hash-keyed table
       val newBucketFiles = after.keySet.diff(before.keySet).filter(_.contains("__bucket="))
       assert(newBucketFiles.nonEmpty, s"$sub: the delete must commit a replacement bucket")
-      assert(newBucketFiles.forall(_.contains(s"__bucket=b${victim.head}")),
+      val victimBucket = s"__bucket=b${"%02X".format(victim.head.toInt)}" // hex bucket names
+      assert(newBucketFiles.forall(_.contains(victimBucket)),
         s"$sub rewrote buckets outside the victim's key range: $newBucketFiles")
     }
     assert(!e.exists(victim))

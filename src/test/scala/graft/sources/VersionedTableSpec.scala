@@ -235,13 +235,33 @@ class VersionedTableSpec extends SparkSpec {
     for ((name, fp) <- before if after.contains(name))
       assert(after(name) === fp, s"pre-existing file $name was modified")
     val rewrittenGone = (before.keySet -- after.keySet).filter(_.startsWith("seg-"))
-    assert(rewrittenGone.forall(_.contains("__bucket=bM")),
+    assert(rewrittenGone.forall(_.contains("__bucket=b4D")), // hex('M') = 4D
       s"only M-bucket entries may be retired, got $rewrittenGone")
     // fold everything and delete again: still correct after compaction
     t.compact()
     t.deleteKeys("k", Seq("Zff", "Aaa"))
     val after2 = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
     assert(after2.toSeq === Seq(("Add", 4L), ("Mee", 5L), ("Zcc", 3L)))
+  }
+
+  test("bucketed table survives keys starting with Hadoop-escaped characters") {
+    // partitionBy ESCAPES '%', ':', '=', '#' etc. in on-disk partition
+    // names; recording the unescaped value in the manifest would make every
+    // later read miss the path (PATH_NOT_FOUND) and brick the table. Hex
+    // bucket names sidestep escaping entirely — this pins it with the
+    // characters Hadoop mangles plus a multi-byte one.
+    val dir = Files.createTempDirectory("vt_bucket_esc").toString
+    val t = new VersionedTable(spark, dir, schema, statsCol = Some("k"), bucketed = true)
+    val nasty = Seq("%percent", ":colon", "=equals", "#hash", "*star", "?question",
+      "éaccent", "normal")
+    t.append(df(nasty.map(k => k -> k.length.toLong): _*))
+    val got = t.read().collect().map(_.getString(0)).sorted
+    assert(got.toSeq === nasty.sorted, "every nasty-keyed row must read back")
+    t.deleteKeys("k", Seq("%percent", "=equals"))
+    val left = t.read().collect().map(_.getString(0)).sorted
+    assert(left.toSeq === nasty.filterNot(Set("%percent", "=equals")).sorted)
+    t.append(df("%again" -> 9L))
+    assert(t.read().count() === 7)
   }
 
   test("deleteKeys range checks use UTF-8 byte order (supplementary chars don't dodge deletion)") {
@@ -283,7 +303,7 @@ class VersionedTableSpec extends SparkSpec {
       val base = f.substring(f.lastIndexOf('/') + 1)
       f.startsWith("seg-") && !base.startsWith("_") && !base.startsWith(".")
     }
-    assert(newSegFiles.nonEmpty && newSegFiles.forall(_.contains("__bucket=bA")),
+    assert(newSegFiles.nonEmpty && newSegFiles.forall(_.contains("__bucket=b41")), // hex('A')
       s"an A-key delete may write only A-bucket replacement data, got $newSegFiles")
     assert(t.read().count() === 11)
   }
