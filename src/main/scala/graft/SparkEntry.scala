@@ -45,6 +45,9 @@ object SparkEntry {
     "q7_volume_shipping" -> (AnalyticsQueries.q7VolumeShipping _),
     "q13_order_distribution" -> (AnalyticsQueries.q13OrderDistribution _),
     "q22_dormant_balance" -> (AnalyticsQueries.q22DormantBalance _),
+    "q15_top_supplier" -> (AnalyticsQueries.q15TopSupplier _),
+    "q17_small_quantity" -> (AnalyticsQueries.q17SmallQuantity _),
+    "q19_disjunctive" -> (AnalyticsQueries.q19DisjunctiveRevenue _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
     "w3_topk_agg" -> (AnalyticsQueries.w3TopKAgg _),
@@ -241,6 +244,35 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1 ORDER BY nationkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    // q17: the threshold is decimal-sum -> ONE cast -> IEEE divide/multiply,
+    // mirrored exactly on the Spark side, so the boundary compare is bitwise
+    "q17_small_quantity" ->
+      """WITH lim AS (SELECT l_partkey,
+        |  0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS qty_limit
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN lim USING (l_partkey)
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < qty_limit AND p_size <= 5""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_size BETWEEN 25 AND 50 AND l_quantity BETWEEN 20 AND 36)""".stripMargin,
     "q13_order_distribution" ->
       """WITH pc AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

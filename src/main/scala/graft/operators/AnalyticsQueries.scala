@@ -154,6 +154,64 @@ object AnalyticsQueries {
       .orderBy("nationkey")
   }
 
+  /** TPC-H Q15-shaped top supplier: the supplier(s) whose windowed revenue
+    * EQUALS the global maximum — the argmax-by-global-aggregate shape (a
+    * scalar subquery over an aggregate of an aggregate), distinct from
+    * w1's per-group top-k. One lineitem scan builds per-supplier revenue;
+    * the 1-row max broadcasts back over it; only winners join the supplier
+    * dim. Decimal-exact revenue, so "equals the max" is well-defined. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+    val best = rev.agg(max("total_revenue").as("best"))
+    rev.join(broadcast(best)).filter(col("total_revenue") === col("best"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems under 20% of their
+    * part's average quantity, restricted to small parts — the classic
+    * correlated scalar subquery, DECORRELATED into a per-part aggregate
+    * joined back to the fact (one extra lineitem aggregation instead of a
+    * per-row subquery). The threshold is computed decimal-sum-then-IEEE
+    * (one cast, one divide, one multiply) in the same order as the oracle,
+    * so the boundary comparison is bitwise-identical. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val lim = l.groupBy(col("l_partkey").as("lim_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)))).as("qty_limit"))
+    val smallParts = t(spark, dir, "part").filter(col("p_size") <= 5).select(col("p_partkey"))
+    l.join(lim, col("l_partkey") === col("lim_partkey"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    * brand/size/quantity bundles across the part join — the shape that
+    * tests predicate normalization (the common `p_partkey = l_partkey`
+    * stays a join key; per-bundle residuals evaluate post-join on the
+    * broadcast dim). One row out; decimal-exact revenue. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_size").between(25, 50) && col("l_quantity").between(20, 36)))
+      .agg(count(lit(1)).as("n_items"),
+        moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+
   /** TPC-H Q7-shaped volume shipping: the cross-border revenue matrix —
     * revenue flowing from every supplier nation to every DIFFERENT customer
     * nation, split by ship year. Supplier and customer sides pre-join their
