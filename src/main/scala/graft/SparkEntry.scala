@@ -48,6 +48,8 @@ object SparkEntry {
     "q15_top_supplier" -> (AnalyticsQueries.q15TopSupplier _),
     "q17_small_quantity" -> (AnalyticsQueries.q17SmallQuantity _),
     "q19_disjunctive" -> (AnalyticsQueries.q19DisjunctiveRevenue _),
+    "q8_market_share" -> (AnalyticsQueries.q8MarketShare _),
+    "w4_trailing_revenue" -> (AnalyticsQueries.w4TrailingRevenue _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
     "w3_topk_agg" -> (AnalyticsQueries.w3TopKAgg _),
@@ -244,6 +246,31 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1 ORDER BY nationkey""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS mkt_total,
+        |  CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_0'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE) AS nation_rev,
+        |  round(CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_0'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "w4_trailing_revenue" ->
+      """WITH daily AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, ship_date, day_revenue,
+        |  CAST(sum(CAST(day_revenue AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY ship_date
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+        |FROM daily ORDER BY l_suppkey, ship_date""".stripMargin,
     "q15_top_supplier" ->
       """WITH r AS (SELECT l_suppkey,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue

@@ -309,6 +309,58 @@ object AnalyticsQueries {
       .orderBy("l_suppkey", "ship_date")
   }
 
+  /** Trailing 7-day revenue per supplier via a RANGE frame — the
+    * value-based window shape w2's ROWS frame can't express: the frame
+    * covers a sliding six-days-back INTERVAL of the ordering value, so
+    * gaps in the calendar shrink the window instead of reaching further
+    * back. Ordered on the day ordinal (days since epoch) with
+    * rangeBetween(-6, 0); the frame sum re-exacts through decimal.
+    * Same single exchange+sort as any one-spec window. */
+  def w4TrailingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("ship_date"))
+      .agg(moneySum(col("l_extendedprice")).as("day_revenue"))
+      .withColumn("day_ord", datediff(col("ship_date"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("l_suppkey").orderBy("day_ord").rangeBetween(-6, 0)
+    daily
+      .withColumn("trailing_7d",
+        sum(col("day_revenue").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("l_suppkey", "ship_date", "day_revenue", "trailing_7d")
+      .orderBy("l_suppkey", "ship_date")
+  }
+
+  /** TPC-H Q8-shaped market share: of all revenue flowing into one region's
+    * market, what fraction is supplied by one nation, per order year — the
+    * share-of-conditional-sum shape over the full 6-way join. Both sums
+    * come from ONE pass (conditional aggregation, like q14); the share
+    * divides the two exact doubles, so the ratio is bitwise-reproducible.
+    * All dims pre-join broadcast-side; the fact shuffles once. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val custNation = t(spark, dir, "customer")
+      .join(broadcast(n.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        moneySumExpr(col("rev")).as("mkt_total"),
+        moneySumExpr(when(col("supp_nation") === "NATION_0", col("rev")).otherwise(lit(0)))
+          .as("nation_rev"))
+      .withColumn("mkt_share", round(col("nation_rev") / col("mkt_total"), 6))
+      .orderBy("o_year")
+  }
+
   /** Grouping sets: rollup over returnflag/linestatus. */
   def r1Rollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
