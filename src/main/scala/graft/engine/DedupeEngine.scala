@@ -578,20 +578,6 @@ final class DedupeEngine(
     gc
   }
 
-  /** Reclaim unreachable crash debris: map rows whose objects row never
-    * committed (a `writeStream` died mid-spool) and payload rows no
-    * surviving map row references (either crash, or a `delete` that died
-    * between its index commits and its GC). The commit ORDER makes that
-    * debris invisible to reads — objects row lands last on ingest and
-    * first on delete — so those steps only reclaim space and re-tighten
-    * derived stats. Repair ALSO heals duplicate payload rows (the
-    * out-of-contract concurrent-append race). Reads were already correct
-    * through the duplicate window — every read path resolves map rows
-    * through a per-chunkKey exemplar (see [[get]]/[[reconstructAll]]) —
-    * so healing reclaims the duplicated bytes, nothing more. Sweeps `.stage-*`
-    * directories a killed writeStream left behind. Run it with no writer
-    * in flight — an in-flight writeStream's staging dir must not be
-    * swept. */
   /** Run `body` with the documented conflict-retry loop: on
     * [[graft.sources.CommitConflictException]] the whole operation re-runs
     * against a fresh snapshot (its dedupe decisions were derived from a
@@ -645,6 +631,20 @@ final class DedupeEngine(
     store.vacuum()
   }
 
+  /** Reclaim unreachable crash debris: map rows whose objects row never
+    * committed (a `writeStream` died mid-spool) and payload rows no
+    * surviving map row references (either crash, or a `delete` that died
+    * between its index commits and its GC). The commit ORDER makes that
+    * debris invisible to reads — objects row lands last on ingest and
+    * first on delete — so those steps only reclaim space and re-tighten
+    * derived stats. Repair ALSO heals duplicate payload rows (the
+    * out-of-contract concurrent-append race). Reads were already correct
+    * through the duplicate window — every read path resolves map rows
+    * through a per-chunkKey exemplar (see [[get]]/[[reconstructAll]]) —
+    * so healing reclaims the duplicated bytes, nothing more. Sweeps `.stage-*`
+    * directories a killed writeStream left behind. Run it with no writer
+    * in flight — an in-flight writeStream's staging dir must not be
+    * swept. */
   def repairIndex(): RepairReport = {
     val orphanObjs = objmap.select($"objectKey").distinct()
       .join(objects.select($"objectKey"), Seq("objectKey"), "left_anti")

@@ -36,7 +36,18 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         CdcChunksGenerator(args(0), args(1), args(2), args(3), args(4))),
     ("sorted_intersect_size",
-      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      new ExpressionInfo(
+        classOf[SortedIntersectSize].getName, null, "sorted_intersect_size",
+        // the precondition must be SQL-visible (DESCRIBE FUNCTION): on
+        // unsorted/non-distinct arrays the two-pointer merge UNDERCOUNTS
+        // silently, which an ad-hoc user comparing against array_intersect
+        // would otherwise read as a bug
+        "sorted_intersect_size(a, b) - |a ∩ b| over two array<bigint> inputs " +
+          "that MUST each be sorted ascending with distinct elements " +
+          "(undercounts silently otherwise). Intended for pipelines that " +
+          "pre-sort, e.g. graft shingle arrays; use size(array_intersect(a, b)) " +
+          "for arbitrary arrays.",
+        "arguments: a array<bigint> sorted-distinct, b array<bigint> sorted-distinct"),
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
 
   /** Register on an already-built session (tests, driver harness). */

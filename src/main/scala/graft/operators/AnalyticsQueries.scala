@@ -25,13 +25,16 @@ object AnalyticsQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3-shaped join + top-k: revenue of BUILDING-segment orders. */
+  /** TPC-H Q3-shaped join + top-k: revenue of BUILDING-segment orders.
+    * Orders meet the BUILDING-customer broadcast BEFORE the orderkey
+    * shuffle, so the fact-fact exchange carries only the ~1/5 of orders
+    * with BUILDING customers rather than every order — the broadcast is a
+    * semi-join-style reducer here, same shape as q8's region filter. */
   def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-    val o = t(spark, dir, "orders")
+    val o = t(spark, dir, "orders").join(broadcast(c), col("o_custkey") === c("c_custkey"))
     val l = t(spark, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(o("o_orderkey"), o("o_orderdate").cast("date").as("o_orderdate"))
       .agg(moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -410,7 +413,9 @@ object AnalyticsQueries {
     * shuffle-collect every group's values; the sketch aggregates in fixed
     * memory with map-side partial merges. Spark-only: DuckDB's
     * approx_quantile is a different sketch (t-digest), so the spec pins the
-    * accuracy envelope instead of an oracle. */
+    * accuracy envelope instead of an oracle. The sketch result is projected
+    * to scalar columns (the external check hashes column values, so every
+    * output column must be scalar). */
   def p2ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -418,6 +423,12 @@ object AnalyticsQueries {
         expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)").as("approx_q"),
         round(expr("percentile(l_quantity, 0.5)"), 4).as("exact_q50"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_price_median"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("approx_q"), 1).as("approx_q25"),
+        element_at(col("approx_q"), 2).as("approx_q50"),
+        element_at(col("approx_q"), 3).as("approx_q75"),
+        col("exact_q50"), col("approx_price_median"))
       .orderBy("l_returnflag")
 
   /** Moment statistics (mean/variance/correlation) from EXACT decimal sums:

@@ -20,7 +20,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *     current objects snapshot on objectKey, so a replayed batch (restart
  *     from checkpoint, at-least-once source) re-ingests nothing and never
  *     trips the duplicate-key guard — at-least-once delivery + idempotent
- *     sink = effectively-once storage.
+ *     sink = effectively-once storage. Duplicates WITHIN one batch (an
+ *     at-least-once source repeating a key before any commit) are
+ *     collapsed to one exemplar too — otherwise both copies survive the
+ *     snapshot anti-join, the ingest guard throws, and the identical
+ *     replayed batch poisons the checkpoint permanently.
  *   - Work per batch is O(new data): chunking is a narrow flatMap inside
  *     `ingest`, and the dedupe joins are against key columns only.
  */
@@ -37,6 +41,7 @@ object DedupeStreamIngest {
         val sp = batch.sparkSession
         import sp.implicits._
         val fresh = batch.select(col("objectKey").cast("string"), col("data"))
+          .dropDuplicates("objectKey")
           .join(engine.objects.select(col("objectKey")), Seq("objectKey"), "left_anti")
           .as[(String, Array[Byte])]
         // a fully-replayed batch dedupes to nothing: skip the commit rather

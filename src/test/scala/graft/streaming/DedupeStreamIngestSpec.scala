@@ -67,6 +67,30 @@ class DedupeStreamIngestSpec extends SparkSpec {
     assert(streamed.exists(lateKey))
   }
 
+  test("duplicate keys WITHIN one micro-batch collapse to one exemplar (no poison-pill)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-singest-dup")
+    val streamDir = root.resolve("incoming").toString
+    val docs = graft.operators.Tables.t(spark, sfDir, "documents").limit(10)
+      .select(concat(lit("d-"), col("doc_id")).as("objectKey"),
+        col("text").cast("binary").as("data"))
+    // an at-least-once source repeating keys inside ONE batch: without the
+    // in-batch dropDuplicates both copies pass the snapshot anti-join, the
+    // engine's duplicate-key guard throws, and the identical replay poisons
+    // the checkpoint forever
+    docs.union(docs).write.parquet(streamDir)
+    val engine = new DedupeEngine(spark, root.resolve("idx").toString,
+      DedupeSettings(256, 2048, 8, 1))
+    val q = DedupeStreamIngest.start(engine,
+      spark.readStream.schema(objSchema).parquet(streamDir),
+      root.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    assert(engine.indexStats().objectCount === 10,
+      "each repeated key must be stored exactly once")
+    val (k, d) = docs.as[(String, Array[Byte])].head()
+    assert(java.util.Arrays.equals(engine.get(k).get, d))
+  }
+
   test("a mid-batch crash recovers via checkpoint replay (effectively-once through failure)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-singest-crash")
