@@ -14,6 +14,7 @@ import java.nio.file.{Files, Paths}
  *   graft.apps.DedupeCli <indexDir> create [min max shift boundary] [--bucketed]
  *   graft.apps.DedupeCli <indexDir> write <key> <file>   # '-' = stdin
  *   graft.apps.DedupeCli <indexDir> get <key> <outFile>  # '-' = stdout
+ *   graft.apps.DedupeCli <indexDir> get <key> <outFile> --offset <n> [--length <m>]  # ranged read
  *   graft.apps.DedupeCli <indexDir> del <key>
  *   graft.apps.DedupeCli <indexDir> exists <key>
  *   graft.apps.DedupeCli <indexDir> md <key> [--chunks]
@@ -30,7 +31,8 @@ object DedupeCli {
   /** Nonzero-exit signal from [[run]]: thrown instead of calling
     * `sys.exit` directly so the process-level side effect stays in [[main]]
     * and specs can assert exit codes (1 = not found, 2 = unknown command,
-    * 3 = downstream pipe failure) without killing the test JVM. */
+    * 3 = downstream pipe failure, 4 = requested slice out of range) without
+    * killing the test JVM. */
   private[apps] final case class CliExit(code: Int)
       extends RuntimeException(s"exit $code")
 
@@ -64,7 +66,7 @@ object DedupeCli {
       rest(i) match {
         case "--chunks" => flags += ("chunks" -> "true")
         case "--bucketed" => flags += ("bucketed" -> "true")
-        case f @ ("--idxstart" | "--results") =>
+        case f @ ("--idxstart" | "--results" | "--offset" | "--length") =>
           require(i + 1 < rest.length, s"$f requires a value")
           flags += (f.stripPrefix("--") -> rest(i + 1)); i += 1
         case p => pos += p
@@ -104,8 +106,46 @@ object DedupeCli {
         // through the streaming path read back at any size. Diagnostics go
         // to stderr (stdout is the data channel) and a downstream pipe
         // failure is a nonzero exit, not silent truncation.
-        val Array(key, out) = rest.take(2)
-        if (out == "-") {
+        //
+        // --offset/--length slice mid-object through the seekable stream
+        // (the reference exposes the same seek/read surface interactively,
+        // Test.ReadStream/Program.cs:169-264); only the covering chunks'
+        // payloads are touched. The requested slice must lie entirely
+        // within the object — a CLI byte-range is a contract, so a slice
+        // past EOF is a loud exit 4, never a silent short read.
+        val (pos, flags) = parseArgs(rest)
+        val Seq(key, out) = pos.take(2)
+        if (flags.contains("offset") || flags.contains("length")) {
+          val stream = engine().openStream(key).getOrElse {
+            Console.err.println(s"not found: $key"); throw CliExit(1)
+          }
+          val offset = flags.get("offset").map(_.toLong).getOrElse(0L)
+          val wanted = flags.get("length").map(_.toLong).getOrElse(stream.length - offset)
+          if (offset < 0 || wanted < 0 || offset + wanted > stream.length) {
+            Console.err.println(
+              s"slice [$offset, ${offset + wanted}) out of range for $key (length ${stream.length})")
+            throw CliExit(4)
+          }
+          stream.seek(offset)
+          val sink: java.io.OutputStream =
+            if (out == "-") Console.out else Files.newOutputStream(Paths.get(out))
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var remaining = wanted
+            while (remaining > 0) {
+              val n = stream.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+              assert(n > 0, "in-range slice must never hit EOF mid-read")
+              sink.write(buf, 0, n)
+              remaining -= n
+            }
+            sink.flush()
+            if (out == "-") {
+              if (Console.out.checkError()) {
+                Console.err.println("error writing slice bytes to stdout"); throw CliExit(3)
+              }
+            } else println(s"read $wanted bytes [$offset, ${offset + wanted}) -> $out")
+          } finally if (out != "-") sink.close()
+        } else if (out == "-") {
           engine().getStream(key) match {
             case Some(chunks) =>
               chunks.foreach(Console.out.write)

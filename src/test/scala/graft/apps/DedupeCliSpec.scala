@@ -86,6 +86,42 @@ class DedupeCliSpec extends SparkSpec {
       "get '-' must emit exactly the bytes write '-' consumed")
   }
 
+  test("get --offset/--length slices mid-object byte-identically; slice past EOF exits 4") {
+    val dir = Files.createTempDirectory("graft-cli-range").toString
+    val e = DedupeEngine.create(spark, dir, DedupeSettings(256, 2048, 8, 1))
+    val r = new scala.util.Random(23)
+    val data = new Array[Byte](50000) // many chunks: slices cross boundaries
+    r.nextBytes(data)
+    e.write("ranged", data)
+    // mid-object slice spanning several chunk boundaries, to stdout
+    val slice = captureRaw(DedupeCli.run(spark, dir, "get",
+      Array("ranged", "-", "--offset", "12345", "--length", "20000")))
+    assert(java.util.Arrays.equals(slice, java.util.Arrays.copyOfRange(data, 12345, 32345)),
+      "ranged stdout read must carry exactly the requested bytes")
+    // to a file, offset-only (reads to EOF)
+    val outFile = Files.createTempDirectory("graft-cli-range-out").resolve("tail.bin")
+    captureOut(DedupeCli.run(spark, dir, "get",
+      Array("ranged", outFile.toString, "--offset", "49000")))
+    assert(java.util.Arrays.equals(Files.readAllBytes(outFile),
+      java.util.Arrays.copyOfRange(data, 49000, 50000)))
+    // the error contract: any slice reaching past EOF is a loud exit 4
+    for (bad <- Seq(Array("--offset", "50001"),
+        Array("--offset", "49000", "--length", "1001"),
+        Array("--offset", "-1"))) {
+      val err = intercept[DedupeCli.CliExit](
+        captureOut(DedupeCli.run(spark, dir, "get", Array("ranged", "-") ++ bad)))
+      assert(err.code === 4, s"slice ${bad.mkString(" ")} must exit 4")
+    }
+    // offset == length is in range (empty slice, EOF position is seekable)
+    val empty = captureRaw(DedupeCli.run(spark, dir, "get",
+      Array("ranged", "-", "--offset", "50000")))
+    assert(empty.isEmpty)
+    // missing key still exits 1 on the ranged path
+    val missing = intercept[DedupeCli.CliExit](
+      captureOut(DedupeCli.run(spark, dir, "get", Array("nope", "-", "--offset", "0"))))
+    assert(missing.code === 1)
+  }
+
   test("get '-' of a missing key exits 1; a broken downstream pipe exits 3") {
     val dir = newIndex()
     val missing = intercept[DedupeCli.CliExit](

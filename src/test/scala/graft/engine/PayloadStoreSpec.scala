@@ -21,6 +21,7 @@ class PayloadStoreSpec extends SparkSpec {
     val parquetDir = Files.createTempDirectory("graft-ps-parquet").toString
     val flatDir = Files.createTempDirectory("graft-ps-flat").toString
     val memDir = Files.createTempDirectory("graft-ps-mem").toString
+    val jdbcDir = Files.createTempDirectory("graft-ps-jdbc").toString
     Seq(
       "parquet" -> new DedupeEngine(spark, parquetDir, DedupeSettings(256, 2048, 8, 1)),
       // full alternate stack: flat-file payloads + in-memory index tables —
@@ -30,7 +31,11 @@ class PayloadStoreSpec extends SparkSpec {
         Some(new FlatFilePayloadStore(spark, s"$flatDir/payloads-ff")),
         Some((_, schema) => new graft.sources.InMemoryTable(spark, schema))),
       "mem-index" -> new DedupeEngine(spark, memDir, DedupeSettings(256, 2048, 8, 1),
-        None, Some((_, schema) => new graft.sources.InMemoryTable(spark, schema))))
+        None, Some((_, schema) => new graft.sources.InMemoryTable(spark, schema))),
+      // index tables in an external relational DB (the reference's
+      // Test.External MySQL swap, here embedded Derby over JDBC)
+      "jdbc-index" -> new DedupeEngine(spark, jdbcDir, DedupeSettings(256, 2048, 8, 1),
+        None, Some(graft.sources.JdbcTableStore.factory(spark, s"$jdbcDir/derby-idx"))))
   }
 
   test("write/get/delete round-trip identically over BOTH payload stores") {
