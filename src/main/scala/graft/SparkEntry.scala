@@ -65,6 +65,9 @@ object SparkEntry {
     "j2_range_bucket" -> (JoinQueries.j2RangeBucket _),
     "t1_events_hourly" -> (AnalyticsQueries.t1EventsHourly _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
+    // k1: salted join + two-phase agg over a synthesized heavy hitter —
+    // salting is output-invariant, so a plain SQL oracle checks it
+    "k1_salted_join" -> (SkewOps.k1SaltedJoin _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -420,6 +423,15 @@ object SparkEntry {
         |  CAST(min(ts_s) AS BIGINT) AS session_start,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    // k1: salting is output-invariant — the oracle is the PLAIN join+agg
+    // (decimal-accumulated sum, so partition order cannot drift the double)
+    "k1_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 1 ELSE user_id END AS c_custkey, value
+        |      FROM events) e
+        |JOIN customer USING (c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // st1's streamed answer is the batch hourly rollup (decimal-exact sums,
     // Append mode finalizes every window on the staged one-batch replay) —
     // the oracle is t1's SQL

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -42,5 +42,25 @@ object SkewOps {
       .agg(count(lit(1)).as("__n"), sum(col(valueCol).cast("decimal(28,6)")).as("__s"))
       .groupBy(col(key))
       .agg(sum("__n").as("n"), sum("__s").cast("double").as("sum_value"))
+  }
+
+  /** Driver query k1: the salted path end-to-end over a DELIBERATELY skewed
+    * key. Every fourth events user collapses onto user 1 (a synthesized
+    * heavy hitter holding ~1/4 of the fact table — the viral-document shape),
+    * the customer dim joins through [[saltedEquiJoin]] (hot key spread over
+    * 8 reducers, dim replicated 8x), and the per-segment rollup runs through
+    * [[saltedCountSum]] (5 segments — exactly the low-cardinality reduce a
+    * single hot reducer would otherwise serialize). Salting is
+    * output-invariant, so a plain join+group-by SQL oracle checks it:
+    * decimal-accumulated sums keep the result partition-order-independent. */
+  def k1SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import Tables.t
+    val fact = t(spark, dir, "events")
+      .select(
+        when(col("user_id") % 4 === 0, lit(1L)).otherwise(col("user_id")).as("c_custkey"),
+        col("value"))
+    val dim = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    saltedCountSum(saltedEquiJoin(fact, dim, "c_custkey", 8), "c_mktsegment", "value", 8)
+      .orderBy("c_mktsegment")
   }
 }

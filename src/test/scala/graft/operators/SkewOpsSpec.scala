@@ -37,4 +37,18 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted.filter(col("k") === 1).count() ==
       fact.filter(col("k") === 1).count())
   }
+
+  test("k1 driver query equals the unsalted join+agg (output invariance)") {
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(when(col("user_id") % 4 === 0, lit(1L)).otherwise(col("user_id")).as("c_custkey"),
+        col("value"))
+    val plain = ev.join(Tables.t(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")), "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    val k1 = SkewOps.k1SaltedJoin(spark, sfDir)
+    assert(k1.count() > 0, "the synthesized hot key must hit customer rows")
+    assert(plain.exceptAll(k1).isEmpty && k1.exceptAll(plain).isEmpty)
+  }
 }
