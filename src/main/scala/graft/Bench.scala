@@ -34,6 +34,13 @@ object Bench {
     // real session runs. Without this, the warmup pass pre-fills the memo
     // and the timed x3 would report a cache lookup as the build cost.
     graft.operators.DedupQueries.clearMemo()
+    // Drain warmup-pass debris NOW: dropping the memo released two
+    // localCheckpointed RDDs, and the untimed pass left shuffle/broadcast
+    // refs that ContextCleaner reclaims on GC. Forcing the GC here runs
+    // that (blocking-by-default) cleanup between the passes instead of at
+    // a random point inside a timed query.
+    System.gc()
+    Thread.sleep(1000)
     val results = sorted.map { case (name, fn) =>
       // A query that throws is reported as an err entry — NEVER as a fast
       // timing (a broken query must not read as a perf win).

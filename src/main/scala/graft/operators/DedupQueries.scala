@@ -156,7 +156,10 @@ object DedupQueries {
       x3Build(spark, dir).localCheckpoint() // verified pairs: tiny; shared with x7
     }
 
-  private def x3Build(spark: SparkSession, dir: String): DataFrame = {
+  /** Exposed to [[graft.tools.ExplainDump]]: the memoized query returns a
+    * checkpointed-RDD scan, so only the pre-checkpoint build shows the
+    * real candidate/verify plan. */
+  private[graft] def x3Build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val threshold = 0.5
     // per-doc shingle-set arrays: verification side + frequency source

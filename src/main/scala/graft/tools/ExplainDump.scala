@@ -8,9 +8,16 @@ object ExplainDump {
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.01"
+    // x3 memoizes its verified pairs behind a localCheckpoint, so the
+    // registered query's plan is a bare ExistingRDD scan — dump the
+    // pre-checkpoint build instead (the plan that actually runs cold)
+    val overrides = Map[String, SparkSession => org.apache.spark.sql.DataFrame](
+      "x3_ngram_jaccard" -> (s => graft.operators.DedupQueries.x3Build(s, sf)))
     graft.SparkEntry.queries.filter(q => names(q._1)).foreach { case (n, fn) =>
       println(s"\n########## $n")
-      println(fn(spark, "/root/testdata/sf0.01").queryExecution.explainString(
+      val df = overrides.get(n).map(_(spark)).getOrElse(fn(spark, sf))
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
