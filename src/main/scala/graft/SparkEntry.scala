@@ -32,7 +32,10 @@ object SparkEntry {
     "e3_object_rollup" -> (IndexQueries.e3ObjectRollup _),
     "f1_gc_orphans" -> (IndexQueries.f1GcOrphans _),
     "g1_reconstruct" -> (IndexQueries.g1Reconstruct _),
-    // --- CDC chunker exposed as a query (Spark-only; no SQL analog)
+    // --- CDC chunker exposed as a query — ORACLED: the MD5 window scan is
+    // expressible in SQL (all window starts are multiples of shiftCount,
+    // so per-position fires + a recursive boundary walk reproduce the
+    // chunker exactly; see the a3 entry in oracleSql)
     "a3_cdc_chunks" -> (ChunkQueries.a3CdcChunks _),
     // --- generic analytics (north_star: joins/windows/aggs first-class)
     "q1_pricing_summary" -> (AnalyticsQueries.q1PricingSummary _),
@@ -124,15 +127,69 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
-    * Omitted: a3_cdc_chunks, x5_simhash_pairs, y4_fingerprint, v2_ann_lsh —
-    * they depend on Spark-side hashing (xxhash64 / CDC MD5 windows) that
-    * DuckDB cannot reproduce. x4 IS oracled: its verified pair set is
-    * hash-independent (x3's SQL). v3/v4 are pure decimal-mean + IEEE dot
-    * arithmetic and ARE oracled below. st1/st2 ARE oracled: the streaming
-    * aggs accumulate in decimal, so the finalized Append output is
-    * bit-identical to the equivalent batch SQL.
+    * Omitted: x5_simhash_pairs, y4_fingerprint, v2_ann_lsh — they depend on
+    * Spark-side xxhash64, which DuckDB cannot reproduce. x4 IS oracled: its
+    * verified pair set is hash-independent (x3's SQL). v3/v4 are pure
+    * decimal-mean + IEEE dot arithmetic and ARE oracled below. st1/st2 ARE
+    * oracled: the streaming aggs accumulate in decimal, so the finalized
+    * Append output is bit-identical to the equivalent batch SQL. a3 IS
+    * oracled: DuckDB has md5, and the CDC window scan is SQL-expressible
+    * (see the a3 entry's comment).
     */
   def oracleSql: Map[String, String] = Map(
+    // a3: the chunker's boundary rule, re-derived relationally. Settings
+    // (min=256, max=2048, shift=8, boundary=1B): chunk starts and window
+    // starts stay multiples of 8 (0 starts a doc; fires land at p+256 and
+    // max-cuts at c+2048, both ≡ 0 mod 8), so a per-position fire table
+    // (md5 of the 256-byte window starting at p begins with byte 0) plus a
+    // reverse-cumulative-min gives next_fire(p), and a recursive walk over
+    // chunk starts reproduces the chunker EXACTLY: the next cut is the
+    // earlier of next-fire-window-end and the max-size cut, and any cut
+    // past EOF is the tail flush. Text is ASCII (asserted by the driver
+    // corpus), so VARCHAR substring = byte slicing and md5(substr) hashes
+    // the same bytes the chunker sees. n_distinct counts distinct chunk
+    // CONTENT (the engine keys chunks by sha256, DuckDB by the bytes
+    // themselves — identical partitioning barring hash collisions).
+    "a3_cdc_chunks" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |pos AS (
+        |  SELECT d.doc_id, 8*t.k AS p,
+        |    CASE WHEN substring(md5(substring(d.text, 8*t.k + 1, 256)), 1, 2) = '00'
+        |         THEN 8*t.k END AS fire_p
+        |  FROM d, range(0, 8192) t(k)
+        |  WHERE 8*t.k + 256 < d.len
+        |),
+        |nf AS (
+        |  SELECT doc_id, p,
+        |    min(fire_p) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_fire
+        |  FROM pos
+        |),
+        |walk AS (
+        |  SELECT doc_id, len, CAST(0 AS BIGINT) AS c FROM d WHERE len > 256
+        |  UNION ALL
+        |  SELECT w.doc_id, w.len,
+        |    CASE WHEN LEAST(COALESCE(n.next_fire + 256, w.c + 2048), w.c + 2048) < w.len
+        |         THEN LEAST(COALESCE(n.next_fire + 256, w.c + 2048), w.c + 2048)
+        |         ELSE w.len END
+        |  FROM walk w LEFT JOIN nf n ON n.doc_id = w.doc_id AND n.p = w.c
+        |  WHERE w.c < w.len
+        |),
+        |tiles AS (
+        |  SELECT doc_id, c, lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS nxt
+        |  FROM walk
+        |),
+        |allc AS (
+        |  SELECT doc_id, c, nxt FROM tiles WHERE nxt IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, 0, len FROM d WHERE len <= 256
+        |)
+        |SELECT a.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(a.nxt - a.c) AS BIGINT) AS total_len,
+        |  count(DISTINCT substring(d.text, CAST(a.c AS INT) + 1, CAST(a.nxt - a.c AS INT))) AS n_distinct
+        |FROM allc a JOIN d USING (doc_id)
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "a6_refcounts" ->
       """SELECT md5(text) AS chunk_key, count(*) AS ref_count, max(n_chars) AS length
         |FROM documents GROUP BY 1 ORDER BY chunk_key""".stripMargin,

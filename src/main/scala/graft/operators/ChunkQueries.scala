@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
  * The CDC chunker (SURVEY §2 A3) as a distributed query: chunk every
  * document's UTF-8 bytes inside a flatMap (pure function — identical keys
  * on any partitioning), then aggregate per-document and corpus-wide dedupe
- * stats. No DuckDB analog (MD5 window scan), so the driver records a
- * rows-only check; correctness is covered by ChunkerSpec + DedupeEngineSpec.
+ * stats. ORACLED: the MD5 window scan is SQL-expressible (DuckDB md5 +
+ * recursive boundary walk — see SparkEntry.oracleSql's a3 entry), on top
+ * of the property coverage in ChunkerSpec + DedupeEngineSpec.
  */
 object ChunkQueries {
   import Tables._
