@@ -43,6 +43,8 @@ object SparkEntry {
     "q4_order_priority" -> (AnalyticsQueries.q4OrderPriority _),
     "q5_region_revenue" -> (AnalyticsQueries.q5RegionRevenue _),
     "q10_returned_revenue" -> (AnalyticsQueries.q10ReturnedRevenue _),
+    "q11_revenue_share" -> (AnalyticsQueries.q11RevenueShare _),
+    "q21_waiting_supplier" -> (AnalyticsQueries.q21WaitingSupplier _),
     "q18_large_orders" -> (AnalyticsQueries.q18LargeOrders _),
     "q14_promo_share" -> (AnalyticsQueries.q14PromoShare _),
     "q7_volume_shipping" -> (AnalyticsQueries.q7VolumeShipping _),
@@ -480,6 +482,29 @@ object SparkEntry {
         |  CAST(min(ts_s) AS BIGINT) AS session_start,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "q11_revenue_share" ->
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS part_revenue
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT CAST(sum(CAST(part_revenue AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_rev FROM pr)
+        |SELECT l_partkey, part_revenue,
+        |  round(part_revenue / mean_rev, 4) AS ratio_to_mean
+        |FROM pr, g WHERE part_revenue > 1.4 * mean_rev
+        |ORDER BY l_partkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH edges AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+        |multi AS (SELECT l_orderkey FROM edges GROUP BY 1 HAVING count(*) > 1)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM late t
+        |JOIN multi USING (l_orderkey)
+        |JOIN supplier s ON t.l_suppkey = s.s_suppkey
+        |WHERE NOT EXISTS (SELECT 1 FROM late t2
+        |  WHERE t2.l_orderkey = t.l_orderkey AND t2.l_suppkey <> t.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
     // k1: salting is output-invariant — the oracle is the PLAIN join+agg
     // (decimal-accumulated sum, so partition order cannot drift the double)
     "k1_salted_join" ->

@@ -111,6 +111,60 @@ object AnalyticsQueries {
       .orderBy(col("total_qty").desc, col("o_orderkey"))
   }
 
+  /** TPC-H Q11-shaped global-share HAVING: parts whose revenue exceeds
+    * 1.4x the mean per-part revenue. The shape: a grouped aggregate
+    * filtered against a scalar derived from the SAME aggregate — the
+    * 1-row global (total, count) broadcasts back over the per-part rows,
+    * so the fact scans once and the threshold join moves one row. The
+    * threshold is total/n (sums decimal-exact), NOT avg(double), which
+    * would be partition-order-dependent; both engines evaluate
+    * double-total / count then *1.4 in the same order, so the filter is
+    * bitwise-reproducible. */
+  def q11RevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("part_revenue"))
+    val global = perPart.agg(
+      sum(col("part_revenue").cast("decimal(28,6)")).cast("double").as("total_rev"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(global))
+      .withColumn("mean_rev", col("total_rev") / col("n_parts"))
+      .filter(col("part_revenue") > lit(1.4) * col("mean_rev"))
+      .select(col("l_partkey"), col("part_revenue"),
+        round(col("part_revenue") / col("mean_rev"), 4).as("ratio_to_mean"))
+      .orderBy("l_partkey")
+  }
+
+  /** TPC-H Q21-shaped sole-late-supplier: suppliers that were the ONLY
+    * late supplier (shipped >60 days after the order date) on a
+    * multi-supplier order — the classic EXISTS + NOT EXISTS pair,
+    * decorrelated into a left-SEMI join (some other supplier shared the
+    * order) and a left-ANTI self-join (no other supplier was late on it).
+    * Both run on the deduplicated (orderkey, suppkey) edge set, never the
+    * raw fact; at scale all three joins shuffle on orderkey — one
+    * partitioning reused across the semi, anti, and count stages. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val s = t(spark, dir, "supplier")
+    val edges = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val late = l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val multi = edges.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp")).filter(col("n_supp") > 1)
+      .select("l_orderkey")
+    late.as("t")
+      .join(multi, Seq("l_orderkey"), "left_semi")
+      .join(late.as("x"),
+        col("t.l_orderkey") === col("x.l_orderkey") &&
+          col("t.l_suppkey") =!= col("x.l_suppkey"), "left_anti")
+      .join(broadcast(s), col("t.l_suppkey") === s("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** TPC-H Q13-shaped customer order distribution: how many customers
     * placed exactly k orders, including k = 0 (the classic outer-join
     * aggregation). Orders pre-aggregate to one count per custkey BEFORE
