@@ -148,9 +148,14 @@ object AnalyticsQueries {
     val o = t(spark, dir, "orders")
     val s = t(spark, dir, "supplier")
     val edges = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // materialized: `late` anchors BOTH the probe side and the anti side —
+    // un-checkpointed, the lineitem⋈orders late-scan executes twice (plan
+    // audit showed the duplicated subtree; exchange reuse is not guaranteed
+    // across the anti join's two arms)
     val late = l.join(o, l("l_orderkey") === o("o_orderkey") &&
         l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .localCheckpoint()
     val multi = edges.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_supp")).filter(col("n_supp") > 1)
       .select("l_orderkey")
