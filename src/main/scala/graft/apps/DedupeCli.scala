@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
  * create|stats|write|get|del|list|exists|md).
  *
  * Usage:
- *   graft.apps.DedupeCli <indexDir> create [min max shift boundary] [--bucketed]
+ *   graft.apps.DedupeCli <indexDir> create [min max shift boundary] [--bucketed | --jdbc]
  *   graft.apps.DedupeCli <indexDir> write <key> <file>   # '-' = stdin
  *   graft.apps.DedupeCli <indexDir> get <key> <outFile>  # '-' = stdout
  *   graft.apps.DedupeCli <indexDir> get <key> <outFile> --offset <n> [--length <m>]  # ranged read
@@ -66,6 +66,7 @@ object DedupeCli {
       rest(i) match {
         case "--chunks" => flags += ("chunks" -> "true")
         case "--bucketed" => flags += ("bucketed" -> "true")
+        case "--jdbc" => flags += ("jdbc" -> "true")
         case f @ ("--idxstart" | "--results" | "--offset" | "--length") =>
           require(i + 1 < rest.length, s"$f requires a value")
           flags += (f.stripPrefix("--") -> rest(i + 1)); i += 1
@@ -82,12 +83,16 @@ object DedupeCli {
       case "create" =>
         // --bucketed: persist the hash-key index layout (buckets by leading
         // key char) so deletes on content-hash object keys stay O(touched
-        // buckets); recorded in config, so later opens commit the same way
+        // buckets). --jdbc: keep the index tables in an embedded relational
+        // DB (the reference's external-DbProvider swap). Both are recorded
+        // in config, so later opens wire the same backend/layout.
         val (pos, flags) = parseArgs(rest)
         val s = if (pos.length >= 4)
           DedupeSettings(pos(0).toInt, pos(1).toInt, pos(2).toInt, pos(3).toInt)
         else DedupeSettings()
-        DedupeEngine.create(spark, indexDir, s, bucketedIndex = flags.contains("bucketed"))
+        DedupeEngine.create(spark, indexDir, s,
+          bucketedIndex = flags.contains("bucketed"),
+          jdbcIndex = flags.contains("jdbc"))
         println(s"created index at $indexDir with $s")
       case "write" =>
         // streamed, never whole-file bytes: bounded memory regardless of

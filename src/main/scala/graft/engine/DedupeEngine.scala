@@ -700,17 +700,30 @@ object DedupeEngine {
   /** Create a new index directory, persisting the chunking params and the
     * index storage layout. Pass `bucketedIndex = true` when user object
     * keys are content hashes — the layout choice lives with the index, so
-    * every later [[open]] commits with the same bucketing. */
+    * every later [[open]] commits with the same bucketing. Pass
+    * `jdbcIndex = true` to keep the index tables in an embedded relational
+    * DB under the index directory instead of parquet snapshots (the
+    * reference persists its provider choice the same way — the database
+    * file IS the config; src/Test.External swaps it for MySQL): the choice
+    * is recorded in config.properties, so every later [[open]] wires the
+    * same backend. */
   def create(spark: SparkSession, basePath: String,
       settings: DedupeSettings = DedupeSettings(),
-      bucketedIndex: Boolean = false): DedupeEngine = {
+      bucketedIndex: Boolean = false,
+      jdbcIndex: Boolean = false): DedupeEngine = {
     require(!isInitialized(basePath), s"index already initialized: $basePath")
+    require(!(bucketedIndex && jdbcIndex),
+      "bucketed_index is a parquet-layout option; the JDBC index has no segment files to bucket")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(basePath))
-    val body = (settings.toConfigMap + ("bucketed_index" -> bucketedIndex.toString))
+    val body = (settings.toConfigMap
+      + ("bucketed_index" -> bucketedIndex.toString)
+      + ("jdbc_index" -> jdbcIndex.toString))
       .toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
     java.nio.file.Files.write(configPath(basePath), body.getBytes("UTF-8"))
-    new DedupeEngine(spark, basePath, settings, bucketedIndex = bucketedIndex)
+    new DedupeEngine(spark, basePath, settings,
+      indexBackend = jdbcBackendIf(jdbcIndex, spark, basePath),
+      bucketedIndex = bucketedIndex)
   }
 
   /** Open an existing index with its persisted chunking params and layout. */
@@ -721,6 +734,11 @@ object DedupeEngine {
         val Array(k, v) = l.split("=", 2); k.trim -> v.trim
       }.toMap
     new DedupeEngine(spark, basePath, DedupeSettings.fromConfigMap(m),
+      indexBackend = jdbcBackendIf(m.get("jdbc_index").contains("true"), spark, basePath),
       bucketedIndex = m.get("bucketed_index").contains("true"))
   }
+
+  private def jdbcBackendIf(on: Boolean, spark: SparkSession, basePath: String) =
+    if (on) Some(graft.sources.JdbcTableStore.factory(spark, s"$basePath/derby-index"))
+    else None
 }

@@ -63,6 +63,30 @@ class JdbcTableStoreSpec extends SparkSpec {
       "only the named keys may vanish — null-key rows must survive the IN's three-valued logic")
   }
 
+  test("create --jdbc persists the backend choice; plain open() wires the JDBC index") {
+    val dir = Files.createTempDirectory("graft-jdbc-cli").toString + "/idx"
+    graft.apps.DedupeCli.run(spark, dir, "create", Array("256", "2048", "8", "1", "--jdbc"))
+    val cfg = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "config.properties")), "UTF-8")
+    assert(cfg.contains("jdbc_index=true"))
+    val e = DedupeEngine.open(spark, dir) // no factory passed: config decides
+    val data = new Array[Byte](6000)
+    new scala.util.Random(43).nextBytes(data)
+    e.write("via-jdbc", data)
+    assert(java.util.Arrays.equals(e.get("via-jdbc").get, data))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "derby-index")),
+      "index rows must land in the embedded DB under the index dir")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "objects")),
+      "no parquet index tables may exist when the JDBC backend is persisted")
+    // a second open (fresh engine) reads the same DB
+    val e2 = DedupeEngine.open(spark, dir)
+    assert(e2.exists("via-jdbc") && e2.indexStats().objectCount == 1)
+    // bucketing is a parquet-layout option — the combination is rejected
+    assertThrows[IllegalArgumentException](
+      DedupeEngine.create(spark, dir + "-b", DedupeSettings(256, 2048, 8, 1),
+        bucketedIndex = true, jdbcIndex = true))
+  }
+
   test("full engine lifecycle over the JDBC index: ingest/get/metadata/list/delete/GC/repair/replace") {
     val dir = Files.createTempDirectory("graft-jdbc-engine").toString
     val e = new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1),
