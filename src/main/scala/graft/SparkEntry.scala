@@ -117,6 +117,22 @@ object SparkEntry {
           date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour", "event_type")),
+    //     st3: streaming exact-dedupe (dropDuplicatesWithinWatermark) under
+    //     an at-least-once source that delivers EVERY event twice — the
+    //     deduped hourly rollup must collapse to the single-copy batch
+    //     answer, so the oracle is st1's exactly-once SQL verbatim. Two
+    //     chained stateful operators (dedupe -> windowed agg), bounded
+    //     state on both.
+    "st3_stream_dedup" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runToMemoryAppendReplayed(s, s"$dir/events.parquet",
+        s"st3_${System.nanoTime()}",
+        e => graft.streaming.EventStreamOps.hourlyAgg(
+          graft.streaming.EventStreamOps.dedupedEvents(e)),
+        copies = 2)
+        .select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")),
     //     st2: native session_window sessions (streaming face of t2);
     //     session identity for the oracle is (user_id, start epoch-µs)
     "st2_stream_sessions" -> ((s: SparkSession, dir: String) =>
@@ -518,6 +534,12 @@ object SparkEntry {
     // Append mode finalizes every window on the staged one-batch replay) —
     // the oracle is t1's SQL
     "st1_stream_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // st3: the doubled at-least-once stream dedupes back to EXACTLY the
+    // single-copy batch rollup — st1's SQL verbatim is the oracle
+    "st3_stream_dedup" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,

@@ -63,8 +63,13 @@ object EventStreamOps {
   /** Tumbling 1-hour windowed counts/sums per event type with a 30-minute
     * watermark — late events beyond it are dropped, state is bounded. */
   def hourlyByType(events: DataFrame): DataFrame =
+    hourlyAgg(events.withWatermark("ts", "30 minutes"))
+
+  /** The hourly rollup WITHOUT its own watermark — for composing after an
+    * upstream stateful operator that already defined one (redefining the
+    * watermark mid-pipeline is disallowed); see st3's dedupe -> agg chain. */
+  def hourlyAgg(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       // decimal accumulate, surface as double: bit-identical regardless of
       // per-partition addition order, so the stream's answer is the batch
@@ -255,14 +260,15 @@ object EventStreamOps {
   private def deleteStagingDir(d: java.nio.file.Path): Unit =
     graft.core.FsUtil.deleteRecursively(d)
 
-  private def stageReplayInto(path: String, d: java.nio.file.Path): (java.nio.file.Path, Long) = {
+  private def stageReplayInto(path: String, d: java.nio.file.Path,
+      tag: String = ""): (java.nio.file.Path, Long) = {
     val src = java.nio.file.Paths.get(path)
     var staged = 0L
     if (java.nio.file.Files.isRegularFile(src)) {
       if (!src.toString.endsWith(".parquet"))
         throw new IllegalArgumentException(
           s"'$path' is not a .parquet file — nothing to replay")
-      java.nio.file.Files.copy(src, d.resolve(src.getFileName))
+      java.nio.file.Files.copy(src, d.resolve(tag + src.getFileName))
       staged = 1L
     } else {
       val walk = java.nio.file.Files.walk(src)
@@ -280,7 +286,7 @@ object EventStreamOps {
         .forEach { f =>
           // counter prefix: nested part files flatten without any chance of
           // colliding with a sibling whose name already matches the flat form
-          val flat = s"p${staged}_${src.relativize(f).toString.replace('/', '_')}"
+          val flat = s"${tag}p${staged}_${src.relativize(f).toString.replace('/', '_')}"
           java.nio.file.Files.copy(f, d.resolve(flat))
           staged += 1
         }
@@ -334,6 +340,26 @@ object EventStreamOps {
     val (d, staged) = stageReplay(path)
     try runAppendStaged(spark, d, staged, name, transform, flushTail)
     finally deleteStagingDir(d)
+  }
+
+  /** [[runToMemoryAppend]] with the source staged `copies` times — a
+    * finite stand-in for an AT-LEAST-ONCE source that delivers every event
+    * `copies` times. Pair with [[dedupedEvents]] to demonstrate the
+    * exactly-once restoration: the duplicated stream's windowed answer
+    * collapses to the single-copy batch answer. */
+  def runToMemoryAppendReplayed(rootSpark: SparkSession, path: String, name: String,
+      transform: DataFrame => DataFrame, copies: Int = 2): DataFrame = {
+    require(copies >= 1, "copies must be >= 1")
+    val spark = rootSpark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-replay")
+    try {
+      var staged = 0L
+      for (i <- 0 until copies) // per-copy tag: same part file names can't collide
+        staged += stageReplayInto(path, d, s"c${i}_")._2
+      runAppendStaged(spark, d, staged, name, transform, flushTail = true)
+    } finally deleteStagingDir(d)
   }
 
   private def runAppendStaged(spark: SparkSession, d: java.nio.file.Path,
