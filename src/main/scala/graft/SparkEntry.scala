@@ -168,6 +168,12 @@ object SparkEntry {
     // the same bytes the chunker sees. n_distinct counts distinct chunk
     // CONTENT (the engine keys chunks by sha256, DuckDB by the bytes
     // themselves — identical partitioning barring hash collisions).
+    // BOUND: range(0, 8192) enumerates window starts up to byte 65,528 —
+    // documents beyond ~64 KiB would silently lose late fire positions
+    // and the oracle would FALSELY mismatch. The driver corpus caps at
+    // ~600 bytes/doc; raise the constant if the corpus is ever
+    // regenerated with larger documents (DuckDB's range() only accepts
+    // constants, so it cannot derive the bound from max(len)).
     "a3_cdc_chunks" ->
       """WITH RECURSIVE
         |d AS (SELECT doc_id, text, length(text) AS len FROM documents),

@@ -126,7 +126,10 @@ object DedupeCli {
           }
           val offset = flags.get("offset").map(_.toLong).getOrElse(0L)
           val wanted = flags.get("length").map(_.toLong).getOrElse(stream.length - offset)
-          if (offset < 0 || wanted < 0 || offset + wanted > stream.length) {
+          // overflow-safe: `offset + wanted` can wrap Long for hostile
+          // values — compare against the remaining length instead
+          if (offset < 0 || wanted < 0 || offset > stream.length ||
+              wanted > stream.length - offset) {
             Console.err.println(
               s"slice [$offset, ${offset + wanted}) out of range for $key (length ${stream.length})")
             throw CliExit(4)

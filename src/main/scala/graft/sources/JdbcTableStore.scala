@@ -34,6 +34,17 @@ import org.apache.spark.sql.types._
  * Identifiers are created QUOTED (mixed-case), matching what the Spark
  * JDBC reader reports and the writer quotes — without this, Derby
  * uppercases names and the engine's case-exact schema breaks.
+ *
+ * Contract deltas vs the parquet backend, for callers:
+ *   - `read()` is a LIVE view, not a pinned snapshot — each action
+ *     re-queries the database. Every engine path materializes
+ *     (collect/take) before mutating, which keeps the two backends
+ *     equivalent; a caller that holds a `read()` frame ACROSS its own
+ *     mutation would see post-mutation rows here only.
+ *   - String key columns are VARCHAR(4096): an object key longer than
+ *     4096 chars fails the append loudly on this backend (parquet has no
+ *     such bound). Path-like keys fit comfortably; callers minting longer
+ *     keys should hash them first.
  */
 final class JdbcTableStore(
     spark: SparkSession, url: String, table: String,
@@ -55,7 +66,17 @@ final class JdbcTableStore(
 
   private def withConnection[T](body: Connection => T): T = {
     val c = DriverManager.getConnection(url)
-    try body(c) finally c.close()
+    try body(c)
+    catch {
+      case e: Throwable =>
+        // roll back any open transaction BEFORE close: Derby refuses to
+        // close a connection mid-transaction (ERROR 25001), and that
+        // secondary failure would otherwise mask the real one
+        try if (!c.getAutoCommit) c.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally {
+      try c.close() catch { case _: Throwable => () }
+    }
   }
 
   // eager DDL so read() works before the first commit (empty-with-schema,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.engine.DedupeEngine
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, countDistinct, sha2}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /**
@@ -24,7 +24,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *     at-least-once source repeating a key before any commit) are
  *     collapsed to one exemplar too — otherwise both copies survive the
  *     snapshot anti-join, the ingest guard throws, and the identical
- *     replayed batch poisons the checkpoint permanently.
+ *     replayed batch poisons the checkpoint permanently. Collapse applies
+ *     ONLY to byte-identical repeats (what at-least-once delivery
+ *     produces): one key carrying DIFFERENT payloads in a batch is a
+ *     producer bug and fails as loudly as the batch ingest path — pick-one
+ *     would be silent data loss, and which copy survived would be
+ *     nondeterministic.
  *   - Work per batch is O(new data): chunking is a narrow flatMap inside
  *     `ingest`, and the dedupe joins are against key columns only.
  */
@@ -40,7 +45,18 @@ object DedupeStreamIngest {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val sp = batch.sparkSession
         import sp.implicits._
-        val fresh = batch.select(col("objectKey").cast("string"), col("data"))
+        val rows = batch.select(col("objectKey").cast("string"), col("data"))
+        // same key + different bytes is NOT a replay — refuse it loudly
+        // (the engine's duplicate-key contract), instead of silently
+        // storing an arbitrary one of the payloads
+        val conflicting = rows.groupBy(col("objectKey"))
+          .agg(countDistinct(sha2(col("data"), 256)).as("variants"))
+          .filter(col("variants") > 1)
+          .select(col("objectKey")).as[String].take(5)
+        if (conflicting.nonEmpty)
+          throw new IllegalArgumentException(
+            s"batch carries conflicting payloads for object key(s): ${conflicting.mkString(", ")}")
+        val fresh = rows
           .dropDuplicates("objectKey")
           .join(engine.objects.select(col("objectKey")), Seq("objectKey"), "left_anti")
           .as[(String, Array[Byte])]

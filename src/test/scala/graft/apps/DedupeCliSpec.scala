@@ -107,7 +107,10 @@ class DedupeCliSpec extends SparkSpec {
     // the error contract: any slice reaching past EOF is a loud exit 4
     for (bad <- Seq(Array("--offset", "50001"),
         Array("--offset", "49000", "--length", "1001"),
-        Array("--offset", "-1"))) {
+        Array("--offset", "-1"),
+        // offset + length wraps Long negative: must still be exit 4,
+        // not an uncaught require() from seek
+        Array("--offset", "5000000000000000000", "--length", "5000000000000000000"))) {
       val err = intercept[DedupeCli.CliExit](
         captureOut(DedupeCli.run(spark, dir, "get", Array("ranged", "-") ++ bad)))
       assert(err.code === 4, s"slice ${bad.mkString(" ")} must exit 4")

@@ -91,6 +91,32 @@ class DedupeStreamIngestSpec extends SparkSpec {
     assert(java.util.Arrays.equals(engine.get(k).get, d))
   }
 
+  test("same key with DIFFERENT payloads in one batch fails loudly (no silent pick-one)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-singest-conflict")
+    val streamDir = root.resolve("incoming").toString
+    val a = graft.operators.Tables.t(spark, sfDir, "documents").limit(5)
+      .select(concat(lit("c-"), col("doc_id")).as("objectKey"),
+        col("text").cast("binary").as("data"))
+    val b = graft.operators.Tables.t(spark, sfDir, "documents").limit(5)
+      .select(concat(lit("c-"), col("doc_id")).as("objectKey"),
+        upper(col("text")).cast("binary").as("data")) // same keys, different bytes
+    a.union(b).write.parquet(streamDir)
+    val engine = new DedupeEngine(spark, root.resolve("idx").toString,
+      DedupeSettings(256, 2048, 8, 1))
+    val q = DedupeStreamIngest.start(engine,
+      spark.readStream.schema(objSchema).parquet(streamDir),
+      root.resolve("ckpt").toString)
+    val failed = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
+    assert(msgs(failed).contains("conflicting payloads"),
+      s"unexpected failure: ${msgs(failed)}")
+    assert(engine.indexStats().objectCount === 0,
+      "a refused batch must store nothing — not an arbitrary survivor")
+  }
+
   test("a mid-batch crash recovers via checkpoint replay (effectively-once through failure)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-singest-crash")
