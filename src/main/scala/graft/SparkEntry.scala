@@ -91,6 +91,7 @@ object SparkEntry {
     "y6_bpe_tokens" -> (TextQueries.y6BpeTokens _),
     "y7_hash_sample" -> (TextQueries.y7HashSample _),
     "y8_repetition" -> (TextQueries.y8Repetition _),
+    "y9_quality_deciles" -> (TextQueries.y9QualityDeciles _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -675,6 +676,21 @@ object SparkEntry {
         |  CASE WHEN stopword_ratio >= 0.12 THEN 'high'
         |       WHEN stopword_ratio >= 0.05 THEN 'medium' ELSE 'low' END AS quality_band
         |FROM q ORDER BY doc_id""".stripMargin,
+    // y9: ntile is deterministic given the (score, doc_id) total order,
+    // so the decile table is exactly reproducible
+    "y9_quality_deciles" ->
+      """WITH d AS (SELECT doc_id,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+        |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS stop_hits
+        |  FROM documents),
+        |q AS (SELECT doc_id, n_tokens,
+        |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS score FROM d),
+        |b AS (SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS decile FROM q)
+        |SELECT decile, count(*) AS n_docs,
+        |  round(min(score), 4) AS min_score, round(max(score), 4) AS max_score,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY 1 ORDER BY decile""".stripMargin,
     "y3_langid" ->
       """WITH d AS (SELECT lang,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,

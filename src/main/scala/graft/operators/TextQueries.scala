@@ -57,6 +57,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-decile binning: rank every document by its stopword-density
+    * quality score into 10 equal-frequency buckets (ntile over a TOTAL
+    * order — ties broken by doc_id, so the binning is deterministic and
+    * oracle-able), then per-decile stats: the quality-mix planning table a
+    * curriculum / re-sampling step consumes ("upsample the top deciles,
+    * drop the bottom one"). Scale note: exact ntile costs one global range
+    * sort; at 100 TB the approximate form derives the 9 cutoffs from
+    * `approx_percentile` (p2's bounded-state trade) and bins with a
+    * broadcast CASE — same output table, no global sort. */
+  def y9QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("stop_hits",
+        wordCount(col("text"), "the") + wordCount(col("text"), "a"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 4).as("score"))
+    scored
+      .withColumn("decile", ntile(10)
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score"), col("doc_id")))
+        .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min("score"), 4).as("min_score"),
+        round(max("score"), 4).as("max_score"),
+        sum("n_tokens").as("total_tokens"))
+      .orderBy("decile")
+  }
+
   /** Language-likelihood heuristic: English-function-word density score per
     * doc, aggregated per labeled lang. (The corpus text is synthetic word
     * soup, so this measures the heuristic's behavior, not real language ID —
