@@ -54,6 +54,7 @@ object SparkEntry {
     "q17_small_quantity" -> (AnalyticsQueries.q17SmallQuantity _),
     "q19_disjunctive" -> (AnalyticsQueries.q19DisjunctiveRevenue _),
     "q8_market_share" -> (AnalyticsQueries.q8MarketShare _),
+    "q16_supplier_variety" -> (AnalyticsQueries.q16SupplierVariety _),
     "w4_trailing_revenue" -> (AnalyticsQueries.w4TrailingRevenue _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "x6_embedding_cosine" -> (DedupQueries.x6EmbeddingCosine _),
     "x7_dup_clusters" -> (DedupQueries.x7DupClusters _),
     "x8_contamination" -> (DedupQueries.x8Contamination _),
+    "x9_common_spans" -> (DedupQueries.x9CommonSpans _),
     // --- text analysis (north_star)
     "y1_token_stats" -> (TextQueries.y1TokenStats _),
     "y2_quality_score" -> (TextQueries.y2QualityScore _),
@@ -92,6 +94,8 @@ object SparkEntry {
     "y7_hash_sample" -> (TextQueries.y7HashSample _),
     "y8_repetition" -> (TextQueries.y8Repetition _),
     "y9_quality_deciles" -> (TextQueries.y9QualityDeciles _),
+    "y10_mixture_resample" -> (TextQueries.y10MixtureResample _),
+    "y11_lexical_diversity" -> (TextQueries.y11LexicalDiversity _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -134,6 +138,20 @@ object SparkEntry {
           date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour", "event_type")),
+    //     st4: watermark-bounded stream-stream interval join (clicks to the
+    //     same user's views from the preceding 30 minutes) — inner matches
+    //     emit as soon as both rows arrive; the watermark only bounds join
+    //     state. Oracle = the equivalent batch interval join; timestamps
+    //     surface as integer epoch-µs on BOTH sides (the source is ns
+    //     precision, so the oracle compares at the same truncated µs the
+    //     stream sees).
+    "st4_stream_join" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
+        s"st4_${System.nanoTime()}", graft.streaming.EventStreamOps.clickViewJoin)
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy("click_id", "view_id")),
     //     st2: native session_window sessions (streaming face of t2);
     //     session identity for the oracle is (user_id, start epoch-µs)
     "st2_stream_sessions" -> ((s: SparkSession, dir: String) =>
@@ -564,6 +582,27 @@ object SparkEntry {
         |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    // st4: the stream-stream join's batch equivalent. Both engines compare
+    // INTEGER epoch-µs (the stream truncates the ns source to µs at read;
+    // epoch_us floors the same way), so the 30-minute boundary is exact.
+    "st4_stream_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS view_ts_us, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.click_id, c.user_id, c.click_ts_us, v.view_id, v.view_ts_us
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.view_ts_us <= c.click_ts_us
+        |  AND v.view_ts_us >= c.click_ts_us - 1800000000
+        |ORDER BY click_id, view_id""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size <= 3
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |    WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "x1_exact_dup_stats" ->
       """SELECT count(*) AS total_docs, count(DISTINCT sha256(text)) AS distinct_docs,
         |  count(*) - count(DISTINCT sha256(text)) AS duplicate_docs
@@ -644,6 +683,38 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 < 2
         |ORDER BY doc_id""".stripMargin,
+    // y10: integer-exact acceptance test (h * n_lang < target_n * 2^32),
+    // so the md5-keyed threshold has no floating-point boundary risk in
+    // either engine. DuckDB parses '0x…'-prefixed hex into BIGINT the same
+    // way y7's 4-char variant parses into INT.
+    "y10_mixture_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |t AS (SELECT min(n_lang) AS target_n FROM c),
+        |d AS (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT d.doc_id, d.lang, c.n_lang, t.target_n
+        |FROM d JOIN c USING (lang), t
+        |WHERE d.h * c.n_lang < t.target_n * 4294967296
+        |ORDER BY d.doc_id""".stripMargin,
+    "y11_lexical_diversity" ->
+      """WITH tot AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY 1),
+        |u AS (SELECT source, count(DISTINCT tok) AS distinct_tokens
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1)
+        |SELECT source, n_docs, total_tokens, distinct_tokens,
+        |  round(CAST(distinct_tokens AS DOUBLE) / total_tokens, 6) AS ttr
+        |FROM tot JOIN u USING (source) ORDER BY source""".stripMargin,
+    // x9: same truncating-tail shingle formula as x3/y4/y8's oracles;
+    // list_distinct before the unnest = one vote per doc per span
+    "x9_common_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in generate_series(1, greatest(len(toks) - 2, 1))])) AS span FROM t)
+        |SELECT span, count(*) AS doc_freq FROM s GROUP BY 1
+        |ORDER BY doc_freq DESC, span LIMIT 20""".stripMargin,
     // y8: same truncating-tail shingle formula as x3/y4's oracles
     "y8_repetition" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),

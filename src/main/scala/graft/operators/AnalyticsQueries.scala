@@ -274,6 +274,28 @@ object AnalyticsQueries {
         moneySumExpr(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
 
+  /** TPC-H Q16-shaped supplier variety: how many DISTINCT suppliers ship
+    * each small-part (brand, type, size) bucket, excluding a blocklist (the
+    * negative-balance suppliers stand in for Q16's complaint filter, and
+    * lineitem's (part, supp) edges stand in for partsupp, which the corpus
+    * doesn't carry). The shape under test: distinct-count aggregation over
+    * a fact table with BOTH a broadcast dim filter and a broadcast
+    * anti-join. Distinct-count is two-phase — partial dedupe of
+    * (brand, type, size, suppkey) happens map-side, so the exchange carries
+    * deduped keys, not the fact stream. */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = t(spark, dir, "part").filter(col("p_size") <= 3)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val blocked = t(spark, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select("s_suppkey")
+    t(spark, dir, "lineitem")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(blocked), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   /** TPC-H Q7-shaped volume shipping: the cross-border revenue matrix —
     * revenue flowing from every supplier nation to every DIFFERENT customer
     * nation, split by ship year. Supplier and customer sides pre-join their

@@ -429,6 +429,31 @@ object DedupQueries {
     * small vocabulary, so unigram simhashes collapse to near-identical
     * values.
     */
+  /** Cross-document boilerplate spans: the 20 most widespread 3-word
+    * shingles by DOCUMENT frequency (each doc votes once per distinct
+    * span — `array_distinct` before the explode), with ties broken by the
+    * span string so the top-k is deterministic. The "find the template /
+    * license header / nav bar" pass that runs before span-level scrubbing
+    * in a web-scale pipeline. Scale: the exploded rows aggregate with
+    * map-side partial combine, so the exchange carries one row per
+    * DISTINCT span per partition (bounded by vocabulary, not corpus), and
+    * the top-k is `TakeOrderedAndProject` — k rows per partition to the
+    * driver, no global sort. Spans stay strings here because the output IS
+    * the span text; the hash-shuffled variant (group by xxhash64, carry
+    * `min(span)` as exemplar) only matters when the distinct-span set
+    * itself is shuffle-bound. */
+  def x9CommonSpans(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    t(spark, dir, "documents")
+      .select(explode(array_distinct(sh)).as("span"))
+      .groupBy("span").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(desc("doc_freq"), col("span"))
+      .limit(20)
+  }
+
   def x5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val banded = docSets(spark, dir).select(col("doc_id"), col("hs"))

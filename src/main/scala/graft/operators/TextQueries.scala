@@ -86,6 +86,52 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  /** Deterministic mixture resampling: rebalance the corpus to equal
+    * per-language counts by downsampling every language to the smallest
+    * class, with md5(doc_id)-keyed acceptance — the domain/language
+    * mixture-control step of a training-data pipeline (y7's stable-slice
+    * trick, generalized to data-derived per-group rates). A doc is kept iff
+    * hash_frac(doc_id) < target_n / n_lang; the comparison is INTEGER
+    * (h * n_lang < target_n * 2^32, all BIGINT) so acceptance is exact on
+    * both engines with zero floating-point boundary risk. No RNG, no seed
+    * coordination: re-running over a grown corpus keeps every surviving doc
+    * stable unless its language's rate changed. Scale: the per-lang rate
+    * table is a groupBy over the corpus (one agg exchange) collapsed to
+    * #langs rows, then broadcast — the corpus itself never shuffles. */
+  def y10MixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val rates = counts.crossJoin(counts.agg(min("n_lang").as("target_n")))
+    docs.join(broadcast(rates), "lang")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+      .filter(col("h") * col("n_lang") < col("target_n") * lit(4294967296L))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("target_n"))
+      .orderBy("doc_id")
+  }
+
+  /** Lexical diversity per source: type-token ratio (distinct tokens /
+    * total tokens) — low TTR flags templated or machine-generated feeds
+    * before they dominate a training mix. The distinct side explodes
+    * tokens, but partial aggregation dedupes (source, token) pairs
+    * map-side, so the exchange carries per-partition vocabularies, not the
+    * token stream; the total side never explodes at all (space-count
+    * arithmetic). */
+  def y11LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val totals = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("total_tokens"))
+    val uniq = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source").agg(countDistinct("tok").as("distinct_tokens"))
+    totals.join(uniq, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("distinct_tokens"),
+        round(col("distinct_tokens").cast("double") / col("total_tokens"), 6).as("ttr"))
+      .orderBy("source")
+  }
+
   /** Language-likelihood heuristic: English-function-word density score per
     * doc, aggregated per labeled lang. (The corpus text is synthetic word
     * soup, so this measures the heuristic's behavior, not real language ID —

@@ -125,6 +125,66 @@ class QueryPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("y10 mixture resample matches a JVM md5 acceptance test per language") {
+    def hash32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val target = counts.values.min
+    val expected = docs.filter { case (id, lang) =>
+      hash32(id) * counts(lang) < target * 4294967296L
+    }.map(_._1).sorted
+    val got = TextQueries.y10MixtureResample(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSeq === expected.toSeq,
+      "sampled membership must be exactly the integer md5 acceptance set")
+    // every language lands close to the shared target (hash uniformity)
+    got.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      assert(math.abs(rs.length - target) <= math.max(4L, target / 2),
+        s"$lang sampled ${rs.length} vs target $target — acceptance rate is off")
+      assert(rs.head.getLong(3) === target)
+    }
+  }
+
+  test("y11 lexical diversity equals a brute-force type/token count") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).view.mapValues { rs =>
+      val toks = rs.flatMap(_._2.split(' '))
+      (toks.length.toLong, toks.distinct.length.toLong)
+    }.toMap
+    val got = TextQueries.y11LexicalDiversity(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((src, (total, distinct)) <- expected) {
+      val (gt, gd, ttr) = got(src)
+      assert(gt === total, s"$src total tokens")
+      assert(gd === distinct, s"$src distinct tokens")
+      assert(ttr > 0.0 && ttr <= 1.0, s"$src ttr out of range: $ttr")
+    }
+  }
+
+  test("x9 common spans equals a brute-force document-frequency top-k") {
+    val docs = Tables.t(spark, sfDir, "documents").select("text")
+      .collect().map(_.getString(0))
+    def shingles(text: String): Seq[String] = {
+      val toks = text.split(' ').toSeq
+      val n = math.max(toks.length - 2, 1)
+      (0 until n).map(i => toks.slice(i, i + 3).mkString(" "))
+    }
+    val docFreq = docs.flatMap(t => shingles(t).distinct)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = docFreq.toSeq.sortBy { case (s, f) => (-f, s) }.take(20)
+    val got = DedupQueries.x9CommonSpans(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected, "top-20 spans by doc frequency must match brute force")
+  }
+
   test("v4 IVF probes exactly one cell per query and never returns self") {
     // (this corpus' embeddings are near-random — within-label cosine ~0.004
     // vs ~-0.001 across — so recall vs brute force is a data property, not
