@@ -412,23 +412,6 @@ object DedupQueries {
       .orderBy("train_id", "eval_id")
   }
 
-  /** SimHash fingerprint + near-dup pairs by Hamming distance: 64-bit
-    * fingerprint from shingle-hash bit votes (computed per-row in the scan —
-    * shuffle-free, unlike an aggregator-over-exploded-shingles shape), banded
-    * into 4 x 16-bit blocks for sub-quadratic candidate generation, verified
-    * with bit_count(xor). 16-bit bands (65k buckets) over 8-bit ones: with
-    * one shared vocabulary the per-bit votes correlate across docs, so 256
-    * coarse buckets collapse and the candidate join quadratically explodes.
-    * Recall contract: 4 disjoint blocks GUARANTEE (pigeonhole) every pair
-    * at hamming <= 3 — which covers the near-identical pairs dedupe targets
-    * (their distance concentrates at 0-2) — and find pairs in (3, 12] only
-    * best-effort (some differing-bit placements evade all four blocks); the
-    * hamming <= 12 output filter bounds precision, not recall.
-    *
-    * Features are 3-word shingles, not unigrams: this corpus shares one
-    * small vocabulary, so unigram simhashes collapse to near-identical
-    * values.
-    */
   /** Cross-document boilerplate spans: the 20 most widespread 3-word
     * shingles by DOCUMENT frequency (each doc votes once per distinct
     * span — `array_distinct` before the explode), with ties broken by the
@@ -454,6 +437,23 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** SimHash fingerprint + near-dup pairs by Hamming distance: 64-bit
+    * fingerprint from shingle-hash bit votes (computed per-row in the scan —
+    * shuffle-free, unlike an aggregator-over-exploded-shingles shape), banded
+    * into 4 x 16-bit blocks for sub-quadratic candidate generation, verified
+    * with bit_count(xor). 16-bit bands (65k buckets) over 8-bit ones: with
+    * one shared vocabulary the per-bit votes correlate across docs, so 256
+    * coarse buckets collapse and the candidate join quadratically explodes.
+    * Recall contract: 4 disjoint blocks GUARANTEE (pigeonhole) every pair
+    * at hamming <= 3 — which covers the near-identical pairs dedupe targets
+    * (their distance concentrates at 0-2) — and find pairs in (3, 12] only
+    * best-effort (some differing-bit placements evade all four blocks); the
+    * hamming <= 12 output filter bounds precision, not recall.
+    *
+    * Features are 3-word shingles, not unigrams: this corpus shares one
+    * small vocabulary, so unigram simhashes collapse to near-identical
+    * values.
+    */
   def x5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val banded = docSets(spark, dir).select(col("doc_id"), col("hs"))
