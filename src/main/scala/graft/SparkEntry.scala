@@ -84,6 +84,7 @@ object SparkEntry {
     "x7_dup_clusters" -> (DedupQueries.x7DupClusters _),
     "x8_contamination" -> (DedupQueries.x8Contamination _),
     "x9_common_spans" -> (DedupQueries.x9CommonSpans _),
+    "x10_dedup_keep" -> (DedupQueries.x10DedupKeep _),
     // --- text analysis (north_star)
     "y1_token_stats" -> (TextQueries.y1TokenStats _),
     "y2_quality_score" -> (TextQueries.y2QualityScore _),
@@ -152,6 +153,23 @@ object SparkEntry {
           unix_micros(col("click_ts")).as("click_ts_us"),
           col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
         .orderBy("click_id", "view_id")),
+    //     st5: LEFT-OUTER watermark-bounded stream-stream join — every view
+    //     attributed to a same-user click within the NEXT 30 minutes, or
+    //     emitted with a NULL click once the click watermark passes its
+    //     match window (the heartbeat/flush mechanics that make a finite
+    //     replay release the unmatched tail live in viewClickOuterJoin;
+    //     their self-matched rows carry negative ids and are dropped after
+    //     materialization). Oracle = the equivalent batch LEFT JOIN at
+    //     integer epoch-µs, NULLs included — the hash-match proves the
+    //     outer side's watermark-driven NULL emission is exactly batch.
+    "st5_stream_outer_join" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
+        s"st5_${System.nanoTime()}", graft.streaming.EventStreamOps.viewClickOuterJoin)
+        .filter(col("view_id") >= 0)
+        .select(col("view_id"), col("user_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
+        .orderBy("view_id", "click_id")),
     //     st2: native session_window sessions (streaming face of t2);
     //     session identity for the oracle is (user_id, start epoch-µs)
     "st2_stream_sessions" -> ((s: SparkSession, dir: String) =>
@@ -582,6 +600,19 @@ object SparkEntry {
         |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    // st5: the outer join's batch equivalent — NULL click rows included,
+    // so the hash-match proves the streaming outer side's watermark-driven
+    // NULL emission reproduces batch LEFT JOIN semantics exactly.
+    "st5_stream_outer_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS view_ts_us, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.view_id, v.user_id, v.view_ts_us, c.click_id, c.click_ts_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  AND c.click_ts_us >= v.view_ts_us
+        |  AND c.click_ts_us <= v.view_ts_us + 1800000000
+        |ORDER BY view_id, click_id""".stripMargin,
     // st4: the stream-stream join's batch equivalent. Both engines compare
     // INTEGER epoch-µs (the stream truncates the ns source to µs at read;
     // epoch_us floors the same way), so the 30-minute boundary is exact.
@@ -664,6 +695,37 @@ object SparkEntry {
         |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
         |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // x10: x7's transitive-closure CTE extended with the per-cluster
+    // keep/drop rollup; sums cast to BIGINT (HUGEINT degrades under the
+    // driver's pandas materialization)
+    "x10_dedup_keep" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+        |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT CAST(cl.cluster_id AS BIGINT) AS cluster_id, count(*) AS n_members,
+        |  CAST(min(cl.doc_id) AS BIGINT) AS keep_doc_id,
+        |  count(*) - 1 AS n_removed,
+        |  CAST(sum(CASE WHEN cl.doc_id <> cl.cluster_id THEN d.n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_removed
+        |FROM cl JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY cluster_id""".stripMargin,
     // x8: shingle formula matches x3's (hashing preserves set identity, so
     // shared-gram counts agree); eval slice = every 50th doc_id
     "x8_contamination" ->

@@ -437,6 +437,28 @@ object DedupQueries {
       .limit(20)
   }
 
+  /** The dedupe pipeline's LAST step: per near-dup cluster (x7's
+    * components), pick the canonical survivor (min doc_id — which IS the
+    * min-label cluster_id) and account for what gets dropped: member count
+    * and the non-survivor character volume. This is the table a curation
+    * run actually executes against ("keep these, delete those, reclaim
+    * this many chars"). Scale: the cluster labels are a tiny fraction of
+    * the corpus (only docs with at least one near-dup edge), so they
+    * BROADCAST onto the documents scan for the n_chars enrichment; the
+    * per-cluster rollup exchanges only labeled rows. */
+  def x10DedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = x7DupClusters(spark, dir) // (doc_id, cluster_id), memoized pair graph
+    t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .join(broadcast(clusters), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min("doc_id").as("keep_doc_id"),
+        (count(lit(1)) - 1).as("n_removed"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("n_chars"))
+          .otherwise(0)).as("chars_removed"))
+      .orderBy("cluster_id")
+  }
+
   /** SimHash fingerprint + near-dup pairs by Hamming distance: 64-bit
     * fingerprint from shingle-hash bit votes (computed per-row in the scan —
     * shuffle-free, unlike an aggregator-over-exploded-shingles shape), banded

@@ -185,6 +185,21 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(got === expected, "top-20 spans by doc frequency must match brute force")
   }
 
+  test("x10 dedupe keep-table is consistent with x7's cluster labels") {
+    val labels = DedupQueries.x7DupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keep = DedupQueries.x10DedupKeep(spark, sfDir).collect()
+    // one row per distinct cluster, keeper IS the min-label cluster id
+    assert(keep.map(_.getLong(0)).toSet === labels.map(_._2).toSet)
+    keep.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0), "keep_doc_id must equal cluster_id (min label)")
+      assert(r.getLong(3) === r.getLong(1) - 1, "n_removed = n_members - 1")
+      assert(r.getLong(1) >= 2, "a cluster implies at least one near-dup pair")
+    }
+    assert(keep.map(_.getLong(1)).sum === labels.length.toLong,
+      "cluster members must partition the labeled docs")
+  }
+
   test("v4 IVF probes exactly one cell per query and never returns self") {
     // (this corpus' embeddings are near-random — within-label cosine ~0.004
     // vs ~-0.001 across — so recall vs brute force is a data property, not
