@@ -103,6 +103,7 @@ object SparkEntry {
     "v3_label_centroids" -> (SimilarityQueries.v3LabelCentroids _),
     "v4_ivf_search" -> (SimilarityQueries.v4IvfSearch _),
     "v5_ivf_kmeans" -> (SimilarityQueries.v5IvfKmeans _),
+    "v6_knn_join" -> (SimilarityQueries.v6KnnJoin _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -966,5 +967,16 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank FROM j)
         |SELECT query_id, neighbor_id, round(s, 6) AS sim, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // v6: rank on the RAW dot (bitwise identical across engines per the
+    // Tables.dot contract), round only the output
+    "v6_knn_join" ->
+      """WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, s,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, neighbor_id) AS rn FROM p)
+        |SELECT vec_id, neighbor_id, round(s, 6) AS sim FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -209,6 +209,30 @@ object SimilarityQueries {
   /** IVF-flavored per-label centroids + assignment check: exact-decimal
     * element-wise centroid per label, then each vector's cosine to its own
     * label centroid — the coarse-quantizer building block of an IVF index. */
+  /** kNN self-join within IVF cells: every vector's single nearest
+    * neighbor among vectors sharing its cell (here the label — the same
+    * cell structure v3/v4 quantize into). This is the embedding-dedupe /
+    * "link every item to its closest sibling" shape, and the reason
+    * cell-bounded joins exist: the all-pairs blowup is |cell|² instead of
+    * |corpus|², so nlist cells cut the work by nlist×. One shuffle on the
+    * cell key; the rank-1 filter plans with `WindowGroupLimit` pushdown,
+    * so each partition forwards one candidate row per vec_id before the
+    * final window. Ranking uses the RAW dot (bitwise identical in both
+    * engines) with neighbor-id tiebreak; only the output rounds. */
+  def v6KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val nbrs = e.select(col("label"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("s").desc, col("neighbor_id"))
+    e.join(nbrs, Seq("label"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("s", dot(col("embedding"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id"), round(col("s"), 6).as("sim"))
+      .orderBy("vec_id")
+  }
+
   def v3LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val unpacked = e.select(col("label"), posexplode(col("embedding")))
