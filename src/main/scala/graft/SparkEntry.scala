@@ -154,6 +154,17 @@ object SparkEntry {
           unix_micros(col("click_ts")).as("click_ts_us"),
           col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
         .orderBy("click_id", "view_id")),
+    //     st6: SLIDING windows (1 h every 15 min) — each event contributes
+    //     to exactly 4 overlapping windows; decimal-exact count/sum, so the
+    //     finalized Append output hash-matches the batch SQL that unrolls
+    //     the 4 per-event window memberships. Window starts surface as
+    //     integer epoch-µs (epoch-aligned 15-min grid in both engines).
+    "st6_stream_sliding" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
+        s"st6_${System.nanoTime()}", graft.streaming.EventStreamOps.slidingByType)
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start_us", "event_type")),
     //     st5: LEFT-OUTER watermark-bounded stream-stream join — every view
     //     attributed to a same-user click within the NEXT 30 minutes, or
     //     emitted with a NULL click once the click watermark passes its
@@ -601,6 +612,17 @@ object SparkEntry {
         |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    // st6: unroll each event's 4 sliding-window memberships on the
+    // epoch-aligned 15-minute grid (t lands in windows grid-k*15min,
+    // k=0..3 — always exactly 4, since t - grid < 15 min)
+    "st6_stream_sliding" ->
+      """WITH e AS (SELECT event_type, value,
+        |  epoch_us(ts) - epoch_us(ts) % 900000000 AS grid FROM events),
+        |w AS (SELECT event_type, value, grid - CAST(k.k AS BIGINT) * 900000000 AS ws
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT CAST(ws AS BIGINT) AS win_start_us, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
     // st5: the outer join's batch equivalent — NULL click rows included,
     // so the hash-match proves the streaming outer side's watermark-driven
     // NULL emission reproduces batch LEFT JOIN semantics exactly.

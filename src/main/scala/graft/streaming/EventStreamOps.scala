@@ -95,6 +95,21 @@ object EventStreamOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** [[slidingValue]]'s oracle-able form: 1-hour windows sliding every 15
+    * minutes with decimal-exact count/sum (avg(double) is
+    * partition-order-dependent; n + an exact sum carry the same
+    * information and hash-match batch SQL). Every event lands in exactly
+    * 4 windows — state is 4x the tumbling rollup's, still
+    * watermark-bounded. */
+  def slidingByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Sliding window: 1-hour windows every 15 minutes, per event type. */
   def slidingValue(events: DataFrame): DataFrame =
     events
