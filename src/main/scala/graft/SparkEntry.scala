@@ -109,6 +109,7 @@ object SparkEntry {
     //     deterministic stub, so the oracle re-derives its sha256 math)
     "m1_media_summary" -> (MultimodalOps.mm1MediaSummary _),
     "m2_frame_stats" -> (MultimodalOps.mm2FrameStats _),
+    "m3_resize_summary" -> (MultimodalOps.mm3ResizeSummary _),
     // --- streaming engine driven end-to-end, ORACLED: the streaming aggs
     //     accumulate in decimal (order-independent), so the finalized
     //     Append-mode output is bit-identical to the batch/DuckDB answer.
@@ -873,6 +874,27 @@ object SparkEntry {
         |  round(avg(width * height), 2) AS avg_pixels,
         |  CAST(sum(CASE WHEN duration_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS timed_media
         |FROM m GROUP BY 1 ORDER BY media_type""".stripMargin,
+    // m3: aspect-preserving integer downscale re-derived from the sha256
+    // geometry; // is floor division (operands positive, same as the JVM's
+    // truncating /)
+    "m3_resize_summary" ->
+      """WITH d AS (SELECT sha256(text) AS h FROM documents),
+        |m AS (SELECT
+        |  CASE (('0x' || substr(h, 1, 2))::INT % 3)
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  64 + 8 * (('0x' || substr(h, 3, 2))::INT % 32) AS w,
+        |  64 + 8 * (('0x' || substr(h, 5, 2))::INT % 32) AS hh
+        |  FROM d),
+        |r AS (SELECT media_type, w, hh,
+        |  CASE WHEN greatest(w, hh) <= 128 THEN w ELSE (w * 128) // greatest(w, hh) END AS nw,
+        |  CASE WHEN greatest(w, hh) <= 128 THEN hh ELSE (hh * 128) // greatest(w, hh) END AS nh
+        |  FROM m)
+        |SELECT media_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN nw < w OR nh < hh THEN 1 ELSE 0 END) AS BIGINT) AS n_downscaled,
+        |  CAST(sum(CAST(nw AS BIGINT) * nh * 3) AS BIGINT) AS out_bytes,
+        |  CAST(sum(CAST(w AS BIGINT) * hh * 3 - CAST(nw AS BIGINT) * nh * 3) AS BIGINT)
+        |    AS saved_bytes
+        |FROM r GROUP BY 1 ORDER BY media_type""".stripMargin,
     "m2_frame_stats" ->
       """WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
         |f AS (SELECT doc_id, h, unnest(generate_series(0, 2)) AS frame_idx FROM d),

@@ -11,6 +11,10 @@ final case class MediaMeta(
 /** One fixed-size feature vector per decoded frame/sample. */
 final case class MediaFeature(docId: Long, frameIdx: Int, feature: Array[Float])
 
+/** Decode metadata plus the resize pass's output geometry. */
+final case class ResizedMeta(docId: Long, mediaType: String,
+    width: Int, height: Int, newWidth: Int, newHeight: Int, outBytes: Long)
+
 /**
  * Multimodal column plumbing: image/audio/video as opaque BINARY columns
  * with typed metadata, decode / feature-extract / frame-sample as
@@ -93,6 +97,42 @@ object MultimodalOps {
       .agg(sum(when(col("x") > 0f, 1L).otherwise(0L)).as("n_pos"),
         sum(round((col("x") + lit(1.0d)) / 2.0d * 255.0d).cast("long")).as("byte_sum"))
       .orderBy("doc_id", "frame_idx")
+
+  /** STUB: stands in for the resize/transcode step — aspect-preserving
+    * downscale to a 128px max dimension in pure INTEGER arithmetic
+    * (floor((dim * 128) / maxDim)), so the DuckDB oracle re-derives the
+    * output geometry exactly from the sha256 bytes. In production the body
+    * re-encodes the payload; the integer geometry contract is unchanged. */
+  def stubResize(m: MediaMeta, maxDim: Int = 128): ResizedMeta = {
+    val mx = math.max(m.width, m.height)
+    val (nw, nh) =
+      if (mx <= maxDim) (m.width, m.height)
+      else ((m.width * maxDim) / mx, (m.height * maxDim) / mx)
+    ResizedMeta(m.docId, m.mediaType, m.width, m.height, nw, nh, nw.toLong * nh * 3)
+  }
+
+  /** Resize pass: decode + resize fused in ONE partition-parallel transform
+    * (a real pipeline never materializes decoded frames between the two —
+    * decode feeds the scaler inside the same batch), then the per-type
+    * rollup a storage-budget planner consumes: how many payloads shrink,
+    * the output byte volume, and what the downscale saves. All quantities
+    * are integer-exact through the stub, so the oracle hash-match proves
+    * the fused decode→resize plumbing, not just row counts. */
+  def mm3ResizeSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      // codec + scaler init would go here, once per partition
+      it.map { case (id, bytes) => stubResize(stubDecode(id, bytes)) }
+    }.toDF()
+      .groupBy(col("mediaType").as("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("newWidth") < col("width") || col("newHeight") < col("height"), 1L)
+          .otherwise(0L)).as("n_downscaled"),
+        sum("outBytes").as("out_bytes"),
+        sum(col("width").cast("long") * col("height") * 3L - col("outBytes"))
+          .as("saved_bytes"))
+      .orderBy("media_type")
+  }
 
   /** Metadata rollup per media type — the query a curation pipeline runs
     * over the decoded corpus. Snake-case output columns so the DuckDB
