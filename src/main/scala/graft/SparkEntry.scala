@@ -204,6 +204,33 @@ object SparkEntry {
     * oracled: DuckDB has md5, and the CDC window scan is SQL-expressible
     * (see the a3 entry's comment).
     */
+  /** The near-dup cluster derivation shared VERBATIM by the x7 and x10
+    * oracles (DuckDB): x3's shingle/Jaccard pair graph, the recursive
+    * transitive closure, and the min-label clusters — ending in
+    * `cl(doc_id, cluster_id)`. One constant, two consumers, so the two
+    * oracles can never disagree about the same cluster graph. */
+  private val dupClusterCte: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+      |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+      |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b),
+      |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+      |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM und
+      |  UNION
+      |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+      |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // a3: the chunker's boundary rule, re-derived relationally. Settings
     // (min=256, max=2048, shift=8, boundary=1B): chunk starts and window
@@ -698,58 +725,22 @@ object SparkEntry {
         |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "x7_dup_clusters" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b,
-        |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
-        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b),
-        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-        |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
-        |  UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM und
-        |  UNION
-        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
-        |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "x7_dup_clusters" -> (dupClusterCte +
+      """
+        |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+        |FROM cl ORDER BY doc_id""".stripMargin),
     // x10: x7's transitive-closure CTE extended with the per-cluster
     // keep/drop rollup; sums cast to BIGINT (HUGEINT degrades under the
     // driver's pandas materialization)
-    "x10_dedup_keep" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b,
-        |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
-        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b),
-        |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-        |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
-        |  UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM und
-        |  UNION
-        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
-        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |  FROM reach GROUP BY src)
+    "x10_dedup_keep" -> (dupClusterCte +
+      """
         |SELECT CAST(cl.cluster_id AS BIGINT) AS cluster_id, count(*) AS n_members,
         |  CAST(min(cl.doc_id) AS BIGINT) AS keep_doc_id,
         |  count(*) - 1 AS n_removed,
         |  CAST(sum(CASE WHEN cl.doc_id <> cl.cluster_id THEN d.n_chars ELSE 0 END) AS BIGINT)
         |    AS chars_removed
         |FROM cl JOIN documents d USING (doc_id)
-        |GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+        |GROUP BY 1 ORDER BY cluster_id""".stripMargin),
     // x8: shingle formula matches x3's (hashing preserves set identity, so
     // shared-gram counts agree); eval slice = every 50th doc_id
     "x8_contamination" ->

@@ -337,7 +337,15 @@ object DedupQueries {
     * same shape Hash-to-Min / large-star-small-star CC algorithms use
     * (Rastogi et al., "Finding Connected Components in Map-Reduce in
     * Logarithmic Rounds", ICDE'13). */
-  def x7DupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def x7DupClusters(spark: SparkSession, dir: String): DataFrame =
+    // the labels are memoized like the pair set: x10's keep-table consumes
+    // them in the same sweep, and without sharing it would re-run the whole
+    // propagation loop (finding from the round-6 review)
+    memoized(spark, dir, "x7Labels") { x7Propagate(spark, dir) }
+      .select(col("doc").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
+  private def x7Propagate(spark: SparkSession, dir: String): DataFrame = {
     // the pair set arrives MATERIALIZED from the session memo — running
     // pairs then clusters costs ONE candidate build, and x7 alone costs
     // little more than its propagation loop
@@ -379,7 +387,7 @@ object DedupQueries {
     if (changed > 0)
       throw new IllegalStateException(
         s"x7DupClusters did not converge in $maxIters iterations — a component has a longer diameter; raise the cap")
-    labels.select(col("doc").as("doc_id"), col("cluster_id")).orderBy("doc_id")
+    labels // (doc, cluster_id), localCheckpointed by the loop's last pass
   }
 
   /** Benchmark DECONTAMINATION: which training documents leak n-grams into
@@ -426,12 +434,8 @@ object DedupQueries {
     * `min(span)` as exemplar) only matters when the distinct-span set
     * itself is shuffle-bound. */
   def x9CommonSpans(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val sh = transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
     t(spark, dir, "documents")
-      .select(explode(array_distinct(sh)).as("span"))
+      .select(explode(array_distinct(wordShingles(col("text")))).as("span"))
       .groupBy("span").agg(count(lit(1)).as("doc_freq"))
       .orderBy(desc("doc_freq"), col("span"))
       .limit(20)

@@ -206,9 +206,6 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-flavored per-label centroids + assignment check: exact-decimal
-    * element-wise centroid per label, then each vector's cosine to its own
-    * label centroid — the coarse-quantizer building block of an IVF index. */
   /** kNN self-join within IVF cells: every vector's single nearest
     * neighbor among vectors sharing its cell (here the label — the same
     * cell structure v3/v4 quantize into). This is the embedding-dedupe /
@@ -233,6 +230,9 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** IVF-flavored per-label centroids + assignment check: exact-decimal
+    * element-wise centroid per label, then each vector's cosine to its own
+    * label centroid — the coarse-quantizer building block of an IVF index. */
   def v3LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val unpacked = e.select(col("label"), posexplode(col("embedding")))

@@ -32,6 +32,18 @@ object Tables {
   /** Same trick for a derived money expression with more scale. */
   def moneySumExpr(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
 
+  /** Truncating-tail 3-word shingles of a space-tokenized text column —
+    * the ONE formula every shingle consumer (x9/y4/y8 column-side, x3's
+    * JVM `shingleHashes`, and all their DuckDB oracles' list
+    * comprehensions) must agree on: `toks[i..i+2]` for
+    * `i in 1..max(len-2, 1)`. Keep the copies in sync by not having
+    * copies. */
+  def wordShingles(text: Column): Column = {
+    val toks = split(text, " ")
+    transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+  }
+
   /** Sequential double fold dot-product over two float arrays.
     * Matches DuckDB `list_dot_product(a::DOUBLE[], b::DOUBLE[])` bitwise
     * (verified: both are a left fold in double over float32-widened values).

@@ -211,10 +211,7 @@ object TextQueries {
     * distinct shingle counts), so the whole metric stays in codegen with an
     * exact DuckDB analog; one narrow pass, one agg exchange. */
   def y8Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val sh = transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+    val sh = wordShingles(col("text"))
     t(spark, dir, "documents")
       .withColumn("n_grams", size(sh).cast("long"))
       .withColumn("n_distinct", size(array_distinct(sh)).cast("long"))
@@ -234,10 +231,7 @@ object TextQueries {
     * robust to local edits. Spark-only (seeded xxhash64 has no DuckDB
     * analog). */
   def y4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val sh = transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+    val sh = wordShingles(col("text"))
     t(spark, dir, "documents")
       .select(col("doc_id"),
         slice(array_sort(array_distinct(transform(sh, s => xxhash64(s)))), 1, 8)

@@ -154,7 +154,9 @@ class QueryPropertiesSpec extends SparkSpec {
       .select(col("source"), col("text"))
       .collect().map(r => (r.getString(0), r.getString(1)))
     val expected = docs.groupBy(_._1).view.mapValues { rs =>
-      val toks = rs.flatMap(_._2.split(' '))
+      // split with limit -1: keep trailing empty tokens, matching Spark's
+      // split() and the space-count arithmetic (split(Char) drops them)
+      val toks = rs.flatMap(_._2.split(" ", -1))
       (toks.length.toLong, toks.distinct.length.toLong)
     }.toMap
     val got = TextQueries.y11LexicalDiversity(spark, sfDir).collect()
@@ -173,7 +175,8 @@ class QueryPropertiesSpec extends SparkSpec {
     val docs = Tables.t(spark, sfDir, "documents").select("text")
       .collect().map(_.getString(0))
     def shingles(text: String): Seq[String] = {
-      val toks = text.split(' ').toSeq
+      // limit -1 keeps trailing empty tokens, matching Spark's split()
+      val toks = text.split(" ", -1).toSeq
       val n = math.max(toks.length - 2, 1)
       (0 until n).map(i => toks.slice(i, i + 3).mkString(" "))
     }
