@@ -85,6 +85,9 @@ object SparkEntry {
     "x8_contamination" -> (DedupQueries.x8Contamination _),
     "x9_common_spans" -> (DedupQueries.x9CommonSpans _),
     "x10_dedup_keep" -> (DedupQueries.x10DedupKeep _),
+    // z1 composes the y2/y8/x10 filters into the end-to-end curation
+    // sign-off table (per-source totals, survivors, surviving tokens)
+    "z1_curation_survivors" -> (DedupQueries.z1CurationSurvivors _),
     // --- text analysis (north_star)
     "y1_token_stats" -> (TextQueries.y1TokenStats _),
     "y2_quality_score" -> (TextQueries.y2QualityScore _),
@@ -741,6 +744,37 @@ object SparkEntry {
         |    AS chars_removed
         |FROM cl JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY cluster_id""".stripMargin),
+    // z1: the three-filter composition over the shared cluster CTE — the
+    // text gates re-derive y2/y8's arithmetic, the dup gate is cl's
+    // non-keeper members, all per-doc flags AND'd before the rollup.
+    // dupClusterCte exposes t(doc_id, toks) for the repetition gate's
+    // full (non-distinct) shingle list.
+    "z1_curation_survivors" -> (dupClusterCte +
+      """,
+        |dropped AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+        |rep AS (SELECT doc_id,
+        |  [array_to_string(toks[i:i+2], ' ')
+        |   for i in generate_series(1, greatest(len(toks) - 2, 1))] AS shall
+        |  FROM t),
+        |rr AS (SELECT doc_id,
+        |  round(CAST(len(shall) - len(list_distinct(shall)) AS DOUBLE) / len(shall), 4)
+        |    AS rep_ratio FROM rep),
+        |d AS (SELECT doc_id, source,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+        |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2
+        |    AS stop_hits
+        |  FROM documents),
+        |k AS (SELECT d.doc_id, d.source, d.n_tokens,
+        |  CASE WHEN round(CAST(d.stop_hits AS DOUBLE) / d.n_tokens, 4) >= 0.05
+        |        AND rr.rep_ratio <= 0.2 AND dr.doc_id IS NULL
+        |       THEN 1 ELSE 0 END AS kept
+        |  FROM d JOIN rr ON rr.doc_id = d.doc_id
+        |  LEFT JOIN dropped dr ON dr.doc_id = d.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS kept_docs,
+        |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY 1 ORDER BY source""".stripMargin),
     // x8: shingle formula matches x3's (hashing preserves set identity, so
     // shared-gram counts agree); eval slice = every 50th doc_id
     "x8_contamination" ->

@@ -463,6 +463,39 @@ object DedupQueries {
       .orderBy("cluster_id")
   }
 
+  /** The curation pipeline COMPOSED end to end: which documents survive
+    * the three standard pre-training filters together — (1) y2's stopword
+    * quality gate (medium band or better), (2) y8's intra-doc repetition
+    * gate (rep ratio ≤ 0.2), (3) x10's near-dup drop (cluster members that
+    * are not the canonical keeper) — rolled up per source. This is the
+    * query a curation run signs off on: per-feed totals, survivors, and
+    * surviving token volume. One corpus pass computes both text gates as
+    * codegen'd column arithmetic; the dup-drop list is tiny (non-keeper
+    * cluster members) and BROADCASTS from the session memo, so composing
+    * all three filters costs no more than the dearest single one. */
+  def z1CurationSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = x7DupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val sh = wordShingles(col("text"))
+    t(spark, dir, "documents")
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .withColumn("n_tokens", TextQueries.tokenCount(col("text")))
+      .withColumn("stop_ratio",
+        round((TextQueries.wordCount(col("text"), "the") +
+          TextQueries.wordCount(col("text"), "a")).cast("double") / col("n_tokens"), 4))
+      .withColumn("rep_ratio",
+        round((size(sh) - size(array_distinct(sh))).cast("double") / size(sh), 4))
+      .withColumn("kept",
+        (col("stop_ratio") >= 0.05 && col("rep_ratio") <= 0.2 && col("is_dup").isNull)
+          .cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept").as("kept_docs"),
+        sum(when(col("kept") === 1L, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** SimHash fingerprint + near-dup pairs by Hamming distance: 64-bit
     * fingerprint from shingle-hash bit votes (computed per-row in the scan —
     * shuffle-free, unlike an aggregator-over-exploded-shingles shape), banded

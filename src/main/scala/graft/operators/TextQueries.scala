@@ -15,13 +15,13 @@ object TextQueries {
   /** Occurrences of `word` as a standalone token (space-padded count).
     * Plain replace (not regexp) — identical non-overlapping left-to-right
     * semantics in Spark and DuckDB without regex-dialect risk. */
-  private def wordCount(text: Column, word: String): Column =
+  private[operators] def wordCount(text: Column, word: String): Column =
     ((length(concat(lit(" "), text, lit(" "))) -
       length(replace(concat(lit(" "), text, lit(" ")), lit(s" $word "), lit(" ")))) /
       (word.length + 1)).cast("long")
 
   /** Whitespace token count without split(): spaces + 1. */
-  private def tokenCount(text: Column): Column =
+  private[operators] def tokenCount(text: Column): Column =
     (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
 
   /** Per-language token statistics: doc counts, token totals, avg doc length. */

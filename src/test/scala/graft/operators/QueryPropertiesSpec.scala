@@ -203,6 +203,41 @@ class QueryPropertiesSpec extends SparkSpec {
       "cluster members must partition the labeled docs")
   }
 
+  test("z1 curation survivors reconcile with the three component filters") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val dropped = DedupQueries.x7DupClusters(spark, sfDir).collect()
+      .filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def stopRatio(text: String): Double = {
+      val padded = s" $text "
+      def hits(w: String) =
+        (padded.length - padded.replace(s" $w ", " ").length) / (w.length + 1)
+      val nTokens = text.count(_ == ' ') + 1
+      round4((hits("the") + hits("a")).toDouble / nTokens)
+    }
+    def repRatio(text: String): Double = {
+      val toks = text.split(" ", -1).toSeq
+      val n = math.max(toks.length - 2, 1)
+      val sh = (0 until n).map(i => toks.slice(i, i + 3).mkString(" "))
+      round4((sh.size - sh.distinct.size).toDouble / sh.size)
+    }
+    val expected = docs.groupBy(_._2).view.mapValues { rs =>
+      val kept = rs.filter { case (id, _, text) =>
+        stopRatio(text) >= 0.05 && repRatio(text) <= 0.2 && !dropped(id)
+      }
+      (rs.length.toLong, kept.length.toLong,
+        kept.map { case (_, _, t) => (t.count(_ == ' ') + 1).toLong }.sum)
+    }.toMap
+    val got = DedupQueries.z1CurationSurvivors(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((src, exp) <- expected)
+      assert(got(src) === exp, s"$src (n_docs, kept_docs, kept_tokens)")
+  }
+
   test("v4 IVF probes exactly one cell per query and never returns self") {
     // (this corpus' embeddings are near-random — within-label cosine ~0.004
     // vs ~-0.001 across — so recall vs brute force is a data property, not
