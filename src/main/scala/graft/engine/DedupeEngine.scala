@@ -614,8 +614,12 @@ final class DedupeEngine(
     * at 100 TB you run it per-partition/incrementally via the same
     * publish seam. */
   def compactIndex(): Unit = {
-    objectsT.publish(objectsT.read().orderBy("objectKey"))
-    objmapT.publish(objmapT.read().orderBy("objectKey", "chunkPosition"))
+    // each backend decides what compaction MEANS: snapshot tables re-sort
+    // into one segment; the JDBC backend is a documented no-op (the DB has
+    // no snapshot fragmentation, and its objmap is corpus-proportional —
+    // it must never round-trip through a driver-side publish)
+    objectsT.compactSorted(Seq("objectKey"))
+    objmapT.compactSorted(Seq("objectKey", "chunkPosition"))
     store.compact()
   }
 

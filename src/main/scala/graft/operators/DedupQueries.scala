@@ -446,14 +446,17 @@ object DedupQueries {
     * min-label cluster_id) and account for what gets dropped: member count
     * and the non-survivor character volume. This is the table a curation
     * run actually executes against ("keep these, delete those, reclaim
-    * this many chars"). Scale: the cluster labels are a tiny fraction of
-    * the corpus (only docs with at least one near-dup edge), so they
-    * BROADCAST onto the documents scan for the n_chars enrichment; the
-    * per-cluster rollup exchanges only labeled rows. */
+    * this many chars"). Scale: the cluster labels cover only docs with at
+    * least one near-dup edge — often tiny, but on a crawl-heavy corpus
+    * near-dup membership can be a LARGE fraction, so the join carries no
+    * broadcast hint: AQE size-gates the build side at runtime (broadcast
+    * when the labels are small, shuffled hash join when they are not —
+    * never a driver/broadcast OOM). The per-cluster rollup exchanges only
+    * labeled rows. */
   def x10DedupKeep(spark: SparkSession, dir: String): DataFrame = {
     val clusters = x7DupClusters(spark, dir) // (doc_id, cluster_id), memoized pair graph
     t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
-      .join(broadcast(clusters), "doc_id")
+      .join(clusters, "doc_id")
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
         min("doc_id").as("keep_doc_id"),
@@ -470,16 +473,19 @@ object DedupQueries {
     * are not the canonical keeper) — rolled up per source. This is the
     * query a curation run signs off on: per-feed totals, survivors, and
     * surviving token volume. One corpus pass computes both text gates as
-    * codegen'd column arithmetic; the dup-drop list is tiny (non-keeper
-    * cluster members) and BROADCASTS from the session memo, so composing
-    * all three filters costs no more than the dearest single one. */
+    * codegen'd column arithmetic; the dup-drop list (non-keeper cluster
+    * members, from the session memo) joins WITHOUT a broadcast hint — on a
+    * near-dup-heavy corpus the drop list is a large corpus fraction, and
+    * AQE size-gating picks broadcast vs shuffled hash join at runtime, so
+    * composing all three filters degrades gracefully instead of OOMing the
+    * driver. */
   def z1CurationSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val dropped = x7DupClusters(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1L).as("is_dup"))
     val sh = wordShingles(col("text"))
     t(spark, dir, "documents")
-      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
       .withColumn("n_tokens", TextQueries.tokenCount(col("text")))
       .withColumn("stop_ratio",
         round((TextQueries.wordCount(col("text"), "the") +

@@ -58,26 +58,62 @@ object TextQueries {
   }
 
   /** Quality-decile binning: rank every document by its stopword-density
-    * quality score into 10 equal-frequency buckets (ntile over a TOTAL
-    * order — ties broken by doc_id, so the binning is deterministic and
-    * oracle-able), then per-decile stats: the quality-mix planning table a
-    * curriculum / re-sampling step consumes ("upsample the top deciles,
-    * drop the bottom one"). Scale note: exact ntile costs one global range
-    * sort; at 100 TB the approximate form derives the 9 cutoffs from
-    * `approx_percentile` (p2's bounded-state trade) and bins with a
-    * broadcast CASE — same output table, no global sort. */
+    * quality score into 10 equal-frequency buckets (ntile semantics over a
+    * TOTAL order — ties broken by doc_id, so the binning is deterministic
+    * and oracle-able), then per-decile stats: the quality-mix planning
+    * table a curriculum / re-sampling step consumes ("upsample the top
+    * deciles, drop the bottom one").
+    *
+    * Scale design — EXACT deciles with NO unpartitioned window: a bare
+    * `ntile(10) OVER (ORDER BY ...)` plans a single-task global sort (the
+    * textbook scale-killer — the whole corpus through one reducer). Instead:
+    * (1) range-partition by the sort key (parallel range exchange),
+    * (2) collect per-partition ROW COUNTS — a bounded driver collect of one
+    *     long per partition, never data,
+    * (3) rank WITHIN partitions only (every window task is
+    *     corpus/nParts-bounded) and add the partition's global offset,
+    * (4) derive the ntile bucket from the exact global index in closed form:
+    *     with q = N/10 and r = N%10, the first r buckets hold q+1 rows —
+    *     bucket(i) = i div (q+1)           for i <  r*(q+1)
+    *               = r + (i - r*(q+1)) div q  otherwise   (then 1-based).
+    * Output is bit-identical to the global ntile (same total order, same
+    * bucket boundaries) — the DuckDB ntile oracle still hash-matches — but
+    * the plan's only wide ops are a range exchange and a pid-partitioned
+    * window. The approximate alternative (approx_percentile cutoffs +
+    * broadcast CASE) trades exactness for one fewer shuffle; this form
+    * keeps the hash-matching contract. */
   def y9QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val scored = t(spark, dir, "documents")
       .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("stop_hits",
         wordCount(col("text"), "the") + wordCount(col("text"), "a"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("stop_hits").cast("double") / col("n_tokens"), 4).as("score"))
-    scored
-      .withColumn("decile", ntile(10)
-        .over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("score"), col("doc_id")))
-        .cast("long"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins the sampled range boundaries: the counts job and
+    // the ranking job MUST see the same row->partition assignment
+    val parted = scored.repartitionByRange(nParts, col("score"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // one (pid, count) row per partition — O(nParts) driver memory
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    val offsetsDf = offsets.toSeq.toDF("pid", "offset") // nParts rows -> broadcast
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("score"), col("doc_id"))
+    val q10 = total / 10
+    val r10 = total % 10
+    val gi = row_number().over(w).cast("long") - 1 + col("offset")
+    // exact ntile arithmetic; gi < 2^53 keeps the double-division floor exact
+    val decile = (when(gi < lit(r10 * (q10 + 1)), floor(gi / lit(q10 + 1)))
+      .otherwise(lit(r10) + floor((gi - lit(r10 * (q10 + 1))) / lit(math.max(q10, 1L))))
+      + 1).cast("long")
+    parted.join(broadcast(offsetsDf), "pid")
+      .withColumn("decile", decile)
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         round(min("score"), 4).as("min_score"),

@@ -158,6 +158,15 @@ final class JdbcTableStore(
       }
     }
 
+  /** No-op BY DESIGN: compaction de-fragments overlapping snapshot
+    * segments, and a relational table has none — the database owns its
+    * physical organization (heap/btree), so there is nothing to re-sort.
+    * Critically, the default (sorted `publish`) would pull the WHOLE table
+    * through the driver-side transactional rewrite: fine for commit deltas,
+    * unbounded for objmap (one row per chunk — corpus-proportional).
+    * `append`/`read`/`deleteKeys`, the hot paths, stay O(new/deleted). */
+  override def compactSorted(sortCols: Seq[String]): Unit = ()
+
   /** One indexed SQL DELETE instead of a snapshot rewrite — O(deleted
     * rows). `IN` is three-valued, so null-key rows survive for free (the
     * null-preserving contract the parquet path enforces explicitly). */

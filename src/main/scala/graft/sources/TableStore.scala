@@ -26,6 +26,18 @@ trait TableStore {
     * run with no writer in flight. */
   def vacuum(): Unit = ()
 
+  /** Rewrite the table as ONE globally key-sorted snapshot — the engine's
+    * LSM "major compaction" seam ([[graft.engine.DedupeEngine.compactIndex]]).
+    * Default: a sorted full publish, which is what snapshot backends need
+    * (append chains leave segments with overlapping key ranges; the sorted
+    * rewrite restores maximal segment/row-group pruning). Backends with no
+    * snapshot fragmentation — a relational database keeps its own physical
+    * organization and indexes — override this as a no-op: routing a
+    * corpus-proportional table (objmap is one row PER CHUNK) through a
+    * driver-side publish would be pointless there and unbounded at scale. */
+  def compactSorted(sortCols: Seq[String]): Unit =
+    publish(read().orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*))
+
   /** Remove rows whose `keyCol` value is in `keys` — the row-delete path
     * (reference semantics: SqliteProvider.cs:522-523). Backends with
     * per-segment key stats override this to touch only intersecting

@@ -95,6 +95,23 @@ object EventStreamOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** ONE copy of the 1h/15min sliding-window scaffold (watermark + window
+    * spec + per-type groupBy), parameterized by the aggregate list —
+    * [[slidingByType]] and [[slidingValue]] differ only in aggregates, and
+    * a single scaffold keeps the window/watermark spec from drifting
+    * between them. */
+  private def slidingGrid(events: DataFrame,
+      first: org.apache.spark.sql.Column,
+      rest: org.apache.spark.sql.Column*): DataFrame = {
+    val agged = events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(first, rest: _*)
+    val metrics = agged.columns.filterNot(c => c == "window" || c == "event_type")
+    agged.select(col("window.start").as("win_start") +: col("event_type") +:
+      metrics.map(col).toIndexedSeq: _*)
+  }
+
   /** [[slidingValue]]'s oracle-able form: 1-hour windows sliding every 15
     * minutes with decimal-exact count/sum (avg(double) is
     * partition-order-dependent; n + an exact sum carry the same
@@ -102,21 +119,13 @@ object EventStreamOps {
     * 4 windows — state is 4x the tumbling rollup's, still
     * watermark-bounded. */
   def slidingByType(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "30 minutes")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(col("window.start").as("win_start"), col("event_type"),
-        col("n"), col("sum_value"))
+    slidingGrid(events,
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
 
   /** Sliding window: 1-hour windows every 15 minutes, per event type. */
   def slidingValue(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "30 minutes")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(avg("value").as("avg_value"))
-      .select(col("window.start").as("win_start"), col("event_type"), col("avg_value"))
+    slidingGrid(events, avg("value").as("avg_value"))
 
   /** Stream-stream interval join: every click joined to the same user's
     * views from the preceding 30 minutes. Both sides carry watermarks so

@@ -63,6 +63,39 @@ class JdbcTableStoreSpec extends SparkSpec {
       "only the named keys may vanish — null-key rows must survive the IN's three-valued logic")
   }
 
+  test("compactSorted is a no-op on the JDBC backend: zero Spark jobs, rows untouched") {
+    val (store, _, _) = newStore()
+    store.append(df(Row("b", 2L, 2, null), Row("a", 1L, 1, null)))
+    // count Spark jobs during the call: the DEFAULT compactSorted would run
+    // a read+sort+collect (several jobs); the JDBC override must run NONE —
+    // that is the "never materialize a corpus-proportional objmap through
+    // the driver-side publish" contract, observable
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.compactSorted(Seq("objectKey"))
+      Thread.sleep(1000) // listener events post asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      "JDBC compact must not execute any Spark job (no driver-side table materialization)")
+    assert(store.read().collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"),
+      "rows must be untouched by the no-op compact")
+    // and the engine-level maintenance op stays green over this backend
+    val dir = Files.createTempDirectory("graft-jdbc-compact").toString
+    val e = new DedupeEngine(spark, dir, DedupeSettings(256, 2048, 8, 1),
+      None, Some(JdbcTableStore.factory(spark, s"$dir/derby-idx")))
+    val data = new Array[Byte](9000)
+    new scala.util.Random(47).nextBytes(data)
+    e.write("k", data)
+    e.compactIndex()
+    assert(java.util.Arrays.equals(e.get("k").get, data),
+      "compactIndex over the JDBC index must leave reads intact")
+  }
+
   test("create --jdbc persists the backend choice; plain open() wires the JDBC index") {
     val dir = Files.createTempDirectory("graft-jdbc-cli").toString + "/idx"
     graft.apps.DedupeCli.run(spark, dir, "create", Array("256", "2048", "8", "1", "--jdbc"))
