@@ -85,6 +85,10 @@ object SparkEntry {
     "x8_contamination" -> (DedupQueries.x8Contamination _),
     "x9_common_spans" -> (DedupQueries.x9CommonSpans _),
     "x10_dedup_keep" -> (DedupQueries.x10DedupKeep _),
+    // x11: cross-run incremental dedupe — a NEW batch (doc_id % 7 slice)
+    // near-dup-checked against the EXISTING remainder via the same banding;
+    // keep/drop verdict per new doc with the best verified old match
+    "x11_incremental_dedup" -> (DedupQueries.x11IncrementalDedup _),
     // z1 composes the y2/y8/x10 filters into the end-to-end curation
     // sign-off table (per-source totals, survivors, surviving tokens)
     "z1_curation_survivors" -> (DedupQueries.z1CurationSurvivors _),
@@ -775,6 +779,33 @@ object SparkEntry {
         |  CAST(sum(kept) AS BIGINT) AS kept_docs,
         |  CAST(sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin),
+    // x11: x3's exact shingle/Jaccard SQL restricted to new x old pairs
+    // (new = doc_id % 7 = 0), best match by (jaccard DESC, doc_b), then a
+    // LEFT join from the full new slice so kept docs surface with NULLs.
+    // Emitted values are the verified exact pairs, so banding on the Spark
+    // side is output-invariant (same argument as x4's oracle).
+    "x11_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |  GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+        |best AS (SELECT doc_a, doc_b, jaccard FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rk
+        |   FROM p) WHERE rk = 1)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN best.doc_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  CAST(best.doc_b AS BIGINT) AS dup_of, best.jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+        |LEFT JOIN best ON best.doc_a = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // x8: shingle formula matches x3's (hashing preserves set identity, so
     // shared-gram counts agree); eval slice = every 50th doc_id
     "x8_contamination" ->

@@ -222,36 +222,46 @@ object DedupQueries {
     * per-row inside the scan (no shuffle); at 100 TB only the 4-rows-per-doc
     * band-key join shuffles, and it shuffles 3 longs per row.
     */
-  def x4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val numHashes = 16
-    val rowsPerBand = 4
-    val numBands = numHashes / rowsPerBand
-    // one cached shingle pass feeds BOTH the signature flatMap and the
-    // verification side (re-scanning documents would double the most
-    // expensive narrow stage) — and is shared with x3/x7 via the memo
-    val sets = docSets(spark, dir)
-    val banded = sets.select(col("doc_id"), col("hs")).as[(Long, Array[Long])]
-      .flatMap { case (id, hs) =>
-        val sigs = Array.fill(numHashes)(Long.MaxValue)
-        var k = 0
-        while (k < hs.length) {
-          var j = 0
-          while (j < numHashes) {
-            val v = XXH64.hashLong(hs(k), j + 1)
-            if (v < sigs(j)) sigs(j) = v
-            j += 1
+  /** The MinHash band rows `(doc_id, band, band_key)` — k=16 signatures,
+    * 4 bands x 4 rows, computed per-row inside the scan (no shuffle) from
+    * the memoized shingle arrays, then localCheckpointed and MEMOIZED:
+    * x4's self-join and x11's incremental new-vs-old join consume the same
+    * signature pass, so a sweep running both pays it once. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "minhashBands") {
+      import spark.implicits._
+      val numHashes = 16
+      val rowsPerBand = 4
+      val numBands = numHashes / rowsPerBand
+      // one cached shingle pass feeds BOTH the signature flatMap and the
+      // verification side (re-scanning documents would double the most
+      // expensive narrow stage) — and is shared with x3/x7 via the memo
+      docSets(spark, dir).select(col("doc_id"), col("hs")).as[(Long, Array[Long])]
+        .flatMap { case (id, hs) =>
+          val sigs = Array.fill(numHashes)(Long.MaxValue)
+          var k = 0
+          while (k < hs.length) {
+            var j = 0
+            while (j < numHashes) {
+              val v = XXH64.hashLong(hs(k), j + 1)
+              if (v < sigs(j)) sigs(j) = v
+              j += 1
+            }
+            k += 1
           }
-          k += 1
-        }
-        (0 until numBands).iterator.map { b =>
-          var key = b.toLong
-          var r = 0
-          while (r < rowsPerBand) { key = XXH64.hashLong(sigs(b * rowsPerBand + r), key); r += 1 }
-          (id, b, key)
-        }
-      }.toDF("doc_id", "band", "band_key")
-      .localCheckpoint() // minhash pipeline runs once, not per join side
+          (0 until numBands).iterator.map { b =>
+            var key = b.toLong
+            var r = 0
+            while (r < rowsPerBand) { key = XXH64.hashLong(sigs(b * rowsPerBand + r), key); r += 1 }
+            (id, b, key)
+          }
+        }.toDF("doc_id", "band", "band_key")
+        .localCheckpoint() // minhash pipeline runs once, not per join side
+    }
+
+  def x4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sets = docSets(spark, dir)
+    val banded = minhashBands(spark, dir)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -500,6 +510,51 @@ object DedupQueries {
         sum("kept").as("kept_docs"),
         sum(when(col("kept") === 1L, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
       .orderBy("source")
+  }
+
+  /** CROSS-RUN incremental dedupe — the shape a real pipeline runs daily:
+    * near-dup-check a NEW batch of documents against the EXISTING corpus
+    * (x3/x4 dedupe one snapshot against itself; here only new x old pairs
+    * are candidates, never old x old). The stand-in slice for "today's
+    * crawl" is `doc_id % 7 == 0`; everything else is the already-ingested
+    * index. Emits ONE row per new doc: keep (no near-dup among the old
+    * docs) or drop, with the best old match (highest verified Jaccard,
+    * ties to the smallest doc_id) as the dedupe evidence.
+    *
+    * Scale design: the existing corpus' band rows are exactly the index a
+    * production system PERSISTS between runs (4 longs per doc); the new
+    * batch computes its signatures in one narrow pass and joins new-side
+    * band rows against the index — candidate volume scales with the NEW
+    * batch, not the corpus, and verification touches only candidate pairs'
+    * shingle arrays. Here both sides derive from one memoized signature
+    * pass (shared with x4); the new/old split is a filter on it. The
+    * keep/drop verdict is banding-recall-dependent exactly like x4
+    * (DedupSweepSpec pins band recall = total on this corpus' near-identical
+    * clusters), and the emitted columns are the exact-Jaccard-verified
+    * values, so the DuckDB oracle reproduces them hash-exactly. */
+  def x11IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sets = docSets(spark, dir)
+    val banded = minhashBands(spark, dir)
+    val isNew = col("doc_id") % 7 === 0
+    val cands = banded.filter(isNew).as("a")
+      .join(banded.filter(!isNew).as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // (doc_a = new doc, doc_b = old doc, jaccard) — verified exact pairs
+    val matches = verifyJaccard(cands, sets, 0.5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a").orderBy(col("jaccard").desc, col("doc_b"))
+    val best = matches
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_of"), col("jaccard"))
+    t(spark, dir, "documents").filter(isNew).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("dup_of").isNull.cast("long").as("keep"),
+        col("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
   }
 
   /** SimHash fingerprint + near-dup pairs by Hamming distance: 64-bit

@@ -66,6 +66,74 @@ class DedupSweepSpec extends SparkSpec {
       (148L, 150L, 6L), (149L, 150L, 10L)))
   }
 
+  /** Known-answer corpus for x11: ids 200-229, new slice = %7==0
+    * (203/210/217/224). 203 copies 201, 210 copies 202, 224 copies BOTH
+    * 211 and 212 (identical old twins — the tie case), 217 is unique.
+    * Exact copies (J = 1.0) because banding recall is only guaranteed for
+    * identical signatures — the corpus-contract x4's oracle relies on. */
+  private lazy val incrDir: String = {
+    val dir = Files.createTempDirectory("graft-incr").toString
+    val base = (0 until 30).map(i =>
+      (200L + i, (0 until 16).map(k => s"w${i}_$k").mkString(" "))).toMap
+    val docs = (0 until 30).map { i =>
+      val id = 200L + i
+      val text = id match {
+        case 203L => base(201L)
+        case 210L => base(202L)
+        case 224L => base(211L)
+        case 212L => base(211L) // old twin of 211 — tie for 224
+        case _ => base(id)
+      }
+      (id, text)
+    }
+    import spark.implicits._
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x11 known-answer: copies dropped against their source, unique new doc kept, tie to min id") {
+    val rows = DedupQueries.x11IncrementalDedup(spark, incrDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    assert(rows === Seq(
+      (203L, 0L, 201L, 1.0),
+      (210L, 0L, 202L, 1.0),
+      (217L, 1L, -1L, -1.0),  // unique: kept, NULL evidence
+      (224L, 0L, 211L, 1.0))) // identical twins 211/212: tie -> min doc_id
+  }
+
+  test("x11 keep/drop equals the exact pair graph restricted to new x old") {
+    // brute force from x3's exact verified pairs (both orientations),
+    // keeping only new-vs-old edges; best = (jaccard DESC, old id ASC)
+    val pairs = DedupQueries.x3NgramJaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val newDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 7 == 0).sorted
+    val matches = newDocs.map { d =>
+      val ms = pairs.collect {
+        case (a, b, j) if a == d && b % 7 != 0 => (b, j)
+        case (a, b, j) if b == d && a % 7 != 0 => (a, j)
+      }
+      d -> (if (ms.isEmpty) None else Some(ms.minBy { case (id, j) => (-j, id) }))
+    }.toMap
+    val got = DedupQueries.x11IncrementalDedup(spark, sfDir).collect()
+    assert(got.length === newDocs.length)
+    assert(got.exists(_.getLong(1) == 0L), "sf corpus must produce at least one drop")
+    got.foreach { r =>
+      val d = r.getLong(0)
+      matches(d) match {
+        case None =>
+          assert(r.getLong(1) == 1L && r.isNullAt(2) && r.isNullAt(3),
+            s"doc $d has no old near-dup and must be kept with NULL evidence")
+        case Some((dupOf, j)) =>
+          assert(r.getLong(1) == 0L && r.getLong(2) == dupOf && r.getDouble(3) == j,
+            s"doc $d must be dropped against $dupOf at jaccard $j")
+      }
+    }
+  }
+
   test("the candidate stage is computed once per (session, corpus)") {
     // the memo returns the same materialized frame, so a sweep running
     // pairs then clusters pays ONE candidate build (the r4 perf-weak item)
