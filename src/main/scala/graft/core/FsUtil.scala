@@ -18,4 +18,12 @@ object FsUtil {
     }
     Files.deleteIfExists(p)
   }
+
+  /** Register a whole tree for deletion at JVM exit (File.deleteOnExit is
+    * per-file and silently no-ops on non-empty dirs — this walks the tree
+    * once at shutdown instead). For long-lived JVM-cached temp dirs whose
+    * lifetime genuinely is the session. */
+  def deleteOnExitRecursively(p: Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(p) catch { case _: Throwable => () }))
 }

@@ -243,10 +243,8 @@ object EventStreamOps {
   def runToMemory(rootSpark: SparkSession, dir: String, name: String,
       transform: DataFrame => DataFrame,
       mode: OutputMode = OutputMode.Append()): DataFrame = {
-    // child session: replay-sized state partitions (see runToMemoryAppend)
-    val spark = rootSpark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // child session: replay-sized state partitions (see replaySession)
+    val spark = replaySession(rootSpark)
     // finite replays go through the SAME staged one-batch source as
     // runToMemoryAppend: a small per-trigger cap over a multi-file snapshot
     // would advance the watermark on the first batch and silently drop
@@ -338,6 +336,52 @@ object EventStreamOps {
     * a windowed agg: its window is beyond every real watermark). */
   val FlushEventType = "__flush__"
 
+  /** max(ts) per source path, computed once per JVM: every finite-replay
+    * run against the same snapshot needs the same flush horizon, and the
+    * agg(max) scan was a full batch job PER QUERY (6 streaming driver
+    * queries = 6 redundant scans). Same corpus-dir-immutable-within-a-
+    * session contract as DedupQueries' memo. */
+  private val maxNsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The two flush part-files per source path, written once per JVM and
+    * then Files.copy'd into each run's private staging dir: the flush rows
+    * are a pure function of max(ts), and a Spark parquet write job per
+    * flush batch per query was the dominant harness overhead of the
+    * streaming bench sweep. */
+  private val flushFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[java.nio.file.Path]]()
+
+  private def sourceMaxNs(spark: SparkSession, sourcePath: String): Long =
+    maxNsCache.computeIfAbsent(sourcePath, _ => {
+      val row = spark.read.schema(eventSchema).parquet(sourcePath).agg(max("ts")).head()
+      if (row.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"runToMemoryAppend: no rows in events source '$sourcePath'; nothing to flush")
+      Long.box(row.getLong(0))
+    })
+
+  /** The i-th (1-based) flush file for a source: one far-future row, one
+    * year per step past the snapshot's max(ts) — beyond any watermark
+    * delay + window width a transform here uses. */
+  private def flushFile(spark: SparkSession, sourcePath: String, i: Int): java.nio.file.Path =
+    flushFileCache.computeIfAbsent(sourcePath, _ => {
+      val maxNs = sourceMaxNs(spark, sourcePath)
+      import spark.implicits._
+      Array.tabulate(2) { k =>
+        val d = java.nio.file.Files.createTempDirectory(s"graft-flush${k + 1}")
+        graft.core.FsUtil.deleteOnExitRecursively(d)
+        val flushNs = maxNs + (k + 1) * 365L * 24 * 3600 * 1000000000L
+        Seq((-(k + 1).toLong, flushNs, -1L, FlushEventType, 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(d.toString)
+        val walk = java.nio.file.Files.walk(d)
+        try walk.filter(f => java.nio.file.Files.isRegularFile(f) &&
+            f.toString.endsWith(".parquet")).findFirst().orElseThrow(() =>
+            new IllegalStateException(s"flush write produced no parquet under $d"))
+        finally walk.close()
+      }
+    })(i - 1)
+
   /** Production streaming entry point: Append output mode — incremental
     * emit, watermark-bounded state, the only mode that scales on an
     * unbounded stream. On an unbounded source new data advances the
@@ -358,12 +402,47 @@ object EventStreamOps {
     // memory-sink replay. The production entry point (readEventStream on an
     // unbounded source) inherits the session conf untouched — at cluster
     // scale you size state partitions UP, not down.
-    val spark = rootSpark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = replaySession(rootSpark)
     val (d, staged) = stageReplay(path)
-    try runAppendStaged(spark, d, staged, name, transform, flushTail)
+    try runAppendStaged(spark, path, d, staged, name, transform, flushTail)
     finally deleteStagingDir(d)
+  }
+
+  /** Child session for a finite replay, with state partitions right-sized
+    * to the staged corpus (see [[runToMemoryAppend]]'s scaladoc): 2 local
+    * state stores instead of the session's 32 — per-micro-batch state-store
+    * checkpoint churn is pure harness overhead at replay scale, and every
+    * aggregate here is partition-count-invariant (decimal accumulate). */
+  private def replaySession(rootSpark: SparkSession): SparkSession = {
+    val spark = rootSpark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // No-data micro-batches exist to evict state when a watermark advances
+    // with no new input — on a finite replay that eviction is exactly what
+    // the two explicit flush DATA batches do, so the automatic ones are
+    // pure extra micro-batch cycles (one after every watermark advance)
+    // that processAllAvailable then waits on. Production sources keep the
+    // default: there, no-data batches are what finalizes windows when the
+    // input pauses.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark
+  }
+
+  /** Checkpoint root for finite replays: tmpfs when available — offset,
+    * commit and state-store files are fsync'd once per micro-batch, and on
+    * an overlay filesystem that metadata churn dominates a small replay's
+    * wall time. The dir registers for exit cleanup; a real deployment sets
+    * a durable checkpointLocation instead (this path is for the
+    * test/bench replay harness only, where the checkpoint has no
+    * restart value). */
+  private def replayCheckpointDir(name: String): String = {
+    val base = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(base) && java.nio.file.Files.isWritable(base)) base
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val d = java.nio.file.Files.createTempDirectory(root, s"graft-ckpt-$name-")
+    graft.core.FsUtil.deleteOnExitRecursively(d)
+    d.toString
   }
 
   /** [[runToMemoryAppend]] with the source staged `copies` times — a
@@ -374,46 +453,38 @@ object EventStreamOps {
   def runToMemoryAppendReplayed(rootSpark: SparkSession, path: String, name: String,
       transform: DataFrame => DataFrame, copies: Int = 2): DataFrame = {
     require(copies >= 1, "copies must be >= 1")
-    val spark = rootSpark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = replaySession(rootSpark)
     val d = java.nio.file.Files.createTempDirectory("graft-stream-replay")
     try {
       var staged = 0L
       for (i <- 0 until copies) // per-copy tag: same part file names can't collide
         staged += stageReplayInto(path, d, s"c${i}_")._2
-      runAppendStaged(spark, d, staged, name, transform, flushTail = true)
+      runAppendStaged(spark, path, d, staged, name, transform, flushTail = true)
     } finally deleteStagingDir(d)
   }
 
-  private def runAppendStaged(spark: SparkSession, d: java.nio.file.Path,
-      staged: Long, name: String, transform: DataFrame => DataFrame,
-      flushTail: Boolean): DataFrame = {
+  private def runAppendStaged(spark: SparkSession, sourcePath: String,
+      d: java.nio.file.Path, staged: Long, name: String,
+      transform: DataFrame => DataFrame, flushTail: Boolean): DataFrame = {
     val q = transform(replayStream(spark, d, staged))
       .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .option("checkpointLocation", replayCheckpointDir(name))
       .queryName(name).start()
     try {
       q.processAllAvailable()
       if (flushTail) {
-        val maxRow = spark.read.schema(eventSchema).parquet(d.toString)
-          .agg(max("ts")).head()
-        if (maxRow.isNullAt(0))
-          throw new IllegalArgumentException(
-            s"runToMemoryAppend: no rows in staged events source '$d'; nothing to flush")
-        val maxNs = maxRow.getLong(0)
-        // one year past the last event, in nanos: beyond any watermark
-        // delay + window width a transform here uses. TWO flush batches:
-        // watermarks advance at the END of a micro-batch, and state
-        // eviction (outer-join NULLs, final windows) runs in the NEXT
-        // batch using the advanced watermark — a second flush row
-        // guarantees that next batch exists and is waited on by
-        // processAllAvailable (a no-data batch can race q.stop()).
-        import spark.implicits._
+        // TWO flush batches: watermarks advance at the END of a
+        // micro-batch, and state eviction (outer-join NULLs, final
+        // windows) runs in the NEXT batch using the advanced watermark —
+        // the second flush row guarantees that next batch exists and is
+        // waited on by processAllAvailable (a no-data batch can race
+        // q.stop()). The flush part-files are JVM-cached per source and
+        // Files.copy'd in: the previous per-query agg(max) scan + two
+        // Spark write jobs were the bulk of the streaming sweep's harness
+        // overhead (6 queries x 3 redundant jobs).
         for (i <- 1 to 2) {
-          val flushNs = maxNs + i * 365L * 24 * 3600 * 1000000000L
-          Seq((-i.toLong, flushNs, -1L, FlushEventType, 0.0, "{}"))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1).write.mode("append").parquet(d.toString)
+          val f = flushFile(spark, sourcePath, i)
+          java.nio.file.Files.copy(f, d.resolve(s"zz_flush$i.parquet"))
           q.processAllAvailable()
         }
       }
