@@ -34,6 +34,9 @@ object Bench {
     // real session runs. Without this, the warmup pass pre-fills the memo
     // and the timed x3 would report a cache lookup as the build cost.
     graft.operators.DedupQueries.clearMemo()
+    // same fairness rule for the k-means assignment memo (v5/v7 share it):
+    // the timed pass pays the Lloyd loop once, at the first consumer
+    graft.operators.SimilarityQueries.clearMemo()
     // Drain warmup-pass debris NOW: dropping the memo released two
     // localCheckpointed RDDs, and the untimed pass left shuffle/broadcast
     // refs that ContextCleaner reclaims on GC. Forcing the GC here runs

@@ -111,6 +111,11 @@ object SparkEntry {
     "v4_ivf_search" -> (SimilarityQueries.v4IvfSearch _),
     "v5_ivf_kmeans" -> (SimilarityQueries.v5IvfKmeans _),
     "v6_knn_join" -> (SimilarityQueries.v6KnnJoin _),
+    // v7: v6's kNN self-join cell-bounded by the k-means quantizer instead
+    // of the supervised label — the nlist-scales-with-corpus contract in
+    // code (k parameterized; driver runs k=10 to match the unrolled oracle)
+    "v7_knn_kmeans" -> ((s: SparkSession, dir: String) =>
+      SimilarityQueries.v7KnnKmeans(s, dir)),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -237,6 +242,50 @@ object SparkEntry {
       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
       |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       |  FROM reach GROUP BY src)""".stripMargin
+
+  /** The 3-iteration unrolled Lloyd's loop + final cell assignment (init =
+    * the 10 lowest vec_ids) shared VERBATIM by the v5 and v7 oracles —
+    * one constant, two consumers, so the two oracles can never disagree
+    * about the same quantizer. Ends in `af(vec_id, embedding, cell)`. */
+  private val kmeansAssignCte: String =
+    """WITH c0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS centroid
+      |  FROM embeddings WHERE vec_id < 10),
+      |a0 AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+      |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+      |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+      |c1 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+      |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
+      |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a0)
+      |  GROUP BY 1, 2) GROUP BY 1),
+      |a1 AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+      |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+      |  FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1),
+      |c2 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+      |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
+      |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a1)
+      |  GROUP BY 1, 2) GROUP BY 1),
+      |a2 AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+      |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+      |  FROM embeddings e CROSS JOIN c2 c) WHERE rk = 1),
+      |c3 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+      |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
+      |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a2)
+      |  GROUP BY 1, 2) GROUP BY 1),
+      |af AS (SELECT vec_id, embedding, cell FROM (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+      |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+      |  FROM embeddings e CROSS JOIN c3 c) WHERE rk = 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // a3: the chunker's boundary rule, re-derived relationally. Settings
@@ -1011,53 +1060,27 @@ object SparkEntry {
     // broadcast-loop exactly): init = k lowest vec_ids, assignment =
     // argmax dot - ||c||^2/2 with (score DESC, cell) ties, centroid =
     // decimal-sum/count per element. Same decimal+IEEE building blocks as
-    // v3/v4, so the hash must match.
-    "v5_ivf_kmeans" ->
-      """WITH c0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS centroid
-        |  FROM embeddings WHERE vec_id < 10),
-        |a0 AS (SELECT vec_id, embedding, cell FROM (
-        |  SELECT e.vec_id, e.embedding, c.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
-        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-        |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
-        |c1 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
-        |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
-        |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a0)
-        |  GROUP BY 1, 2) GROUP BY 1),
-        |a1 AS (SELECT vec_id, embedding, cell FROM (
-        |  SELECT e.vec_id, e.embedding, c.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
-        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-        |  FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1),
-        |c2 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
-        |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
-        |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a1)
-        |  GROUP BY 1, 2) GROUP BY 1),
-        |a2 AS (SELECT vec_id, embedding, cell FROM (
-        |  SELECT e.vec_id, e.embedding, c.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
-        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-        |  FROM embeddings e CROSS JOIN c2 c) WHERE rk = 1),
-        |c3 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
-        |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
-        |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a2)
-        |  GROUP BY 1, 2) GROUP BY 1),
-        |af AS (SELECT vec_id, embedding, cell FROM (
-        |  SELECT e.vec_id, e.embedding, c.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
-        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-        |  FROM embeddings e CROSS JOIN c3 c) WHERE rk = 1),
+    // v3/v4, so the hash must match. The quantizer CTE (through `af`) is
+    // shared VERBATIM with v7's oracle via kmeansAssignCte.
+    "v5_ivf_kmeans" -> (kmeansAssignCte + """,
         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM af WHERE vec_id < 10),
         |cand AS (SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
         |    list_dot_product(a.embedding::DOUBLE[], q.qv::DOUBLE[]) AS s
         |  FROM af a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank FROM cand)
         |SELECT query_id, neighbor_id, cell, round(s, 6) AS sim, rank FROM r WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
+    // v7: the kNN self-join cell-bounded by the SAME unrolled k-means
+    // quantizer (af) — rank on the raw dot, tie to neighbor_id, round only
+    // the output (v6's contract, over kmeans cells instead of labels)
+    "v7_knn_kmeans" -> (kmeansAssignCte + """,
+        |p AS (SELECT a.vec_id, a.cell, b.vec_id AS neighbor_id,
+        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, cell, neighbor_id, s,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, neighbor_id) AS rn FROM p)
+        |SELECT vec_id, cell, neighbor_id, round(s, 6) AS sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT query_id, e.vec_id AS neighbor_id,

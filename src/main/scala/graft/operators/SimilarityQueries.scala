@@ -177,22 +177,41 @@ object SimilarityQueries {
     cents.toDF("cell", "centroid")
   }
 
+  /** Session memo for the k-means cell assignment (same pattern and
+    * rationale as DedupQueries' memo): v5's probe and v7's kNN join consume
+    * the SAME quantizer, and the Lloyd loop is `iters + 1` corpus scans
+    * plus per-iteration driver collects — a sweep must pay it once. The
+    * memoized frame is localCheckpointed (materialized, lineage-free);
+    * corpus dirs are immutable within a session (the testdata contract). */
+  private val assignMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def clearMemo(): Unit = assignMemo.clear()
+
+  /** `(vec_id, embedding, cell)` under the k-means coarse quantizer —
+    * the IVF index body. One broadcast assignment pass over the corpus
+    * after the Lloyd loop. */
+  private def kmeansAssigned(spark: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame = assignMemo.computeIfAbsent(
+    s"${spark.sparkContext.applicationId}|$dir|$k|$iters", _ => {
+      val e = t(spark, dir, "embeddings")
+      val cdf = broadcast(kmeansCentroids(spark, e, k, iters)
+        .withColumn("cn2", dot(col("centroid"), col("centroid"))))
+      e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cdf)
+        .withColumn("score", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .localCheckpoint() // assignment feeds every consumer materialized
+    })
+
   /** IVF probe search over the k-means quantizer (the production IVF shape;
     * v4 is the supervised-label variant). Assignment + probe are the same
     * broadcast passes as v4: at 100 TB the index build is `iters + 1`
     * corpus scans and each query touches 1/k of the corpus. */
   def v5IvfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val cdf = broadcast(kmeansCentroids(spark, e, 10, 3)
-      .withColumn("cn2", dot(col("centroid"), col("centroid"))))
-    val assigned = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(cdf)
-      .withColumn("score", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint() // assignment feeds both probe sides
+    val assigned = kmeansAssigned(spark, dir, 10, 3)
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
     val cand = assigned.join(broadcast(q), Seq("cell"))
@@ -227,6 +246,34 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
       .select(col("vec_id"), col("neighbor_id"), round(col("s"), 6).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  /** [[v6KnnJoin]] over the UNSUPERVISED quantizer: every vector's nearest
+    * neighbor among the vectors sharing its K-MEANS cell — v6 cell-bounds
+    * by the supervised `label` (fixed 10 cells), which is a stand-in; real
+    * corpora have no labels, so the cell structure must come from the
+    * quantizer itself. `k` is PARAMETERIZED because the cell-bounded-join
+    * contract is nlist-scales-with-corpus: the join does sum(|cell|²) work,
+    * and |cell| ≈ N/k, so k must grow with N (the usual nlist ≈ √N keeps
+    * per-cell work flat) — a fixed k quietly degrades toward the |corpus|²
+    * blowup as the corpus grows. Assignment comes from the session memo
+    * (shared with v5: one Lloyd loop per sweep); ranking uses the RAW dot
+    * with neighbor-id tiebreak, rounding only the output (v6's oracle
+    * contract). */
+  def v7KnnKmeans(spark: SparkSession, dir: String,
+      k: Int = 10, iters: Int = 3): DataFrame = {
+    val assigned = kmeansAssigned(spark, dir, k, iters)
+    val nbrs = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("s").desc, col("neighbor_id"))
+    assigned.join(nbrs, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("s", dot(col("embedding"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("vec_id"), col("cell"), col("neighbor_id"),
+        round(col("s"), 6).as("sim"))
       .orderBy("vec_id")
   }
 

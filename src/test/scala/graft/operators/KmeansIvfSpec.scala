@@ -63,6 +63,45 @@ class KmeansIvfSpec extends SparkSpec {
     assert(purity >= 0.95, s"k-means purity $purity below 0.95")
   }
 
+  test("v7 picks each vector's true within-kmeans-cell nearest neighbor (brute force)") {
+    import spark.implicits._
+    // independent reconstruction on the real testdata: same quantizer via
+    // kmeansCentroids, assignment + nearest-sibling brute-forced in the JVM
+    // with the identical left-to-right double fold dot_f uses
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val cents = SimilarityQueries.kmeansCentroids(spark,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), 10, 3)
+      .as[(Int, Seq[Double])].collect()
+    def dotFD(a: Array[Float], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }; s
+    }
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val cn2 = cents.map { case (c, v) => c -> v.foldLeft(0.0)((a, x) => a + x * x) }.toMap
+    val cellOf = e.map { case (id, emb) =>
+      id -> cents.map { case (c, v) => (dotFD(emb, v) - 0.5 * cn2(c), c) }
+        .minBy { case (s, c) => (-s, c) }._2
+    }.toMap
+    val expected = e.flatMap { case (id, emb) =>
+      val sibs = e.filter { case (oid, _) => oid != id && cellOf(oid) == cellOf(id) }
+      if (sibs.isEmpty) None
+      else {
+        val (nid, s) = sibs.map { case (oid, ov) => (oid, dotFF(emb, ov)) }
+          .minBy { case (oid, s) => (-s, oid) }
+        // HALF_UP to match Spark's round()
+        Some((id, cellOf(id), nid,
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.sortBy(_._1).toSeq
+    val got = SimilarityQueries.v7KnnKmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("IVF probe recall@3 >= 0.9 vs brute-force ground truth on clustered data") {
     import spark.implicits._
     val df = clustered().localCheckpoint()
