@@ -273,17 +273,30 @@ object DedupQueries {
 
   /** Embedding-cosine near-dup: a 64-dim feature-hashed embedding per doc
     * (hashing trick: each shingle hash lands in dimension h mod 64 with a
-    * hash-derived sign, then L2-normalize), LSH-bucketed by 16 hyperplane
-    * sign bits (2 x 8-bit bands), exact cosine >= 0.9 verification with the
+    * hash-derived sign, then L2-normalize), LSH-bucketed by 32 hyperplane
+    * sign bits (2 x 16-bit bands), exact cosine >= 0.9 verification with the
     * codegen'd dot product. The corpus' embeddings table holds random
     * vectors with no near-dups, so the operator derives its vectors from
     * document content — where duplicate clusters actually exist — while
     * exercising the exact shape an embedding-dedupe pipeline runs: one
-    * narrow pass for vectors+buckets, band join, cosine rerank. */
+    * narrow pass for vectors+buckets, band join, cosine rerank.
+    *
+    * 16-bit bands (65k buckets each), NOT 8-bit: the round-7 sf1 (10x)
+    * scale run measured the earlier 2 x 8-bit form at 22x wall time for
+    * 10x docs — 256 fixed buckets per band make band occupancy, and so
+    * the candidate join, grow QUADRATICALLY with the corpus (the same
+    * collapse x5's scaladoc documents for simhash blocks). With 65k
+    * buckets the join is back to ~linear at this scale; at true corpus
+    * scale bucket bits keep growing with log2(N) (band keys are already
+    * longs). Recall: identical/near-identical docs (cosine ~= 1, the
+    * dedupe target) still collide with near-certainty — exact copies have
+    * IDENTICAL sign vectors in every band (spec-pinned); mid-similarity
+    * pairs (cosine ~0.9) trade some recall for the quadratic fix, the
+    * standard LSH precision/recall dial. */
   def x6EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dim = 64
-    val numPlanes = 16
+    val numPlanes = 32
     // consumes the memoized shingle arrays: a sweep running x3..x7 in one
     // session tokenizes the corpus ONCE, not once per operator
     val banded = docSets(spark, dir).select(col("doc_id"), col("hs"))
@@ -318,7 +331,7 @@ object DedupQueries {
             if (s > 0) sig |= (1 << p)
             p += 1
           }
-          Iterator((id, vec, 0, sig & 255), (id, vec, 1, (sig >> 8) & 255))
+          Iterator((id, vec, 0, sig & 0xffff), (id, vec, 1, (sig >>> 16) & 0xffff))
         }
       }.toDF("doc_id", "vec", "band", "band_key")
       .localCheckpoint() // embedding pipeline runs once, not per join side
