@@ -195,6 +195,20 @@ object SparkEntry {
           unix_micros(col("view_ts")).as("view_ts_us"),
           col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
         .orderBy("view_id", "click_id")),
+    //     st7: STREAM-STATIC join — the stateless enrichment shape (vs the
+    //     stateful stream-stream st4/st5): purchases joined per micro-batch
+    //     to the static customer dim (broadcast at dim size). No watermark,
+    //     no state, no flush tail needed; per-row output is deterministic,
+    //     so the oracle is the plain batch join.
+    "st7_stream_static_join" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
+        s"st7_${System.nanoTime()}",
+        e => graft.streaming.EventStreamOps.purchaseEnrich(e,
+          graft.operators.Tables.t(e.sparkSession, dir, "customer")),
+        flushTail = false)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("c_name"), col("c_mktsegment"))
+        .orderBy("event_id")),
     //     st2: native session_window sessions (streaming face of t2);
     //     session identity for the oracle is (user_id, start epoch-µs)
     "st2_stream_sessions" -> ((s: SparkSession, dir: String) =>
@@ -720,6 +734,14 @@ object SparkEntry {
         |  AND c.click_ts_us >= v.view_ts_us
         |  AND c.click_ts_us <= v.view_ts_us + 1800000000
         |ORDER BY view_id, click_id""".stripMargin,
+    // st7: the stream-static join emits rows verbatim (no aggregation), so
+    // the oracle is the batch join at integer epoch-µs; `value` is carried
+    // per-row (no sum — no partition-order risk)
+    "st7_stream_static_join" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     // st4: the stream-stream join's batch equivalent. Both engines compare
     // INTEGER epoch-µs (the stream truncates the ns source to µs at read;
     // epoch_us floors the same way), so the 30-minute boundary is exact.

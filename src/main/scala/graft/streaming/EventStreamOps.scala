@@ -188,6 +188,21 @@ object EventStreamOps {
         col("view_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** STREAM-STATIC join: enrich the purchase stream with the customer
+    * dimension — the canonical streaming-ETL enrichment shape, and a
+    * distinct operator class from the stream-stream joins (st4/st5):
+    * STATELESS. The static side is a plain batch DataFrame re-planned
+    * every micro-batch (so dim updates between batches are picked up, and
+    * at this dim size it broadcasts); no watermark, no state store — each
+    * row emits in the micro-batch it arrives, which is why the finite
+    * replay needs no flush tail. */
+  def purchaseEnrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .join(customers.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("c_name"), col("c_mktsegment"))
+
   /** Streaming exact dedupe: drop replayed/duplicate event_ids, keeping
     * state only within the watermark horizon — the streaming face of the
     * engine's exact-dedupe story (bounded state, unlike a global distinct). */

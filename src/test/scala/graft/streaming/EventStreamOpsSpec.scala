@@ -104,6 +104,21 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join equals the batch join (stateless, no flush needed)") {
+    val customers = graft.operators.Tables.t(spark, sfDir, "customer")
+    val streamed = EventStreamOps.runToMemoryAppend(spark, eventsPath, "ss_join",
+      e => EventStreamOps.purchaseEnrich(e,
+        graft.operators.Tables.t(e.sparkSession, sfDir, "customer")),
+      flushTail = false)
+      .select("event_id", "user_id", "value", "c_name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val batch = EventStreamOps.purchaseEnrich(
+      graft.operators.Tables.t(spark, sfDir, "events"), customers)
+      .select("event_id", "user_id", "value", "c_name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventStreamOps.runToMemory(spark, eventsPath, "ssj_t",
       EventStreamOps.clickViewJoin)
