@@ -89,6 +89,9 @@ object SparkEntry {
     // near-dup-checked against the EXISTING remainder via the same banding;
     // keep/drop verdict per new doc with the best verified old match
     "x11_incremental_dedup" -> (DedupQueries.x11IncrementalDedup _),
+    // z2: the increment of z1 — today's batch gated by quality + repetition
+    // + x11's dedupe-against-the-index verdict, rolled up per source
+    "z2_incremental_curation" -> (DedupQueries.z2IncrementalCuration _),
     // z1 composes the y2/y8/x10 filters into the end-to-end curation
     // sign-off table (per-source totals, survivors, surviving tokens)
     "z1_curation_survivors" -> (DedupQueries.z1CurationSurvivors _),
@@ -877,6 +880,46 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
         |LEFT JOIN best ON best.doc_a = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // z2: x11's new x old dedupe gate (dropped = has ANY verified old
+    // match) composed with y2/y8's text-gate arithmetic, restricted to the
+    // new slice — the same composition pattern as z1's oracle
+    "z2_incremental_curation" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |  GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b),
+        |dropped AS (SELECT DISTINCT doc_a AS doc_id FROM j WHERE jaccard >= 0.5),
+        |rep AS (SELECT doc_id,
+        |  [array_to_string(toks[i:i+2], ' ')
+        |   for i in generate_series(1, greatest(len(toks) - 2, 1))] AS shall
+        |  FROM t WHERE doc_id % 7 = 0),
+        |rr AS (SELECT doc_id,
+        |  round(CAST(len(shall) - len(list_distinct(shall)) AS DOUBLE) / len(shall), 4)
+        |    AS rep_ratio FROM rep),
+        |d AS (SELECT doc_id, source,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+        |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2
+        |    AS stop_hits
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |k AS (SELECT d.doc_id, d.source, d.n_tokens,
+        |  CASE WHEN round(CAST(d.stop_hits AS DOUBLE) / d.n_tokens, 4) >= 0.05
+        |        AND rr.rep_ratio <= 0.2 AND dr.doc_id IS NULL
+        |       THEN 1 ELSE 0 END AS admitted
+        |  FROM d JOIN rr ON rr.doc_id = d.doc_id
+        |  LEFT JOIN dropped dr ON dr.doc_id = d.doc_id)
+        |SELECT source, count(*) AS n_new_docs,
+        |  CAST(sum(admitted) AS BIGINT) AS admitted_docs,
+        |  CAST(sum(CASE WHEN admitted = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS admitted_tokens
+        |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
     // x8: shingle formula matches x3's (hashing preserves set identity, so
     // shared-gram counts agree); eval slice = every 50th doc_id
     "x8_contamination" ->

@@ -570,6 +570,39 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** The INCREMENT of z1: curation sign-off for ONE new batch (x11's
+    * doc_id % 7 slice) against the existing corpus — per-source totals of
+    * the new docs, how many pass all three gates (y2's stopword quality,
+    * y8's repetition bound, x11's not-a-near-dup-of-the-index), and the
+    * admitted token volume. z1 answers "what survives a full-corpus
+    * sweep"; z2 answers the question a daily pipeline actually asks:
+    * "of today's batch, what do we admit?". One narrow pass over the NEW
+    * slice computes both text gates as codegen'd arithmetic; the dedupe
+    * verdicts come from x11 (whose candidate volume scales with the batch,
+    * not the corpus), joined without a broadcast hint (AQE size-gates —
+    * the verdict table is one row per new doc). */
+  def z2IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val verdicts = x11IncrementalDedup(spark, dir).select(col("doc_id"), col("keep"))
+    val sh = wordShingles(col("text"))
+    t(spark, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .join(verdicts, "doc_id")
+      .withColumn("n_tokens", TextQueries.tokenCount(col("text")))
+      .withColumn("stop_ratio",
+        round((TextQueries.wordCount(col("text"), "the") +
+          TextQueries.wordCount(col("text"), "a")).cast("double") / col("n_tokens"), 4))
+      .withColumn("rep_ratio",
+        round((size(sh) - size(array_distinct(sh))).cast("double") / size(sh), 4))
+      .withColumn("admitted",
+        (col("stop_ratio") >= 0.05 && col("rep_ratio") <= 0.2 && col("keep") === 1L)
+          .cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new_docs"),
+        sum("admitted").as("admitted_docs"),
+        sum(when(col("admitted") === 1L, col("n_tokens")).otherwise(0L))
+          .as("admitted_tokens"))
+      .orderBy("source")
+  }
+
   /** SimHash fingerprint + near-dup pairs by Hamming distance: 64-bit
     * fingerprint from shingle-hash bit votes (computed per-row in the scan —
     * shuffle-free, unlike an aggregator-over-exploded-shingles shape), banded

@@ -238,6 +238,41 @@ class QueryPropertiesSpec extends SparkSpec {
       assert(got(src) === exp, s"$src (n_docs, kept_docs, kept_tokens)")
   }
 
+  test("z2 incremental curation reconciles with x11 verdicts + the text gates") {
+    val newDocs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._1 % 7 == 0)
+    val keep = DedupQueries.x11IncrementalDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def stopRatio(text: String): Double = {
+      val padded = s" $text "
+      def hits(w: String) =
+        (padded.length - padded.replace(s" $w ", " ").length) / (w.length + 1)
+      round4((hits("the") + hits("a")).toDouble / (text.count(_ == ' ') + 1))
+    }
+    def repRatio(text: String): Double = {
+      val toks = text.split(" ", -1).toSeq
+      val n = math.max(toks.length - 2, 1)
+      val sh = (0 until n).map(i => toks.slice(i, i + 3).mkString(" "))
+      round4((sh.size - sh.distinct.size).toDouble / sh.size)
+    }
+    val expected = newDocs.groupBy(_._2).view.mapValues { rs =>
+      val admitted = rs.filter { case (id, _, text) =>
+        stopRatio(text) >= 0.05 && repRatio(text) <= 0.2 && keep(id) == 1L
+      }
+      (rs.length.toLong, admitted.length.toLong,
+        admitted.map { case (_, _, t) => (t.count(_ == ' ') + 1).toLong }.sum)
+    }.toMap
+    val got = DedupQueries.z2IncrementalCuration(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((src, exp) <- expected)
+      assert(got(src) === exp, s"$src (n_new_docs, admitted_docs, admitted_tokens)")
+  }
+
   test("v4 IVF probes exactly one cell per query and never returns self") {
     // (this corpus' embeddings are near-random — within-label cosine ~0.004
     // vs ~-0.001 across — so recall vs brute force is a data property, not
