@@ -111,6 +111,14 @@ object DedupQueries {
     * arrays — `size(array_intersect(...))` builds a boxed hash set per row
     * and dominated the sweep once candidates reached ~10^5. */
   private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardUnordered(cands, sets, threshold).orderBy("doc_a", "doc_b")
+
+  /** [[verifyJaccard]] without the output sort — for consumers that
+    * aggregate or window the verified pairs next (x11's best-match window
+    * re-partitions by doc_a anyway): the plan audit showed the trailing
+    * orderBy surviving as an extra range exchange + sort on the pair set. */
+  private def verifyJaccardUnordered(cands: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("n").as("nb")), "doc_b")
@@ -120,7 +128,6 @@ object DedupQueries {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
 
   /** Exact dedupe summary: total vs content-distinct docs by sha256(text)
     * (the classic hash-groupBy exact dedupe at corpus scale). */
@@ -554,8 +561,9 @@ object DedupQueries {
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // (doc_a = new doc, doc_b = old doc, jaccard) — verified exact pairs
-    val matches = verifyJaccard(cands, sets, 0.5)
+    // (doc_a = new doc, doc_b = old doc, jaccard) — verified exact pairs,
+    // unordered: the best-match window below re-partitions by doc_a
+    val matches = verifyJaccardUnordered(cands, sets, 0.5)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_a").orderBy(col("jaccard").desc, col("doc_b"))
     val best = matches
