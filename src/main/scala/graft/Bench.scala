@@ -19,7 +19,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // NATURAL sort (x3 before x10), not lexicographic: run order decides
+    // which query pays a session-memoized build, and "x10" < "x3"
+    // lexicographically made the keep-table query absorb the whole dedupe
+    // sweep's candidate-build cost in the report (round-6 attribution nit)
+    val sorted = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      ("""\d+""".r.findFirstIn(name) match {
+        case Some(n) => name.take(name.indexOf(n)) + f"${n.toInt}%04d" + name.drop(name.indexOf(n) + n.length)
+        case None => name
+      })
+    }
     // Untimed first executions compile every plan (Janino codegen, ~1-3 s
     // per unique plan shape — a fixed cost that amortizes to zero over a
     // real corpus); the timed pass then measures steady-state engine

@@ -61,6 +61,9 @@ object SparkEntry {
     "w3_topk_agg" -> (AnalyticsQueries.w3TopKAgg _),
     "r1_rollup" -> (AnalyticsQueries.r1Rollup _),
     "r2_cube" -> (AnalyticsQueries.r2Cube _),
+    "r3_grouping_sets" -> (AnalyticsQueries.r3GroupingSets _),
+    "s3_bag_set_ops" -> (AnalyticsQueries.s3BagSetOps _),
+    "w5_window_suite" -> (AnalyticsQueries.w5WindowSuite _),
     "p1_percentiles" -> (AnalyticsQueries.p1Percentiles _),
     // p2: approx_percentile sketch (Spark-only — DuckDB's approx_quantile is
     // a different sketch family; QueryPropertiesSpec bounds the error vs p1)
@@ -583,6 +586,35 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // r3: grouping flags as separate 0/1 columns (combined grouping_id bit
+    // orders are engine-specific; GROUPING(col) is portable)
+    "r3_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_stat,
+        |  count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_flag, g_stat, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "s3_bag_set_ops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |  EXCEPT ALL
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY o_custkey""".stripMargin,
+    "w5_window_suite" ->
+      """WITH daily AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, ship_date, day_revenue,
+        |  lag(day_revenue) OVER w AS prev_rev,
+        |  lead(day_revenue) OVER w AS next_rev,
+        |  first_value(day_revenue) OVER w AS first_rev,
+        |  round(percent_rank() OVER w, 6) AS pr
+        |FROM daily WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_date)
+        |ORDER BY l_suppkey, ship_date""".stripMargin,
     "p1_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS q25,

@@ -466,6 +466,26 @@ object AnalyticsQueries {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** EXPLICIT grouping sets (the general form r1's rollup and r2's cube
+    * are shorthands for): the full pair, the linestatus-only slice, and
+    * the grand total — a set no rollup/cube over these two columns
+    * produces. `grouping(col)` flags disambiguate real NULLs from
+    * aggregated-away dimensions, emitted as separate 0/1 columns (portable;
+    * combined grouping_id bit orders are engine-specific). Plans as ONE
+    * Expand + aggregate pass, not three unioned scans. */
+  def r3GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_stat"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy(col("g_flag"), col("g_stat"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Grouping sets: full cube over returnflag/linestatus (r1 is the rollup
     * form; cube adds the linestatus-only slices). */
   def r2Cube(spark: SparkSession, dir: String): DataFrame =
@@ -548,6 +568,44 @@ object AnalyticsQueries {
     building.union(rich).distinct()
       .exceptAll(negative)
       .orderBy("c_custkey")
+  }
+
+  /** BAG set operations (s1 covers the set forms): INTERSECT ALL keeps
+    * min-multiplicity matches, EXCEPT ALL removes one occurrence per
+    * match — the SQL bag algebra Spark plans as aggregate+generate
+    * (replicate counts) rather than joins, with no distinct collapse.
+    * Urgent-priority order placements ∩ big-ticket placements, minus one
+    * per negative-balance customer. */
+  def s3BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val big = o.filter(col("o_totalprice") > 150000).select("o_custkey")
+    val negative = t(spark, dir, "customer").filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("o_custkey"))
+    urgent.intersectAll(big)
+      .exceptAll(negative)
+      .orderBy("o_custkey")
+  }
+
+  /** Analytic-function suite over the daily supplier revenue series: lag /
+    * lead neighbors, first_value anchor, percent_rank position — the
+    * navigation functions w1/w2/w4 don't cover, all sharing ONE window
+    * sort (same partitioning + ordering ⇒ Catalyst plans a single
+    * Exchange + Sort + Window). Deterministic: (l_suppkey, ship_date) is
+    * unique after the daily rollup; percent_rank divides exact small
+    * integers, bitwise-identical in both engines. */
+  def w5WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("ship_date"))
+      .agg(moneySum(col("l_extendedprice")).as("day_revenue"))
+    val w = Window.partitionBy("l_suppkey").orderBy("ship_date")
+    daily.select(
+        col("l_suppkey"), col("ship_date"), col("day_revenue"),
+        lag("day_revenue", 1).over(w).as("prev_rev"),
+        lead("day_revenue", 1).over(w).as("next_rev"),
+        first("day_revenue").over(w).as("first_rev"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("l_suppkey", "ship_date")
   }
 
   /** Tumbling-window event aggregation (batch shape of the streaming op):
