@@ -110,6 +110,7 @@ object SparkEntry {
     "y9_quality_deciles" -> (TextQueries.y9QualityDeciles _),
     "y10_mixture_resample" -> (TextQueries.y10MixtureResample _),
     "y11_lexical_diversity" -> (TextQueries.y11LexicalDiversity _),
+    "y12_pii_scrub" -> (TextQueries.y12PiiScrub _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -995,6 +996,32 @@ object SparkEntry {
         |SELECT source, n_docs, total_tokens, distinct_tokens,
         |  round(CAST(distinct_tokens AS DOUBLE) / total_tokens, 6) AS ttr
         |FROM tot JOIN u USING (source) ORDER BY source""".stripMargin,
+    // y12: the injected-PII scrub. Same deterministic doc_id-sliced
+    // injection on both sides; regexes stay in the Java-regex/RE2 common
+    // subset (plain classes + \b, no lookaround). DuckDB regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all semantics.
+    "y12_pii_scrub" ->
+      """WITH p AS (SELECT source, doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0
+        |    THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+        |    ELSE '' END AS pii_text
+        |  FROM documents),
+        |m AS (SELECT source, pii_text,
+        |  len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(pii_text, '\b555-[0-9]{4}\b')) AS n_phones,
+        |  regexp_replace(regexp_replace(pii_text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS clean
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+        |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+        |  CAST(sum(length(pii_text) - length(clean)) AS BIGINT) AS chars_delta
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // x9: same truncating-tail shingle formula as x3/y4/y8's oracles;
     // list_distinct before the unnest = one vote per doc per span
     "x9_common_spans" ->

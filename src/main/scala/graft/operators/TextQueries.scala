@@ -276,4 +276,51 @@ object TextQueries {
       .select("doc_id", "fp_key")
       .orderBy("doc_id")
   }
+
+  /** Email regex shared by the Spark query and its spec; the character-class
+    * subset that Java regex and DuckDB's RE2 interpret identically. */
+  private[operators] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  /** Phone-token regex (the injected 555- exchange shape). */
+  private[operators] val phoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII detection + scrubbing — the redaction pass every training-data
+    * pipeline runs before a corpus ships: find email/phone tokens, count
+    * them, and measure what global redaction changes. The synthetic corpus
+    * contains no natural PII, so (k1's synthesized-heavy-hitter pattern) a
+    * deterministic doc_id-sliced injection adds an email to every 7th doc
+    * and a phone token to every 11th on BOTH the Spark and oracle sides —
+    * the extract/replace machinery is exercised on real nonzero matches,
+    * not an always-empty corpus. Per-row regexp work is codegen'd and
+    * shuffle-free; only the per-source rollup exchanges (|sources| rows).
+    * At 100 TB this is one corpus pass, embarrassingly parallel. Regexes
+    * avoid constructs where Java regex and DuckDB's RE2 diverge
+    * (backreferences, lookaround): plain classes + \b only. */
+  def y12PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = t(spark, dir, "documents")
+      .withColumn("pii_text", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+          .otherwise(lit(""))))
+    withPii
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") > 0, 1L).otherwise(0L)).as("pii_docs"),
+        sum("n_emails").as("n_emails"),
+        sum("n_phones").as("n_phones"),
+        sum((length(col("pii_text")) - length(col("clean"))).cast("long")).as("chars_delta"))
+      .orderBy("source")
+  }
 }

@@ -171,6 +171,35 @@ class QueryPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("y12 pii scrub equals a brute-force regex count/redact pass") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val email = TextQueries.emailRe.r
+    val phone = TextQueries.phoneRe.r
+    val expected = docs.groupBy(_._2).view.mapValues { rs =>
+      val per = rs.map { case (id, _, text) =>
+        val pii = text +
+          (if (id % 7 == 0) s" contact user$id@example.com now" else "") +
+          (if (id % 11 == 0) f" call 555-${id % 10000}%04d today" else "")
+        val ne = email.findAllIn(pii).length
+        val np = phone.findAllIn(pii).length
+        val clean = phone.replaceAllIn(email.replaceAllIn(pii, "<EMAIL>"), "<PHONE>")
+        (ne.toLong, np.toLong, (pii.length - clean.length).toLong)
+      }
+      (per.length.toLong, per.count(p => p._1 + p._2 > 0).toLong,
+        per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum)
+    }.toMap
+    val got = TextQueries.y12PiiScrub(spark, sfDir).collect().map(r =>
+      r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((src, exp) <- expected) assert(got(src) === exp, s"source $src")
+    // the injection must actually exercise the scrubber on this corpus
+    assert(expected.values.map(_._3).sum > 0, "no emails injected — dead test")
+    assert(expected.values.map(_._4).sum > 0, "no phones injected — dead test")
+  }
+
   test("x9 common spans equals a brute-force document-frequency top-k") {
     val docs = Tables.t(spark, sfDir, "documents").select("text")
       .collect().map(_.getString(0))
