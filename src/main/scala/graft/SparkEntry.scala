@@ -111,6 +111,7 @@ object SparkEntry {
     "y10_mixture_resample" -> (TextQueries.y10MixtureResample _),
     "y11_lexical_diversity" -> (TextQueries.y11LexicalDiversity _),
     "y12_pii_scrub" -> (TextQueries.y12PiiScrub _),
+    "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -225,6 +226,15 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("session_start")).as("session_start_us"),
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start_us")),
+    //     st8: the SAME sessions via the hand-rolled custom-state machine
+    //     (flatMapGroupsWithState + EventTimeTimeout + Append, emitting only
+    //     watermark-finalized sessions) — shares st2's oracle VERBATIM, so
+    //     the hash-match proves the state machine reproduces the native
+    //     session_window operator exactly, micro-batch carving and all.
+    "st8_stream_custom_sessions" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
+        s"st8_${System.nanoTime()}", graft.streaming.EventStreamOps.customSessions)
+        .orderBy("user_id", "session_start_us")),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
@@ -307,6 +317,20 @@ object SparkEntry {
       |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
       |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
       |  FROM embeddings e CROSS JOIN c3 c) WHERE rk = 1)""".stripMargin
+
+  /** The 30-min-gap session derivation shared VERBATIM by the st2 (native
+    * session_window) and st8 (flatMapGroupsWithState custom state machine)
+    * oracles: one constant, two consumers, so the two operators are
+    * hash-checked against the SAME batch answer. */
+  private val sessionOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+      |w AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |n AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS ns FROM w),
+      |s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM n)
+      |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // a3: the chunker's boundary rule, re-derived relationally. Settings
@@ -737,15 +761,11 @@ object SparkEntry {
     // they OVERLAP, so a gap of exactly 30 minutes starts a NEW session
     // (>=, where t2's gap rule is >) — and boundaries are on raw µs, not
     // t2's second-truncated ts
-    "st2_stream_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
-        |w AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
-        |n AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS ns FROM w),
-        |s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM n)
-        |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "st2_stream_sessions" -> sessionOracleSql,
+    // st8 runs the hand-rolled flatMapGroupsWithState session machine
+    // against the SAME oracle — a hash-match here is the proof the custom
+    // state machine and the native session_window operator agree exactly
+    "st8_stream_custom_sessions" -> sessionOracleSql,
     // st6: unroll each event's 4 sliding-window memberships on the
     // epoch-aligned 15-minute grid (t lands in windows grid-k*15min,
     // k=0..3 — always exactly 4, since t - grid < 15 min)
@@ -1022,6 +1042,24 @@ object SparkEntry {
         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
         |  CAST(sum(length(pii_text) - length(clean)) AS BIGINT) AS chars_delta
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // z3: concat-and-chop packing re-derived with one global window cumsum
+    // (fine for the oracle; the Spark side computes the SAME offsets with
+    // the two-pass range-partitioned pattern). `//` = DuckDB integer
+    // division, matching Spark's DIV; outputs cast to BIGINT (HUGEINT sums
+    // degrade under the driver's pandas materialization)
+    "z3_sequence_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fin
+        |  FROM d WHERE toks > 0),
+        |x AS (SELECT fin - toks AS strt, fin,
+        |  unnest(generate_series(CAST((fin - toks) // 2048 AS BIGINT),
+        |    CAST((fin - 1) // 2048 AS BIGINT))) AS seq_id FROM c)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN strt < seq_id * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+        |  CAST(sum(least(fin, (seq_id + 1) * 2048) - greatest(strt, seq_id * 2048)) AS BIGINT) AS fill_tokens
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // x9: same truncating-tail shingle formula as x3/y4/y8's oracles;
     // list_distinct before the unnest = one vote per doc per span
     "x9_common_spans" ->

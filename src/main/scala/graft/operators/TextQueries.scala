@@ -277,6 +277,61 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence-packing capacity (tokens per training sequence). */
+  private[operators] val PackCapacity = 2048L
+
+  /** Concat-and-chop sequence packing — the GPT-style step that turns a
+    * curated corpus into fixed-width training sequences: documents are
+    * concatenated in doc_id order and chopped every [[PackCapacity]]
+    * tokens; a document whose tokens straddle a boundary continues into
+    * the next sequence. Emits the packing MANIFEST per sequence: how many
+    * documents touch it, how many carried over from the previous one, and
+    * its token fill (= capacity everywhere except the final partial).
+    *
+    * Scale design — an EXACT global running token offset with NO
+    * unpartitioned window (y9's pattern, summing tokens instead of
+    * counting rows): range-partition by doc_id, one O(nParts) pass
+    * collects per-partition token sums, the exclusive prefix offsets
+    * broadcast back, and each partition's window cumsum + its offset is
+    * the exact global offset. The explode fans each doc to the 1 +
+    * toks/capacity sequences it touches — bounded expansion, and the
+    * whole job is two passes over (doc_id, token-count) longs, never the
+    * text. */
+  def z3SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = PackCapacity
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("toks"))
+      .filter(col("toks") > 0)
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins the range boundaries: the sums job and the
+    // packing job MUST see the same row->partition assignment (see y9)
+    val parted = toks.repartitionByRange(nParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = parted.groupBy("pid").agg(sum("toks").as("s"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
+    val offsetsDf = offsets.toSeq.toDF("pid", "tok_offset") // nParts rows -> broadcast
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("doc_id")
+    parted.join(broadcast(offsetsDf), "pid")
+      .withColumn("fin", sum(col("toks")).over(w) + col("tok_offset"))
+      .withColumn("strt", col("fin") - col("toks"))
+      // every sequence this doc's token interval [strt, fin) touches;
+      // DIV = exact integer division (a double `/` would round at 2^53)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"strt DIV $cap"), expr(s"(fin - 1) DIV $cap"))))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("strt") < col("seq_id") * cap, 1L).otherwise(0L)).as("n_carried"),
+        sum(least(col("fin"), (col("seq_id") + 1) * cap) -
+          greatest(col("strt"), col("seq_id") * cap)).as("fill_tokens"))
+      .orderBy("seq_id")
+  }
+
   /** Email regex shared by the Spark query and its spec; the character-class
     * subset that Java regex and DuckDB's RE2 interpret identically. */
   private[operators] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -9,6 +9,15 @@ import org.apache.spark.sql.types._
 final case class UserSession(userId: Long, nEvents: Long, totalValue: Double, lastTsSec: Long)
 final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double, closed: Boolean)
 
+/** One (possibly still-open) session interval in [[EventStreamOps.customSessions]]'
+  * state: [startUs, endUs] event-time bounds, event count, and the value sum
+  * held EXACTLY as micro-units (value pre-quantized to decimal(18,6) by the
+  * Spark cast, so a Long sum is order-independent and bit-reproducible). */
+final case class SessSpan(startUs: Long, endUs: Long, n: Long, sumMicros: Long)
+final case class SessionizerState(sessions: Seq[SessSpan])
+final case class SessionRow(user_id: Long, session_start_us: Long, n_events: Long,
+  session_value: Double)
+
 /**
  * Structured Streaming surface over the events table. The reference has no
  * event-stream engine at all (SURVEY §2 "no counterpart" list) — this is the
@@ -244,6 +253,83 @@ object EventStreamOps {
           state.update(next)
           SessionUpdate(userId, next.nEvents, next.totalValue, closed)
         })
+  }
+
+  /** Session idle gap shared by [[sessionizeByUser]] (native session_window)
+    * and [[customSessions]] (hand-rolled state machine): 30 minutes in µs. */
+  private val SessionGapUs = 1800L * 1000000L
+
+  /** Interval-merge spans under the session_window rule: a span whose start
+    * is STRICTLY less than gap past the previous span's end merges with it
+    * (a gap of exactly 30 min starts a new session — the native operator's
+    * overlap semantics on [ts, ts+gap) event windows). Input order free;
+    * output ascending by start. */
+  private[streaming] def mergeSpans(spans: Seq[SessSpan]): List[SessSpan] =
+    spans.sortBy(s => (s.startUs, s.endUs)).foldLeft(List.empty[SessSpan]) {
+      case (h :: t, s) if s.startUs < h.endUs + SessionGapUs =>
+        SessSpan(h.startUs, math.max(h.endUs, s.endUs), h.n + s.n,
+          h.sumMicros + s.sumMicros) :: t
+      case (acc, s) => s :: acc
+    }.reverse
+
+  /** The canonical custom-state streaming operator: per-user 30-minute-gap
+    * sessions via flatMapGroupsWithState + EventTimeTimeout + Append —
+    * THE pattern for session semantics Spark's built-ins can't express
+    * (here they can, which is the point: the output is provably identical
+    * to [[sessionizeByUser]]'s native session_window, so the hand-rolled
+    * state machine is hash-verifiable against the same batch oracle).
+    *
+    * Unlike [[userSessions]] (Update-style running totals, output depends
+    * on micro-batch boundaries), this emits ONLY watermark-finalized
+    * sessions: a session leaves state exactly when the watermark passes its
+    * end + gap, so the emitted set is a pure function of the DATA — any
+    * micro-batch carving of the same events yields byte-identical output.
+    * State per key is the open-session spans only (watermark-bounded);
+    * timeouts finalize idle keys without new data for that key. Late rows
+    * older than the watermark are dropped, mirroring the native operator.
+    * Values ride as exact decimal(18,6) micro-units (Long), so sums are
+    * addition-order-independent — the same trick that makes st1/st2
+    * oracle-able. */
+  def customSessions(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      // `ts` rides along untouched: the event-time/watermark tag lives on
+      // that attribute, and EventTimeTimeout requires it to reach the
+      // stateful operator (the function itself reads only the µs longs)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long").as("v_us"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionizerState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+         state: GroupState[SessionizerState]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (userId < 0) {
+            // the finite-replay flush rows (user -1): consume, keep nothing
+            if (state.exists) state.remove()
+            Iterator.empty
+          } else {
+            val fresh = rows.filter(_._3 >= wmUs)
+              .map { case (_, _, ts, v) => SessSpan(ts, ts, 1L, v) }.toList
+            val all = mergeSpans(state.getOption.map(_.sessions).getOrElse(Nil) ++ fresh)
+            val (done, open) = all.partition(s => s.endUs + SessionGapUs <= wmUs)
+            if (open.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(SessionizerState(open))
+              // earliest possible finalization, ms-ceiled so it's strictly
+              // past the current watermark (setTimeoutTimestamp requires it)
+              state.setTimeoutTimestamp(
+                open.map(s => (s.endUs + SessionGapUs) / 1000L).min + 1L)
+            }
+            done.iterator.map(s => SessionRow(userId, s.startUs, s.n,
+              java.math.BigDecimal.valueOf(s.sumMicros, 6).doubleValue()))
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Run a streaming query over the batch events dir into a memory sink and

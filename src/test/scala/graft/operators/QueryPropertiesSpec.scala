@@ -200,6 +200,37 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(expected.values.map(_._4).sum > 0, "no phones injected — dead test")
   }
 
+  test("z3 sequence packing equals a brute-force concat-and-chop pass") {
+    val cap = 2048L
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // brute force: walk docs in order, chop the running token offset
+    var off = 0L
+    val perSeq = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    for ((_, text) <- docs) {
+      val toks = text.count(_ == ' ').toLong + 1 // whitespace tokens: spaces + 1
+      val (strt, fin) = (off, off + toks)
+      var s = strt / cap
+      while (s <= (fin - 1) / cap) {
+        val (n, carried, fill) = perSeq.getOrElse(s, (0L, 0L, 0L))
+        perSeq(s) = (n + 1,
+          carried + (if (strt < s * cap) 1L else 0L),
+          fill + (math.min(fin, (s + 1) * cap) - math.max(strt, s * cap)))
+        s += 1
+      }
+      off = fin
+    }
+    val got = TextQueries.z3SequencePack(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === perSeq.keySet)
+    for ((seq, exp) <- perSeq) assert(got(seq) === exp, s"seq $seq")
+    // every sequence except the last must be filled exactly to capacity
+    val last = perSeq.keys.max
+    for ((seq, (_, _, fill)) <- perSeq if seq != last)
+      assert(fill == cap, s"seq $seq underfilled: $fill")
+  }
+
   test("x9 common spans equals a brute-force document-frequency top-k") {
     val docs = Tables.t(spark, sfDir, "documents").select("text")
       .collect().map(_.getString(0))

@@ -209,6 +209,21 @@ class EventStreamOpsSpec extends SparkSpec {
     assert(sTot == bTot, "no event may be lost or double-counted")
   }
 
+  test("custom-state sessionizer equals the native session_window bit-for-bit") {
+    val custom = EventStreamOps.runToMemoryAppend(spark, eventsPath, "csess_w",
+      EventStreamOps.customSessions)
+    val native = EventStreamOps.runToMemoryAppend(spark, eventsPath, "nsess_w",
+      EventStreamOps.sessionizeByUser)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_micros(col("session_start")).as("session_start_us"),
+        col("n_events"), col("session_value"))
+    assert(custom.count() == native.count(),
+      "session count must match the native operator")
+    // bit-for-bit: decimal-exact value sums, identical session boundaries
+    assert(custom.exceptAll(native).isEmpty && native.exceptAll(custom).isEmpty,
+      "flatMapGroupsWithState sessions must be row-identical to session_window")
+  }
+
   test("stateful user sessions accumulate counts per user") {
     val sessions = EventStreamOps.runToMemory(spark, eventsPath, "sess_t",
       df => EventStreamOps.userSessions(spark, df).toDF(),
