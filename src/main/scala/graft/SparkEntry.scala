@@ -111,6 +111,7 @@ object SparkEntry {
     "y10_mixture_resample" -> (TextQueries.y10MixtureResample _),
     "y11_lexical_diversity" -> (TextQueries.y11LexicalDiversity _),
     "y12_pii_scrub" -> (TextQueries.y12PiiScrub _),
+    "y13_source_cap" -> (TextQueries.y13SourceCap _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
@@ -1042,6 +1043,23 @@ object SparkEntry {
         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
         |  CAST(sum(length(pii_text) - length(clean)) AS BIGINT) AS chars_delta
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // y13: y2's exact stop-hit arithmetic + row_number over the same
+    // deterministic (score desc, doc_id) order; integer-only rollup
+    "y13_source_cap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+        |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS stop_hits
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, n_tokens,
+        |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS score FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY score DESC, doc_id) AS rk FROM s)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN rk <= 15 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // z3: concat-and-chop packing re-derived with one global window cumsum
     // (fine for the oracle; the Spark side computes the SAME offsets with
     // the two-pass range-partitioned pattern). `//` = DuckDB integer

@@ -277,6 +277,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source keep cap for [[y13SourceCap]]. */
+  private[operators] val SourceCap = 15
+
+  /** Per-source document cap — the C4/RefinedWeb-style per-domain limit
+    * that stops any single feed from dominating the corpus: within each
+    * source keep the top [[SourceCap]] documents by quality (y2's
+    * stopword-density score, ties broken by doc_id so the cut is total,
+    * deterministic, and oracle-able), and report the per-source admit
+    * manifest (docs seen, kept, dropped, surviving tokens).
+    *
+    * Scale design: ONE window partitioned by source — the natural
+    * per-domain parallelism (a 100 TB web corpus has millions of domains,
+    * so partitions stay small; a pathological mega-domain is the k1
+    * salting story, not this operator's). The rollup aggregates the
+    * kept/dropped split map-side; only |sources| rows exchange. */
+  def y13SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+    val scored = t(spark, dir, "documents")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("stop_hits",
+        wordCount(col("text"), "the") + wordCount(col("text"), "a"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 4).as("score"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= SourceCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > SourceCap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rk") <= SourceCap, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** Sequence-packing capacity (tokens per training sequence). */
   private[operators] val PackCapacity = 2048L
 

@@ -200,6 +200,36 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(expected.values.map(_._4).sum > 0, "no phones injected — dead test")
   }
 
+  test("y13 source cap equals a brute-force per-source top-k by quality") {
+    val cap = 15
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def occurrences(text: String, word: String): Long = {
+      val padded = " " + text + " "
+      ((padded.length - padded.replace(s" $word ", " ").length) / (word.length + 1)).toLong
+    }
+    val expected = docs.groupBy(_._2).view.mapValues { rs =>
+      val scored = rs.map { case (id, _, text) =>
+        val toks = text.count(_ == ' ').toLong + 1
+        val hits = occurrences(text, "the") + occurrences(text, "a")
+        val score = java.math.BigDecimal.valueOf(hits.toDouble / toks)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        (id, toks, score)
+      }
+      val ranked = scored.sortBy { case (id, _, s) => (-s, id) }
+      val kept = ranked.take(cap)
+      (ranked.length.toLong, kept.length.toLong, (ranked.length - kept.length).toLong,
+        kept.map(_._2).sum)
+    }.toMap
+    val got = TextQueries.y13SourceCap(spark, sfDir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((src, exp) <- expected) assert(got(src) === exp, s"source $src")
+    // the cap must actually bite on this corpus, or the test proves nothing
+    assert(expected.values.exists(_._3 > 0), "no source exceeds the cap — dead test")
+  }
+
   test("z3 sequence packing equals a brute-force concat-and-chop pass") {
     val cap = 2048L
     val docs = Tables.t(spark, sfDir, "documents")
