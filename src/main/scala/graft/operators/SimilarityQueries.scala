@@ -51,7 +51,16 @@ object SimilarityQueries {
   def annCandidatePairs(spark: SparkSession, e: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import spark.implicits._
-    val numPlanes = 16
+    // 4 bands x 16 planes: 65,536 buckets per band. The pre-round-7 shape
+    // (2 bands x 8 bits = 256 fixed buckets) was the x6 quadratic trap —
+    // band-join work grows with corpus²/buckets, measured 8.8 s at sf1.
+    // Wider bands cut per-pair collision probability, so the band COUNT
+    // doubles to compensate: recall is pinned by the executable contract
+    // (KmeansIvfSpec recall@5 >= 0.85 on clustered data), and the band
+    // join now shuffles 4 rows/vector into near-empty buckets.
+    val numBands = 4
+    val bitsPerBand = 16
+    val numPlanes = numBands * bitsPerBand
     val banded = e.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -62,17 +71,17 @@ object SimilarityQueries {
           val planes = byDim.getOrElseUpdate(emb.length,
             Array.tabulate(numPlanes, emb.length)((p, i) =>
               XXH64.hashLong((p.toLong << 32) | i.toLong, 7L).toDouble / 9.223372036854776e18))
-          var bucket = 0
+          val keys = new Array[Int](numBands)
           var p = 0
           while (p < numPlanes) {
             val pl = planes(p)
             var s = 0.0
             var i = 0
             while (i < emb.length) { s += emb(i) * pl(i); i += 1 }
-            if (s > 0) bucket |= (1 << p)
+            if (s > 0) keys(p / bitsPerBand) |= (1 << (p % bitsPerBand))
             p += 1
           }
-          Iterator((id, emb, 0, bucket & 255), (id, emb, 1, (bucket >> 8) & 255))
+          Iterator.tabulate(numBands)(b => (id, emb, b, keys(b)))
         }
       }.toDF("vec_id", "embedding", "band", "band_key")
       .localCheckpoint() // hyperplane projections run once, not per join side

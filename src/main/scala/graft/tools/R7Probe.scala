@@ -32,6 +32,8 @@ object R7Probe {
       timed(s"st8_custom_sessions $tag")(
         graft.streaming.EventStreamOps.runToMemoryAppend(spark, s"$d/events.parquet",
           s"st8p_${System.nanoTime()}", graft.streaming.EventStreamOps.customSessions).count())
+      timed(s"v2_ann_lsh $tag (4x16 bands)")(
+        graft.operators.SimilarityQueries.v2AnnLsh(spark, d).count())
     }
     spark.stop()
   }

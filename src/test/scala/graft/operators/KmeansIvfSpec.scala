@@ -157,7 +157,7 @@ class KmeansIvfSpec extends SparkSpec {
       .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     val recall = exact.count(candidates.contains).toDouble / exact.size
-    // 2 bands x 8 planes over near-duplicate cluster members: the banded
+    // 4 bands x 16 planes over near-duplicate cluster members: the banded
     // buckets must surface nearly every true top-5 pair without all-pairs
     assert(recall >= 0.85, s"LSH candidate recall@5 was $recall vs v1 exact top-5")
     // and the candidate set must stay sub-quadratic on clustered data
