@@ -125,6 +125,9 @@ object SparkEntry {
     // code (k parameterized; driver runs k=10 to match the unrolled oracle)
     "v7_knn_kmeans" -> ((s: SparkSession, dir: String) =>
       SimilarityQueries.v7KnnKmeans(s, dir)),
+    // v8: the index-maintenance increment — new batch assigned to the
+    // quantizer trained on the existing remainder only (no retraining)
+    "v8_incremental_ivf" -> (SimilarityQueries.v8IncrementalIvf _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -276,18 +279,21 @@ object SparkEntry {
       |  FROM reach GROUP BY src)""".stripMargin
 
   /** The 3-iteration unrolled Lloyd's loop + final cell assignment (init =
-    * the 10 lowest vec_ids) shared VERBATIM by the v5 and v7 oracles —
-    * one constant, two consumers, so the two oracles can never disagree
-    * about the same quantizer. Ends in `af(vec_id, embedding, cell)`. */
-  private val kmeansAssignCte: String =
-    """WITH c0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS centroid
-      |  FROM embeddings WHERE vec_id < 10),
+    * the 10 lowest vec_ids of the source slice) shared VERBATIM by the
+    * v5, v7, and v8 oracles — one template, three consumers, so the
+    * oracles can never disagree about the same quantizer. `pred` narrows
+    * the training slice (empty = whole table; v8 trains on the old slice
+    * only). Ends in `af(vec_id, embedding, cell)` over the slice. */
+  private def kmeansCteFor(pred: String): String =
+    s"""WITH src AS (SELECT vec_id, embedding FROM embeddings $pred),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS centroid
+      |  FROM src WHERE vec_id < 10),
       |a0 AS (SELECT vec_id, embedding, cell FROM (
       |  SELECT e.vec_id, e.embedding, c.cell,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
       |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-      |  FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+      |  FROM src e CROSS JOIN c0 c) WHERE rk = 1),
       |c1 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
       |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
       |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a0)
@@ -297,7 +303,7 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
       |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-      |  FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1),
+      |  FROM src e CROSS JOIN c1 c) WHERE rk = 1),
       |c2 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
       |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
       |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a1)
@@ -307,7 +313,7 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
       |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-      |  FROM embeddings e CROSS JOIN c2 c) WHERE rk = 1),
+      |  FROM src e CROSS JOIN c2 c) WHERE rk = 1),
       |c3 AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
       |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
       |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM a2)
@@ -317,7 +323,9 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
       |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-      |  FROM embeddings e CROSS JOIN c3 c) WHERE rk = 1)""".stripMargin
+      |  FROM src e CROSS JOIN c3 c) WHERE rk = 1)""".stripMargin
+
+  private val kmeansAssignCte: String = kmeansCteFor("")
 
   /** The 30-min-gap session derivation shared VERBATIM by the st2 (native
     * session_window) and st8 (flatMapGroupsWithState custom state machine)
@@ -1261,6 +1269,20 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, neighbor_id) AS rn FROM p)
         |SELECT vec_id, cell, neighbor_id, round(s, 6) AS sim
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // v8: the quantizer CTE trains on the OLD slice only (pred narrows
+    // src); the new slice then gets the same rank-1 cell assignment —
+    // score arithmetic identical to the Spark side's broadcast pass
+    "v8_incremental_ivf" -> (kmeansCteFor("WHERE vec_id % 7 <> 0") + """,
+        |nw AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+        |asg AS (SELECT vec_id, cell, s FROM (
+        |  SELECT n.vec_id, c.cell,
+        |    list_dot_product(n.embedding::DOUBLE[], c.centroid)
+        |      - 0.5 * list_dot_product(c.centroid, c.centroid) AS s,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      list_dot_product(n.embedding::DOUBLE[], c.centroid)
+        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+        |  FROM nw n CROSS JOIN c3 c) WHERE rk = 1)
+        |SELECT vec_id, cell, round(s, 6) AS score FROM asg ORDER BY vec_id""".stripMargin),
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT query_id, e.vec_id AS neighbor_id,

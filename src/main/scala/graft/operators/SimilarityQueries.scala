@@ -286,6 +286,35 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Incremental IVF index maintenance — the similarity-side face of x11's
+    * cross-run theme: a NEW batch of vectors (the vec_id % 7 slice) is
+    * assigned to the k-means quantizer trained on the EXISTING remainder
+    * only, WITHOUT retraining — exactly what a production vector index does
+    * between periodic quantizer rebuilds. Emits one row per new vector:
+    * its cell and its quantizer score (the cell-ranking objective
+    * dot(v, c) - |c|²/2), the index-update table a nightly embedding run
+    * appends. At scale the Lloyd loop costs `iters + 1` passes over the
+    * OLD corpus once per rebuild cycle (amortized across increments), and
+    * the increment itself is one broadcast-quantizer pass over the new
+    * batch — no shuffle of either corpus. Oracle: the shared unrolled
+    * k-means CTE restricted to the old slice, then the same rank-1
+    * assignment of the new slice. */
+  def v8IncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val old = e.filter(col("vec_id") % 7 =!= 0)
+    val fresh = e.filter(col("vec_id") % 7 === 0)
+    val cents = kmeansCentroids(spark, old, 10, 3)
+    val cdf = broadcast(cents.withColumn("cn2", dot(col("centroid"), col("centroid"))))
+    fresh.select(col("vec_id"), col("embedding"))
+      .crossJoin(cdf)
+      .withColumn("s", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("s").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), round(col("s"), 6).as("score"))
+      .orderBy("vec_id")
+  }
+
   /** IVF-flavored per-label centroids + assignment check: exact-decimal
     * element-wise centroid per label, then each vector's cosine to its own
     * label centroid — the coarse-quantizer building block of an IVF index. */

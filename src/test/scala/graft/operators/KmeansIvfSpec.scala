@@ -102,6 +102,33 @@ class KmeansIvfSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("v8 incremental assignment equals brute force against old-slice centroids") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val old = e.filter(col("vec_id") % 7 =!= 0)
+    val cents = SimilarityQueries.kmeansCentroids(spark, old, 10, 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val fresh = e.filter(col("vec_id") % 7 === 0).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(fresh.nonEmpty && cents.nonEmpty)
+    val expected = fresh.map { case (id, emb) =>
+      val scored = cents.map { case (cell, c) =>
+        var s = 0.0; var i = 0
+        while (i < emb.length) { s += emb(i) * c(i); i += 1 }
+        var cn = 0.0; i = 0
+        while (i < c.length) { cn += c(i) * c(i); i += 1 }
+        (cell, s - 0.5 * cn)
+      }
+      // rank-1 with ties to the LOWEST cell, matching the window's order
+      id -> scored.maxBy { case (cell, s) => (s, -cell) }._1
+    }.toMap
+    val got = SimilarityQueries.v8IncrementalIvf(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === expected)
+    // the quantizer must have been trained WITHOUT the new slice: its init
+    // cells are old-slice ids only (no multiple of 7 among them)
+    assert(cents.forall(_._1 % 7 != 0))
+  }
+
   test("IVF probe recall@3 >= 0.9 vs brute-force ground truth on clustered data") {
     import spark.implicits._
     val df = clustered().localCheckpoint()
