@@ -55,6 +55,13 @@ object SparkEntry {
     "q19_disjunctive" -> (AnalyticsQueries.q19DisjunctiveRevenue _),
     "q8_market_share" -> (AnalyticsQueries.q8MarketShare _),
     "q16_supplier_variety" -> (AnalyticsQueries.q16SupplierVariety _),
+    // q2/q9/q12/q20: the four TPC-H shapes the corpus previously lacked,
+    // adapted (no partsupp → lineitem supply edges + p_retailprice cost
+    // proxy; no shipmode → ship-delay buckets); completes all 22 shapes
+    "q2_min_cost_supplier" -> (AnalyticsQueries.q2MinCostSupplier _),
+    "q9_product_profit" -> (AnalyticsQueries.q9ProductProfit _),
+    "q12_late_priority" -> (AnalyticsQueries.q12LatePriority _),
+    "q20_excess_supply" -> (AnalyticsQueries.q20ExcessSupply _),
     "w4_trailing_revenue" -> (AnalyticsQueries.w4TrailingRevenue _),
     "w1_top_per_brand" -> (AnalyticsQueries.w1TopPerBrand _),
     "w2_running_revenue" -> (AnalyticsQueries.w2RunningRevenue _),
@@ -571,6 +578,65 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_size BETWEEN 25 AND 50 AND l_quantity BETWEEN 20 AND 36)""".stripMargin,
+    // q2: min over stored doubles is arithmetic-free, so the equality
+    // join-back and the order-by are exact in both engines
+    "q2_min_cost_supplier" ->
+      """WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cand AS (SELECT p.p_partkey, p.p_name, eur.*
+        |  FROM e JOIN part p ON e.l_partkey = p.p_partkey AND p.p_size = 15
+        |  JOIN eur ON e.l_suppkey = eur.s_suppkey),
+        |m AS (SELECT p_partkey AS mk, min(s_acctbal) AS min_bal FROM cand GROUP BY 1)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal AS supplier_bal
+        |FROM cand JOIN m ON p_partkey = mk AND s_acctbal = min_bal
+        |ORDER BY supplier_bal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    // q9: the profit expression evaluates in the same operand order
+    // (ep*(1-d)) - ((rp*0.1)*q) on both sides before the decimal accumulate
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * 0.1 * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q12_late_priority" ->
+      """WITH d AS (SELECT
+        |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days,
+        |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS crit
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT CASE WHEN delay_days <= 30 THEN 'a_0_30'
+        |            WHEN delay_days <= 60 THEN 'b_31_60'
+        |            WHEN delay_days <= 90 THEN 'c_61_90'
+        |            ELSE 'd_over_90' END AS delay_bucket,
+        |  CAST(sum(CASE WHEN crit THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN crit THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM d GROUP BY 1 ORDER BY delay_bucket""".stripMargin,
+    // q20: quantities accumulate decimal-exact; 0.5 is a power of two, so
+    // the dominance comparison cannot flip between engines
+    "q20_excess_supply" ->
+      """WITH yr AS (SELECT * FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+        |  FROM yr GROUP BY 1, 2),
+        |p AS (SELECT l_partkey AS pk,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM yr GROUP BY 1),
+        |dom AS (SELECT l_suppkey, count(*) AS n_dominant_parts
+        |  FROM ps JOIN p ON l_partkey = pk
+        |  WHERE supp_qty > 0.5 * total_qty GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name, n_dominant_parts
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
     "q13_order_distribution" ->
       """WITH pc AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

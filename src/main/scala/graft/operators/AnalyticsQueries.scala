@@ -617,6 +617,115 @@ object AnalyticsQueries {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** TPC-H Q2-shaped min-cost supplier (adapted: the corpus has no
+    * partsupp, so the supply relation is lineitem's distinct
+    * (partkey, suppkey) edge set and "cost" is the supplier's account
+    * balance): for every size-15 part, the EUROPE supplier(s) with the
+    * MINIMUM balance among its suppliers — the classic correlated-min
+    * subquery, decorrelated into a per-part min aggregate joined back to
+    * the candidate set. At scale: the edge dedup and the min-agg share one
+    * partkey shuffle; part and the EUROPE supplier dim both broadcast; the
+    * min table joins back partkey-partitioned (no second fact scan). */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val eur = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = t(spark, dir, "part").filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"))
+    val cand = edges
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+    val minBal = cand.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    // min over stored doubles involves no arithmetic, so the equality
+    // join-back is exact in both engines
+    cand.join(minBal, col("p_partkey") === col("mk") && col("s_acctbal") === col("min_bal"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("s_acctbal").as("supplier_bal"))
+      .orderBy(col("supplier_bal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9-shaped product-type profit (adapted: p_retailprice stands in
+    * for ps_supplycost at a 10% carrying rate): per supplier nation and
+    * order year, the profit on 'gear' parts. One fact-fact shuffle on
+    * orderkey; the filtered part dim and the supplier→nation pre-join both
+    * broadcast. Profit accumulates decimal-exact with ONE double expression
+    * evaluated in the same operand order as the oracle. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(moneySumExpr(
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * lit(0.1) * col("l_quantity")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12-shaped shipping-delay priority split (adapted: the corpus
+    * has no l_shipmode/l_receiptdate, so the category axis is the
+    * ship-delay bucket): per delay bucket, how many lineitems belong to
+    * critical-priority orders vs not — the conditional-count join shape.
+    * One orderkey shuffle; the CASE sums fold map-side. */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+      .withColumn("delay_bucket",
+        when(col("delay_days") <= 30, "a_0_30")
+          .when(col("delay_days") <= 60, "b_31_60")
+          .when(col("delay_days") <= 90, "c_61_90")
+          .otherwise("d_over_90"))
+      .groupBy("delay_bucket")
+      .agg(
+        sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_bucket")
+  }
+
+  /** TPC-H Q20-shaped dominant supplier (adapted: with no partsupp
+    * availability, "excess stock" becomes supply dominance): suppliers who
+    * shipped MORE THAN HALF of some part's total 1996 quantity — the
+    * nested-aggregate semi-join shape (per-(part,supp) rollup compared
+    * against a per-part threshold derived from a second aggregate of the
+    * same rollup). Both aggregates and the threshold join share ONE
+    * partkey partitioning; the supplier→nation dim joins broadcast-side
+    * onto the surviving supplier set only. Quantities accumulate
+    * decimal-exact; the 0.5 multiplier is a power of two, so the dominance
+    * comparison is bitwise-deterministic. */
+  def q20ExcessSupply(spark: SparkSession, dir: String): DataFrame = {
+    val yr = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val perPS = yr.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("supp_qty"))
+    val perP = yr.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+    val sn = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    perPS.join(perP, col("l_partkey") === col("pk"))
+      .filter(col("supp_qty") > lit(0.5) * col("total_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant_parts"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_dominant_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Sessionization via gap detection (the reference has no streaming—
     * greenfield per SURVEY §7): a >30-minute silence starts a new session. */
   def t2Sessionize(spark: SparkSession, dir: String): DataFrame = {
