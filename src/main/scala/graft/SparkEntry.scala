@@ -93,6 +93,9 @@ object SparkEntry {
     "x6_embedding_cosine" -> (DedupQueries.x6EmbeddingCosine _),
     "x7_dup_clusters" -> (DedupQueries.x7DupClusters _),
     "x8_contamination" -> (DedupQueries.x8Contamination _),
+    // x12: x8's exact output via a broadcast Bloom prefilter on the
+    // bounded eval side — same answer, the map-side-pruned physical plan
+    "x12_bloom_decontaminate" -> (DedupQueries.x12BloomDecontamination _),
     "x9_common_spans" -> (DedupQueries.x9CommonSpans _),
     "x10_dedup_keep" -> (DedupQueries.x10DedupKeep _),
     // x11: cross-run incremental dedupe — a NEW batch (doc_id % 7 slice)
@@ -263,6 +266,20 @@ object SparkEntry {
     * transitive closure, and the min-label clusters — ending in
     * `cl(doc_id, cluster_id)`. One constant, two consumers, so the two
     * oracles can never disagree about the same cluster graph. */
+  /** Shared by x8 and x12 (same output by construction — x12's bloom
+    * prefilter only changes the physical plan). */
+  private val contaminationOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+      |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |ev AS (SELECT doc_id AS eval_id, g FROM e WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id AS train_id, g FROM e WHERE doc_id % 50 <> 0)
+      |SELECT train_id, eval_id, count(*) AS n_shared
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY train_id, eval_id""".stripMargin
+
   private val dupClusterCte: String =
     """WITH RECURSIVE
       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1050,17 +1067,10 @@ object SparkEntry {
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
     // x8: shingle formula matches x3's (hashing preserves set identity, so
     // shared-gram counts agree); eval slice = every 50th doc_id
-    "x8_contamination" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |ev AS (SELECT doc_id AS eval_id, g FROM e WHERE doc_id % 50 = 0),
-        |tr AS (SELECT doc_id AS train_id, g FROM e WHERE doc_id % 50 <> 0)
-        |SELECT train_id, eval_id, count(*) AS n_shared
-        |FROM tr JOIN ev ON tr.g = ev.g
-        |GROUP BY 1, 2 HAVING count(*) >= 3
-        |ORDER BY train_id, eval_id""".stripMargin,
+    "x8_contamination" -> contaminationOracle,
+    // x12: the bloom prefilter is semantically transparent (no false
+    // negatives + exact confirm join), so the oracle is x8's, verbatim
+    "x12_bloom_decontaminate" -> contaminationOracle,
     "y7_hash_sample" ->
       """SELECT doc_id, lang,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 AS BIGINT) AS bucket

@@ -450,6 +450,42 @@ object DedupQueries {
       .orderBy("train_id", "eval_id")
   }
 
+  /** Bloom-prefiltered decontamination — x8's EXACT output through the
+    * physical strategy a 100 TB run wants (the w1/w3 precedent: same
+    * answer, different plan). The eval side of a decontamination join is a
+    * bounded benchmark set; a Bloom filter over its distinct shingle
+    * hashes (~1.2 MB per million grams at 1% fpp) is built distributed via
+    * `DataFrameStatFunctions.bloomFilter` and broadcast, and the
+    * corpus-side gram stream drops non-members MAP-SIDE — the shuffle for
+    * the confirm join then carries only grams that might match, ~fpp of
+    * the corpus instead of all of it. Bloom membership has NO false
+    * negatives and the exact join eliminates the false positives, so the
+    * output is bit-identical to x8 (spec-pinned; the oracle SQL is shared
+    * verbatim). Spark's own runtime bloom-filter injection
+    * (spark.sql.optimizer.runtime.bloomFilter.*) does this implicitly for
+    * selective JOIN KEYS; building it explicitly also covers the
+    * cross-run form, where the sketch is persisted beside the eval set
+    * and reused by every training batch without rescanning the benchmark.
+    * The membership probe is a boxed-Long UDF — fine for a prefilter that
+    * only feeds an exchange; keeping it out of the post-shuffle hot path
+    * preserves the aggregation's codegen. */
+  def x12BloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val sets = docSets(spark, dir)
+    val evalGrams = sets.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+      .localCheckpoint() // two consumers: the sketch build and the confirm join
+    val bf = evalGrams.stat.bloomFilter("h", math.max(evalGrams.count(), 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    sets.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+      .filter(mightContain(col("h")))
+      .join(evalGrams, "h")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Cross-document boilerplate spans: the 20 most widespread 3-word
     * shingles by DOCUMENT frequency (each doc votes once per distinct
     * span — `array_distinct` before the explode), with ties broken by the

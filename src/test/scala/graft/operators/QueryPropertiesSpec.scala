@@ -78,6 +78,18 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(expected.nonEmpty, "corpus must exercise the contamination path")
   }
 
+  test("x12 bloom-prefiltered decontamination is bit-identical to x8") {
+    // the bloom prefilter must be semantically transparent: no false
+    // negatives (sketch contract) and the exact join removes false
+    // positives, so the two plans must agree row-for-row
+    val x8 = DedupQueries.x8Contamination(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val x12 = DedupQueries.x12BloomDecontamination(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(x12 === x8, "bloom path must not change the contamination answer")
+    assert(x8.nonEmpty, "corpus must exercise the contamination path")
+  }
+
   test("y7 hash sample is deterministic and matches a JVM md5 of the id") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
