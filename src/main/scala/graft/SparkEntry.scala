@@ -138,6 +138,9 @@ object SparkEntry {
     // v8: the index-maintenance increment — new batch assigned to the
     // quantizer trained on the existing remainder only (no retraining)
     "v8_incremental_ivf" -> (SimilarityQueries.v8IncrementalIvf _),
+    // x13: SemDeDup — within-k-means-cell near-duplicate drop verdicts
+    // (registered with the x dedupe family; lives with the quantizer)
+    "x13_semantic_dedup" -> (SimilarityQueries.x13SemanticDedup _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -1359,6 +1362,21 @@ object SparkEntry {
         |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
         |  FROM nw n CROSS JOIN c3 c) WHERE rk = 1)
         |SELECT vec_id, cell, round(s, 6) AS score FROM asg ORDER BY vec_id""".stripMargin),
+    // x13: same quantizer CTE; the keep verdict compares the RAW dot to
+    // τ=0.35 (identical fold both sides), rounding only the output
+    "x13_semantic_dedup" -> (kmeansAssignCte + """,
+        |p AS (SELECT a.vec_id, b.vec_id AS prior_id,
+        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+        |  FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id),
+        |r AS (SELECT vec_id, prior_id, s,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, prior_id) AS rk FROM p),
+        |best AS (SELECT vec_id, prior_id, s FROM r WHERE rk = 1)
+        |SELECT af.vec_id, af.cell,
+        |  CAST(CASE WHEN best.s IS NULL OR best.s <= 0.35 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  CASE WHEN best.s > 0.35 THEN best.prior_id END AS dup_of,
+        |  CASE WHEN best.s > 0.35 THEN round(best.s, 6) END AS sim
+        |FROM af LEFT JOIN best ON af.vec_id = best.vec_id
+        |ORDER BY af.vec_id""".stripMargin),
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT query_id, e.vec_id AS neighbor_id,

@@ -315,6 +315,46 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Semantic deduplication (the SemDeDup shape: cluster embeddings with
+    * the coarse quantizer, then drop within-cell near-duplicates): one row
+    * per vector with a keep/drop verdict — drop iff some LOWER-id vector
+    * in the same k-means cell has cosine above the dedupe threshold, with
+    * the best such match (highest cosine, ties to the lowest id) as
+    * evidence. Keep-first ordering makes the verdict deterministic and
+    * single-pass (no greedy chain: a vector dropped for closeness to an
+    * already-dropped one still drops — standard dedupe-against-earlier
+    * semantics, like x2's keep_doc_id). τ = 0.35 is corpus-calibrated
+    * (this synthetic corpus' clusters are well-separated; real SemDeDup
+    * sweeps τ per corpus).
+    *
+    * Scale design: the pair join is cell-bounded (|cell|², never
+    * |corpus|²) over the session-memoized assignment — one Lloyd loop per
+    * sweep shared with v5/v7 — and the per-vector argmax plans with the
+    * WindowGroupLimit pushdown, so each partition forwards one candidate
+    * per vec_id. Embeddings never leave the cell shuffle; verdicts are
+    * 3 scalars per vector. Ranking and the threshold compare use the RAW
+    * dot (bitwise identical in both engines); only the output rounds. */
+  def x13SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.35
+    val assigned = kmeansAssigned(spark, dir, 10, 3)
+    val prior = assigned.select(col("cell"), col("vec_id").as("prior_id"),
+      col("embedding").as("pv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("s").desc, col("prior_id"))
+    val best = assigned.join(prior, Seq("cell"))
+      .filter(col("prior_id") < col("vec_id"))
+      .withColumn("s", dot(col("embedding"), col("pv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("prior_id"), col("s"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (col("s").isNull || col("s") <= tau).cast("long").as("keep"),
+        when(col("s") > tau, col("prior_id")).as("dup_of"),
+        when(col("s") > tau, round(col("s"), 6)).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** IVF-flavored per-label centroids + assignment check: exact-decimal
     * element-wise centroid per label, then each vector's cosine to its own
     * label centroid — the coarse-quantizer building block of an IVF index. */

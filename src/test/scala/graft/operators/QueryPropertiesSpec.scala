@@ -90,6 +90,20 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(x8.nonEmpty, "corpus must exercise the contamination path")
   }
 
+  test("x13 semantic dedupe verdicts are internally consistent and bite") {
+    val rows = SimilarityQueries.x13SemanticDedup(spark, sfDir).collect()
+    val dropped = rows.filter(_.getLong(2) == 0L)
+    assert(dropped.nonEmpty, "τ must bite on this corpus or the op is vacuous")
+    dropped.foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(3) < r.getLong(0),
+        "evidence must be a LOWER-id cell-mate (keep-first order)")
+      assert(r.getDouble(4) > 0.35, "dropped rows must exceed the threshold")
+    }
+    rows.filter(_.getLong(2) == 1L).foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4), "kept rows carry no dup evidence")
+    }
+  }
+
   test("y7 hash sample is deterministic and matches a JVM md5 of the id") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
