@@ -122,6 +122,9 @@ object SparkEntry {
     "y11_lexical_diversity" -> (TextQueries.y11LexicalDiversity _),
     "y12_pii_scrub" -> (TextQueries.y12PiiScrub _),
     "y13_source_cap" -> (TextQueries.y13SourceCap _),
+    // y14: log-free unigram-LM typicality — integer cross-multiplied
+    // verdicts, so the flag involves no floating point at all
+    "y14_unigram_typicality" -> (TextQueries.y14UnigramTypicality _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
@@ -1185,6 +1188,16 @@ object SparkEntry {
         |  round(avg(rep_ratio), 4) AS avg_rep_ratio,
         |  round(max(rep_ratio), 4) AS max_rep_ratio
         |FROM r GROUP BY 1 ORDER BY lang""".stripMargin,
+    "y14_unigram_typicality" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents),
+        |f AS (SELECT tk, count(*) AS cf FROM tok GROUP BY 1),
+        |d AS (SELECT doc_id, lang, count(*) AS n, sum(cf) AS s
+        |  FROM tok JOIN f USING (tk) GROUP BY 1, 2),
+        |g AS (SELECT sum(s) AS gs, sum(n) AS gn FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN 100*s*gn < 97*gs*n THEN 1 ELSE 0 END) AS BIGINT) AS atypical_docs,
+        |  round(CAST(sum(s) AS DOUBLE) / sum(n), 4) AS avg_token_freq
+        |FROM d, g GROUP BY 1 ORDER BY lang""".stripMargin,
     "y1_token_stats" ->
       """WITH d AS (SELECT lang, n_chars,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)

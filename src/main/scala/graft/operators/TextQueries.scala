@@ -24,6 +24,44 @@ object TextQueries {
   private[operators] def tokenCount(text: Column): Column =
     (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
 
+  /** Unigram-LM typicality scoring, log-free: a document's score is the
+    * MEAN CORPUS FREQUENCY of its tokens (the monotone stand-in for
+    * unigram log-likelihood — higher = more typical of the corpus; real
+    * pipelines threshold perplexity, but log() is libm-dependent and
+    * would break bitwise oracle parity, while this score is integer-exact
+    * until one final rounded divide). A doc is flagged ATYPICAL iff its
+    * score falls below 97% of the corpus-pooled mean, compared
+    * CROSS-MULTIPLIED in integers (100·s·N < 97·S·n) so the verdict
+    * involves no floating point at all. Products stay under 2^63 through
+    * sf1-scale corpora; a larger corpus would cross-multiply in
+    * decimal(38,0).
+    *
+    * Scale design: the frequency table is vocab-sized and joins the token
+    * stream WITHOUT a broadcast hint (x8's rationale — a web-scale vocab
+    * is corpus-proportional; AQE broadcasts when it measures small). Both
+    * the token count and the frequency join shuffle on the token key —
+    * one partitioning, map-side partial aggs; the per-doc rollup then
+    * shuffles compact (doc_id, lang, 2 longs) rows, and the 1-row global
+    * broadcasts back over the per-doc table (q11's shape). */
+  def y14UnigramTypicality(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tk"))
+    val freq = tok.groupBy("tk").agg(count(lit(1)).as("cf"))
+    val perDoc = tok.join(freq, "tk")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n"), sum("cf").as("s"))
+    val g = perDoc.agg(sum("s").as("gs"), sum("n").as("gn"))
+    perDoc.join(broadcast(g))
+      .withColumn("atypical",
+        (lit(100L) * col("s") * col("gn") < lit(97L) * col("gs") * col("n")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("atypical").as("atypical_docs"),
+        // two exact long sums -> one IEEE divide, same order as the oracle
+        round(sum("s").cast("double") / sum("n"), 4).as("avg_token_freq"))
+      .orderBy("lang")
+  }
+
   /** Per-language token statistics: doc counts, token totals, avg doc length. */
   def y1TokenStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")

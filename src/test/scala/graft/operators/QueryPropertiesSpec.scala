@@ -104,6 +104,28 @@ class QueryPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("y14 unigram typicality equals a brute-force frequency count") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val cf = docs.flatMap(_._3).groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val perDoc = docs.map { case (_, lang, toks) =>
+      (lang, toks.length.toLong, toks.map(cf).sum)
+    }
+    val gs = perDoc.map(_._3).sum
+    val gn = perDoc.map(_._2).sum
+    val expected = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      val flagged = rows.count { case (_, n, s) => 100L * s * gn < 97L * gs * n }
+      val s = rows.map(_._3).sum; val n = rows.map(_._2).sum
+      (lang, (rows.size.toLong, flagged.toLong,
+        BigDecimal(s.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = TextQueries.y14UnigramTypicality(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected, "operator must equal the brute-force typicality rollup")
+    assert(expected.values.map(_._2).sum > 0, "corpus must flag at least one atypical doc")
+  }
+
   test("y7 hash sample is deterministic and matches a JVM md5 of the id") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
