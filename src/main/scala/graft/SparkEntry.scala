@@ -79,6 +79,9 @@ object SparkEntry {
     "s1_set_ops" -> (AnalyticsQueries.s1SetOps _),
     "j1_asof_join" -> (JoinQueries.j1AsofJoin _),
     "j2_range_bucket" -> (JoinQueries.j2RangeBucket _),
+    // j3: interval×interval overlap via the 1-hour grid-cell equi-join
+    // (complete prefilter + exact re-check = the quadratic answer)
+    "j3_interval_overlap" -> (JoinQueries.j3IntervalOverlap _),
     "t1_events_hourly" -> (AnalyticsQueries.t1EventsHourly _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
@@ -775,6 +778,24 @@ object SparkEntry {
         |  (25.0, 40.0, 'large'), (40.0, 1000000000.0, 'huge')) v(lo, hi, bucket)
         |  ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // j3: the oracle is the QUADRATIC overlap join (fine at oracle scale);
+    // the grid-cell prefilter is complete, so the answers must hash-match
+    "j3_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, us, event_id,
+        |  us - coalesce(lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id), us) AS gap
+        |  FROM e),
+        |m AS (SELECT user_id, us,
+        |  sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s),
+        |sess AS (SELECT user_id, sid, min(us) AS st, max(us) AS en FROM m GROUP BY 1, 2)
+        |SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_overlaps,
+        |  CAST(sum(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT) AS total_overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        |GROUP BY 1, 2 ORDER BY ua, ub""".stripMargin,
     "y5_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -35,6 +35,55 @@ object JoinQueries {
       .orderBy("event_id")
   }
 
+  /** J3 interval-overlap join: which user pairs had concurrently-active
+    * sessions, and for how long — the third non-equi join shape (j1 is
+    * point-in-time, j2 point-in-band; this is interval×interval). Sessions
+    * derive from the same 30-min-gap rule as t2, in integer microseconds
+    * throughout, so every overlap duration is exact.
+    *
+    * Scale design: Spark plans a raw overlap predicate as a broadcast
+    * nested loop — |sessions|² compares at corpus scale. Instead each
+    * session EXPLODES onto the 1-hour grid cells it spans and candidates
+    * come from a cell equi-join (shuffle-partitionable, like the LSH band
+    * joins): candidate volume is sum(per-cell density²), tuned by the cell
+    * width, never |corpus|². Multi-cell pairs dedupe on the session key
+    * BEFORE the exact overlap filter re-checks the interval predicate —
+    * the grid is a complete-by-construction prefilter (two intervals
+    * overlap only if they share a cell), so the output equals the
+    * quadratic oracle's exactly. */
+  def j3IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val cellUs = 3600L * 1000000L
+    val gapUs = 1800L * 1000000L
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    // event_id tiebreak: equal-timestamp events would otherwise make lag()
+    // nondeterministic (j1/t2's rule)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sess = e
+      .withColumn("gap", col("us") - coalesce(lag("us", 1).over(w), col("us")))
+      .withColumn("sid", sum(when(col("gap") > gapUs, 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("st"), max("us").as("en"))
+      // two explode consumers below — materialize the sessionization once
+      .localCheckpoint()
+    val cells = sess.withColumn("cell",
+      explode(sequence(expr(s"st div $cellUs"), expr(s"en div $cellUs"))))
+    val a = cells.select(col("cell"), col("user_id").as("ua"), col("sid").as("sa"),
+      col("st").as("sta"), col("en").as("ena"))
+    val b = cells.select(col("cell"), col("user_id").as("ub"), col("sid").as("sb"),
+      col("st").as("stb"), col("en").as("enb"))
+    a.join(b, Seq("cell"))
+      .filter(col("ua") < col("ub"))
+      .dropDuplicates("ua", "sa", "ub", "sb")
+      .filter(col("sta") <= col("enb") && col("stb") <= col("ena"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("ena"), col("enb")) - greatest(col("sta"), col("stb")))
+          .as("total_overlap_us"))
+      .orderBy("ua", "ub")
+  }
+
   /** J2 range (bucket) join: lineitems classified into quantity bands via a
     * tiny in-memory dimension — the broadcast-nested-loop range join that a
     * bucketization step needs. The dim is broadcast (a handful of rows);
