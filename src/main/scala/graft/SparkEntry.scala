@@ -128,6 +128,8 @@ object SparkEntry {
     // y14: log-free unigram-LM typicality — integer cross-multiplied
     // verdicts, so the flag involves no floating point at all
     "y14_unigram_typicality" -> (TextQueries.y14UnigramTypicality _),
+    // y15: per-doc TF-IDF top terms with rational idf (log-free ranking)
+    "y15_tfidf_terms" -> (TextQueries.y15TfIdfTerms _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
@@ -1219,6 +1221,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN 100*s*gn < 97*gs*n THEN 1 ELSE 0 END) AS BIGINT) AS atypical_docs,
         |  round(CAST(sum(s) AS DOUBLE) / sum(n), 4) AS avg_token_freq
         |FROM d, g GROUP BY 1 ORDER BY lang""".stripMargin,
+    // y15: score = CAST(tf AS DOUBLE) * n_docs / df in both engines (one
+    // multiply, one divide over exact integers — bitwise-identical ranks)
+    "y15_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |  CAST(tf AS DOUBLE) * n_docs / df AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, round(score, 4) AS tfidf, rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "y1_token_stats" ->
       """WITH d AS (SELECT lang, n_chars,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)

@@ -62,6 +62,38 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** TF-IDF top terms, log-free (the y14 rationale: idf stays the exact
+    * rational N/df instead of log(N/df) — the same per-document ranking,
+    * since log is monotone, without libm in the oracle path): each
+    * document's 3 most characteristic terms with their tf / df evidence.
+    * score = tf·N/df evaluates as one double multiply + one divide over
+    * exactly-representable integers, so ranking is bitwise deterministic
+    * (term tiebreak).
+    *
+    * Scale design: tf and df come from the same token-keyed shuffle (df
+    * aggregates tf's output — no second corpus pass), the df join carries
+    * no broadcast hint (vocab is corpus-proportional; AQE decides), the
+    * 1-row N broadcasts, and the per-doc top-3 plans with the
+    * WindowGroupLimit pushdown, so each partition forwards at most 3
+    * candidate rows per doc_id to the final window sort. */
+  def y15TfIdfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .join(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Per-language token statistics: doc counts, token totals, avg doc length. */
   def y1TokenStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
