@@ -242,6 +242,15 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("value"), col("c_name"), col("c_mktsegment"))
         .orderBy("event_id")),
+    //     st9: the vector-index increment as a STREAM — new embeddings
+    //     assigned to the batch-trained quantizer (stream-static with a
+    //     model static side; stateless, no watermark). Must hash-match
+    //     batch v8 (shared oracle).
+    "st9_stream_ivf_assign" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.VectorStreamOps.streamIvfAssign(s, dir,
+        s"st9_${System.nanoTime()}")
+        .select(col("vec_id"), col("cell"), round(col("s"), 6).as("score"))
+        .orderBy("vec_id")),
     //     st2: native session_window sessions (streaming face of t2);
     //     session identity for the oracle is (user_id, start epoch-µs)
     "st2_stream_sessions" -> ((s: SparkSession, dir: String) =>
@@ -361,6 +370,23 @@ object SparkEntry {
       |  FROM src e CROSS JOIN c3 c) WHERE rk = 1)""".stripMargin
 
   private val kmeansAssignCte: String = kmeansCteFor("")
+
+  /** Shared by v8 (batch) and st9 (streaming): the quantizer trains on the
+    * OLD slice only, the new slice gets the same rank-1 cell assignment —
+    * stream vs batch must hash-match because the op is stateless and the
+    * argmax fold is arithmetic-identical. */
+  private val incrementalIvfOracle: String =
+    kmeansCteFor("WHERE vec_id % 7 <> 0") + """,
+      |nw AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+      |asg AS (SELECT vec_id, cell, s FROM (
+      |  SELECT n.vec_id, c.cell,
+      |    list_dot_product(n.embedding::DOUBLE[], c.centroid)
+      |      - 0.5 * list_dot_product(c.centroid, c.centroid) AS s,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      list_dot_product(n.embedding::DOUBLE[], c.centroid)
+      |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+      |  FROM nw n CROSS JOIN c3 c) WHERE rk = 1)
+      |SELECT vec_id, cell, round(s, 6) AS score FROM asg ORDER BY vec_id""".stripMargin
 
   /** The 30-min-gap session derivation shared VERBATIM by the st2 (native
     * session_window) and st8 (flatMapGroupsWithState custom state machine)
@@ -1401,17 +1427,10 @@ object SparkEntry {
     // v8: the quantizer CTE trains on the OLD slice only (pred narrows
     // src); the new slice then gets the same rank-1 cell assignment —
     // score arithmetic identical to the Spark side's broadcast pass
-    "v8_incremental_ivf" -> (kmeansCteFor("WHERE vec_id % 7 <> 0") + """,
-        |nw AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
-        |asg AS (SELECT vec_id, cell, s FROM (
-        |  SELECT n.vec_id, c.cell,
-        |    list_dot_product(n.embedding::DOUBLE[], c.centroid)
-        |      - 0.5 * list_dot_product(c.centroid, c.centroid) AS s,
-        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |      list_dot_product(n.embedding::DOUBLE[], c.centroid)
-        |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-        |  FROM nw n CROSS JOIN c3 c) WHERE rk = 1)
-        |SELECT vec_id, cell, round(s, 6) AS score FROM asg ORDER BY vec_id""".stripMargin),
+    "v8_incremental_ivf" -> incrementalIvfOracle,
+    // st9: stateless stream => the finalized memory-sink rows must equal
+    // the batch v8 answer exactly (shared oracle)
+    "st9_stream_ivf_assign" -> incrementalIvfOracle,
     // x13: same quantizer CTE; the keep verdict compares the RAW dot to
     // τ=0.35 (identical fold both sides), rounding only the output
     "x13_semantic_dedup" -> (kmeansAssignCte + """,
