@@ -149,6 +149,9 @@ object SparkEntry {
     // x13: SemDeDup — within-k-means-cell near-duplicate drop verdicts
     // (registered with the x dedupe family; lives with the quantizer)
     "x13_semantic_dedup" -> (SimilarityQueries.x13SemanticDedup _),
+    // v9: product quantization — 4×16-dim subspace codes + additive
+    // reconstruction similarity (the PQ compression layer past IVF)
+    "v9_product_quantization" -> (SimilarityQueries.v9ProductQuantization _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -370,6 +373,56 @@ object SparkEntry {
       |  FROM src e CROSS JOIN c3 c) WHERE rk = 1)""".stripMargin
 
   private val kmeansAssignCte: String = kmeansCteFor("")
+
+  /** One subspace's unrolled Lloyd chain for the v9 PQ oracle — the
+    * v5/v7/v8 template re-instantiated per 16-dim slice with k=4 (init =
+    * the 4 lowest vec_ids' slices). Ends in `af_<s>(vec_id, cell, sim)`
+    * where sim is the RAW dot against the winning subspace centroid. */
+  private def pqSubspaceCte(s: Int): String = {
+    val lo = s * 16 + 1; val hi = (s + 1) * 16
+    def assign(out: String, cents: String): String =
+      s"""$out AS (SELECT vec_id, emb, cell FROM (
+         |  SELECT e.vec_id, e.emb, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.emb::DOUBLE[], c.centroid)
+         |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+         |  FROM src_$s e CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
+    def centroids(out: String, from: String): String =
+      s"""$out AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+         |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
+         |    SELECT cell, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM $from)
+         |  GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+    Seq(
+      s"src_$s AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings)",
+      s"""c0_$s AS (SELECT CAST(vec_id AS INT) AS cell, emb::DOUBLE[] AS centroid
+         |  FROM src_$s WHERE vec_id < 4)""".stripMargin,
+      assign(s"a0_$s", s"c0_$s"),
+      centroids(s"c1_$s", s"a0_$s"),
+      assign(s"a1_$s", s"c1_$s"),
+      centroids(s"c2_$s", s"a1_$s"),
+      assign(s"a2_$s", s"c2_$s"),
+      centroids(s"c3_$s", s"a2_$s"),
+      s"""af_$s AS (SELECT vec_id, cell, sim FROM (
+         |  SELECT e.vec_id, c.cell,
+         |    list_dot_product(e.emb::DOUBLE[], c.centroid) AS sim,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.emb::DOUBLE[], c.centroid)
+         |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+         |  FROM src_$s e CROSS JOIN c3_$s c) WHERE rk = 1)""".stripMargin
+    ).mkString(",\n")
+  }
+
+  /** v9: 4 independent subspace quantizers + the subspace-additive
+    * reconstruction similarity (terms sum in subspace order — each
+    * bitwise-reproducible, so the total is too). */
+  private val pqOracle: String =
+    "WITH " + (0 until 4).map(pqSubspaceCte).mkString(",\n") + """
+      |SELECT a.vec_id, a.cell AS code_0, b.cell AS code_1,
+      |  c.cell AS code_2, d.cell AS code_3,
+      |  round(a.sim + b.sim + c.sim + d.sim, 6) AS recon_sim
+      |FROM af_0 a JOIN af_1 b USING (vec_id)
+      |JOIN af_2 c USING (vec_id) JOIN af_3 d USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
 
   /** Shared by v8 (batch) and st9 (streaming): the quantizer trains on the
     * OLD slice only, the new slice gets the same rank-1 cell assignment —
@@ -1446,6 +1499,7 @@ object SparkEntry {
         |  CASE WHEN best.s > 0.35 THEN round(best.s, 6) END AS sim
         |FROM af LEFT JOIN best ON af.vec_id = best.vec_id
         |ORDER BY af.vec_id""".stripMargin),
+    "v9_product_quantization" -> pqOracle,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT query_id, e.vec_id AS neighbor_id,

@@ -355,6 +355,53 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Product quantization (the compression layer past IVF: split the
+    * vector into M subspaces, k-means each independently, store M small
+    * codes per vector instead of the vector): each vector's 4×16-dim
+    * subspace codes plus its reconstruction similarity — the
+    * subspace-additive dot(v, reconstruction) = Σ_m dot(v_m, centroid_m),
+    * the quantity a PQ index's asymmetric-distance lookup tables serve at
+    * query time. 64 floats compress to 4 byte-sized codes (16× here;
+    * production uses M=8..64 over larger dims for 32-256×).
+    *
+    * Determinism: each subspace runs the SAME deterministic Lloyd loop as
+    * v5 (init = the k lowest vec_ids' slices, decimal-exact means, ties to
+    * the lower cell), and the additive score sums the per-subspace RAW
+    * dots in subspace order — every term bitwise-reproducible, so the
+    * total is too. recon_sim < 1 measures quantization loss per vector
+    * (vectors are unit-norm).
+    *
+    * Scale design: the M Lloyd loops each scan only their 1/M-width slice
+    * (same total bytes as one full pass per iteration), all M assignment
+    * passes are broadcast-side (k×subDim doubles each), and the M code
+    * columns join on vec_id — co-partitioned after each subspace's window,
+    * with AQE free to planning-time-merge the tiny sides. Codes are what
+    * ships to the serving tier: 4 ints per vector, not 64 floats. */
+  def v9ProductQuantization(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4; val subDim = 16; val k = 4; val iters = 3
+    val e = t(spark, dir, "embeddings")
+    val subCodes = (0 until m).map { s =>
+      val sub = e.select(col("vec_id"), slice(col("embedding"), s * subDim + 1, subDim)
+        .as("embedding"))
+      val cdf = broadcast(kmeansCentroids(spark, sub, k, iters)
+        .withColumn("cn2", dot(col("centroid"), col("centroid"))))
+      val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
+      sub.crossJoin(cdf)
+        .withColumn("score", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell").as(s"code_$s"),
+          dot(col("embedding"), col("centroid")).as(s"sim_$s"))
+    }
+    subCodes.reduce(_.join(_, "vec_id"))
+      // subspace order, left-associated: Σ_m dot(v_m, c_m) exactly as the oracle
+      .withColumn("recon_sim",
+        round(col("sim_0") + col("sim_1") + col("sim_2") + col("sim_3"), 6))
+      .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"),
+        col("code_3"), col("recon_sim"))
+      .orderBy("vec_id")
+  }
+
   /** IVF-flavored per-label centroids + assignment check: exact-decimal
     * element-wise centroid per label, then each vector's cosine to its own
     * label centroid — the coarse-quantizer building block of an IVF index. */

@@ -126,6 +126,27 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(expected.values.map(_._2).sum > 0, "corpus must flag at least one atypical doc")
   }
 
+  test("v9 product quantization emits valid codes and lossy-but-close sims") {
+    val rows = SimilarityQueries.v9ProductQuantization(spark, sfDir).collect()
+    assert(rows.length == 500)
+    val codes = rows.flatMap(r => Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(codes.forall(c => c >= 0 && c < 4), "codes index the k=4 subspace centroids")
+    assert(codes.distinct.length > 1, "a degenerate one-cell quantizer compresses nothing")
+    rows.foreach { r =>
+      val sim = r.getDouble(5)
+      // unit-norm vectors: the additive reconstruction sim is bounded by 1
+      // (up to rounding) and a sane quantizer keeps most of the norm
+      assert(sim <= 1.000001, s"vec ${r.getLong(0)}: recon_sim $sim > 1")
+    }
+    // this corpus' vectors are near-random unit vectors: a 4-centroid
+    // 16-dim subspace quantizer retains only a thin slice of the norm
+    // (~0.11 mean here; real clustered embeddings retain far more). The
+    // bound guards against a broken/zeroed quantizer, not compression
+    // quality on random data.
+    val mean = rows.map(_.getDouble(5)).sum / rows.length
+    assert(mean > 0.05, s"mean recon_sim $mean — quantizer lost nearly all signal")
+  }
+
   test("y7 hash sample is deterministic and matches a JVM md5 of the id") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
