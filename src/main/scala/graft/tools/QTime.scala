@@ -1,0 +1,28 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Generic per-query timer for local iteration: warms each named query
+  * once (codegen + scan), clears the session memos, then times a second
+  * pass — the same steady-state protocol Bench uses, without running the
+  * whole suite. Usage: runMain graft.tools.QTime <sfDir> <q1,q2,...> */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(',').toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = names.map(n => n -> graft.SparkEntry.queries(n))
+    qs.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    graft.operators.DedupQueries.clearMemo()
+    graft.operators.SimilarityQueries.clearMemo()
+    System.gc(); Thread.sleep(500)
+    qs.foreach { case (name, fn) =>
+      val t0 = System.nanoTime(); val n = fn(spark, sfDir).count()
+      println(f"[qtime] $name: rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
