@@ -131,6 +131,8 @@ object SparkEntry {
     // y15: per-doc TF-IDF top terms with rational idf (log-free ranking)
     "y15_tfidf_terms" -> (TextQueries.y15TfIdfTerms _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
+    // z4: md5-keyed 80/10/10 split, stratification audited per source
+    "z4_stratified_split" -> (TextQueries.z4StratifiedSplit _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -1270,6 +1272,15 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN strt < seq_id * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
         |  CAST(sum(least(fin, (seq_id + 1) * 2048) - greatest(strt, seq_id * 2048)) AS BIGINT) AS fill_tokens
         |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // z4: y7's md5 hex-prefix bridge, mod 100 -> 80/10/10
+    "z4_stratified_split" ->
+      """WITH b AS (SELECT source, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bkt
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     // x9: same truncating-tail shingle formula as x3/y4/y8's oracles;
     // list_distinct before the unnest = one vote per doc per span
     "x9_common_spans" ->

@@ -438,6 +438,26 @@ object TextQueries {
       .orderBy("seq_id")
   }
 
+  /** Z4 stratified train/val/test split — the assignment every corpus ships
+    * with: a deterministic md5-keyed bucket per document (y7's hash bridge,
+    * mod 100) mapped 80/10/10, rolled up per (source, split) so the
+    * stratification is auditable: the hash is uniform WITHIN each source,
+    * so the fractions hold per stratum, not just globally, and the
+    * assignment is stable under corpus growth (a doc's split never changes
+    * when neighbors arrive — unlike row_number()-based splits, which
+    * reshuffle everything on every insert). Scale: pure per-row codegen'd
+    * hashing, one |sources|x3-row rollup exchange; no window, no join. */
+  def z4StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100
+    t(spark, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source", "split")
+  }
+
   /** Email regex shared by the Spark query and its spec; the character-class
     * subset that Java regex and DuckDB's RE2 interpret identically. */
   private[operators] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
