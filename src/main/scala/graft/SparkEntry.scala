@@ -71,6 +71,8 @@ object SparkEntry {
     "r3_grouping_sets" -> (AnalyticsQueries.r3GroupingSets _),
     "s3_bag_set_ops" -> (AnalyticsQueries.s3BagSetOps _),
     "w5_window_suite" -> (AnalyticsQueries.w5WindowSuite _),
+    // w6: strict-sequence funnel via stacked running-min windows
+    "w6_funnel" -> (AnalyticsQueries.w6Funnel _),
     "p1_percentiles" -> (AnalyticsQueries.p1Percentiles _),
     // p2: approx_percentile sketch (Spark-only — DuckDB's approx_quantile is
     // a different sketch family; QueryPropertiesSpec bounds the error vs p1)
@@ -824,6 +826,27 @@ object SparkEntry {
         |  round(percent_rank() OVER w, 6) AS pr
         |FROM daily WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_date)
         |ORDER BY l_suppkey, ship_date""".stripMargin,
+    // w6: the stage qualifications are the SAME stacked strictly-prior
+    // ROWS-frame running mins (deterministic under us ties via event_id)
+    "w6_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fv_prior FROM e),
+        |s2 AS (SELECT *, CASE WHEN event_type = 'click' AND us - fv_prior <= 259200000000 THEN us END AS qc_us FROM s1),
+        |s3 AS (SELECT *, min(qc_us)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fc_prior FROM s2),
+        |s4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND us - fc_prior <= 259200000000 THEN us END AS qp_us FROM s3),
+        |u AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS fv,
+        |        min(qc_us) AS fc, min(qp_us) AS fp FROM s4 GROUP BY 1)
+        |SELECT count(*) AS users_total,
+        |  CAST(count(fv) AS BIGINT) AS users_viewed,
+        |  CAST(count(fc) AS BIGINT) AS users_clicked,
+        |  CAST(count(fp) AS BIGINT) AS users_purchased,
+        |  round(CAST(sum(fc - fv) AS DOUBLE) / count(fc), 4) AS avg_view_to_click_us,
+        |  round(CAST(sum(fp - fc) AS DOUBLE) / count(fp), 4) AS avg_click_to_purchase_us
+        |FROM u""".stripMargin,
     "p1_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS q25,

