@@ -101,6 +101,8 @@ object SparkEntry {
     // x12: x8's exact output via a broadcast Bloom prefilter on the
     // bounded eval side — same answer, the map-side-pruned physical plan
     "x12_bloom_decontaminate" -> (DedupQueries.x12BloomDecontamination _),
+    // x14: ExactSubstr spans — dup 8-grams merged into maximal ranges
+    "x14_substring_spans" -> (DedupQueries.x14SubstringSpans _),
     "x9_common_spans" -> (DedupQueries.x9CommonSpans _),
     "x10_dedup_keep" -> (DedupQueries.x10DedupKeep _),
     // x11: cross-run incremental dedupe — a NEW batch (doc_id % 7 slice)
@@ -1204,6 +1206,27 @@ object SparkEntry {
     // x12: the bloom prefilter is semantically transparent (no false
     // negatives + exact confirm join), so the oracle is x8's, verbatim
     "x12_bloom_decontaminate" -> contaminationOracle,
+    // x14: positional 8-gram (truncating tail, 0-based pos) -> global
+    // occurrence count -> per-doc interval merge via running max-end
+    "x14_substring_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS total_words,
+        |    unnest([{'pos': i - 1, 'g': md5(array_to_string(toks[i:i+7], ' '))}
+        |      for i in generate_series(1, greatest(len(toks) - 7, 1))]) AS u
+        |  FROM t),
+        |o AS (SELECT doc_id, total_words, u.pos AS pos, u.g AS g FROM s),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY g) AS cnt FROM o),
+        |d AS (SELECT doc_id, total_words, pos, pos + 7 AS e FROM f WHERE cnt >= 2),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
+        |r AS (SELECT doc_id, total_words,
+        |    CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END AS ns,
+        |    greatest(0, e - greatest(pos - 1, coalesce(pm, -1))) AS contrib FROM m)
+        |SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_dup_spans,
+        |  CAST(sum(contrib) AS BIGINT) AS dup_words,
+        |  CAST(max(total_words) AS BIGINT) AS total_words,
+        |  round(CAST(sum(contrib) AS DOUBLE) / max(total_words), 4) AS dup_frac
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "y7_hash_sample" ->
       """SELECT doc_id, lang,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10 AS BIGINT) AS bucket

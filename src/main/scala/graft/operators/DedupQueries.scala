@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.Platform
 
@@ -505,6 +506,53 @@ object DedupQueries {
       .groupBy("span").agg(count(lit(1)).as("doc_freq"))
       .orderBy(desc("doc_freq"), col("span"))
       .limit(20)
+  }
+
+  /** X14 exact-substring span dedup — the ExactSubstr method of the
+    * "Deduplicating Training Data" line of work, re-expressed for Spark at
+    * word granularity: any 8-word gram occurring >= 2 times ANYWHERE in the
+    * corpus (cross-doc or within-doc) marks its span duplicated; per
+    * document the overlapping marked spans merge into maximal ranges and
+    * the report is the actionable table — how many merged spans, how many
+    * words they cover, what fraction of the doc that is. The paper uses a
+    * suffix array (single-machine); the Spark-native shape is a
+    * positional-gram hash-group: ONE exchange keyed on the 16-byte md5
+    * digest (count-over-partition window, not a groupBy + join-back — the
+    * same shuffle serves both the frequency and the occurrence rows), then
+    * one exchange by doc_id where the classic running-max-end window merges
+    * overlapping intervals exactly. Shuffles carry (digest, doc_id, pos)
+    * — never text — and the second exchange holds only duplicated
+    * occurrences, typically a small corpus fraction. At 100 TB the gram
+    * exchange is the honest dominant cost; it partitions uniformly (md5)
+    * and AQE splits any boilerplate-gram skew. */
+  def x14SubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val toks = split(col("text"), " ")
+    val grams = transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => md5(concat_ws(" ", slice(toks, i, lit(k)))))
+    val occ = t(spark, dir, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("total_words"),
+        posexplode(grams))
+      .select(col("doc_id"), col("total_words"),
+        col("pos").cast("long").as("pos"), col("col").as("g"))
+    val dup = occ
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("cnt") >= 2)
+      .withColumn("e", col("pos") + (k - 1))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dup
+      .withColumn("pm", max(col("e")).over(wd))
+      .select(col("doc_id"), col("total_words"),
+        when(col("pm").isNull || col("pos") > col("pm"), 1L).otherwise(0L).as("ns"),
+        greatest(lit(0L),
+          col("e") - greatest(col("pos") - 1, coalesce(col("pm"), lit(-1L)))).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("ns").as("n_dup_spans"), sum("contrib").as("dup_words"),
+        max("total_words").as("total_words"))
+      .withColumn("dup_frac",
+        round(col("dup_words").cast("double") / col("total_words"), 4))
+      .orderBy("doc_id")
   }
 
   /** The dedupe pipeline's LAST step: per near-dup cluster (x7's
