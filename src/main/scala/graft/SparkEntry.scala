@@ -255,6 +255,19 @@ object SparkEntry {
     //     assigned to the batch-trained quantizer (stream-static with a
     //     model static side; stateless, no watermark). Must hash-match
     //     batch v8 (shared oracle).
+    //     st10: the curation ADMIT gate as a stream — the doc_id%7
+    //     increment replayed one file per micro-batch through z1's quality
+    //     formulas + a prefix-digest stream-static check against the
+    //     existing corpus; stateless end to end, verdicts emit the batch
+    //     they arrive. The oracle is the identical batch SQL.
+    "st10_stream_admit" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runDocAppend(s, dir,
+        s"st10_${System.nanoTime()}",
+        _.filter(col("doc_id") % 7 === 0),
+        docs => graft.operators.TextQueries.st10AdmitGate(docs,
+          graft.operators.Tables.t(docs.sparkSession, dir, "documents")
+            .filter(col("doc_id") % 7 =!= 0)))
+        .orderBy("doc_id")),
     "st9_stream_ivf_assign" -> ((s: SparkSession, dir: String) =>
       graft.streaming.VectorStreamOps.streamIvfAssign(s, dir,
         s"st9_${System.nanoTime()}")
@@ -1541,6 +1554,32 @@ object SparkEntry {
     // st9: stateless stream => the finalized memory-sink rows must equal
     // the batch v8 answer exactly (shared oracle)
     "st9_stream_ivf_assign" -> incrementalIvfOracle,
+    // st10: z1's quality formulas verbatim + first-8-word prefix digest
+    // against the non-increment corpus; the stream is stateless so the
+    // batch SQL is the exact semantics, not an approximation
+    "st10_stream_admit" ->
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, source,
+        |  md5(array_to_string(toks[1:8], ' ')) AS g,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+        |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2
+        |    AS stop_hits,
+        |  [array_to_string(toks[i:i+2], ' ')
+        |   for i in generate_series(1, greatest(len(toks) - 2, 1))] AS sh
+        |  FROM t),
+        |q AS (SELECT doc_id, source, g, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+        |  round(CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh), 4) AS rep_ratio
+        |  FROM f),
+        |corp AS (SELECT DISTINCT g FROM q WHERE doc_id % 7 <> 0)
+        |SELECT n.doc_id, n.source, n.n_tokens, n.stop_ratio, n.rep_ratio,
+        |  CAST(CASE WHEN corp.g IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_prefix_dup,
+        |  CAST(CASE WHEN n.stop_ratio >= 0.05 AND n.rep_ratio <= 0.2 AND corp.g IS NULL
+        |       THEN 1 ELSE 0 END AS BIGINT) AS admitted
+        |FROM q n LEFT JOIN corp ON n.g = corp.g
+        |WHERE n.doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
     // x13: same quantizer CTE; the keep verdict compares the RAW dot to
     // τ=0.35 (identical fold both sides), rounding only the output
     "x13_semantic_dedup" -> (kmeansAssignCte + """,

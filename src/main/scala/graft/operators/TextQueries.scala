@@ -458,6 +458,38 @@ object TextQueries {
       .orderBy("source", "split")
   }
 
+  /** ST10's stateless admit gate (batch AND streaming: nothing here is
+    * stateful, so the same plan runs under a micro-batch): score each
+    * incoming document (z1's quality formulas verbatim) and check its
+    * first-8-word prefix digest against the existing corpus — the
+    * template/boilerplate-dup rule that catches re-crawls whose bodies
+    * drifted but whose headers didn't (exact-text digests catch nothing on
+    * this corpus; the 8-word prefix hits ~11% of the increment). Admit =
+    * quality gate AND no prefix hit. Scale: per-row codegen'd scoring; the
+    * static digest side dedupes once per (re)start and joins per
+    * micro-batch — small enough to broadcast in the common case, and a
+    * stream-static join degrades to shuffle (never driver OOM) when it
+    * isn't. */
+  def st10AdmitGate(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val pfx = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+    val sh = wordShingles(col("text"))
+    val corpusPfx = corpus.select(pfx.as("g")).distinct().withColumn("hit", lit(1L))
+    docs
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("stop_ratio",
+        round((wordCount(col("text"), "the") + wordCount(col("text"), "a"))
+          .cast("double") / col("n_tokens"), 4))
+      .withColumn("rep_ratio",
+        round((size(sh) - size(array_distinct(sh))).cast("double") / size(sh), 4))
+      .withColumn("g", pfx)
+      .join(corpusPfx, Seq("g"), "left_outer")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("stop_ratio"), col("rep_ratio"),
+        coalesce(col("hit"), lit(0L)).as("is_prefix_dup"),
+        (col("stop_ratio") >= 0.05 && col("rep_ratio") <= 0.2 && col("hit").isNull)
+          .cast("long").as("admitted"))
+  }
+
   /** Email regex shared by the Spark query and its spec; the character-class
     * subset that Java regex and DuckDB's RE2 interpret identically. */
   private[operators] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

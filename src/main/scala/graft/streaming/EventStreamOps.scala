@@ -36,6 +36,40 @@ object EventStreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Finite replay of a DOCUMENT stream: the `slice` of the corpus is
+    * staged as `nFiles` range-partitioned files and replayed one file per
+    * micro-batch (`maxFilesPerTrigger(1)`), so a stateless admit pipeline
+    * demonstrably processes the increment INCREMENTALLY — each batch's
+    * verdicts land in the sink before the next file is read, the exact
+    * shape of a production drop-folder ingest. No watermark/flush
+    * machinery: document streams carry no event time, and the stateless
+    * transforms this entry point is for (per-row scoring + stream-static
+    * joins) emit rows the micro-batch they arrive. */
+  def runDocAppend(rootSpark: SparkSession, dir: String, name: String,
+      slice: DataFrame => DataFrame, transform: DataFrame => DataFrame,
+      nFiles: Int = 4): DataFrame = {
+    val spark = replaySession(rootSpark)
+    val d = java.nio.file.Files.createTempDirectory("graft-docstream")
+    try {
+      slice(graft.operators.Tables.t(spark, dir, "documents"))
+        .repartitionByRange(nFiles, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$d/src")
+      val stream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$d/src")
+      val q = transform(stream)
+        .writeStream.outputMode(OutputMode.Append()).format("memory")
+        .option("checkpointLocation", replayCheckpointDir(name))
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    } finally deleteStagingDir(d)
+  }
+
   /** One cached staging dir per single-file source path: repeated stream
     * runs (specs, bench warm+timed) must not each copy the file into a
     * fresh never-deleted temp dir. */
