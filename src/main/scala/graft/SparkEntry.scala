@@ -85,6 +85,9 @@ object SparkEntry {
     // (complete prefilter + exact re-check = the quadratic answer)
     "j3_interval_overlap" -> (JoinQueries.j3IntervalOverlap _),
     "t1_events_hourly" -> (AnalyticsQueries.t1EventsHourly _),
+    // t3: epoch-aligned integer weeks; one user_id exchange serves
+    // activity dedup, cohort min, and the join
+    "t3_cohort_retention" -> (AnalyticsQueries.t3CohortRetention _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
     // salting is output-invariant, so a plain SQL oracle checks it
@@ -932,6 +935,16 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin,
+    // t3: integer epoch-week via //, matching Spark's DIV exactly
+    "t3_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 604800000000 AS wk FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1)
+        |SELECT c.cohort_wk, wk.wk - c.cohort_wk AS week_offset,
+        |  count(*) AS n_active
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
     "t1_events_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

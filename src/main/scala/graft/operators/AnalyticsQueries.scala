@@ -793,4 +793,32 @@ object AnalyticsQueries {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** T3 cohort retention — the triangle matrix every growth dashboard
+    * renders: users cohorted by the epoch-aligned week of their FIRST
+    * purchase, then counted as retained in each later week they purchased
+    * again (purchase, not any-event: the synthetic corpus has every user
+    * active every week, so raw activity saturates the matrix — conversion
+    * events give it real cohorts and real decay).
+    * Weeks are integer `us div 7d` (epoch-aligned, engine-agnostic —
+    * date_trunc('week') ISO rules are a locale trap the integer form
+    * sidesteps). Scale: the (user, week) activity dedup, the per-user
+    * min-week cohort, and the cohort join all key on user_id — ONE
+    * exchange serves all three (Catalyst reuses the partitioning), and the
+    * final rollup exchanges |cohorts x offsets| rows. No window, no
+    * broadcast needed at any corpus size. */
+  def t3CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    // DIV, not `/`: double division rounds at ~1 ulp, enough to flip a
+    // quotient sitting 1.65e-12 below an integer boundary
+    val wk = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_wk", "week_offset")
+  }
 }
