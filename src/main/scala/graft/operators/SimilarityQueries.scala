@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,22 +160,45 @@ object SimilarityQueries {
     * decimal sums are order-independent, ties break by cell id. Cells that
     * lose all members drop out (k shrinks monotonically, also determinist).
     */
-  def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Nearest-cell assignment as a PURE PROJECTION against driver-side
+    * centroids: per-cell scores `dot(v, c) - |c|²/2` as literal-array
+    * expressions, argmax via `array_position(scores, array_max(scores))`
+    * whose first-match rule IS the (score DESC, cell ASC) tie rule — the
+    * centroid list arrives cell-sorted. Replaces the former
+    * crossJoin(broadcast) + per-vector row_number window: same values
+    * bitwise (same DotProductF folds, cn2 still an expression over the
+    * literal so the arithmetic path is unchanged), but ZERO exchange and
+    * no |corpus|×k intermediate — the quantizer family's hot loop is now
+    * one codegen'd map over the scan. Returns (cell code, raw dot to the
+    * winning centroid, winning score). */
+  private def assignExprs(emb: Column, cents: Seq[(Int, Seq[Double])])
+      : (Column, Column, Column) = {
+    // cell labels need not be contiguous (a sliced-corpus quantizer labels
+    // cells by its init vec_ids) — only SORTED, so that array_position's
+    // first-match rule lands on the lowest label among score ties
+    require(cents.map(_._1) == cents.map(_._1).sorted, "centroids must be cell-sorted")
+    val dots = cents.map { case (_, c) => dot(emb, typedLit(c)) }
+    val scores = cents.map { case (_, c) =>
+      dot(emb, typedLit(c)) - lit(0.5) * dot(typedLit(c), typedLit(c)) }
+    val scoreArr = array(scores: _*)
+    val pos = array_position(scoreArr, array_max(scoreArr)).cast("int")
+    (element_at(typedLit(cents.map(_._1)), pos).as("cell"),
+      element_at(array(dots: _*), pos), element_at(scoreArr, pos))
+  }
+
+  /** The Lloyd loop, driver-side centroids in and out: init = the k lowest
+    * vec_ids, each iteration one expression-assignment pass (see
+    * [[assignExprs]]) + the decimal-exact per-cell mean. */
+  private def lloydCentroids(spark: SparkSession, e: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
     var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("embedding"))
       .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
       .map { case (id, emb) => (id, emb.map(_.toDouble).toSeq) }
     for (_ <- 1 to iters) {
-      val cdf = broadcast(cents.toDF("cell", "centroid")
-        .withColumn("cn2", dot(col("centroid"), col("centroid"))))
-      cents = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(cdf)
-        .withColumn("score", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
-        .filter(col("rk") === 1)
-        .select(col("cell"), posexplode(col("embedding")))
+      val (cell, _, _) = assignExprs(col("embedding"), cents)
+      cents = e.select(cell.as("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos")
         .agg((sum(col("col").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
         .groupBy("cell")
@@ -183,7 +206,12 @@ object SimilarityQueries {
           x => x.getField("c")).as("centroid"))
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
-    cents.toDF("cell", "centroid")
+    cents
+  }
+
+  def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    lloydCentroids(spark, e, k, iters).toDF("cell", "centroid")
   }
 
   /** Session memo for the k-means cell assignment (same pattern and
@@ -203,15 +231,9 @@ object SimilarityQueries {
       k: Int, iters: Int): DataFrame = assignMemo.computeIfAbsent(
     s"${spark.sparkContext.applicationId}|$dir|$k|$iters", _ => {
       val e = t(spark, dir, "embeddings")
-      val cdf = broadcast(kmeansCentroids(spark, e, k, iters)
-        .withColumn("cn2", dot(col("centroid"), col("centroid"))))
-      e.select(col("vec_id"), col("embedding"))
-        .crossJoin(cdf)
-        .withColumn("score", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      val (cell, _, _) = assignExprs(col("embedding"),
+        lloydCentroids(spark, e, k, iters))
+      e.select(col("vec_id"), col("embedding"), cell.as("cell"))
         .localCheckpoint() // assignment feeds every consumer materialized
     })
 
@@ -303,15 +325,9 @@ object SimilarityQueries {
     val e = t(spark, dir, "embeddings")
     val old = e.filter(col("vec_id") % 7 =!= 0)
     val fresh = e.filter(col("vec_id") % 7 === 0)
-    val cents = kmeansCentroids(spark, old, 10, 3)
-    val cdf = broadcast(cents.withColumn("cn2", dot(col("centroid"), col("centroid"))))
-    fresh.select(col("vec_id"), col("embedding"))
-      .crossJoin(cdf)
-      .withColumn("s", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("s").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"), round(col("s"), 6).as("score"))
+    val (cell, _, score) = assignExprs(col("embedding"),
+      lloydCentroids(spark, old, 10, 3))
+    fresh.select(col("vec_id"), cell.as("cell"), round(score, 6).as("score"))
       .orderBy("vec_id")
   }
 
@@ -378,22 +394,46 @@ object SimilarityQueries {
     * with AQE free to planning-time-merge the tiny sides. Codes are what
     * ships to the serving tier: 4 ints per vector, not 64 floats. */
   def v9ProductQuantization(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val m = 4; val subDim = 16; val k = 4; val iters = 3
     val e = t(spark, dir, "embeddings")
-    val subCodes = (0 until m).map { s =>
-      val sub = e.select(col("vec_id"), slice(col("embedding"), s * subDim + 1, subDim)
-        .as("embedding"))
-      val cdf = broadcast(kmeansCentroids(spark, sub, k, iters)
-        .withColumn("cn2", dot(col("centroid"), col("centroid"))))
-      val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))
-      sub.crossJoin(cdf)
-        .withColumn("score", dot(col("embedding"), col("centroid")) - lit(0.5) * col("cn2"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cell").as(s"code_$s"),
-          dot(col("embedding"), col("centroid")).as(s"sim_$s"))
+    // The M Lloyd loops run FUSED: one pass per iteration computes every
+    // subspace's assignment and per-(subspace, cell, pos) decimal mean
+    // (rows are disjoint by subspace, so the groups — and the math — are
+    // exactly the per-subspace jobs'), cutting m×iters tiny jobs to iters.
+    // Then ALL M code+sim pairs emit in ONE codegen'd projection over the
+    // scan — the former per-subspace crossJoin + window + M-way vec_id
+    // join is gone entirely (it was the whole pipeline's slowest query).
+    var cents: IndexedSeq[Seq[(Int, Seq[Double])]] = {
+      val init = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+      (0 until m).map(s => init.map { case (id, emb) =>
+        (id, emb.slice(s * subDim, (s + 1) * subDim).map(_.toDouble).toSeq) })
     }
-    subCodes.reduce(_.join(_, "vec_id"))
+    for (_ <- 1 to iters) {
+      val subCols = (0 until m).map { s =>
+        val sub = slice(col("embedding"), s * subDim + 1, subDim)
+        val (cell, _, _) = assignExprs(sub, cents(s))
+        struct(lit(s).as("s"), cell.as("cell"), sub.as("semb"))
+      }
+      val agg = e.select(explode(array(subCols: _*)).as("u"))
+        .select(col("u.s").as("s"), col("u.cell").as("cell"), posexplode(col("u.semb")))
+        .groupBy("s", "cell", "pos")
+        .agg((sum(col("col").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
+        .groupBy("s", "cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+        .as[(Int, Int, Seq[Double])].collect()
+      cents = (0 until m).map(s =>
+        agg.filter(_._1 == s).map(r => (r._2, r._3)).toSeq.sortBy(_._1))
+    }
+    val perSub = (0 until m).map { s =>
+      val (code, simRaw, _) = assignExprs(
+        slice(col("embedding"), s * subDim + 1, subDim), cents(s))
+      (code.as(s"code_$s"), simRaw.as(s"sim_$s"))
+    }
+    e.select(col("vec_id") +: perSub.flatMap { case (c, d) => Seq(c, d) }: _*)
       // subspace order, left-associated: Σ_m dot(v_m, c_m) exactly as the oracle
       .withColumn("recon_sim",
         round(col("sim_0") + col("sim_1") + col("sim_2") + col("sim_3"), 6))
