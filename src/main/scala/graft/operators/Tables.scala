@@ -2,23 +2,36 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Shared table loaders + oracle-parity helpers for the driver queries. */
 object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
-      // read nanos as long and truncate to microseconds (Spark's native
-      // timestamp precision — same truncation a µs-writing producer would do).
       // NOTE: nanosAsLong is a session-global conf and deliberately stays set
       // (the lazy plans built here consult it again at execution time); any
-      // other TIMESTAMP(NANOS) parquet read in the session will also see
-      // nanos as BIGINT.
+      // TIMESTAMP(NANOS) parquet read in the session will see nanos as BIGINT,
+      // which normalizeEventTs then converts.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` has shipped as different physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) parquet (unrepresentable in Spark — read
+    * as BIGINT nanos under `spark.sql.legacy.parquet.nanosAsLong` and
+    * truncated to micros, the same truncation a µs-writing producer would
+    * apply) and TIMESTAMP_NTZ micros (pandas `timestamp[us]` without tz).
+    * Normalize every shape to the native session-tz TIMESTAMP — sessions
+    * here run UTC, so the NTZ cast is a pure reinterpretation — so all
+    * downstream event consumers (and their DuckDB oracles via `epoch_us`)
+    * see one type regardless of which generation wrote the file. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 
   /**
    * Exact money aggregation: sum in DECIMAL (order-independent, exact)

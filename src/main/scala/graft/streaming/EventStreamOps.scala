@@ -29,12 +29,28 @@ final case class SessionRow(user_id: Long, session_start_us: Long, n_events: Lon
  */
 object EventStreamOps {
 
-  /** Schema of the events stream as stored (ts is TIMESTAMP(NANOS) parquet,
-    * read as long nanos and converted to native micros on the way in). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Schema of the events stream as stored. `ts` has shipped as different
+    * physical encodings across testdata generations (TIMESTAMP(NANOS) read
+    * as BIGINT nanos under the legacy conf; TIMESTAMP_NTZ micros), so the
+    * declared stream schema carries whichever type the source footer
+    * actually has — probed ONCE per path via [[sourceTsType]] — and
+    * [[graft.operators.Tables.normalizeEventTs]] converts to the native
+    * session-tz TIMESTAMP right after the source. */
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Physical type of `ts` in a source path's footer, memoized per path
+    * (same corpus-dir-immutable-within-a-session contract as the flush
+    * caches below). The nanos conf must be set BEFORE the probe so a
+    * nanos-generation file probes as LongType. */
+  private val tsTypeCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  private def sourceTsType(spark: SparkSession, path: String): DataType =
+    tsTypeCache.computeIfAbsent(path, _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path).schema("ts").dataType
+    })
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -96,11 +112,11 @@ object EventStreamOps {
           d.toString
         })
       } else path
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", "4")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.operators.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(eventSchema(sourceTsType(spark, path)))
+        .option("maxFilesPerTrigger", "4")
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour windowed counts/sums per event type with a 30-minute
@@ -387,7 +403,7 @@ object EventStreamOps {
     // only on genuinely unbounded readEventStream sources)
     val (staged, n) = stageReplay(dir)
     try {
-      val q = transform(replayStream(spark, staged, n))
+      val q = transform(replayStream(spark, dir, staged, n))
         .writeStream.outputMode(mode).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
       // memory sink holds the materialized rows — the staged parquet copies
@@ -459,13 +475,13 @@ object EventStreamOps {
     * micro-batch: every part file of a multi-file snapshot typically spans
     * the full time range, so any smaller per-trigger cap lets the first
     * batch advance the watermark past later files' events — stream != batch. */
-  private def replayStream(spark: SparkSession, stagedDir: java.nio.file.Path,
-      fileCount: Long): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", math.max(fileCount, 1L).toString)
-      .parquet(stagedDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  private def replayStream(spark: SparkSession, sourcePath: String,
+      stagedDir: java.nio.file.Path, fileCount: Long): DataFrame =
+    graft.operators.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(eventSchema(sourceTsType(spark, sourcePath)))
+        .option("maxFilesPerTrigger", math.max(fileCount, 1L).toString)
+        .parquet(stagedDir.toString))
 
   /** Event type of the synthetic end-of-replay flush row (never emitted by
     * a windowed agg: its window is beyond every real watermark). */
@@ -476,7 +492,7 @@ object EventStreamOps {
     * agg(max) scan was a full batch job PER QUERY (6 streaming driver
     * queries = 6 redundant scans). Same corpus-dir-immutable-within-a-
     * session contract as DedupQueries' memo. */
-  private val maxNsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val maxUsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** The two flush part-files per source path, written once per JVM and
     * then Files.copy'd into each run's private staging dir: the flush rows
@@ -486,9 +502,11 @@ object EventStreamOps {
   private val flushFileCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[java.nio.file.Path]]()
 
-  private def sourceMaxNs(spark: SparkSession, sourcePath: String): Long =
-    maxNsCache.computeIfAbsent(sourcePath, _ => {
-      val row = spark.read.schema(eventSchema).parquet(sourcePath).agg(max("ts")).head()
+  private def sourceMaxUs(spark: SparkSession, sourcePath: String): Long =
+    maxUsCache.computeIfAbsent(sourcePath, _ => {
+      val src = graft.operators.Tables.normalizeEventTs(
+        spark.read.schema(eventSchema(sourceTsType(spark, sourcePath))).parquet(sourcePath))
+      val row = src.agg(max(unix_micros(col("ts")))).head()
       if (row.isNullAt(0))
         throw new IllegalArgumentException(
           s"runToMemoryAppend: no rows in events source '$sourcePath'; nothing to flush")
@@ -497,17 +515,26 @@ object EventStreamOps {
 
   /** The i-th (1-based) flush file for a source: one far-future row, one
     * year per step past the snapshot's max(ts) — beyond any watermark
-    * delay + window width a transform here uses. */
+    * delay + window width a transform here uses. Written with the SAME
+    * physical `ts` encoding as the source files so the staged dir stays
+    * schema-homogeneous under the declared stream schema. */
   private def flushFile(spark: SparkSession, sourcePath: String, i: Int): java.nio.file.Path =
     flushFileCache.computeIfAbsent(sourcePath, _ => {
-      val maxNs = sourceMaxNs(spark, sourcePath)
+      val maxUs = sourceMaxUs(spark, sourcePath)
+      val tsT = sourceTsType(spark, sourcePath)
       import spark.implicits._
       Array.tabulate(2) { k =>
         val d = java.nio.file.Files.createTempDirectory(s"graft-flush${k + 1}")
         graft.core.FsUtil.deleteOnExitRecursively(d)
-        val flushNs = maxNs + (k + 1) * 365L * 24 * 3600 * 1000000000L
-        Seq((-(k + 1).toLong, flushNs, -1L, FlushEventType, 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val flushUs = maxUs + (k + 1) * 365L * 24 * 3600 * 1000000L
+        val tsCol = tsT match {
+          case LongType => lit(flushUs * 1000L) // legacy nanos-as-long files
+          case t        => timestamp_micros(lit(flushUs)).cast(t)
+        }
+        Seq((-(k + 1).toLong, -1L, FlushEventType, 0.0, "{}"))
+          .toDF("event_id", "user_id", "event_type", "value", "props")
+          .withColumn("ts", tsCol)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.mode("overwrite").parquet(d.toString)
         val walk = java.nio.file.Files.walk(d)
         try walk.filter(f => java.nio.file.Files.isRegularFile(f) &&
@@ -601,7 +628,7 @@ object EventStreamOps {
   private def runAppendStaged(spark: SparkSession, sourcePath: String,
       d: java.nio.file.Path, staged: Long, name: String,
       transform: DataFrame => DataFrame, flushTail: Boolean): DataFrame = {
-    val q = transform(replayStream(spark, d, staged))
+    val q = transform(replayStream(spark, sourcePath, d, staged))
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .option("checkpointLocation", replayCheckpointDir(name))
       .queryName(name).start()
