@@ -88,6 +88,7 @@ object SparkEntry {
     // t3: epoch-aligned integer weeks; one user_id exchange serves
     // activity dedup, cohort min, and the join
     "t3_cohort_retention" -> (AnalyticsQueries.t3CohortRetention _),
+    "t4_gap_fill" -> (AnalyticsQueries.t4GapFill _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
     // salting is output-invariant, so a plain SQL oracle checks it
@@ -131,6 +132,7 @@ object SparkEntry {
     "y10_mixture_resample" -> (TextQueries.y10MixtureResample _),
     "y11_lexical_diversity" -> (TextQueries.y11LexicalDiversity _),
     "y12_pii_scrub" -> (TextQueries.y12PiiScrub _),
+    "y16_nfc_clean" -> (TextQueries.y16NfcClean _),
     "y13_source_cap" -> (TextQueries.y13SourceCap _),
     // y14: log-free unigram-LM typicality — integer cross-multiplied
     // verdicts, so the flag involves no floating point at all
@@ -140,6 +142,7 @@ object SparkEntry {
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // z4: md5-keyed 80/10/10 split, stratification audited per source
     "z4_stratified_split" -> (TextQueries.z4StratifiedSplit _),
+    "z5_zorder_layout" -> (LayoutOps.z5ZorderLayout _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -161,6 +164,7 @@ object SparkEntry {
     // v9: product quantization — 4×16-dim subspace codes + additive
     // reconstruction similarity (the PQ compression layer past IVF)
     "v9_product_quantization" -> (SimilarityQueries.v9ProductQuantization _),
+    "v10_pq_adc" -> (SimilarityQueries.v10PqAdcSearch _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -445,6 +449,35 @@ object SparkEntry {
       |FROM af_0 a JOIN af_1 b USING (vec_id)
       |JOIN af_2 c USING (vec_id) JOIN af_3 d USING (vec_id)
       |ORDER BY vec_id""".stripMargin
+
+  /** v10: the ADC search re-derived in SQL — the same subspace-training
+    * CTEs as v9's oracle, plus per-query distance tables (`qd_s`) joined
+    * onto the corpus codes. The sum `q0.d + q1.d + q2.d + q3.d` is the
+    * Spark side's subspace-ordered left-associated fold bitwise, so even
+    * the EXACT score ties PQ creates between same-code candidates rank
+    * identically under the (s DESC, neighbor_id) tiebreak. */
+  private val pqAdcOracle: String =
+    "WITH " + (0 until 4).map(pqSubspaceCte).mkString(",\n") + ",\n" +
+    (0 until 4).map(s =>
+      s"""qd_$s AS (SELECT q.vec_id AS query_id, c.cell,
+         |  list_dot_product(q.emb::DOUBLE[], c.centroid) AS d
+         |  FROM src_$s q CROSS JOIN c3_$s c WHERE q.vec_id < 10)""".stripMargin
+    ).mkString(",\n") + """,
+      |scored AS (SELECT q0.query_id, n0.vec_id AS neighbor_id,
+      |    q0.d + q1.d + q2.d + q3.d AS s
+      |  FROM af_0 n0 JOIN af_1 n1 ON n1.vec_id = n0.vec_id
+      |    JOIN af_2 n2 ON n2.vec_id = n0.vec_id
+      |    JOIN af_3 n3 ON n3.vec_id = n0.vec_id
+      |  JOIN qd_0 q0 ON q0.cell = n0.cell
+      |  JOIN qd_1 q1 ON q1.query_id = q0.query_id AND q1.cell = n1.cell
+      |  JOIN qd_2 q2 ON q2.query_id = q0.query_id AND q2.cell = n2.cell
+      |  JOIN qd_3 q3 ON q3.query_id = q0.query_id AND q3.cell = n3.cell
+      |  WHERE n0.vec_id <> q0.query_id),
+      |r AS (SELECT query_id, neighbor_id, s,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(s, 6) AS adc_sim, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by v8 (batch) and st9 (streaming): the quantizer trains on the
     * OLD slice only, the new slice gets the same rank-1 cell assignment —
@@ -949,6 +982,21 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // t4: generate_series rebuilds the dense hour grid; last_value IGNORE
+    // NULLS is the LOCF carry; hv sums in DECIMAL so the carried double is
+    // partition-order-independent on the Spark side
+    "t4_gap_fill" ->
+      """WITH a AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hv
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM a GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM b),
+        |j AS (SELECT g.event_type, g.hr, coalesce(a.n, 0) AS n_events, a.hv
+        |  FROM g LEFT JOIN a ON a.event_type = g.event_type AND a.hr = g.hr)
+        |SELECT event_type, hr, CAST(n_events AS BIGINT) AS n_events,
+        |  last_value(hv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM j ORDER BY event_type, hr""".stripMargin,
     // NOTE session_id is CAST to BIGINT: DuckDB types sum(INTEGER) as
     // HUGEINT (int128), and a pandas materialization of a HUGEINT column
     // degrades to float64 — hashing "3.0" against Spark's "3" on every row
@@ -1309,6 +1357,21 @@ object SparkEntry {
         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
         |  CAST(sum(length(pii_text) - length(clean)) AS BIGINT) AS chars_delta
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // y16: chr(769) = U+0301 combining acute (decomposed, NFC composes it
+    // away), chr(233) = precomposed é (NFC-stable). Both engines implement
+    // the same Unicode NFC and length() counts codepoints in both.
+    "y16_nfc_clean" ->
+      """WITH a AS (SELECT lang,
+        |  text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+        |    WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) ELSE '' END AS aug
+        |  FROM documents),
+        |n AS (SELECT lang, aug, nfc_normalize(aug) AS nrm FROM a)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nrm <> aug THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(length(aug)) AS BIGINT) AS chars_raw,
+        |  CAST(sum(length(nrm)) AS BIGINT) AS chars_nfc
+        |FROM n GROUP BY 1 ORDER BY lang""".stripMargin,
+    "z5_zorder_layout" -> LayoutOps.z5OracleSql,
     // y13: y2's exact stop-hit arithmetic + row_number over the same
     // deterministic (score desc, doc_id) order; integer-only rollup
     "y13_source_cap" ->
@@ -1609,6 +1672,7 @@ object SparkEntry {
         |FROM af LEFT JOIN best ON af.vec_id = best.vec_id
         |ORDER BY af.vec_id""".stripMargin),
     "v9_product_quantization" -> pqOracle,
+    "v10_pq_adc" -> pqAdcOracle,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT query_id, e.vec_id AS neighbor_id,

@@ -48,7 +48,10 @@ object GraftExtensions {
           "pre-sort, e.g. graft shingle arrays; use size(array_intersect(a, b)) " +
           "for arbitrary arrays.",
         "arguments: a array<bigint> sorted-distinct, b array<bigint> sorted-distinct"),
-      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Register on an already-built session (tests, driver harness). */
   def register(spark: SparkSession): Unit =

@@ -807,6 +807,37 @@ object AnalyticsQueries {
     * exchange serves all three (Catalyst reuses the partitioning), and the
     * final rollup exchanges |cohorts x offsets| rows. No window, no
     * broadcast needed at any corpus size. */
+  /** t4: dense hourly time grid + LOCF gap interpolation. The hourly
+    * rollup leaves holes (39–550 empty hours per type across the SFs);
+    * a per-type `sequence(min_hr, max_hr)` explode rebuilds the dense
+    * grid, a left join marks the holes (n_events = 0), and
+    * `last(_, ignoreNulls)` over an unbounded-preceding window carries
+    * the previous present hour's value forward. 100 TB shape: the grid is
+    * |types| × time-span rows — tiny next to the event scan, which
+    * reduces map-side to one row per (type, hour) before any shuffle; the
+    * LOCF window partitions by type, so its skew ceiling is the time
+    * span, not the event volume (salt the window by coarse time range if
+    * a single series' HOURS outgrow one task — not reachable here). */
+  def t4GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val agg = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("hr"),
+        col("value"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("hv"))
+    val grid = agg.groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("hv"), ignoreNulls = true).over(w).as("locf_value"))
+      .orderBy("event_type", "hr")
+  }
+
   def t3CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
     // DIV, not `/`: double division rounds at ~1 ulp, enough to flip a

@@ -222,7 +222,7 @@ object SimilarityQueries {
     * corpus dirs are immutable within a session (the testdata contract). */
   private val assignMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def clearMemo(): Unit = assignMemo.clear()
+  private[graft] def clearMemo(): Unit = { assignMemo.clear(); pqMemo.clear() }
 
   /** `(vec_id, embedding, cell)` under the k-means coarse quantizer —
     * the IVF index body. One broadcast assignment pass over the corpus
@@ -393,17 +393,28 @@ object SimilarityQueries {
     * columns join on vec_id — co-partitioned after each subspace's window,
     * with AQE free to planning-time-merge the tiny sides. Codes are what
     * ships to the serving tier: 4 ints per vector, not 64 floats. */
-  def v9ProductQuantization(spark: SparkSession, dir: String): DataFrame = {
+  /** PQ geometry shared by v9 (encode) and v10 (ADC search): 4 subspaces
+    * of 16 dims, 4 centroids each, 3 fused Lloyd iterations. */
+  private val PqM = 4; private val PqSubDim = 16
+  private val PqK = 4; private val PqIters = 3
+
+  /** Per-corpus PQ codebook memo (same contract as [[assignMemo]]):
+    * training is `iters` corpus scans plus per-iteration driver collects
+    * of k×dim doubles; a sweep that encodes (v9) AND searches (v10) the
+    * same corpus must pay it once. */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Seq[(Int, Seq[Double])]]]()
+
+  private[operators] def pqCodebooks(spark: SparkSession,
+      dir: String): IndexedSeq[Seq[(Int, Seq[Double])]] = pqMemo.computeIfAbsent(
+    s"${spark.sparkContext.applicationId}|$dir", _ => {
     import spark.implicits._
-    val m = 4; val subDim = 16; val k = 4; val iters = 3
+    val (m, subDim, k, iters) = (PqM, PqSubDim, PqK, PqIters)
     val e = t(spark, dir, "embeddings")
     // The M Lloyd loops run FUSED: one pass per iteration computes every
     // subspace's assignment and per-(subspace, cell, pos) decimal mean
     // (rows are disjoint by subspace, so the groups — and the math — are
     // exactly the per-subspace jobs'), cutting m×iters tiny jobs to iters.
-    // Then ALL M code+sim pairs emit in ONE codegen'd projection over the
-    // scan — the former per-subspace crossJoin + window + M-way vec_id
-    // join is gone entirely (it was the whole pipeline's slowest query).
     var cents: IndexedSeq[Seq[(Int, Seq[Double])]] = {
       val init = e.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int"), col("embedding"))
@@ -428,6 +439,16 @@ object SimilarityQueries {
       cents = (0 until m).map(s =>
         agg.filter(_._1 == s).map(r => (r._2, r._3)).toSeq.sortBy(_._1))
     }
+    cents
+  })
+
+  def v9ProductQuantization(spark: SparkSession, dir: String): DataFrame = {
+    val (m, subDim) = (PqM, PqSubDim)
+    val cents = pqCodebooks(spark, dir)
+    val e = t(spark, dir, "embeddings")
+    // ALL M code+sim pairs emit in ONE codegen'd projection over the
+    // scan — the former per-subspace crossJoin + window + M-way vec_id
+    // join is gone entirely (it was the whole pipeline's slowest query).
     val perSub = (0 until m).map { s =>
       val (code, simRaw, _) = assignExprs(
         slice(col("embedding"), s * subDim + 1, subDim), cents(s))
@@ -440,6 +461,66 @@ object SimilarityQueries {
       .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"),
         col("code_3"), col("recon_sim"))
       .orderBy("vec_id")
+  }
+
+  /** v10: ADC (asymmetric distance computation) top-k search — the QUERY
+    * path of a PQ index, over the same codebooks v9 trains. Each query's
+    * per-subspace distance table (k doubles per subspace) is computed on
+    * the driver against the shared codebooks and inlined as literals, so
+    * the corpus pass is ONE narrow codegen'd projection: encode (argmax
+    * per subspace) + table lookup + (m-1) adds per query — no join and no
+    * per-candidate float[64] math, which is the whole point of ADC at
+    * scale (the classical IVFADC read path). Table lookups use a when()
+    * chain on the cell label rather than array indexing: cell labels are
+    * init vec_ids and survive empty-cell collapse, so positional indexing
+    * would silently misattribute distances if a cell ever vanished.
+    * Driver-side state is m×k×|Q| doubles — bounded. The per-query score
+    * folds subspace tables in subspace order (left-associated adds), the
+    * same arithmetic as the oracle's q0.d + q1.d + q2.d + q3.d, so scores
+    * are bitwise-reproducible and rank tiebreaks agree across engines —
+    * including the EXACT ties PQ creates between same-code candidates. */
+  def v10PqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (m, subDim) = (PqM, PqSubDim)
+    val cents = pqCodebooks(spark, dir)
+    val e = t(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // sequential left-fold dot — the same evaluation order as the in-plan
+    // `dot` fold and DuckDB's list_dot_product, so literals match bitwise
+    def jdot(q: Array[Float], c: Seq[Double], off: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += q(off + i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val codeCols = (0 until m).map { s =>
+      val (cell, _, _) = assignExprs(
+        slice(col("embedding"), s * subDim + 1, subDim), cents(s))
+      cell.as(s"code_$s")
+    }
+    val coded = e.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val perQuery = queries.map { case (qid, qv) =>
+      val score = (0 until m).map { s =>
+        val lookups = cents(s).map { case (cellId, c) =>
+          (cellId, jdot(qv, c, s * subDim)) }
+        lookups.tail.foldLeft(
+          when(col(s"code_$s") === lookups.head._1, lit(lookups.head._2))) {
+          case (acc, (cellId, d)) => acc.when(col(s"code_$s") === cellId, lit(d))
+        }
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), score.as("s"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("neighbor_id"))
+    coded.select(col("neighbor_id"), explode(array(perQuery: _*)).as("u"))
+      .select(col("u.query_id").as("query_id"), col("neighbor_id"), col("u.s").as("s"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("s"), 6).as("adc_sim"), col("rank"))
+      .orderBy("query_id", "rank")
   }
 
   /** IVF-flavored per-label centroids + assignment check: exact-decimal

@@ -536,4 +536,34 @@ object TextQueries {
         sum((length(col("pii_text")) - length(col("clean"))).cast("long")).as("chars_delta"))
       .orderBy("source")
   }
+
+  /** y16: Unicode NFC canonicalization rollup via the native
+    * [[graft.functions.NfcNormalize]] expression — the text-cleaning step
+    * that collapses decomposed combining sequences (OCR/PDF extraction
+    * artifacts) to one canonical spelling before hashing or tokenizing.
+    * The synthetic corpus is already NFC, so (y12's injection pattern) a
+    * deterministic doc_id-sliced suffix adds a DECOMPOSED `e`+U+0301 to
+    * every 3rd doc and a precomposed `é` to every (3k+1)th on BOTH
+    * engines: the op is exercised on real compositions AND on
+    * already-normal non-ASCII that must pass through untouched. Both
+    * sides implement the same Unicode NFC and count codepoints, so
+    * changed-doc counts and char deltas are exact. One codegen'd corpus
+    * pass (the isNormalized fast path skips allocation on clean rows);
+    * only the per-lang rollup exchanges. */
+  def y16NfcClean(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfcNormalize
+    val aug = t(spark, dir, "documents")
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301"))
+          .when(col("doc_id") % 3 === 1, lit(" caf\u00e9"))
+          .otherwise(lit(""))))
+      .withColumn("nrm", nfcNormalize(col("aug")))
+    aug.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nrm") =!= col("aug"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("aug")).cast("long")).as("chars_raw"),
+        sum(length(col("nrm")).cast("long")).as("chars_nfc"))
+      .orderBy("lang")
+  }
 }

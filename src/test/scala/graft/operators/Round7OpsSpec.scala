@@ -103,6 +103,103 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("t4 gap fill equals a brute-force grid + LOCF walk") {
+    val hourUs = 3600L * 1000000L
+    val rows = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / hourUs, r.getDouble(2)))
+    val expected = rows.groupBy(_._1).flatMap { case (tp, es) =>
+      val byHr = es.groupBy(_._2).map { case (hr, xs) =>
+        // decimal(18,6) accumulate, order-independent like the query's sum
+        hr -> (xs.size.toLong,
+          xs.map(x => BigDecimal(x._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble)
+      }
+      var locf = 0.0
+      (byHr.keys.min to byHr.keys.max).map { hr =>
+        val (n, hv) = byHr.getOrElse(hr, (0L, Double.NaN))
+        if (n > 0) locf = hv
+        (tp, hr, n, locf)
+      }
+    }.toSet
+    val got = AnalyticsQueries.t4GapFill(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.exists(_._3 == 0L), "gate must bite: the grid has empty hours")
+  }
+
+  test("v10 ADC search equals a brute-force lookup-table top-k") {
+    val (m, subDim) = (4, 16)
+    val cents = SimilarityQueries.pqCodebooks(spark, sfDir)
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def jdot(q: Array[Float], off: Int, c: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += q(off + i).toDouble * c(i); i += 1 }
+      acc
+    }
+    // encode: argmax of dot - 0.5*||c||² per subspace, lowest cell on ties
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map { s =>
+        cents(s).map { case (cell, c) =>
+          (cell, jdot(v, s * subDim, c) - 0.5 * c.map(x => x * x).sum) }
+          .maxBy { case (cell, sc) => (sc, -cell) }._1
+      }
+    }.toMap
+    val expected = vecs.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val tables = (0 until m).map(s =>
+        cents(s).map { case (cell, c) => cell -> jdot(qv, s * subDim, c) }.toMap)
+      vecs.filter(_._1 != qid).map { case (nid, _) =>
+        val s = (0 until m).map(x => tables(x)(codes(nid)(x))).reduce(_ + _)
+        (qid, nid, s)
+      }.sortBy { case (_, nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((q, n, s), i) =>
+          (q, n, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            i + 1) }
+    }.toSet
+    val got = SimilarityQueries.v10PqAdcSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected)
+    assert(got.size == 50)
+  }
+
+  test("y16 NFC composes decomposed sequences and only those") {
+    import graft.functions.NfcNormalize.nfcNormalize
+    import spark.implicits._
+    val probe = Seq("café", "café", "plain ascii", "åb")
+      .toDF("s").select(nfcNormalize(col("s")).as("n")).as[String].collect()
+    assert(probe(0) == "café") // e + combining acute -> é
+    assert(probe(1) == "café") // already NFC: untouched
+    assert(probe(2) == "plain ascii")
+    assert(probe(3) == "åb") // a + combining ring -> å
+    val rows = TextQueries.y16NfcClean(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every %3==0 doc gains exactly one composition: changed count and the
+    // char delta are BOTH the per-lang count of that slice, nothing else
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val inj = docs.filter(_._1 % 3 == 0).groupBy(_._2).map { case (l, xs) => (l, xs.size.toLong) }
+    rows.foreach { case (lang, _, nChanged, raw, nfc) =>
+      assert(nChanged == inj.getOrElse(lang, 0L), s"$lang changed-count")
+      assert(raw - nfc == nChanged, s"$lang delta is 1 codepoint per composition")
+    }
+    assert(rows.map(_._3).sum > 0)
+  }
+
+  test("z5 z-buckets pin the high nibbles: extents < 16 in BOTH dims") {
+    val rows = LayoutOps.z5ZorderLayout(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = Tables.t(spark, sfDir, "lineitem").count()
+    assert(rows.map(_._2).sum == total) // partition of the corpus
+    rows.foreach { case (zb, _, qlo, qhi, dlo, dhi) =>
+      assert(qhi - qlo < 16, s"bucket $zb quantity extent")
+      assert(dhi - dlo < 16, s"bucket $zb day extent")
+    }
+    assert(rows.length > 16, "grid is genuinely two-dimensional here")
+  }
+
   test("st10 streaming admit equals the batch run of the same gate") {
     val batch = TextQueries.st10AdmitGate(
       Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0),
