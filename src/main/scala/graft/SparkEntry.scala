@@ -89,6 +89,7 @@ object SparkEntry {
     // activity dedup, cohort min, and the join
     "t3_cohort_retention" -> (AnalyticsQueries.t3CohortRetention _),
     "t4_gap_fill" -> (AnalyticsQueries.t4GapFill _),
+    "t5_ewma_smooth" -> (AnalyticsQueries.t5EwmaSmooth _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
     // salting is output-invariant, so a plain SQL oracle checks it
@@ -133,6 +134,7 @@ object SparkEntry {
     "y11_lexical_diversity" -> (TextQueries.y11LexicalDiversity _),
     "y12_pii_scrub" -> (TextQueries.y12PiiScrub _),
     "y16_nfc_clean" -> (TextQueries.y16NfcClean _),
+    "y17_markup_strip" -> (TextQueries.y17MarkupStrip _),
     "y13_source_cap" -> (TextQueries.y13SourceCap _),
     // y14: log-free unigram-LM typicality — integer cross-multiplied
     // verdicts, so the flag involves no floating point at all
@@ -165,6 +167,7 @@ object SparkEntry {
     // reconstruction similarity (the PQ compression layer past IVF)
     "v9_product_quantization" -> (SimilarityQueries.v9ProductQuantization _),
     "v10_pq_adc" -> (SimilarityQueries.v10PqAdcSearch _),
+    "v11_sq8_search" -> (SimilarityQueries.v11Sq8Search _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -997,6 +1000,22 @@ object SparkEntry {
         |  last_value(hv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
         |FROM j ORDER BY event_type, hr""".stripMargin,
+    // t5: every EWMA weight is 1/2^(k+1) — dyadic, so each contribution
+    // and every partial sum is EXACT in double: order-independent, no
+    // decimal machinery needed (why alpha is a power of two)
+    "t5_ewma_smooth" ->
+      """WITH a AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM a GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM b),
+        |c AS (SELECT event_type, hr + k AS thr, n / CAST(1 << (k + 1) AS DOUBLE) AS w
+        |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)),
+        |e AS (SELECT event_type, thr, sum(w) AS ewma FROM c GROUP BY 1, 2)
+        |SELECT g.event_type, g.hr, CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+        |  coalesce(e.ewma, 0.0) AS ewma_value
+        |FROM g LEFT JOIN a ON a.event_type = g.event_type AND a.hr = g.hr
+        |LEFT JOIN e ON e.event_type = g.event_type AND e.thr = g.hr
+        |ORDER BY g.event_type, g.hr""".stripMargin,
     // NOTE session_id is CAST to BIGINT: DuckDB types sum(INTEGER) as
     // HUGEINT (int128), and a pandas materialization of a HUGEINT column
     // degrades to float64 — hashing "3.0" against Spark's "3" on every row
@@ -1371,6 +1390,19 @@ object SparkEntry {
         |  CAST(sum(length(aug)) AS BIGINT) AS chars_raw,
         |  CAST(sum(length(nrm)) AS BIGINT) AS chars_nfc
         |FROM n GROUP BY 1 ORDER BY lang""".stripMargin,
+    // y17: tag regex in the Java/RE2 common subset; entity decode is plain
+    // replace (identical left-to-right non-overlap semantics both engines)
+    "y17_markup_strip" ->
+      """WITH a AS (SELECT source, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' <b>bold</b> &amp; <a href="x">link</a>' ELSE '' END AS aug
+        |  FROM documents),
+        |s AS (SELECT source, aug,
+        |  replace(regexp_replace(aug, '<[^>]*>', '', 'g'), '&amp;', '&') AS clean FROM a)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(aug, '<[^>]*>') THEN 1 ELSE 0 END) AS BIGINT) AS marked_docs,
+        |  CAST(sum(length(aug) - length(clean)) AS BIGINT) AS chars_removed
+        |FROM s GROUP BY 1 ORDER BY source""".stripMargin,
     "z5_zorder_layout" -> LayoutOps.z5OracleSql,
     // y13: y2's exact stop-hit arithmetic + row_number over the same
     // deterministic (score desc, doc_id) order; integer-only rollup
@@ -1673,6 +1705,22 @@ object SparkEntry {
         |ORDER BY af.vec_id""".stripMargin),
     "v9_product_quantization" -> pqOracle,
     "v10_pq_adc" -> pqAdcOracle,
+    // v11: SQ8 — per-dimension max-abs scale, signed-byte floor quantize,
+    // INTEGER code dot (exact longs, so ranking carries no float risk)
+    "v11_sq8_search" ->
+      """WITH u AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |mx AS (SELECT pos, CAST(max(abs(v)) AS DOUBLE) AS m FROM u GROUP BY 1),
+        |c AS (SELECT u.vec_id, u.pos,
+        |  CAST(least(127, greatest(-127, floor(CAST(u.v AS DOUBLE) * 127 / mx.m))) AS BIGINT) AS code
+        |  FROM u JOIN mx USING (pos)),
+        |q AS (SELECT vec_id AS query_id, pos, code FROM c WHERE vec_id < 10),
+        |d AS (SELECT q.query_id, c.vec_id AS neighbor_id, CAST(sum(q.code * c.code) AS BIGINT) AS qdot
+        |  FROM c JOIN q ON c.pos = q.pos AND c.vec_id <> q.query_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, qdot,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank FROM d)
+        |SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT query_id, e.vec_id AS neighbor_id,

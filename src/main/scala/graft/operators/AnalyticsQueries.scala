@@ -838,6 +838,42 @@ object AnalyticsQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** t5: truncated EWMA smoothing over the hourly series — the
+    * forecasting/anomaly-baseline primitive next to t4's interpolation.
+    * α = 1/2 with a 32-lag cutoff makes every weight a dyadic rational
+    * (1/2^(k+1)) and every contribution n/2^(k+1) EXACT in double (count
+    * significands are small; partial sums span ~40 bits), so the sum is
+    * order-independent and hash-oracle-able with no decimal machinery —
+    * the same no-libm reasoning as y14's log-free scoring (exactness is
+    * why α is a power of two here, not a tunable float).
+    * Shape: the hourly rollup (map-side combined) explodes 32 weighted
+    * contributions per PRESENT hour — gaps cost nothing — then one
+    * (type, hour) re-aggregation and a broadcast join back onto t4's
+    * dense grid. At 100 TB the explode factor rides on the compacted
+    * per-hour rollup (|types|·|hours|·32 rows), never on raw events. */
+  def t5EwmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val a = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"unix_micros(ts) div $hourUs").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+    val grid = a.groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val contrib = a
+      .withColumn("k", explode(sequence(lit(0L), lit(31L))))
+      .select(col("event_type"), (col("hr") + col("k")).as("thr"),
+        (col("n").cast("double") /
+          expr("cast(shiftleft(1L, cast(k as int) + 1) as double)")).as("w"))
+    val ewma = contrib.groupBy("event_type", "thr").agg(sum("w").as("ewma"))
+      .withColumnRenamed("event_type", "e_type")
+    grid.join(a, Seq("event_type", "hr"), "left")
+      .join(ewma, col("event_type") === col("e_type") && col("hr") === col("thr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("ewma"), lit(0.0)).as("ewma_value"))
+      .orderBy("event_type", "hr")
+  }
+
   def t3CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
     // DIV, not `/`: double division rounds at ~1 ulp, enough to flip a

@@ -523,6 +523,58 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** v11: SQ8 scalar-quantized search — the third quantization flavor next
+    * to PQ (v9/v10) and LSH (v2/x6), and the one FAISS calls SQ8: each
+    * dimension scales independently to a signed-byte code
+    * (floor(x·127/max_abs_d), clamped), and search ranks by the INTEGER
+    * dot of code vectors. Integer scoring makes this the one ANN path
+    * with zero float-ordering risk — scores are exact longs, so ranking
+    * (and the oracle hash) is trivially deterministic, and at scale the
+    * scan reads 64 bytes/vector instead of 256 and multiplies ints.
+    * The 64 per-dimension scales collect once (bounded driver state);
+    * queries quantize driver-side with the same IEEE sequence and inline
+    * as literal code arrays, so the corpus pass is scan → quantize →
+    * 10 integer folds — no join (v10's shape with integer math). */
+  def v11Sq8Search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    val scales = e.select(posexplode(col("embedding")))
+      .groupBy("pos").agg(max(abs(col("col"))).cast("double").as("m"))
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    require(scales.forall(_ > 0), "SQ8 needs a nonzero max-abs per dimension")
+    val scaleLit = typedLit(scales.toSeq)
+    def quantize(x: Column, i: Column): Column =
+      least(lit(127L), greatest(lit(-127L),
+        floor(x.cast("double") * 127 / element_at(scaleLit, i + 1))))
+    val coded = e.select(col("vec_id").as("neighbor_id"),
+      transform(col("embedding"), (x, i) => quantize(x, i)).as("codes"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (qid, qv) =>
+        (qid, qv.toSeq.zipWithIndex.map { case (x, d) =>
+          // the same IEEE sequence as the in-plan quantize()
+          math.min(127L, math.max(-127L,
+            math.floor(x.toDouble * 127 / scales(d)).toLong))
+        })
+      }
+    val perQuery = queries.map { case (qid, qcodes) =>
+      val score = aggregate(
+        zip_with(col("codes"), typedLit(qcodes), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      struct(lit(qid).as("query_id"), score.as("qdot"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    coded.select(col("neighbor_id"), explode(array(perQuery: _*)).as("u"))
+      .select(col("u.query_id").as("query_id"), col("neighbor_id"), col("u.qdot").as("qdot"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-flavored per-label centroids + assignment check: exact-decimal
     * element-wise centroid per label, then each vector's cosine to its own
     * label centroid — the coarse-quantizer building block of an IVF index. */

@@ -537,6 +537,30 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** y17: markup strip + entity decode — the Common-Crawl-style HTML
+    * cleanup verb (extracted web text arrives with residual tags and
+    * entities; dedupe and tokenization must see the rendered text). The
+    * synthetic corpus has no markup, so (y12's pattern) every 7th doc
+    * gains a deterministic tag+entity suffix on BOTH engines and the
+    * strip runs against real matches. The tag regex `<[^>]*>` sits in the
+    * Java-regex/RE2 common subset; entity decode is plain (non-regex)
+    * replace with identical left-to-right semantics in both engines.
+    * One codegen'd corpus pass; only the per-source rollup exchanges. */
+  def y17MarkupStrip(spark: SparkSession, dir: String): DataFrame = {
+    val aug = t(spark, dir, "documents")
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" <b>bold</b> &amp; <a href=\"x\">link</a>")).otherwise(lit(""))))
+      .withColumn("clean",
+        replace(regexp_replace(col("aug"), "<[^>]*>", ""), lit("&amp;"), lit("&")))
+    aug.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("aug").rlike("<[^>]*>"), 1L).otherwise(0L)).as("marked_docs"),
+        sum((length(col("aug")) - length(col("clean"))).cast("long")).as("chars_removed"))
+      .orderBy("source")
+  }
+
   /** y16: Unicode NFC canonicalization rollup via the native
     * [[graft.functions.NfcNormalize]] expression — the text-cleaning step
     * that collapses decomposed combining sequences (OCR/PDF extraction

@@ -200,6 +200,69 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.length > 16, "grid is genuinely two-dimensional here")
   }
 
+  test("v11 SQ8 search equals a brute-force integer-dot top-k and tracks v1") {
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dims = vecs.head._2.length
+    val scales = (0 until dims).map(d => vecs.map(v => math.abs(v._2(d).toDouble)).max)
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until dims).map(d =>
+        math.min(127L, math.max(-127L, math.floor(v(d).toDouble * 127 / scales(d)).toLong)))
+    }.toMap
+    val expected = vecs.filter(_._1 < 10).flatMap { case (qid, _) =>
+      vecs.filter(_._1 != qid).map { case (nid, _) =>
+        (qid, nid, (0 until dims).map(d => codes(qid)(d) * codes(nid)(d)).sum)
+      }.sortBy { case (_, nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((q, n, s), i) => (q, n, s, i + 1) }
+    }.toSet
+    val got = SimilarityQueries.v11Sq8Search(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected)
+    // quantization-fidelity contract: SQ8 keeps most of the exact top-5
+    val exact = SimilarityQueries.v1CosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = got.count { case (q, n, _, _) => exact((q, n)) }
+    assert(overlap >= 40, s"SQ8 recall@5 too low: $overlap/50")
+  }
+
+  test("t5 EWMA equals a brute-force dyadic-weight walk") {
+    val hourUs = 3600L * 1000000L
+    val rows = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / hourUs))
+    val expected = rows.groupBy(_._1).flatMap { case (tp, es) =>
+      val byHr = es.groupBy(_._2).map { case (hr, xs) => hr -> xs.size.toLong }
+      (byHr.keys.min to byHr.keys.max).map { hr =>
+        val ewma = (0L to 31L).map { k =>
+          byHr.getOrElse(hr - k, 0L).toDouble / (1L << (k + 1)) }.sum
+        (tp, hr, byHr.getOrElse(hr, 0L), ewma)
+      }
+    }.toSet
+    val got = AnalyticsQueries.t5EwmaSmooth(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected) // dyadic weights: EXACT double equality holds
+  }
+
+  test("y17 strip accounting matches the injected slice exactly") {
+    val rows = TextQueries.y17MarkupStrip(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    val inj = docs.filter(_._1 % 7 == 0).groupBy(_._2)
+      .map { case (s, xs) => (s, xs.size.toLong) }
+    // the suffix ' <b>bold</b> &amp; <a href="x">link</a>' loses its 3 tag
+    // pairs (7+4+12 chars... measured: 27) and 4 entity chars per doc
+    val suffix = " <b>bold</b> &amp; <a href=\"x\">link</a>"
+    val cleaned = suffix.replaceAll("<[^>]*>", "").replace("&amp;", "&")
+    val perDoc = (suffix.length - cleaned.length).toLong
+    rows.foreach { case (src, _, marked, removed) =>
+      assert(marked == inj.getOrElse(src, 0L), s"$src marked")
+      assert(removed == marked * perDoc, s"$src chars_removed")
+    }
+    assert(rows.map(_._3).sum > 0)
+  }
+
   test("st10 streaming admit equals the batch run of the same gate") {
     val batch = TextQueries.st10AdmitGate(
       Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0),
