@@ -90,6 +90,9 @@ object SparkEntry {
     "t3_cohort_retention" -> (AnalyticsQueries.t3CohortRetention _),
     "t4_gap_fill" -> (AnalyticsQueries.t4GapFill _),
     "t5_ewma_smooth" -> (AnalyticsQueries.t5EwmaSmooth _),
+    "j4_interval_anti" -> (JoinQueries.j4IntervalAntiJoin _),
+    "w7_basket_pairs" -> (AnalyticsQueries.w7BasketPairs _),
+    "r4_pivot_matrix" -> (AnalyticsQueries.r4PivotMatrix _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
     // salting is output-invariant, so a plain SQL oracle checks it
@@ -1016,6 +1019,31 @@ object SparkEntry {
         |FROM g LEFT JOIN a ON a.event_type = g.event_type AND a.hr = g.hr
         |LEFT JOIN e ON e.event_type = g.event_type AND e.thr = g.hr
         |ORDER BY g.event_type, g.hr""".stripMargin,
+    "j4_interval_anti" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |    WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |u AS (SELECT v.user_id, v.event_id, v.us FROM v
+        |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id
+        |    AND c.us > v.us AND c.us <= v.us + 259200000000)),
+        |t AS (SELECT us // 604800000000 AS wk, count(*) AS n_views FROM v GROUP BY 1),
+        |n AS (SELECT us // 604800000000 AS wk, count(*) AS n_unconverted FROM u GROUP BY 1)
+        |SELECT t.wk, t.n_views, CAST(coalesce(n.n_unconverted, 0) AS BIGINT) AS n_unconverted
+        |FROM t LEFT JOIN n ON n.wk = t.wk ORDER BY t.wk""".stripMargin,
+    "w7_basket_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT part_a, part_b, count(*) AS n_orders
+        |FROM p GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "r4_pivot_matrix" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     // NOTE session_id is CAST to BIGINT: DuckDB types sum(INTEGER) as
     // HUGEINT (int128), and a pandas materialization of a HUGEINT column
     // degrades to float64 — hashing "3.0" against Spark's "3" on every row

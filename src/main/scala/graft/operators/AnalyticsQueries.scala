@@ -838,6 +838,42 @@ object AnalyticsQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** w7: co-purchase basket pairs — the market-basket co-occurrence
+    * primitive (the same self-join shape a co-citation / term-cooccurrence
+    * pipeline uses). (order, part) dedupes first, then the orderkey
+    * self-join emits each unordered pair once (part_a < part_b). Both
+    * sides shuffle on the SAME l_orderkey key — one partitioning, reused —
+    * and fan-out per order is |items|² bounded by basket size (≤7 here; a
+    * web-scale basket gets a per-order item cap, the x3 candidate-cap
+    * discipline). Top-20 runs as TakeOrderedAndProject with full
+    * tiebreaks, so no global sort and a deterministic hash. */
+  def w7BasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val i = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = i.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    i.withColumnRenamed("l_partkey", "part_a")
+      .join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** r4: PIVOT — the hourly × event-type count matrix via Spark's pivot
+    * operator with an EXPLICIT value list (never the collect-distinct
+    * inference pass: one scan saved and a deterministic column order,
+    * which the oracle hash requires). Absent cells coalesce to 0 to match
+    * SQL's FILTER counts. One partial-agg exchange on hour; the pivot is
+    * a per-group projection, not a shuffle. */
+  def r4PivotMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = t(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+      .groupBy("hour").pivot("event_type", types).agg(count(lit(1)))
+    p.select(col("hour") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      .orderBy("hour")
+  }
+
   /** t5: truncated EWMA smoothing over the hourly series — the
     * forecasting/anomaly-baseline primitive next to t4's interpolation.
     * α = 1/2 with a 32-lag cutoff makes every weight a dyadic rational

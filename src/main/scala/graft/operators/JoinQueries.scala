@@ -114,4 +114,33 @@ object JoinQueries {
         moneySum(col("l_extendedprice")).as("sum_price"))
       .orderBy("bucket")
   }
+
+  /** J4 interval ANTI-join: views with NO click by the same user inside
+    * the 3-day conversion window — w6's funnel drop-offs as a first-class
+    * join shape (j1 point-in-time, j2 point-in-band, j3 interval×interval,
+    * j4 the negated form). Spark plans the left_anti with an equi user_id
+    * key plus the range residual, so both sides shuffle ONCE on user_id —
+    * no nested loop; the weekly rollup then reduces map-side. A whale user
+    * is k1's salting story. */
+  def j4IntervalAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 3L * 86400L * 1000000L
+    val weekUs = 604800L * 1000000L
+    val ev = t(spark, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+    val unconverted = v.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_us") > col("us") && col("c_us") <= col("us") + lit(winUs),
+      "left_anti")
+    val tot = v.groupBy(expr(s"us div $weekUs").as("wk"))
+      .agg(count(lit(1)).as("n_views"))
+    val unc = unconverted.groupBy(expr(s"us div $weekUs").as("wk"))
+      .agg(count(lit(1)).as("n_unconverted"))
+    tot.join(unc, Seq("wk"), "left")
+      .select(col("wk"), col("n_views"),
+        coalesce(col("n_unconverted"), lit(0L)).as("n_unconverted"))
+      .orderBy("wk")
+  }
 }

@@ -263,6 +263,56 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0)
   }
 
+  test("j4 interval anti-join equals a brute-force per-view click scan") {
+    val winUs = 3L * 86400L * 1000000L
+    val weekUs = 604800L * 1000000L
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val clicksByUser = ev.filter(_._1 == "click").groupBy(_._2)
+      .map { case (u, xs) => u -> xs.map(_._3) }
+    val views = ev.filter(_._1 == "view")
+    val expected = views.groupBy(_._3 / weekUs).map { case (wk, vs) =>
+      val unconv = vs.count { case (_, u, us) =>
+        !clicksByUser.getOrElse(u, Array.empty[Long])
+          .exists(c => c > us && c <= us + winUs) }
+      (wk, vs.size.toLong, unconv.toLong)
+    }.toSet
+    val got = JoinQueries.j4IntervalAntiJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "gate must bite: some views never convert")
+    assert(got.map { case (_, v, u) => v - u }.sum > 0, "and some do")
+  }
+
+  test("w7 basket pairs equal a brute-force per-order pair count") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val counts = li.groupBy(_._1).values.flatMap { xs =>
+      val parts = xs.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (p, os) => (p._1, p._2, os.size.toLong) }
+    val expected = counts.toSeq
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(20).toSet
+    val got = AnalyticsQueries.w7BasketPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.exists(_._3 >= 2), "gate must bite: some pair repeats")
+  }
+
+  test("r4 pivot matrix row-sums equal the plain hourly counts") {
+    val got = AnalyticsQueries.r4PivotMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), (1 to 5).map(r.getLong).sum))
+    val hourly = Tables.t(spark, sfDir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.toMap == hourly) // unpivoting the matrix recovers the rollup
+    assert(got.map(_._2).sum == Tables.t(spark, sfDir, "events").count())
+  }
+
   test("st10 streaming admit equals the batch run of the same gate") {
     val batch = TextQueries.st10AdmitGate(
       Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0),
