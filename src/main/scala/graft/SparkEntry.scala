@@ -93,6 +93,8 @@ object SparkEntry {
     "j4_interval_anti" -> (JoinQueries.j4IntervalAntiJoin _),
     "w7_basket_pairs" -> (AnalyticsQueries.w7BasketPairs _),
     "r4_pivot_matrix" -> (AnalyticsQueries.r4PivotMatrix _),
+    "m4_frame_sample" -> (operators.MultimodalOps.mm4FrameSample _),
+    "p3_cms_topk" -> (AnalyticsQueries.p3CmsTopk _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
     // salting is output-invariant, so a plain SQL oracle checks it
@@ -1036,6 +1038,38 @@ object SparkEntry {
         |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
         |SELECT part_a, part_b, count(*) AS n_orders
         |FROM p GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // m4: the sampling schedule re-derived from the stub's sha256
+    // durations; generate_series is end-inclusive in both engines
+    "m4_frame_sample" ->
+      """WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |m AS (SELECT doc_id,
+        |  CASE (('0x' || substr(h, 1, 2))::INT % 3)
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CASE WHEN (('0x' || substr(h, 1, 2))::INT % 3) = 0 THEN 0
+        |       ELSE 1000 + 100 * ('0x' || substr(h, 7, 2))::INT END AS duration_ms
+        |  FROM d),
+        |t AS (SELECT doc_id, media_type,
+        |    unnest(generate_series(0, duration_ms - 1, 500)) AS t_ms
+        |  FROM m WHERE duration_ms > 0)
+        |SELECT media_type, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_media,
+        |  count(*) AS total_samples,
+        |  CAST(count(DISTINCT (doc_id, t_ms // 1000)) AS BIGINT) AS total_chunks
+        |FROM t GROUP BY 1 ORDER BY media_type""".stripMargin,
+    // p3: every sketch cell rebuilt in SQL from the same md5 row hash, so
+    // estimates (and the CMS >= true invariant) hash-match exactly
+    "p3_cms_topk" ->
+      """WITH k AS (SELECT l_partkey AS key, count(*) AS true_count FROM lineitem GROUP BY 1),
+        |h AS (SELECT key, true_count, r,
+        |    ('0x' || substr(md5(r || ':' || key), 1, 4))::INT % 256 AS b
+        |  FROM k CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+        |cms AS (SELECT r, b, CAST(sum(true_count) AS BIGINT) AS cell FROM h GROUP BY 1, 2),
+        |est AS (SELECT h.key, min(cms.cell) AS est_count
+        |  FROM h JOIN cms ON cms.r = h.r AND cms.b = h.b GROUP BY 1),
+        |top AS (SELECT key, true_count FROM k ORDER BY true_count DESC, key LIMIT 20)
+        |SELECT t.key AS part_key, t.true_count, e.est_count,
+        |  CAST(e.est_count - t.true_count AS BIGINT) AS overcount
+        |FROM top t JOIN est e ON e.key = t.key
+        |ORDER BY t.true_count DESC, t.key""".stripMargin,
     "r4_pivot_matrix" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
         |  count(*) FILTER (event_type = 'click') AS click,

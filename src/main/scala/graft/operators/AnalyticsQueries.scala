@@ -838,6 +838,41 @@ object AnalyticsQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** p3: Count-Min-Sketch heavy hitters — the O(1)-state frequency
+    * estimator next to p2's quantile sketch and q6's HLL, but with an
+    * EXACT oracle: the md5 row hash is computable on both engines, so the
+    * DuckDB side rebuilds every sketch cell and hash-matches estimates,
+    * not just row counts. The sketch builds in one pass with map-side
+    * partial merge (elementwise-add buffers — see
+    * [[graft.functions.CmsSketchAgg]]); the 4×256-long sketch then
+    * collects (4 KB, corpus-size-independent) and the per-key estimate is
+    * a literal-array lookup: least of the key's 4 row buckets. Output:
+    * the top-20 TRUE heavy hitters with true/estimated counts — the
+    * calibration table that tells a pipeline how much width its real
+    * sketch deployment needs. */
+  def p3CmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (depth, width) = (4, 256)
+    val keys = t(spark, dir, "lineitem").select(col("l_partkey").as("key"))
+    val sketch = keys.as[Long]
+      .select(new graft.functions.CmsSketchAgg(depth, width).toColumn.name("cms"))
+      .head()
+    val est = (0 until depth).map { r =>
+      val row = sketch.slice(r * width, (r + 1) * width)
+      val bucket = (conv(substring(md5(
+        concat(lit(s"$r:"), col("part_key").cast("string"))), 1, 4), 16, 10)
+        .cast("int") % width)
+      element_at(typedLit(row), bucket + 1)
+    }.reduce(least(_, _))
+    keys.groupBy(col("key").as("part_key"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("part_key"))
+      .limit(20)
+      .withColumn("est_count", est)
+      .withColumn("overcount", (col("est_count") - col("true_count")).cast("long"))
+      .orderBy(col("true_count").desc, col("part_key"))
+  }
+
   /** w7: co-purchase basket pairs — the market-basket co-occurrence
     * primitive (the same self-join shape a co-citation / term-cooccurrence
     * pipeline uses). (order, part) dedupes first, then the orderkey

@@ -134,6 +134,28 @@ object MultimodalOps {
       .orderBy("media_type")
   }
 
+  /** m4: TIME-based frame sampling — the rate-driven sampling verb next
+    * to m2's fixed-count frames: every timed payload (audio/video) yields
+    * one sample per 500 ms of its duration (`sequence` explode — the
+    * sampling schedule is plan arithmetic, not decoder work), each sample
+    * lands in its 1-second chunk, and the per-type rollup reports media /
+    * samples / distinct chunks — the planning table a frame-extraction
+    * job sizes its output storage with. Integer-exact end to end, so the
+    * oracle re-derives the whole schedule from the stub's sha256
+    * durations. At scale the explode fans each payload to duration/rate
+    * rows of 3 small columns — bounded by clip length, never corpus size. */
+  def mm4FrameSample(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(spark, dir).toDF()
+      .filter(col("durationMs") > 0)
+      .select(col("docId"), col("mediaType").as("media_type"),
+        explode(sequence(lit(0L), col("durationMs") - 1, lit(500L))).as("t_ms"))
+      .withColumn("chunk", expr("t_ms div 1000"))
+      .groupBy("media_type")
+      .agg(countDistinct(col("docId")).as("n_media"),
+        count(lit(1)).as("total_samples"),
+        countDistinct(struct(col("docId"), col("chunk"))).as("total_chunks"))
+      .orderBy("media_type")
+
   /** Metadata rollup per media type — the query a curation pipeline runs
     * over the decoded corpus. Snake-case output columns so the DuckDB
     * oracle (which re-derives the stub's sha256 arithmetic in SQL) aligns

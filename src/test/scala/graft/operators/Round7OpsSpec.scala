@@ -313,6 +313,40 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == Tables.t(spark, sfDir, "events").count())
   }
 
+  test("p3 CMS estimates equal a brute-force sketch and never undercount") {
+    import graft.functions.CmsSketchAgg
+    val (depth, width) = (4, 256)
+    val keys = Tables.t(spark, sfDir, "lineitem")
+      .select("l_partkey").collect().map(_.getLong(0))
+    val sketch = new Array[Long](depth * width)
+    keys.foreach(k => (0 until depth).foreach(r =>
+      sketch(r * width + CmsSketchAgg.bucket(r, k, width)) += 1))
+    val trueCounts = keys.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    def est(k: Long): Long = (0 until depth)
+      .map(r => sketch(r * width + CmsSketchAgg.bucket(r, k, width))).min
+    // the CMS invariant over EVERY key, not just the reported ones
+    trueCounts.foreach { case (k, n) => assert(est(k) >= n, s"undercount at $k") }
+    val expected = trueCounts.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+      .map { case (k, n) => (k, n, est(k), est(k) - n) }.toSet
+    val got = AnalyticsQueries.p3CmsTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("m4 frame sampling equals the brute-force schedule walk") {
+    val metas = MultimodalOps.decodeMeta(spark, sfDir).collect()
+    val expected = metas.filter(_.durationMs > 0).groupBy(_.mediaType).map {
+      case (tp, ms) =>
+        val samples = ms.flatMap(m => (0L until m.durationMs by 500L).map(t => (m.docId, t)))
+        (tp, ms.map(_.docId).distinct.length.toLong, samples.length.toLong,
+          samples.map { case (id, t) => (id, t / 1000) }.distinct.length.toLong)
+    }.toSet
+    val got = MultimodalOps.mm4FrameSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("st10 streaming admit equals the batch run of the same gate") {
     val batch = TextQueries.st10AdmitGate(
       Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0),
