@@ -95,6 +95,7 @@ object SparkEntry {
     "r4_pivot_matrix" -> (AnalyticsQueries.r4PivotMatrix _),
     "m4_frame_sample" -> (operators.MultimodalOps.mm4FrameSample _),
     "p3_cms_topk" -> (AnalyticsQueries.p3CmsTopk _),
+    "r5_unpivot" -> (AnalyticsQueries.r5Unpivot _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
     // salting is output-invariant, so a plain SQL oracle checks it
@@ -283,6 +284,17 @@ object SparkEntry {
           graft.operators.Tables.t(docs.sparkSession, dir, "documents")
             .filter(col("doc_id") % 7 =!= 0)))
         .orderBy("doc_id")),
+    // st11: the CMS built ON THE STREAM (Complete mode, O(1) state — see
+    // EventStreamOps.streamUserCms), then p3's calibration report over the
+    // batch true counts. The oracle rebuilds the sketch in SQL, so the
+    // hash-match proves stream-built cells == batch-derived cells.
+    "st11_stream_cms" -> ((s: SparkSession, dir: String) => {
+      val sketch = graft.streaming.EventStreamOps.streamUserCms(
+        s, s"$dir/events.parquet", s"st11_${System.nanoTime()}")
+      AnalyticsQueries.cmsReport(
+        graft.operators.Tables.t(s, dir, "events").select(col("user_id").as("key")),
+        "user_key", sketch)
+    }),
     "st9_stream_ivf_assign" -> ((s: SparkSession, dir: String) =>
       graft.streaming.VectorStreamOps.streamIvfAssign(s, dir,
         s"st9_${System.nanoTime()}")
@@ -1070,6 +1082,17 @@ object SparkEntry {
         |  CAST(e.est_count - t.true_count AS BIGINT) AS overcount
         |FROM top t JOIN est e ON e.key = t.key
         |ORDER BY t.true_count DESC, t.key""".stripMargin,
+    "r5_unpivot" ->
+      """WITH m AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1)
+        |SELECT hour, event_type, n FROM m
+        |UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+        |ORDER BY hour, event_type""".stripMargin,
     "r4_pivot_matrix" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
         |  count(*) FILTER (event_type = 'click') AS click,
@@ -1724,6 +1747,19 @@ object SparkEntry {
     // st9: stateless stream => the finalized memory-sink rows must equal
     // the batch v8 answer exactly (shared oracle)
     "st9_stream_ivf_assign" -> incrementalIvfOracle,
+    "st11_stream_cms" ->
+      """WITH k AS (SELECT user_id AS key, count(*) AS true_count FROM events GROUP BY 1),
+        |h AS (SELECT key, true_count, r,
+        |    ('0x' || substr(md5(r || ':' || key), 1, 4))::INT % 256 AS b
+        |  FROM k CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+        |cms AS (SELECT r, b, CAST(sum(true_count) AS BIGINT) AS cell FROM h GROUP BY 1, 2),
+        |est AS (SELECT h.key, min(cms.cell) AS est_count
+        |  FROM h JOIN cms ON cms.r = h.r AND cms.b = h.b GROUP BY 1),
+        |top AS (SELECT key, true_count FROM k ORDER BY true_count DESC, key LIMIT 20)
+        |SELECT t.key AS user_key, t.true_count, e.est_count,
+        |  CAST(e.est_count - t.true_count AS BIGINT) AS overcount
+        |FROM top t JOIN est e ON e.key = t.key
+        |ORDER BY t.true_count DESC, t.key""".stripMargin,
     // st10: z1's quality formulas verbatim + first-8-word prefix digest
     // against the non-increment corpus; the stream is stateless so the
     // batch SQL is the exact semantics, not an approximation

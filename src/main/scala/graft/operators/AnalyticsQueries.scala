@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -850,27 +850,38 @@ object AnalyticsQueries {
     * the top-20 TRUE heavy hitters with true/estimated counts — the
     * calibration table that tells a pipeline how much width its real
     * sketch deployment needs. */
-  def p3CmsTopk(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val (depth, width) = (4, 256)
-    val keys = t(spark, dir, "lineitem").select(col("l_partkey").as("key"))
-    val sketch = keys.as[Long]
-      .select(new graft.functions.CmsSketchAgg(depth, width).toColumn.name("cms"))
-      .head()
-    val est = (0 until depth).map { r =>
+  /** `estimate(key)` over a collected CMS sketch as a plan expression:
+    * least of the key's per-row buckets, each a literal-array lookup —
+    * shared by p3 (batch-built sketch) and st11 (stream-built sketch). */
+  private[graft] def cmsEstimate(sketch: Seq[Long], key: Column,
+      depth: Int = 4, width: Int = 256): Column =
+    (0 until depth).map { r =>
       val row = sketch.slice(r * width, (r + 1) * width)
       val bucket = (conv(substring(md5(
-        concat(lit(s"$r:"), col("part_key").cast("string"))), 1, 4), 16, 10)
+        concat(lit(s"$r:"), key.cast("string"))), 1, 4), 16, 10)
         .cast("int") % width)
       element_at(typedLit(row), bucket + 1)
     }.reduce(least(_, _))
-    keys.groupBy(col("key").as("part_key"))
+
+  /** The top-20 true heavy hitters of `keys` with CMS estimates from
+    * `sketch` — p3/st11's shared calibration-report shape. */
+  private[graft] def cmsReport(keys: DataFrame, outName: String,
+      sketch: Seq[Long]): DataFrame =
+    keys.groupBy(col("key").as(outName))
       .agg(count(lit(1)).as("true_count"))
-      .orderBy(col("true_count").desc, col("part_key"))
+      .orderBy(col("true_count").desc, col(outName))
       .limit(20)
-      .withColumn("est_count", est)
+      .withColumn("est_count", cmsEstimate(sketch, col(outName)))
       .withColumn("overcount", (col("est_count") - col("true_count")).cast("long"))
-      .orderBy(col("true_count").desc, col("part_key"))
+      .orderBy(col("true_count").desc, col(outName))
+
+  def p3CmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = t(spark, dir, "lineitem").select(col("l_partkey").as("key"))
+    val sketch = keys.as[Long]
+      .select(new graft.functions.CmsSketchAgg(4, 256).toColumn.name("cms"))
+      .head()
+    cmsReport(keys, "part_key", sketch)
   }
 
   /** w7: co-purchase basket pairs — the market-basket co-occurrence
@@ -907,6 +918,20 @@ object AnalyticsQueries {
       .groupBy("hour").pivot("event_type", types).agg(count(lit(1)))
     p.select(col("hour") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
       .orderBy("hour")
+  }
+
+  /** r5: UNPIVOT (melt) — r4's matrix back to long form via Spark's
+    * native unpivot operator (an Expand node: each input row fans to
+    * |value columns| output rows in the same task — no shuffle, no UDF).
+    * Pivot and unpivot together close the reshape pair; the zero cells
+    * the pivot materialized survive the round trip, which is the
+    * difference between this and the plain rollup (and what the spec's
+    * row-count identity checks). */
+  def r5Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    r4PivotMatrix(spark, dir)
+      .unpivot(Array(col("hour")), types.map(col).toArray, "event_type", "n")
+      .orderBy("hour", "event_type")
   }
 
   /** t5: truncated EWMA smoothing over the hourly series — the

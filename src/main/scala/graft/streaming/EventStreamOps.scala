@@ -382,6 +382,33 @@ object EventStreamOps {
       .toDF()
   }
 
+  /** st11: CMS sketch maintenance ON THE STREAM — the one aggregation
+    * class where Complete output mode is the PRODUCTION answer rather
+    * than a finite-replay convenience: the whole aggregation state is a
+    * single fixed depth×width counter matrix (the
+    * [[graft.functions.CmsSketchAgg]] buffer), so "re-emit the full
+    * state" means 4 KB per micro-batch and state never grows — a
+    * streaming frequency monitor with O(1) memory on an unbounded
+    * stream, no watermark needed because nothing is ever evicted. Each
+    * micro-batch folds its rows in through the same mergeable Aggregator
+    * the batch path uses, which is why the streamed sketch is
+    * CELL-IDENTICAL to the batch-built one (spec + st11's shared-oracle
+    * hash both pin this). */
+  def streamUserCms(rootSpark: SparkSession, path: String, name: String): Seq[Long] = {
+    val out = runToMemory(rootSpark, path, name,
+      df => {
+        // bind the typed Dataset first: with an expected DataFrame return
+        // type, an inline chain resolves to the UNTYPED select overload,
+        // which rejects TypedColumns at runtime
+        val keys = df.select(col("user_id"))
+          .as(org.apache.spark.sql.Encoders.scalaLong)
+        keys.select(new graft.functions.CmsSketchAgg(4, 256).toColumn.name("cms"))
+          .toDF()
+      },
+      OutputMode.Complete())
+    out.head().getSeq[Long](0)
+  }
+
   /** Run a streaming query over the batch events dir into a memory sink and
     * return the materialized result (synchronous — for specs and smoke).
     *

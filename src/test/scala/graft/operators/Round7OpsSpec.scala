@@ -347,6 +347,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("st11 stream-built CMS is cell-identical to the batch-built sketch") {
+    import graft.functions.CmsSketchAgg
+    val streamed = graft.streaming.EventStreamOps.streamUserCms(
+      spark, s"$sfDir/events.parquet", s"st11spec_${System.nanoTime()}")
+    val (depth, width) = (4, 256)
+    val batch = new Array[Long](depth * width)
+    Tables.t(spark, sfDir, "events").select("user_id").collect()
+      .map(_.getLong(0)).foreach(k => (0 until depth).foreach(r =>
+        batch(r * width + CmsSketchAgg.bucket(r, k, width)) += 1))
+    assert(streamed == batch.toSeq)
+  }
+
+  test("r5 unpivot is the exact inverse of r4's pivot") {
+    val matrix = AnalyticsQueries.r4PivotMatrix(spark, sfDir).collect()
+    val long = AnalyticsQueries.r5Unpivot(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(long.length == matrix.length * 5) // every cell, zeros included
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val rebuilt = long.groupBy(_._1).map { case (h, cells) =>
+      (h, types.map(tp => cells.find(_._2 == tp).get._3))
+    }
+    matrix.foreach { r =>
+      assert(rebuilt(r.getString(0)) == (1 to 5).map(r.getLong), r.getString(0))
+    }
+  }
+
   test("st10 streaming admit equals the batch run of the same gate") {
     val batch = TextQueries.st10AdmitGate(
       Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0),
