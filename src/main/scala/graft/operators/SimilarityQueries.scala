@@ -513,7 +513,7 @@ object SimilarityQueries {
     }
     val w = Window.partitionBy("query_id")
       .orderBy(col("s").desc, col("neighbor_id"))
-    coded.select(col("neighbor_id"), explode(array(perQuery: _*)).as("u"))
+    coded.select(col("neighbor_id"), explode(array(perQuery.toIndexedSeq: _*)).as("u"))
       .select(col("u.query_id").as("query_id"), col("neighbor_id"), col("u.s").as("s"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
@@ -566,7 +566,7 @@ object SimilarityQueries {
     }
     val w = Window.partitionBy("query_id")
       .orderBy(col("qdot").desc, col("neighbor_id"))
-    coded.select(col("neighbor_id"), explode(array(perQuery: _*)).as("u"))
+    coded.select(col("neighbor_id"), explode(array(perQuery.toIndexedSeq: _*)).as("u"))
       .select(col("u.query_id").as("query_id"), col("neighbor_id"), col("u.qdot").as("qdot"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rank", row_number().over(w))
