@@ -321,8 +321,10 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
-    * Omitted: x5_simhash_pairs, y4_fingerprint, v2_ann_lsh — they depend on
-    * Spark-side xxhash64, which DuckDB cannot reproduce. x4 IS oracled: its
+    * Omitted: x5_simhash_pairs, v2_ann_lsh — they depend on Spark-side
+    * xxhash64, which DuckDB cannot reproduce. y4 WAS on that list and is
+    * now oracled (round 7): its shingle hash moved to 60-bit md5, which
+    * both engines compute. x4 IS oracled: its
     * verified pair set is hash-independent (x3's SQL). v3/v4 are pure
     * decimal-mean + IEEE dot arithmetic and ARE oracled below. st1/st2 ARE
     * oracled: the streaming aggs accumulate in decimal, so the finalized
@@ -1541,6 +1543,17 @@ object SparkEntry {
         |  for i in generate_series(1, greatest(len(toks) - 2, 1))])) AS span FROM t)
         |SELECT span, count(*) AS doc_freq FROM s GROUP BY 1
         |ORDER BY doc_freq DESC, span LIMIT 20""".stripMargin,
+    // y4: the winnowing signature end to end — same truncating-tail
+    // shingle formula as x3/y8; hashes are the first 60 md5 bits in both
+    // engines, so min-selection and the final key hash-match exactly
+    "y4_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, [('0x' || substr(md5(g), 1, 15))::BIGINT
+        |    for g in [array_to_string(toks[i:i+2], ' ')
+        |              for i in generate_series(1, greatest(len(toks) - 2, 1))]] AS hs FROM t),
+        |fp AS (SELECT doc_id, (list_sort(list_distinct(hs)))[1:8] AS f FROM sh)
+        |SELECT doc_id, ('0x' || substr(md5(array_to_string(f, ',')), 1, 15))::BIGINT AS fp_key
+        |FROM fp ORDER BY doc_id""".stripMargin,
     // y8: same truncating-tail shingle formula as x3/y4's oracles
     "y8_repetition" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),

@@ -333,16 +333,24 @@ object TextQueries {
   }
 
   /** Document fingerprinting (winnowing-flavored): distinct-ordered set of
-    * the k smallest shingle hashes per doc — a compact content signature
-    * robust to local edits. Spark-only (seeded xxhash64 has no DuckDB
-    * analog). */
+    * the k = 8 smallest shingle hashes per doc — a compact content
+    * signature robust to local edits (near-dups share keys: 484 distinct
+    * over 500 sf0.001 docs). Round-7 upgrade: the shingle hash is the
+    * first 60 bits of md5 instead of seeded xxhash64, which both engines
+    * compute — so the whole signature, min-selection and all, is now
+    * HASH-ORACLED rather than justified-Spark-only (p3's
+    * hash-for-oracle-parity tradeoff: a production deployment swaps
+    * xxhash back in; the winnowing algebra is unchanged). */
   def y4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val sh = wordShingles(col("text"))
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        slice(array_sort(array_distinct(transform(sh, s => xxhash64(s)))), 1, 8)
+        slice(array_sort(array_distinct(transform(sh, s => h60(s)))), 1, 8)
           .as("fingerprint"))
-      .withColumn("fp_key", xxhash64(concat_ws(",", col("fingerprint"))))
+      .withColumn("fp_key",
+        h60(concat_ws(",", transform(col("fingerprint"), _.cast("string")))))
       .select("doc_id", "fp_key")
       .orderBy("doc_id")
   }
