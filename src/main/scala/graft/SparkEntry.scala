@@ -321,10 +321,10 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
-    * Omitted: x5_simhash_pairs, v2_ann_lsh — they depend on Spark-side
-    * xxhash64, which DuckDB cannot reproduce. y4 WAS on that list and is
-    * now oracled (round 7): its shingle hash moved to 60-bit md5, which
-    * both engines compute. x4 IS oracled: its
+    * Omitted: v2_ann_lsh — its hyperplanes derive from Spark-side
+    * xxhash64, which DuckDB cannot reproduce. y4 and x5 WERE on that list
+    * and are now oracled (round 7): their hashes moved to 60-bit md5,
+    * which both engines compute. x4 IS oracled: its
     * verified pair set is hash-independent (x3's SQL). v3/v4 are pure
     * decimal-mean + IEEE dot arithmetic and ARE oracled below. st1/st2 ARE
     * oracled: the streaming aggs accumulate in decimal, so the finalized
@@ -1543,6 +1543,28 @@ object SparkEntry {
         |  for i in generate_series(1, greatest(len(toks) - 2, 1))])) AS span FROM t)
         |SELECT span, count(*) AS doc_freq FROM s GROUP BY 1
         |ORDER BY doc_freq DESC, span LIMIT 20""".stripMargin,
+    // x5: every simhash bit, band key and Hamming distance re-derived
+    // from the same 60-bit md5 shingle hashes
+    "x5_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([('0x' || substr(md5(g), 1, 15))::BIGINT
+        |    for g in [array_to_string(toks[i:i+2], ' ')
+        |              for i in generate_series(1, greatest(len(toks) - 2, 1))]]) AS hs FROM t),
+        |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        |bits AS (SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) GROUP BY 1, 2),
+        |sim AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |bd AS (SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS band_key
+        |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // y4: the winnowing signature end to end — same truncating-tail
     // shingle formula as x3/y8; hashes are the first 60 md5 bits in both
     // engines, so min-selection and the final key hash-match exactly

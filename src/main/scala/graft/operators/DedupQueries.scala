@@ -57,6 +57,37 @@ object DedupQueries {
     trimmed
   }
 
+  /** [[shingleHashes]] with the 60-bit-md5 hash (y4's `h60`): the first
+    * 15 hex chars of md5, i.e. the top 8 digest bytes big-endian >>> 4 —
+    * exactly SQL's `('0x' || substr(md5(g), 1, 15))::BIGINT`. Slower than
+    * xxhash64, so it backs ONLY x5, where the hash BITS are the output
+    * contract (simhash majorities) and oracle parity demands a
+    * cross-engine hash; the shared memoized pass (x3/x4/x8/…) keeps
+    * xxhash64 — their outputs are set-identity-based and hash-agnostic. */
+  private[graft] def shingleHashesMd5(text: String): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.split(' ')
+    val n = math.max(toks.length - 2, 1)
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, n * 2))
+    val out = new Array[Long](n)
+    var m = 0
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var j = i + 1
+      val end = math.min(i + 3, toks.length)
+      while (j < end) { sb.append(' '); sb.append(toks(j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(UTF_8))
+      val h = java.nio.ByteBuffer.wrap(d).getLong >>> 4
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
   /** Session-scoped memo of the expensive shared stages — the per-doc
     * shingle-set arrays and the verified near-dup pair set — keyed by
     * (SparkContext, corpus dir). A real dedupe sweep computes pairs AND
@@ -711,11 +742,20 @@ object DedupQueries {
     * Features are 3-word shingles, not unigrams: this corpus shares one
     * small vocabulary, so unigram simhashes collapse to near-identical
     * values.
-    */
+    *
+    * Round-7 oracle upgrade: the shingle hash is [[shingleHashesMd5]]
+    * (60-bit md5) instead of the shared xxhash64 memo, so DuckDB
+    * re-derives every fingerprint bit, band key and Hamming distance —
+    * x5 moves from justified-Spark-only to fully hash-oracled. Bits
+    * 60–63 never vote positive (the hash is 60-bit), which costs 4 of 64
+    * simhash positions — immaterial to the recall contract above. The
+    * extra corpus pass (md5 per shingle) is x5-local; the memoized
+    * xxhash64 pass still backs every set-identity consumer. */
   def x5SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val banded = docSets(spark, dir).select(col("doc_id"), col("hs"))
-      .as[(Long, Array[Long])] // shared memoized shingle pass (see docSets)
+    val banded = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, shingleHashesMd5(text)) }
       .flatMap { case (id, hs) =>
         val votes = new Array[Int](64)
         var k = 0
