@@ -321,10 +321,11 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
-    * Omitted: v2_ann_lsh — its hyperplanes derive from Spark-side
-    * xxhash64, which DuckDB cannot reproduce. y4 and x5 WERE on that list
-    * and are now oracled (round 7): their hashes moved to 60-bit md5,
-    * which both engines compute. x4 IS oracled: its
+    * Omitted: only q6 (HyperLogLog++) and p2 (quantile summary) — Spark's
+    * engine-internal sketch algorithms, which no external engine can
+    * replay cell-for-cell. y4/x5/v2/x6 all LEFT this list in round 7:
+    * their hashes/hyperplanes moved to 60-bit md5, which both engines
+    * compute exactly. x4 IS oracled: its
     * verified pair set is hash-independent (x3's SQL). v3/v4 are pure
     * decimal-mean + IEEE dot arithmetic and ARE oracled below. st1/st2 ARE
     * oracled: the streaming aggs accumulate in decimal, so the finalized
@@ -1543,6 +1544,70 @@ object SparkEntry {
         |  for i in generate_series(1, greatest(len(toks) - 2, 1))])) AS span FROM t)
         |SELECT span, count(*) AS doc_freq FROM s GROUP BY 1
         |ORDER BY doc_freq DESC, span LIMIT 20""".stripMargin,
+    // x6: the whole feature-hash embedding pipeline re-derived — integer
+    // count vectors, md5 planes, sign bits via the ordered list fold,
+    // rerank cosine from exact integer dots + IEEE sqrt
+    "x6_embedding_cosine" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([('0x' || substr(md5(g), 1, 15))::BIGINT
+        |    for g in [array_to_string(toks[i:i+2], ' ')
+        |              for i in generate_series(1, greatest(len(toks) - 2, 1))]]) AS hs FROM t),
+        |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+        |sp AS (SELECT doc_id, CAST(h % 64 AS INT) AS d,
+        |    CAST(sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |gd AS (SELECT sh.doc_id, dd.d FROM sh
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd),
+        |vl AS (SELECT gd.doc_id, list(coalesce(sp.v, 0) ORDER BY gd.d) AS vec
+        |  FROM gd LEFT JOIN sp ON sp.doc_id = gd.doc_id AND sp.d = gd.d
+        |  GROUP BY gd.doc_id),
+        |nn AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nn FROM sp GROUP BY 1),
+        |pl AS (SELECT p, list(w ORDER BY i) AS w FROM (
+        |    SELECT p, i, (('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT
+        |      - 576460752303423488) / 576460752303423488.0 AS w
+        |    FROM (SELECT unnest(generate_series(0, 31)) AS p)
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)) GROUP BY p),
+        |sg AS (SELECT vl.doc_id, pl.p,
+        |    CASE WHEN list_dot_product(vl.vec::DOUBLE[], pl.w) > 0
+        |      THEN 1::BIGINT ELSE 0 END AS bit
+        |  FROM vl CROSS JOIN pl),
+        |keys AS (SELECT sg.doc_id, p // 16 AS band,
+        |    CAST(sum(bit << (p % 16)) AS BIGINT) AS band_key
+        |  FROM sg JOIN nn ON nn.doc_id = sg.doc_id AND nn.nn > 0 GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |r AS (SELECT c.doc_a, c.doc_b,
+        |    round(list_dot_product(va.vec::DOUBLE[], vb.vec::DOUBLE[])
+        |      / (sqrt(na.nn) * sqrt(nb.nn)), 4) AS cosine
+        |  FROM cand c JOIN vl va ON va.doc_id = c.doc_a JOIN vl vb ON vb.doc_id = c.doc_b
+        |    JOIN nn na ON na.doc_id = c.doc_a JOIN nn nb ON nb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, cosine FROM r WHERE cosine >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // v2: hyperplanes rebuilt from the same centered 60-bit md5; sign
+    // bits via the shared ascending-index double fold (list_dot_product)
+    "v2_ann_lsh" ->
+      """WITH pl AS (SELECT p, list(w ORDER BY i) AS w FROM (
+        |    SELECT p, i, (('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT
+        |      - 576460752303423488) / 576460752303423488.0 AS w
+        |    FROM (SELECT unnest(generate_series(0, 63)) AS p)
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)) GROUP BY p),
+        |sg AS (SELECT e.vec_id, pl.p,
+        |    CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.w) > 0
+        |      THEN 1::BIGINT ELSE 0 END AS bit
+        |  FROM embeddings e CROSS JOIN pl),
+        |keys AS (SELECT vec_id, p // 16 AS band,
+        |    CAST(sum(bit << (p % 16)) AS BIGINT) AS band_key
+        |  FROM sg GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+        |    AND a.vec_id < b.vec_id),
+        |r AS (SELECT c.vec_a, c.vec_b,
+        |    round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+        |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |    JOIN embeddings eb ON eb.vec_id = c.vec_b)
+        |SELECT vec_a, vec_b, sim FROM r ORDER BY sim DESC, vec_a, vec_b
+        |LIMIT 50""".stripMargin,
     // x5: every simhash bit, band key and Hamming distance re-derived
     // from the same 60-bit md5 shingle hashes
     "x5_simhash_pairs" ->

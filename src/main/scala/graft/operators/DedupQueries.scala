@@ -312,9 +312,9 @@ object DedupQueries {
 
   /** Embedding-cosine near-dup: a 64-dim feature-hashed embedding per doc
     * (hashing trick: each shingle hash lands in dimension h mod 64 with a
-    * hash-derived sign, then L2-normalize), LSH-bucketed by 32 hyperplane
-    * sign bits (2 x 16-bit bands), exact cosine >= 0.9 verification with the
-    * codegen'd dot product. The corpus' embeddings table holds random
+    * hash-derived sign; kept as exact INTEGER counts — cosine normalizes
+    * at rerank), LSH-bucketed by 32 hyperplane sign bits (2 x 16-bit
+    * bands), exact cosine >= 0.9 verification. The corpus' embeddings table holds random
     * vectors with no near-dups, so the operator derives its vectors from
     * document content — where duplicate clusters actually exist — while
     * exercising the exact shape an embedding-dedupe pipeline runs: one
@@ -336,51 +336,58 @@ object DedupQueries {
     import spark.implicits._
     val dim = 64
     val numPlanes = 32
-    // consumes the memoized shingle arrays: a sweep running x3..x7 in one
-    // session tokenizes the corpus ONCE, not once per operator
-    val banded = docSets(spark, dir).select(col("doc_id"), col("hs"))
-      .as[(Long, Array[Long])]
+    // Round-7 oracle upgrade: INTEGER count vectors (projection signs are
+    // scale-invariant, so skipping the old float L2-normalize changes no
+    // bucket) + md5 shingle hashes and md5-derived planes — every vector
+    // component, sign bit, band key and rerank cosine is re-derived in
+    // SQL. Cosine normalizes at rerank instead: intdot / (√nn_a · √nn_b),
+    // exact integer dots and correctly-rounded IEEE sqrt on both engines.
+    // The md5 pass is x6-local (x5's rationale); the xxhash64 memo still
+    // backs the set-identity consumers.
+    val banded = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
       .mapPartitions { it =>
         val planes = Array.tabulate(numPlanes, dim)((p, i) =>
-          XXH64.hashLong((p.toLong << 32) | i.toLong, 11L).toDouble / 9.223372036854776e18)
-        it.flatMap { case (id, hs) =>
-          val vec = new Array[Float](dim)
+          SimilarityQueries.planeWeight(p, i))
+        it.flatMap { case (id, text) =>
+          val hs = shingleHashesMd5(text)
+          val vec = new Array[Long](dim)
           var k = 0
           while (k < hs.length) {
             val h = hs(k)
-            val d = ((h % dim).toInt + dim) % dim
-            vec(d) += (if (((h >>> 17) & 1L) == 1L) 1f else -1f)
+            val d = (h % dim).toInt // h is 60-bit non-negative
+            vec(d) += (if (((h >>> 17) & 1L) == 1L) 1L else -1L)
             k += 1
           }
-          var norm = 0.0
+          var nn = 0L
           var i = 0
-          while (i < dim) { norm += vec(i).toDouble * vec(i); i += 1 }
-          if (norm > 0) {
-            val inv = (1.0 / math.sqrt(norm)).toFloat
-            i = 0
-            while (i < dim) { vec(i) *= inv; i += 1 }
-          }
+          while (i < dim) { nn += vec(i) * vec(i); i += 1 }
           var sig = 0
           var p = 0
           while (p < numPlanes) {
             val pl = planes(p)
             var s = 0.0
             i = 0
-            while (i < dim) { s += vec(i) * pl(i); i += 1 }
+            while (i < dim) { s += vec(i).toDouble * pl(i); i += 1 }
             if (s > 0) sig |= (1 << p)
             p += 1
           }
-          Iterator((id, vec, 0, sig & 0xffff), (id, vec, 1, (sig >>> 16) & 0xffff))
+          Iterator((id, vec, nn, 0, sig & 0xffff), (id, vec, nn, 1, (sig >>> 16) & 0xffff))
         }
-      }.toDF("doc_id", "vec", "band", "band_key")
+      }.toDF("doc_id", "vec", "nn", "band", "band_key")
+      .filter(col("nn") > 0) // a fully-cancelled vector has no direction
       .localCheckpoint() // embedding pipeline runs once, not per join side
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
+        col("a.vec").as("va"), col("b.vec").as("vb"),
+        col("a.nn").as("nna"), col("b.nn").as("nnb"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("cosine", round(dot(col("va"), col("vb")), 4))
+      .withColumn("ca",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (a, x) => a + x))
+      .withColumn("cosine", round(col("ca").cast("double") /
+        (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double"))), 4))
       .filter(col("cosine") >= 0.9)
       .select("doc_a", "doc_b", "cosine")
       .orderBy("doc_a", "doc_b")

@@ -32,13 +32,30 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic hyperplane weight for plane `p`, component `i`:
+    * centered 60-bit md5 scaled to (-1, 1) — exactly SQL's
+    * `(('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT - 2^59) / 2^59.0`.
+    * md5 (not xxhash64) so the DuckDB oracle rebuilds the SAME planes;
+    * the matrix is built once per partition (2048 hashes), so hash cost
+    * is irrelevant here, unlike the per-shingle paths. */
+  private[operators] def planeWeight(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = java.nio.ByteBuffer.wrap(d).getLong >>> 4
+    (h - 576460752303423488L).toDouble / 576460752303423488.0
+  }
+
   /** Random-hyperplane LSH ANN: 16 signed projections onto deterministic
     * pseudo-random hyperplanes give a 16-bit bucket; candidates share a
     * bucket in any of 2 overlapping 8-bit bands; exact cosine reranks.
     * No all-pairs stage — the scale path. The projection runs per-row in a
-    * JIT'd mapPartitions (plane matrix derived once per partition from
-    * xxhash64, so the op stays deterministic and shuffle-free until the
-    * band join), not as nested column HOFs (interpreted, ~100x slower). */
+    * JIT'd mapPartitions (plane matrix derived once per partition, so the
+    * op stays deterministic and shuffle-free until the band join), not as
+    * nested column HOFs (interpreted, ~100x slower). Round-7 oracle
+    * upgrade: planes derive from md5 ([[planeWeight]]), and the
+    * projection is the ascending-index double fold both engines share
+    * (JVM loop == DuckDB list_dot_product), so every sign bit, band key,
+    * candidate pair and rerank similarity is re-derived in SQL. */
   def v2AnnLsh(spark: SparkSession, dir: String): DataFrame =
     annCandidatePairs(spark, t(spark, dir, "embeddings"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
@@ -69,8 +86,7 @@ object SimilarityQueries {
         val byDim = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
         it.flatMap { case (id, emb) =>
           val planes = byDim.getOrElseUpdate(emb.length,
-            Array.tabulate(numPlanes, emb.length)((p, i) =>
-              XXH64.hashLong((p.toLong << 32) | i.toLong, 7L).toDouble / 9.223372036854776e18))
+            Array.tabulate(numPlanes, emb.length)((p, i) => planeWeight(p, i)))
           val keys = new Array[Int](numBands)
           var p = 0
           while (p < numPlanes) {
