@@ -37,6 +37,7 @@ object SparkEntry {
     // so per-position fires + a recursive boundary walk reproduce the
     // chunker exactly; see the a3 entry in oracleSql)
     "a3_cdc_chunks" -> (ChunkQueries.a3CdcChunks _),
+    "g2_ranged_read" -> (ChunkQueries.g2RangedRead _),
     // --- generic analytics (north_star: joins/windows/aggs first-class)
     "q1_pricing_summary" -> (AnalyticsQueries.q1PricingSummary _),
     "q3_top_revenue" -> (AnalyticsQueries.q3TopRevenue _),
@@ -1903,6 +1904,12 @@ object SparkEntry {
         |ORDER BY af.vec_id""".stripMargin),
     "v9_product_quantization" -> pqOracle,
     "v10_pq_adc" -> pqAdcOracle,
+    // g2: the chunk-level ranged read must equal reading the source
+    // directly (corpus is ASCII: char offsets ARE byte offsets)
+    "g2_ranged_read" ->
+      """SELECT doc_id,
+        |  substr(text, octet_length(encode(text)) // 3 + 1, 200) AS slice_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // v11: SQ8 — per-dimension max-abs scale, signed-byte floor quantize,
     // INTEGER code dot (exact longs, so ranking carries no float risk)
     "v11_sq8_search" ->

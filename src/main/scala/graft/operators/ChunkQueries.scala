@@ -46,4 +46,42 @@ object ChunkQueries {
         countDistinct("chunk_key").as("n_distinct"))
       .orderBy("doc_id")
   }
+
+  /** g2: the RANGED read (SURVEY G7 / CLI `get --offset/--length`) as a
+    * distributed query — for every document, reconstruct byte range
+    * [n/3, n/3 + 200) from its CDC CHUNKS alone: chunk in the scan, keep
+    * only chunks overlapping the range (the pruning a chunk-level index
+    * performs — the interval-containment shape of c1), slice each
+    * overlapped chunk, and reassemble in position order. The oracle is
+    * simply `substr(text, n/3 + 1, 200)` — the hash-match proves the
+    * chunk → prune → slice → ordered-reassembly path is byte-identical
+    * to reading the source, on EVERY document at once (the corpus is
+    * ASCII, so char offsets are byte offsets). Emitting (doc, range) work
+    * units from the scan keeps the op embarrassingly parallel; only the
+    * final (doc_id, slice) rows move. */
+  def g2RangedRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = DedupeSettings(256, 2048, 8, 1)
+    val rangeLen = 200
+    t(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val off = bytes.length / 3
+        val end = math.min(off + rangeLen, bytes.length)
+        val sb = new java.lang.StringBuilder(rangeLen)
+        // chunk-level range read: prune to overlapping chunks, slice, concat
+        Chunker.chunkWithData(bytes, s).foreach { c =>
+          val cs = c.ref.address.toInt // byte offset (position is the ordinal)
+          val ce = cs + c.ref.length
+          if (ce > off && cs < end) {
+            val from = math.max(off, cs) - cs
+            val until = math.min(end, ce) - cs
+            sb.append(new String(c.data, from, until - from, "UTF-8"))
+          }
+        }
+        (id, sb.toString)
+      }.toDF("doc_id", "slice_text")
+      .orderBy("doc_id")
+  }
 }

@@ -373,6 +373,29 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("g2 ranged read equals substring and genuinely crosses chunk boundaries") {
+    import graft.core.{Chunker, DedupeSettings}
+    val s = DedupeSettings(256, 2048, 8, 1)
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val n = text.getBytes("UTF-8").length
+      (id, text.substring(n / 3, math.min(n / 3 + 200, n)))
+    }.toMap
+    val got = ChunkQueries.g2RangedRead(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == expected)
+    // the range must span >= 2 chunks somewhere, else pruning is untested
+    val multi = docs.count { case (_, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val off = bytes.length / 3
+      val end = math.min(off + 200, bytes.length)
+      Chunker.chunk(bytes, s).count(c =>
+        c.address + c.length > off && c.address < end) >= 2
+    }
+    assert(multi > 0, "no document's range crosses a chunk boundary")
+  }
+
   test("st10 streaming admit equals the batch run of the same gate") {
     val batch = TextQueries.st10AdmitGate(
       Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0),
