@@ -175,6 +175,7 @@ object SparkEntry {
     "v9_product_quantization" -> (SimilarityQueries.v9ProductQuantization _),
     "v10_pq_adc" -> (SimilarityQueries.v10PqAdcSearch _),
     "v11_sq8_search" -> (SimilarityQueries.v11Sq8Search _),
+    "v12_ivf_adc" -> (SimilarityQueries.v12IvfAdc _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -497,6 +498,37 @@ object SparkEntry {
       |  JOIN qd_2 q2 ON q2.query_id = q0.query_id AND q2.cell = n2.cell
       |  JOIN qd_3 q3 ON q3.query_id = q0.query_id AND q3.cell = n3.cell
       |  WHERE n0.vec_id <> q0.query_id),
+      |r AS (SELECT query_id, neighbor_id, s,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(s, 6) AS adc_sim, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** v12: the IVFADC composition — the SAME two SQL templates the
+    * components use (kmeansCteFor's Lloyd chain for the coarse cells,
+    * pqSubspaceCte + qd tables for ADC), joined so each query scores only
+    * its own coarse cell. One composition, zero new derivations — the
+    * oracles can never disagree with v5/v10's. */
+  private val ivfAdcOracle: String =
+    "WITH " + kmeansCteFor("").stripPrefix("WITH ") + ",\n" +
+    (0 until 4).map(pqSubspaceCte).mkString(",\n") + ",\n" +
+    (0 until 4).map(s =>
+      s"""qd_$s AS (SELECT q.vec_id AS query_id, c.cell,
+         |  list_dot_product(q.emb::DOUBLE[], c.centroid) AS d
+         |  FROM src_$s q CROSS JOIN c3_$s c WHERE q.vec_id < 10)""".stripMargin
+    ).mkString(",\n") + """,
+      |qc AS (SELECT vec_id AS query_id, cell AS qcell FROM af WHERE vec_id < 10),
+      |scored AS (SELECT qc.query_id, n.vec_id AS neighbor_id,
+      |    q0.d + q1.d + q2.d + q3.d AS s
+      |  FROM af n JOIN qc ON n.cell = qc.qcell AND n.vec_id <> qc.query_id
+      |  JOIN af_0 n0 ON n0.vec_id = n.vec_id
+      |  JOIN af_1 n1 ON n1.vec_id = n.vec_id
+      |  JOIN af_2 n2 ON n2.vec_id = n.vec_id
+      |  JOIN af_3 n3 ON n3.vec_id = n.vec_id
+      |  JOIN qd_0 q0 ON q0.query_id = qc.query_id AND q0.cell = n0.cell
+      |  JOIN qd_1 q1 ON q1.query_id = qc.query_id AND q1.cell = n1.cell
+      |  JOIN qd_2 q2 ON q2.query_id = qc.query_id AND q2.cell = n2.cell
+      |  JOIN qd_3 q3 ON q3.query_id = qc.query_id AND q3.cell = n3.cell),
       |r AS (SELECT query_id, neighbor_id, s,
       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
       |  FROM scored)
@@ -1904,6 +1936,7 @@ object SparkEntry {
         |ORDER BY af.vec_id""".stripMargin),
     "v9_product_quantization" -> pqOracle,
     "v10_pq_adc" -> pqAdcOracle,
+    "v12_ivf_adc" -> ivfAdcOracle,
     // g2: the chunk-level ranged read must equal reading the source
     // directly (corpus is ASCII: char offsets ARE byte offsets)
     "g2_ranged_read" ->

@@ -243,7 +243,7 @@ object SimilarityQueries {
   /** `(vec_id, embedding, cell)` under the k-means coarse quantizer —
     * the IVF index body. One broadcast assignment pass over the corpus
     * after the Lloyd loop. */
-  private def kmeansAssigned(spark: SparkSession, dir: String,
+  private[operators] def kmeansAssigned(spark: SparkSession, dir: String,
       k: Int, iters: Int): DataFrame = assignMemo.computeIfAbsent(
     s"${spark.sparkContext.applicationId}|$dir|$k|$iters", _ => {
       val e = t(spark, dir, "embeddings")
@@ -588,6 +588,62 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** v12: IVFADC — the classical composed vector index, assembled from
+    * the two pieces this suite already proves independently: the k-means
+    * coarse quantizer (v5/v7's session-memoized assignment) restricts
+    * each query to ITS OWN cell (probe = 1/nlist of the corpus), and
+    * within the cell candidates rank by v10's ADC lookup — inlined
+    * per-query distance tables over the shared PQ codebooks, no joins,
+    * no raw-vector math at query time. This is the exact read path a
+    * FAISS-style IVFADC index executes, end to end, and the oracle
+    * composes the same two SQL templates (the Lloyd CTE + the subspace
+    * CTEs), so the whole composition hash-matches. At 100 TB: the scan
+    * emits (cell, 4 codes) per vector; the only exchange is the rank
+    * shuffle of k·|queries| rows after the WindowGroupLimit pushdown. */
+  def v12IvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (m, subDim) = (PqM, PqSubDim)
+    val cents = pqCodebooks(spark, dir)
+    val assigned = kmeansAssigned(spark, dir, 10, 3)
+    val codeCols = (0 until m).map { s =>
+      assignExprs(slice(col("embedding"), s * subDim + 1, subDim), cents(s))
+        ._1.as(s"code_$s")
+    }
+    val coded = assigned.select(
+      col("vec_id").as("neighbor_id") +: col("cell") +: codeCols: _*)
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
+    def jdot(q: Array[Float], c: Seq[Double], off: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += q(off + i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val perQuery = queries.map { case (qid, qcell, qv) =>
+      val score = (0 until m).map { s =>
+        val lookups = cents(s).map { case (cellId, c) =>
+          (cellId, jdot(qv, c, s * subDim)) }
+        lookups.tail.foldLeft(
+          when(col(s"code_$s") === lookups.head._1, lit(lookups.head._2))) {
+          case (acc, (cellId, d)) => acc.when(col(s"code_$s") === cellId, lit(d))
+        }
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), lit(qcell).as("qcell"), score.as("s"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("neighbor_id"))
+    coded.select(col("neighbor_id"), col("cell"),
+        explode(array(perQuery.toIndexedSeq: _*)).as("u"))
+      .filter(col("u.qcell") === col("cell") &&
+        col("neighbor_id") =!= col("u.query_id"))
+      .select(col("u.query_id").as("query_id"), col("neighbor_id"), col("u.s").as("s"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("s"), 6).as("adc_sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 

@@ -396,6 +396,44 @@ class Round7OpsSpec extends SparkSpec {
     assert(multi > 0, "no document's range crosses a chunk boundary")
   }
 
+  test("v12 IVFADC equals the cell-restricted brute-force ADC top-k") {
+    val (m, subDim) = (4, 16)
+    val cents = SimilarityQueries.pqCodebooks(spark, sfDir)
+    val cells = SimilarityQueries.kmeansAssigned(spark, sfDir, 10, 3)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def jdot(q: Array[Float], off: Int, c: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += q(off + i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map { s =>
+        cents(s).map { case (cell, c) =>
+          (cell, jdot(v, s * subDim, c) - 0.5 * c.map(x => x * x).sum) }
+          .maxBy { case (cell, sc) => (sc, -cell) }._1
+      }
+    }.toMap
+    val expected = vecs.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val tables = (0 until m).map(s =>
+        cents(s).map { case (cell, c) => cell -> jdot(qv, s * subDim, c) }.toMap)
+      vecs.filter(v => v._1 != qid && cells(v._1) == cells(qid)) // the probe
+        .map { case (nid, _) =>
+          (qid, nid, (0 until m).map(x => tables(x)(codes(nid)(x))).reduce(_ + _))
+        }.sortBy { case (_, nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((q, n, s), i) =>
+          (q, n, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            i + 1) }
+    }.toSet
+    val got = SimilarityQueries.v12IvfAdc(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("st10 streaming admit equals the batch run of the same gate") {
     val batch = TextQueries.st10AdmitGate(
       Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0),
