@@ -434,6 +434,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("event ts normalization reads every physical encoding identically") {
+    // the driver has shipped events.ts as BOTH int64-nanos and
+    // timestamp[us] across testdata regenerations; Tables.normalizeEventTs
+    // must make the generations indistinguishable
+    val now = Tables.t(spark, sfDir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val d = java.nio.file.Files.createTempDirectory("graft-nanos")
+    graft.core.FsUtil.deleteOnExitRecursively(d)
+    // legacy generation: the same events re-encoded as plain int64 nanos
+    Tables.t(spark, sfDir, "events")
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val legacy = Tables.t(spark, d.toString, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(legacy == now)
+    // already-TIMESTAMP frames pass through normalize untouched
+    val again = Tables.normalizeEventTs(Tables.t(spark, sfDir, "events"))
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == now)
+  }
+
   test("st10 streaming admit equals the batch run of the same gate") {
     val batch = TextQueries.st10AdmitGate(
       Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 7 === 0),
