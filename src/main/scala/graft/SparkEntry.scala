@@ -101,6 +101,16 @@ object SparkEntry {
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
     // salting is output-invariant, so a plain SQL oracle checks it
     "k1_salted_join" -> (SkewOps.k1SaltedJoin _),
+    // k2: the same skew, mitigated by AQE's runtime skew-join split
+    // instead of manual salting (AqeSkewSpec asserts the split fires)
+    "k2_aqe_skew" -> (SkewOps.k2AqeSkewJoin _),
+    // t6: trailing-7 rolling anomaly flags, z-test cross-multiplied into
+    // exact decimal arithmetic (no sqrt/divide)
+    "t6_anomaly_flags" -> (AnalyticsQueries.t6AnomalyFlags _),
+    // w8: first/last-touch attribution via lexicographic struct argmin/max
+    "w8_attribution" -> (AnalyticsQueries.w8Attribution _),
+    // m5: multimodal (text+patch/sample tokens) sequence packing
+    "m5_multimodal_pack" -> (operators.MultimodalOps.mm5MultimodalPack _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -1184,6 +1194,88 @@ object SparkEntry {
         |      FROM events) e
         |JOIN customer USING (c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // k2: AQE's skew split is output-invariant like k1's salting — the
+    // oracle is the plain join with the hot key exposed in the rollup
+    "k2_aqe_skew" ->
+      """SELECT c_mktsegment, (c_custkey = 1) AS is_hot, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 1 ELSE user_id END AS c_custkey, value
+        |      FROM events) e
+        |JOIN customer USING (c_custkey)
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, is_hot""".stripMargin,
+    // t6: trailing-7-observation z-test, cross-multiplied to decimal
+    // integer-scaled arithmetic — identical formula on both engines
+    "t6_anomaly_flags" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |  count(*) OVER fr AS window_n,
+        |  sum(x) OVER fr AS s,
+        |  sum(x * x) OVER fr AS ss
+        |  FROM d
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(x AS DOUBLE) AS day_value,
+        |  CAST(window_n AS BIGINT) AS window_n,
+        |  (window_n = 7 AND
+        |   (x * 7 - s) * (x * 7 - s) * 3 > (ss * 7 - s * s) * 14) AS is_anomaly
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    // w8: per-purchase argmin/argmax touch via min/max over the ordered
+    // (ts, event_id, channel) row — DuckDB min/max on a STRUCT compare
+    // lexicographically, same as Spark's struct ordering
+    "w8_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus, value
+        |    FROM events WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS tid, event_type AS ch
+        |    FROM events WHERE event_type IN ('click', 'view')),
+        |a AS (SELECT p.event_id, any_value(p.value) AS value,
+        |    min({'tus': tc.tus, 'tid': tc.tid, 'ch': tc.ch}).ch AS first_ch,
+        |    max({'tus': tc.tus, 'tid': tc.tid, 'ch': tc.ch}).ch AS last_ch
+        |  FROM p LEFT JOIN tc ON p.user_id = tc.user_id
+        |    AND tc.tus < p.pus AND tc.tus >= p.pus - 259200000000
+        |  GROUP BY p.event_id),
+        |u AS (SELECT value, 'first' AS role, coalesce(first_ch, 'direct') AS channel FROM a
+        |  UNION ALL
+        |  SELECT value, 'last' AS role, coalesce(last_ch, 'direct') AS channel FROM a)
+        |SELECT channel,
+        |  CAST(sum(CASE WHEN role = 'first' THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(sum(CASE WHEN role = 'first' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    AS rev_first,
+        |  CAST(sum(CASE WHEN role = 'last' THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(sum(CASE WHEN role = 'last' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    AS rev_last
+        |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+    // m5: z3's cumsum-and-chop schedule over text+media token budgets, the
+    // media side re-derived from the sha256 stub geometry (m1/m4's bridge)
+    "m5_multimodal_pack" ->
+      """WITH d AS (SELECT doc_id, sha256(text) AS h,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS text_toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, text_toks,
+        |  CASE WHEN (('0x' || substr(h, 1, 2))::INT % 3) = 0
+        |    THEN ((64 + 8 * (('0x' || substr(h, 3, 2))::INT % 32) + 15) // 16)
+        |       * ((64 + 8 * (('0x' || substr(h, 5, 2))::INT % 32) + 15) // 16)
+        |    ELSE (1000 + 100 * ('0x' || substr(h, 7, 2))::INT - 1) // 500 + 1
+        |  END AS media_toks FROM d),
+        |c AS (SELECT doc_id, text_toks, media_toks,
+        |  sum(text_toks + media_toks) OVER
+        |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fin
+        |  FROM m),
+        |x AS (SELECT fin - text_toks - media_toks AS strt,
+        |  fin - media_toks AS tmid, fin,
+        |  unnest(generate_series(CAST((fin - text_toks - media_toks) // 4096 AS BIGINT),
+        |    CAST((fin - 1) // 4096 AS BIGINT))) AS seq_id FROM c)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN strt < seq_id * 4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+        |  CAST(sum(greatest(least(tmid, (seq_id + 1) * 4096) - greatest(strt, seq_id * 4096), 0))
+        |    AS BIGINT) AS text_fill,
+        |  CAST(sum(greatest(least(fin, (seq_id + 1) * 4096) - greatest(tmid, seq_id * 4096), 0))
+        |    AS BIGINT) AS media_fill,
+        |  CAST(sum(least(fin, (seq_id + 1) * 4096) - greatest(strt, seq_id * 4096))
+        |    AS BIGINT) AS fill_tokens
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // st1's streamed answer is the batch hourly rollup (decimal-exact sums,
     // Append mode finalizes every window on the staged one-batch replay) —
     // the oracle is t1's SQL

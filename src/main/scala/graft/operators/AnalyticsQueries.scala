@@ -984,4 +984,86 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort_wk", "week_offset")
   }
+
+  /** t6: rolling-window anomaly flags over the daily value series — the
+    * monitoring query a pipeline runs on its own throughput metrics. Each
+    * (event_type, day) total is compared against the trailing 7
+    * OBSERVATIONS' mean/variance (row frame, so a gapped series compares
+    * against the last 7 present days), and flagged when |z| > 2. The z
+    * test is cross-multiplied into INTEGER-scaled decimal arithmetic —
+    * `3·(7x−s)² > 14·(7·ss−s²)` with s=Σx, ss=Σx² over the frame — so
+    * there is no sqrt, no division, and no float-boundary risk: the flag
+    * is bit-identical on any engine (t5's exact-dyadic trick, extended to
+    * second moments). Scale: one groupBy to days (map-side partial over
+    * the raw events), then a window over the TINY per-day series
+    * partitioned by event_type — the frame never sees raw rows. */
+  def t6AnomalyFlags(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    val s = sum(col("x")).over(w)
+    val ss = sum(col("x") * col("x")).over(w)
+    val cnt = count(lit(1)).over(w)
+    val dev = col("x") * 7 - s // 7x − s, scale-6 decimal
+    daily
+      .withColumn("window_n", cnt)
+      .withColumn("is_anomaly",
+        cnt === 7 && dev * dev * 3 > (ss * 7 - s * s) * 14)
+      .select(col("event_type"), col("day"),
+        col("x").cast("double").as("day_value"),
+        col("window_n"), col("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Touch channels w8 credits a purchase to, and its lookback horizon. */
+  private val TouchTypes = Seq("click", "view")
+  private val AttributionLookbackUs = 3L * 86400L * 1000000L
+
+  /** w8: first/last-touch revenue attribution — for every purchase, the
+    * user's earliest and latest touch event (click/view) in the 3 days
+    * before it get the credit; a purchase with no touch in the window is
+    * 'direct'. Per channel: purchases and revenue credited under each
+    * model. The per-purchase argmin/argmax is ONE lexicographic
+    * min/max(struct(ts, event_id, channel)) per side — no window, no
+    * row_number, and ties break on event_id so the pick is total-ordered.
+    * Scale: the join is equi on user_id with the range predicate applied
+    * in the join filter — fan-out is bounded by one user's touch density
+    * within 3 days, never the corpus; revenue sums in decimal so the
+    * rollup is partition-order-independent. */
+  def w8Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("pus"), col("value"))
+    val touch = ev.filter(col("event_type").isin(TouchTypes: _*))
+      .select(col("user_id").as("t_user"), unix_micros(col("ts")).as("tus"),
+        col("event_id").as("tid"), col("event_type").as("ch"))
+    val joined = p.join(touch,
+      col("p_user") === col("t_user") &&
+        col("tus") < col("pus") &&
+        col("tus") >= col("pus") - AttributionLookbackUs,
+      "left")
+    val perPurchase = joined
+      .groupBy("event_id")
+      .agg(first(col("value")).as("value"),
+        min(struct(col("tus"), col("tid"), col("ch"))).getField("ch").as("first_ch"),
+        max(struct(col("tus"), col("tid"), col("ch"))).getField("ch").as("last_ch"))
+    perPurchase
+      .select(col("value"),
+        explode(map(lit("first"), col("first_ch"), lit("last"), col("last_ch")))
+          .as(Seq("role", "ch")))
+      .select(col("value"), col("role"),
+        coalesce(col("ch"), lit("direct")).as("channel"))
+      .groupBy("channel")
+      .agg(
+        sum(when(col("role") === "first", 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("role") === "first", col("value").cast("decimal(18,6)")))
+          .cast("double").as("rev_first"),
+        sum(when(col("role") === "last", 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("role") === "last", col("value").cast("decimal(18,6)")))
+          .cast("double").as("rev_last"))
+      .orderBy("channel")
+  }
 }

@@ -156,6 +156,68 @@ object MultimodalOps {
         countDistinct(struct(col("docId"), col("chunk"))).as("total_chunks"))
       .orderBy("media_type")
 
+  /** m5: MULTIMODAL sequence packing — the interleaved text+media variant
+    * of z3's concat-and-chop: each document contributes its TEXT tokens
+    * (whitespace count, the y-family bridge) followed by its MEDIA tokens
+    * (vision-transformer patches `ceil(w/16)*ceil(h/16)` for images, one
+    * token per 500 ms sample for timed media — m4's schedule), and the
+    * combined token stream is chopped into 4096-token training sequences
+    * in doc_id order. Emits the packing manifest per sequence with the
+    * PER-MODALITY fill split (a doc straddling a boundary splits exactly:
+    * its text tokens occupy [strt, strt+text), media [strt+text, fin)) —
+    * the table a multimodal trainer sizes its patch-embedding batch from.
+    *
+    * Scale: token counts are one decode pass (mapPartitions, amortized
+    * init); the global offsets come from [[ExactOffsets]]'s range-partition
+    * + broadcast prefix scaffold (no unpartitioned window, O(nParts)
+    * driver memory); the explode fans each doc to the 1 + toks/cap
+    * sequences it touches — bounded expansion, and only (id, 3 longs)
+    * rows ever shuffle, never text or payload bytes. Integer-exact end to
+    * end, so the DuckDB oracle re-derives the whole schedule from sha256
+    * geometry + a window cumsum. */
+  def mm5MultimodalPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 4096L
+    val toks = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        // real codec init would go here, once per partition
+        it.map { case (id, text) =>
+          val m = stubDecode(id, text.getBytes("UTF-8"))
+          var textToks = 1L
+          var i = 0
+          while (i < text.length) { if (text.charAt(i) == ' ') textToks += 1; i += 1 }
+          val mediaToks =
+            if (m.durationMs > 0) (m.durationMs - 1) / 500 + 1
+            else ((m.width + 15L) / 16) * ((m.height + 15L) / 16)
+          (id, textToks, mediaToks)
+        }
+      }.toDF("doc_id", "text_toks", "media_toks")
+      .withColumn("toks", col("text_toks") + col("media_toks"))
+    val (withOffsets, _) = ExactOffsets.withPartitionOffsets(
+      spark, toks, Seq(col("doc_id")), col("toks"), "tok_offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("doc_id")
+    val seqLo = col("seq_id") * cap
+    val seqHi = (col("seq_id") + 1) * cap
+    withOffsets
+      .withColumn("fin", sum(col("toks")).over(w) + col("tok_offset"))
+      .withColumn("strt", col("fin") - col("toks"))
+      .withColumn("tmid", col("strt") + col("text_toks"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"strt DIV $cap"), expr(s"(fin - 1) DIV $cap"))))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("strt") < seqLo, 1L).otherwise(0L)).as("n_carried"),
+        sum(greatest(least(col("tmid"), seqHi) - greatest(col("strt"), seqLo), lit(0L)))
+          .as("text_fill"),
+        sum(greatest(least(col("fin"), seqHi) - greatest(col("tmid"), seqLo), lit(0L)))
+          .as("media_fill"))
+      .withColumn("fill_tokens", col("text_fill") + col("media_fill"))
+      .orderBy("seq_id")
+  }
+
   /** Metadata rollup per media type — the query a curation pipeline runs
     * over the decoded corpus. Snake-case output columns so the DuckDB
     * oracle (which re-derives the stub's sha256 arithmetic in SQL) aligns

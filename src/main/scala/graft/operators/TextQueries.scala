@@ -160,19 +160,11 @@ object TextQueries {
         wordCount(col("text"), "the") + wordCount(col("text"), "a"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("stop_hits").cast("double") / col("n_tokens"), 4).as("score"))
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    // localCheckpoint pins the sampled range boundaries: the counts job and
-    // the ranking job MUST see the same row->partition assignment
-    val parted = scored.repartitionByRange(nParts, col("score"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    // one (pid, count) row per partition — O(nParts) driver memory
-    val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
-      .as[(Int, Long)].collect().sortBy(_._1)
-    val total = counts.map(_._2).sum
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
-    val offsetsDf = offsets.toSeq.toDF("pid", "offset") // nParts rows -> broadcast
+    // scale-safe global rank: ExactOffsets' range-partition + broadcast
+    // prefix-offset scaffold (shared with z3/m5) replaces the single-task
+    // unpartitioned ntile window
+    val (withOffsets, total) = ExactOffsets.withPartitionOffsets(
+      spark, scored, Seq(col("score"), col("doc_id")), lit(1L), "offset")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(col("score"), col("doc_id"))
     val q10 = total / 10
@@ -182,7 +174,7 @@ object TextQueries {
     val decile = (when(gi < lit(r10 * (q10 + 1)), floor(gi / lit(q10 + 1)))
       .otherwise(lit(r10) + floor((gi - lit(r10 * (q10 + 1))) / lit(math.max(q10, 1L))))
       + 1).cast("long")
-    parted.join(broadcast(offsetsDf), "pid")
+    withOffsets
       .withColumn("decile", decile)
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
@@ -417,20 +409,12 @@ object TextQueries {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), tokenCount(col("text")).as("toks"))
       .filter(col("toks") > 0)
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    // localCheckpoint pins the range boundaries: the sums job and the
-    // packing job MUST see the same row->partition assignment (see y9)
-    val parted = toks.repartitionByRange(nParts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val sums = parted.groupBy("pid").agg(sum("toks").as("s"))
-      .as[(Int, Long)].collect().sortBy(_._1)
-    var acc = 0L
-    val offsets = sums.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
-    val offsetsDf = offsets.toSeq.toDF("pid", "tok_offset") // nParts rows -> broadcast
+    // exact global token offsets via the shared ExactOffsets scaffold (y9)
+    val (withOffsets, _) = ExactOffsets.withPartitionOffsets(
+      spark, toks, Seq(col("doc_id")), col("toks"), "tok_offset")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy("doc_id")
-    parted.join(broadcast(offsetsDf), "pid")
+    withOffsets
       .withColumn("fin", sum(col("toks")).over(w) + col("tok_offset"))
       .withColumn("strt", col("fin") - col("toks"))
       // every sequence this doc's token interval [strt, fin) touches;
