@@ -111,6 +111,14 @@ object SparkEntry {
     "w8_attribution" -> (AnalyticsQueries.w8Attribution _),
     // m5: multimodal (text+patch/sample tokens) sequence packing
     "m5_multimodal_pack" -> (operators.MultimodalOps.mm5MultimodalPack _),
+    // t7: day-of-week seasonal baseline + residual (one IEEE divide)
+    "t7_seasonal_residual" -> (AnalyticsQueries.t7SeasonalResidual _),
+    // w9: session event-type transition (bigram) matrix + row shares
+    "w9_transition_matrix" -> (AnalyticsQueries.w9TransitionMatrix _),
+    // j5: nearest-event join (bidirectional as-of, ±1 day horizon)
+    "j5_nearest_join" -> (JoinQueries.j5NearestJoin _),
+    // v13: cell-bounded range (radius) search at dot >= 0.15
+    "v13_range_search" -> (SimilarityQueries.v13RangeSearch _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -1276,6 +1284,59 @@ object SparkEntry {
         |  CAST(sum(least(fin, (seq_id + 1) * 4096) - greatest(strt, seq_id * 4096))
         |    AS BIGINT) AS fill_tokens
         |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // t7: decimal-exact daily sums; baseline = one double divide; residual
+    // subtracts two bit-identical doubles — no rounding anywhere
+    "t7_seasonal_residual" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, day % 7 AS dow,
+        |    CAST(sum(x) AS DOUBLE) / count(*) AS dow_baseline
+        |  FROM d GROUP BY 1, 2)
+        |SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+        |  CAST(d.x AS DOUBLE) AS day_value, b.dow_baseline,
+        |  CAST(d.x AS DOUBLE) - b.dow_baseline AS residual
+        |FROM d JOIN b ON d.event_type = b.event_type AND d.day % 7 = b.dow
+        |ORDER BY d.event_type, day""".stripMargin,
+    // w9: lag window per user; share = exact count / exact count, one IEEE op
+    "w9_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |    AS prev_type,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |    AS prev_us
+        |  FROM events),
+        |m AS (SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        |  FROM e WHERE prev_type IS NOT NULL AND us - prev_us <= 1800000000
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // j5: the same lexicographic min(struct) pick as w8's argmin bridge
+    "j5_nearest_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus FROM events
+        |    WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, event_id AS click_id, epoch_us(ts) AS cus
+        |    FROM events WHERE event_type = 'click'),
+        |a AS (SELECT p.event_id, any_value(p.user_id) AS user_id,
+        |    min({'adus': abs(c.cus - p.pus), 'cid': c.click_id,
+        |         'dus': c.cus - p.pus}) AS m
+        |  FROM p JOIN c ON p.user_id = c.cu
+        |    AND abs(c.cus - p.pus) <= 86400000000
+        |  GROUP BY p.event_id)
+        |SELECT event_id, user_id, m.cid AS nearest_click_id, m.dus AS delta_us
+        |FROM a ORDER BY event_id""".stripMargin,
+    // v13: threshold on the RAW double dot (bit-identical per the dot_f
+    // contract), round only the output — v1/v6's oracle discipline
+    "v13_range_search" ->
+      """WITH q AS (SELECT label, vec_id AS query_id, embedding AS qv
+        |    FROM embeddings WHERE vec_id < 10)
+        |SELECT query_id, e.vec_id AS neighbor_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], qv::DOUBLE[]), 6) AS sim
+        |FROM embeddings e JOIN q USING (label)
+        |WHERE e.vec_id <> q.query_id
+        |  AND list_dot_product(e.embedding::DOUBLE[], qv::DOUBLE[]) >= 0.15
+        |ORDER BY query_id, neighbor_id""".stripMargin,
     // st1's streamed answer is the batch hourly rollup (decimal-exact sums,
     // Append mode finalizes every window on the staged one-batch replay) —
     // the oracle is t1's SQL

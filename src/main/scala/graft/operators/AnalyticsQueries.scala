@@ -1017,6 +1017,55 @@ object AnalyticsQueries {
       .orderBy("event_type", "day")
   }
 
+  /** t7: day-of-week seasonal baseline + residual — the seasonal-
+    * adjustment verb next to t6's rolling z-test: each (event_type, day)
+    * total is compared against that event_type's mean for the same
+    * epoch-aligned day-of-week. The baseline is ONE IEEE divide of a
+    * decimal-exact sum by a count (v4's portable-mean trick), and the
+    * residual subtracts two bit-identical doubles, so no rounding is
+    * needed anywhere. Scale: daily rollup partial-aggregates below its
+    * exchange; the |types|×7-row baseline broadcasts back onto the daily
+    * series. */
+  def t7SeasonalResidual(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("x"))
+    val base = daily.groupBy(col("event_type"), (col("day") % 7).as("dow"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("dow_baseline"))
+    daily.withColumn("dow", col("day") % 7)
+      .join(broadcast(base), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"),
+        col("x").cast("double").as("day_value"),
+        col("dow_baseline"),
+        (col("x").cast("double") - col("dow_baseline")).as("residual"))
+      .orderBy("event_type", "day")
+  }
+
+  /** w9: session-transition matrix — the event-type bigram counts a
+    * product-analytics / Markov-model pipeline estimates: for every pair
+    * of CONSECUTIVE events of one user at most 30 minutes apart, count
+    * (from_type → to_type) and its share of all transitions out of
+    * from_type. One user_id exchange feeds the lag window; the matrix is
+    * |types|² rows, and the share divides two exact counts in one IEEE op
+    * (identical on both engines — no rounding). */
+  def w9TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("prev_type").isNotNull && col("us") - col("prev_us") <= gapUs)
+    val m = pairs.groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_type")
+    m.withColumn("p", col("n").cast("double") / sum(col("n")).over(wf))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Touch channels w8 credits a purchase to, and its lookback horizon. */
   private val TouchTypes = Seq("click", "view")
   private val AttributionLookbackUs = 3L * 86400L * 1000000L

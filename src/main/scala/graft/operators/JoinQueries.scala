@@ -143,4 +143,33 @@ object JoinQueries {
         coalesce(col("n_unconverted"), lit(0L)).as("n_unconverted"))
       .orderBy("wk")
   }
+
+  /** j5: NEAREST-event join — the bidirectional as-of: for every purchase,
+    * the user's nearest click by |Δt| in EITHER direction within ±1 day
+    * (j1's as-of only looks backward; sensor/feature alignment usually
+    * wants nearest). The pick is one lexicographic min(struct(|Δ|, id, Δ))
+    * per purchase — ties on equidistant before/after clicks break on
+    * click_id, so the answer is total-ordered with no window. Scale: equi
+    * join on user_id with the horizon as the join residual — fan-out
+    * bounded by a user's ±1-day click density; one exchange per side on
+    * the same key; the rollup exchanges one row per purchase. */
+  def j5NearestJoin(spark: SparkSession, dir: String): DataFrame = {
+    val horizonUs = 86400L * 1000000L
+    val e = t(spark, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), unix_micros(col("ts")).as("pus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cus"))
+    p.join(c, col("pu") === col("cu") &&
+        abs(col("cus") - col("pus")) <= horizonUs)
+      .groupBy("event_id")
+      .agg(first(col("pu")).as("user_id"),
+        min(struct(abs(col("cus") - col("pus")).as("adus"),
+          col("click_id").as("cid"),
+          (col("cus") - col("pus")).as("dus"))).as("m"))
+      .select(col("event_id"), col("user_id"),
+        col("m.cid").as("nearest_click_id"), col("m.dus").as("delta_us"))
+      .orderBy("event_id")
+  }
 }

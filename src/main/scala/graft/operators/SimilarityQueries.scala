@@ -672,4 +672,33 @@ object SimilarityQueries {
           / count(lit(1)), 6).as("avg_sim_to_centroid"))
       .orderBy("label")
   }
+
+  /** v13's similarity floor: same-cell neighbors with dot ≥ 0.15 (the
+    * corpus' same-label dots top out around 0.36, so this keeps the result
+    * selective but non-empty at every SF — probed before settling). */
+  private val RangeSearchTau = 0.15
+
+  /** v13: RANGE (radius/threshold) search — the variable-cardinality verb
+    * next to v1/v4's top-k: every neighbor of the 10 query vectors with
+    * similarity ≥ τ, not a fixed k of them. This is the shape semantic
+    * dedupe thresholds use (x13 keeps a pair iff sim ≥ τ — there the τ
+    * decides DROPS, here it returns the matches). Candidates are
+    * cell-bounded exactly like v6 (label cells here; v7 documents the
+    * kmeans-cell variant of the same contract), the threshold compares the
+    * RAW double dot — bit-identical across engines per the dot_f contract,
+    * so the τ boundary cannot flip — and only the emitted sim is rounded.
+    * Scale: queries broadcast; per-query work is |cell|, never corpus;
+    * result size is data-dependent, which is exactly what the verb means. */
+  def v13RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("label"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("s", dot(col("embedding"), col("qv")))
+      .filter(col("s") >= RangeSearchTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("s"), 6).as("sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
 }

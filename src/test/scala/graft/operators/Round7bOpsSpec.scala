@@ -140,4 +140,92 @@ class Round7bOpsSpec extends SparkSpec {
     assert(got.map(_._2._5).sum == total)
     assert(got.dropRight(1).forall(_._2._5 == cap))
   }
+
+  private def collectedEvents() = Tables.t(spark, sfDir, "events")
+    .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_type"), col("value")).collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+
+  test("t7 seasonal residual equals a brute-force dow-baseline walk") {
+    val dayUs = 86400L * 1000000L
+    def dec(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val daily = collectedEvents().groupBy(e => (e._4, e._3 / dayUs))
+      .map { case ((ty, day), es) => (ty, day, es.map(e => dec(e._5)).sum) }.toSeq
+    val base = daily.groupBy(d => (d._1, d._2 % 7)).map { case (k, ds) =>
+      k -> (ds.map(_._3).sum.toDouble / ds.size) }
+    val expected = daily.sortBy(d => (d._1, d._2)).map { case (ty, day, x) =>
+      val b = base((ty, day % 7))
+      (ty, day, x.toDouble, b, x.toDouble - b)
+    }
+    val got = AnalyticsQueries.t7SeasonalResidual(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == expected)
+    assert(got.exists(_._5 != 0.0), "some day must deviate from its baseline")
+  }
+
+  test("w9 transition matrix equals a brute-force per-user walk") {
+    val gapUs = 30L * 60L * 1000000L
+    val pairs = collectedEvents().groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._3, e._1))
+      s.zip(s.drop(1)).collect {
+        case (a, b) if b._3 - a._3 <= gapUs => (a._4, b._4)
+      }
+    }
+    val n = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTotals = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = n.toSeq.sortBy(_._1).map { case ((f, t), c) =>
+      (f, t, c, c.toDouble / fromTotals(f)) }
+    val got = AnalyticsQueries.w9TransitionMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected)
+    // shares out of each from_type must sum to 1 exactly in rational terms
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("j5 nearest join equals a brute-force bidirectional scan") {
+    val horizon = 86400L * 1000000L
+    val es = collectedEvents()
+    val clicks = es.filter(_._4 == "click").groupBy(_._2)
+    val expected = es.filter(_._4 == "purchase").flatMap { p =>
+      val cand = clicks.getOrElse(p._2, Array.empty[(Long, Long, Long, String, Double)])
+        .filter(c => math.abs(c._3 - p._3) <= horizon)
+      if (cand.isEmpty) None
+      else {
+        val best = cand.minBy(c => (math.abs(c._3 - p._3), c._1))
+        Some((p._1, p._2, best._1, best._3 - p._3))
+      }
+    }.sortBy(_._1)
+    val got = JoinQueries.j5NearestJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.exists(_._4 < 0) && got.exists(_._4 > 0),
+      "nearest picks must occur in both directions")
+  }
+
+  test("v13 range search equals a brute-force threshold scan") {
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    // mirror dot_f: double promotion per element, left-to-right accumulate
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val qs = vecs.filter(_._1 < 10)
+    val expected = (for {
+      q <- qs; v <- vecs
+      if v._3 == q._3 && v._1 != q._1
+      s = dot(v._2, q._2) if s >= 0.15
+    } yield (q._1, v._1, math.rint(s * 1e6) / 1e6)).sortBy(p => (p._1, p._2))
+    val got = SimilarityQueries.v13RangeSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty, "threshold must bite but not empty the result")
+    // variable cardinality: not every query returns the same neighbor count
+    val perQ = got.groupBy(_._1).map(_._2.length).toSet
+    assert(perQ.size > 1)
+  }
 }
