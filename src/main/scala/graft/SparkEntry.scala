@@ -119,6 +119,12 @@ object SparkEntry {
     "j5_nearest_join" -> (JoinQueries.j5NearestJoin _),
     // v13: cell-bounded range (radius) search at dot >= 0.15
     "v13_range_search" -> (SimilarityQueries.v13RangeSearch _),
+    // p4: equi-width histogram with decimal-exact per-bin mass
+    "p4_histogram" -> (AnalyticsQueries.p4Histogram _),
+    // x15: LSH bucket-occupancy tuning profile over x6's banding
+    "x15_lsh_profile" -> (DedupQueries.x15LshBucketProfile _),
+    // z6: per-source output-shard bin-pack manifest (whole-doc units)
+    "z6_shard_binpack" -> (LayoutOps.z6ShardBinpack _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -371,6 +377,38 @@ object SparkEntry {
       |FROM tr JOIN ev ON tr.g = ev.g
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY train_id, eval_id""".stripMargin
+
+  /** x6's md5 hyperplane banding re-derivation, up through the per-doc
+    * (band, band_key) table — shared verbatim by the x6 candidate join and
+    * x15's bucket-occupancy profile so the profiled structure IS the
+    * joined structure. */
+  private val hyperplaneKeysCte: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([('0x' || substr(md5(g), 1, 15))::BIGINT
+      |    for g in [array_to_string(toks[i:i+2], ' ')
+      |              for i in generate_series(1, greatest(len(toks) - 2, 1))]]) AS hs FROM t),
+      |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+      |sp AS (SELECT doc_id, CAST(h % 64 AS INT) AS d,
+      |    CAST(sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM e GROUP BY 1, 2),
+      |gd AS (SELECT sh.doc_id, dd.d FROM sh
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd),
+      |vl AS (SELECT gd.doc_id, list(coalesce(sp.v, 0) ORDER BY gd.d) AS vec
+      |  FROM gd LEFT JOIN sp ON sp.doc_id = gd.doc_id AND sp.d = gd.d
+      |  GROUP BY gd.doc_id),
+      |nn AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nn FROM sp GROUP BY 1),
+      |pl AS (SELECT p, list(w ORDER BY i) AS w FROM (
+      |    SELECT p, i, (('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT
+      |      - 576460752303423488) / 576460752303423488.0 AS w
+      |    FROM (SELECT unnest(generate_series(0, 31)) AS p)
+      |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)) GROUP BY p),
+      |sg AS (SELECT vl.doc_id, pl.p,
+      |    CASE WHEN list_dot_product(vl.vec::DOUBLE[], pl.w) > 0
+      |      THEN 1::BIGINT ELSE 0 END AS bit
+      |  FROM vl CROSS JOIN pl),
+      |keys AS (SELECT sg.doc_id, p // 16 AS band,
+      |    CAST(sum(bit << (p % 16)) AS BIGINT) AS band_key
+      |  FROM sg JOIN nn ON nn.doc_id = sg.doc_id AND nn.nn > 0 GROUP BY 1, 2)""".stripMargin
 
   private val dupClusterCte: String =
     """WITH RECURSIVE
@@ -1337,6 +1375,35 @@ object SparkEntry {
         |WHERE e.vec_id <> q.query_id
         |  AND list_dot_product(e.embedding::DOUBLE[], qv::DOUBLE[]) >= 0.15
         |ORDER BY query_id, neighbor_id""".stripMargin,
+    // p4: floor(value/50) is one IEEE divide + floor — identical on both
+    // engines; bin mass sums in decimal
+    "p4_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+        |  CAST(least(floor(value / 50), 9) AS BIGINT) * 50 AS lo,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mass
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    // x15: the shared hyperplane-keys CTE + the two-level occupancy rollup
+    "x15_lsh_profile" -> (hyperplaneKeysCte +
+      """,
+        |bs AS (SELECT band, band_key, count(*) AS bucket_size
+        |  FROM keys GROUP BY 1, 2)
+        |SELECT CAST(band AS BIGINT) AS band,
+        |  CAST(bucket_size AS BIGINT) AS bucket_size,
+        |  count(*) AS n_buckets,
+        |  CAST(count(*) * bucket_size * (bucket_size - 1) // 2 AS BIGINT) AS cand_pairs
+        |FROM bs GROUP BY band, bucket_size ORDER BY band, bucket_size""".stripMargin),
+    // z6: same start-offset shard rule via a per-source window cumsum
+    "z6_shard_binpack" ->
+      """WITH c AS (SELECT doc_id, source, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fin
+        |  FROM documents)
+        |SELECT source, CAST((fin - n_chars) // 50000 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
     // st1's streamed answer is the batch hourly rollup (decimal-exact sums,
     // Append mode finalizes every window on the staged one-batch replay) —
     // the oracle is t1's SQL
@@ -1733,33 +1800,8 @@ object SparkEntry {
     // x6: the whole feature-hash embedding pipeline re-derived — integer
     // count vectors, md5 planes, sign bits via the ordered list fold,
     // rerank cosine from exact integer dots + IEEE sqrt
-    "x6_embedding_cosine" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([('0x' || substr(md5(g), 1, 15))::BIGINT
-        |    for g in [array_to_string(toks[i:i+2], ' ')
-        |              for i in generate_series(1, greatest(len(toks) - 2, 1))]]) AS hs FROM t),
-        |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-        |sp AS (SELECT doc_id, CAST(h % 64 AS INT) AS d,
-        |    CAST(sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
-        |  FROM e GROUP BY 1, 2),
-        |gd AS (SELECT sh.doc_id, dd.d FROM sh
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd),
-        |vl AS (SELECT gd.doc_id, list(coalesce(sp.v, 0) ORDER BY gd.d) AS vec
-        |  FROM gd LEFT JOIN sp ON sp.doc_id = gd.doc_id AND sp.d = gd.d
-        |  GROUP BY gd.doc_id),
-        |nn AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nn FROM sp GROUP BY 1),
-        |pl AS (SELECT p, list(w ORDER BY i) AS w FROM (
-        |    SELECT p, i, (('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT
-        |      - 576460752303423488) / 576460752303423488.0 AS w
-        |    FROM (SELECT unnest(generate_series(0, 31)) AS p)
-        |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)) GROUP BY p),
-        |sg AS (SELECT vl.doc_id, pl.p,
-        |    CASE WHEN list_dot_product(vl.vec::DOUBLE[], pl.w) > 0
-        |      THEN 1::BIGINT ELSE 0 END AS bit
-        |  FROM vl CROSS JOIN pl),
-        |keys AS (SELECT sg.doc_id, p // 16 AS band,
-        |    CAST(sum(bit << (p % 16)) AS BIGINT) AS band_key
-        |  FROM sg JOIN nn ON nn.doc_id = sg.doc_id AND nn.nn > 0 GROUP BY 1, 2),
+    "x6_embedding_cosine" -> (hyperplaneKeysCte +
+      """,
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
         |    AND a.doc_id < b.doc_id),
@@ -1769,7 +1811,7 @@ object SparkEntry {
         |  FROM cand c JOIN vl va ON va.doc_id = c.doc_a JOIN vl vb ON vb.doc_id = c.doc_b
         |    JOIN nn na ON na.doc_id = c.doc_a JOIN nn nb ON nb.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, cosine FROM r WHERE cosine >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // v2: hyperplanes rebuilt from the same centered 60-bit md5; sign
     // bits via the shared ascending-index double fold (list_dot_product)
     "v2_ann_lsh" ->

@@ -1017,6 +1017,27 @@ object AnalyticsQueries {
       .orderBy("event_type", "day")
   }
 
+  /** p4: equi-width histogram — the distribution-profiling verb next to
+    * p1's percentiles: event values bucketed into 10 fixed 50-unit bins
+    * (last bin open-ended) per event_type, with each bin's exact count and
+    * decimal-exact mass. Bucketing is `floor(value / 50)` — one IEEE
+    * divide + floor, identical on both engines — capped with `least`.
+    * Scale: pure per-row projection into a ≤ |types|×10-group map-side
+    * partial agg; the exchange moves ≤ 50 rows. */
+  def p4Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 50.0
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        least(floor(col("value") / width), lit(9.0)).cast("long").as("bucket"),
+        col("value"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("mass"))
+      .withColumn("lo", col("bucket") * 50L)
+      .select(col("event_type"), col("bucket"), col("lo"), col("n"), col("mass"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** t7: day-of-week seasonal baseline + residual — the seasonal-
     * adjustment verb next to t6's rolling z-test: each (event_type, day)
     * total is compared against that event_type's mean for the same

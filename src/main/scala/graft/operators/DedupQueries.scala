@@ -332,19 +332,25 @@ object DedupQueries {
     * IDENTICAL sign vectors in every band (spec-pinned); mid-similarity
     * pairs (cosine ~0.9) trade some recall for the quadratic fix, the
     * standard LSH precision/recall dial. */
-  def x6EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+  /** x6's banding stage, memoized so the bucket-profile query (x15) reads
+    * the SAME structure the candidate join uses — one row per (doc, band)
+    * with the doc's integer count vector, its squared norm, and the
+    * 16-bit hyperplane band key.
+    *
+    * Round-7 oracle upgrade: INTEGER count vectors (projection signs are
+    * scale-invariant, so skipping the old float L2-normalize changes no
+    * bucket) + md5 shingle hashes and md5-derived planes — every vector
+    * component, sign bit, band key and rerank cosine is re-derived in
+    * SQL. Cosine normalizes at rerank instead: intdot / (√nn_a · √nn_b),
+    * exact integer dots and correctly-rounded IEEE sqrt on both engines.
+    * The md5 pass is x6-local (x5's rationale); the xxhash64 memo still
+    * backs the set-identity consumers. */
+  private[operators] def hyperplaneBanded(spark: SparkSession, dir: String): DataFrame =
+   memoized(spark, dir, "hyperplaneBanded") {
     import spark.implicits._
     val dim = 64
     val numPlanes = 32
-    // Round-7 oracle upgrade: INTEGER count vectors (projection signs are
-    // scale-invariant, so skipping the old float L2-normalize changes no
-    // bucket) + md5 shingle hashes and md5-derived planes — every vector
-    // component, sign bit, band key and rerank cosine is re-derived in
-    // SQL. Cosine normalizes at rerank instead: intdot / (√nn_a · √nn_b),
-    // exact integer dots and correctly-rounded IEEE sqrt on both engines.
-    // The md5 pass is x6-local (x5's rationale); the xxhash64 memo still
-    // backs the set-identity consumers.
-    val banded = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val planes = Array.tabulate(numPlanes, dim)((p, i) =>
@@ -377,6 +383,10 @@ object DedupQueries {
       }.toDF("doc_id", "vec", "nn", "band", "band_key")
       .filter(col("nn") > 0) // a fully-cancelled vector has no direction
       .localCheckpoint() // embedding pipeline runs once, not per join side
+   }
+
+  def x6EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val banded = hyperplaneBanded(spark, dir)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -392,6 +402,28 @@ object DedupQueries {
       .select("doc_a", "doc_b", "cosine")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** x15: LSH bucket-occupancy profile — the OPERATIONAL tuning query an
+    * LSH deployment runs before every candidate join: per band, the
+    * histogram of bucket sizes and each size class's candidate-pair
+    * contribution `n_buckets · C(size, 2)`. The sum of `cand_pairs` IS the
+    * band join's row count, and the max bucket is the hot partition — the
+    * numbers that decide whether bucket bits must grow before the join is
+    * safe to run (x6's own scaladoc records the 22x blowup a fixed 8-bit
+    * band caused at 10x corpus; THIS query is how that's caught from a
+    * cheap profile instead of a blown-up join). Reads the memoized x6
+    * banding, so profiling adds one narrow agg over (band, key) longs —
+    * no text, no vectors, no join. Oracled by the same md5 re-derivation
+    * as x6, extended with the two-level rollup. */
+  def x15LshBucketProfile(spark: SparkSession, dir: String): DataFrame =
+    hyperplaneBanded(spark, dir)
+      .groupBy(col("band").cast("long").as("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy("band", "bucket_size")
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("cand_pairs",
+        expr("n_buckets * bucket_size * (bucket_size - 1) DIV 2"))
+      .orderBy("band", "bucket_size")
 
   /** Near-duplicate CLUSTERS: connected components over the exact-Jaccard
     * pair graph (x3), by min-label propagation with POINTER HALVING — every

@@ -67,6 +67,34 @@ object LayoutOps {
       .orderBy("zbucket")
   }
 
+  /** Target shard payload for z6's bin-pack plan (chars per output shard). */
+  private[operators] val ShardChars = 50000L
+
+  /** z6: output-shard bin-packing — the shard-writer PLAN a corpus export
+    * runs before materializing files: documents concatenate per source in
+    * doc_id order and a doc belongs to the shard its START offset falls
+    * in (whole-doc units — the file-writer convention, vs z3's token-level
+    * chop where documents SPLIT across sequences). Emits the per-shard
+    * manifest (doc count, char payload, id range) that becomes the file
+    * plan; the payload hovers just over [[ShardChars]] because the
+    * straddling doc stays whole. Scale: the window partitions by source —
+    * embarrassing parallelism across sources; ONE pathological mega-source
+    * re-ranks through the ExactOffsets scaffold instead (same output,
+    * y9/z3's discipline). Only (id, source, n_chars) rows shuffle. */
+  def z6ShardBinpack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    t(spark, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("fin", sum("n_chars").over(w))
+      .withColumn("shard", expr(s"(fin - n_chars) DIV $ShardChars"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("shard_chars"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
   /** The z5 oracle: same quantization constants and the SAME generated
     * interleave formula (one loop renders both engines' expressions). */
   def z5OracleSql: String =

@@ -204,6 +204,57 @@ class Round7bOpsSpec extends SparkSpec {
       "nearest picks must occur in both directions")
   }
 
+  test("p4 histogram equals a brute-force bucket walk") {
+    def dec(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val rows = collectedEvents().map(e =>
+      (e._4, math.min(math.floor(e._5 / 50.0).toLong, 9L), e._5))
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)
+      .map { case ((ty, b), es) =>
+        (ty, b, b * 50L, es.size.toLong, es.map(e => dec(e._3)).sum.toDouble) }
+    val got = AnalyticsQueries.p4Histogram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == expected)
+    // exact mass conservation across bins
+    assert(math.abs(got.map(_._5).sum -
+      rows.map(r => dec(r._3)).sum.toDouble) < 1e-6)
+  }
+
+  test("z6 shard binpack equals a serial per-source walk and conserves chars") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      var off = 0L
+      ds.sortBy(_._1).map { case (id, _, n) =>
+        val shard = off / 50000L; off += n; (src, shard, id, n)
+      }
+    }.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map { case ((src, sh), ds) =>
+      (src, sh, ds.size.toLong, ds.map(_._4).sum, ds.map(_._3).min, ds.map(_._3).max)
+    }
+    val got = LayoutOps.z6ShardBinpack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected)
+    assert(got.map(_._4).sum == docs.map(_._3).sum, "every char lands in a shard")
+  }
+
+  test("x15 bucket profile matches the banding it profiles, and prices the join") {
+    val banded = DedupQueries.hyperplaneBanded(spark, sfDir)
+      .select(col("band").cast("long"), col("band_key").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bucketSizes = banded.groupBy(identity).toSeq
+      .map { case ((b, _), g) => (b, g.length.toLong) }
+    val expected = bucketSizes.groupBy(identity).toSeq
+      .map { case ((b, s), g) => (b, s, g.size.toLong, g.size * s * (s - 1) / 2) }
+      .sortBy(t => (t._1, t._2))
+    val got = DedupQueries.x15LshBucketProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    // the profile's pair total IS the band join's candidate row count
+    val joinRows = bucketSizes.map { case (_, n) => n * (n - 1) / 2 }.sum
+    assert(got.map(_._4).sum == joinRows)
+  }
+
   test("v13 range search equals a brute-force threshold scan") {
     val vecs = Tables.t(spark, sfDir, "embeddings")
       .select("vec_id", "embedding", "label").collect()
