@@ -125,6 +125,17 @@ object SparkEntry {
     "x15_lsh_profile" -> (DedupQueries.x15LshBucketProfile _),
     // z6: per-source output-shard bin-pack manifest (whole-doc units)
     "z6_shard_binpack" -> (LayoutOps.z6ShardBinpack _),
+    // t8: CUSUM drift detection — exact integer recursion over the tiny
+    // per-day series (t6 catches spikes; CUSUM catches persistent shifts)
+    "t8_cusum_drift" -> (AnalyticsQueries.t8CusumDrift _),
+    // r6: SCD2 history build — versioned [valid_from, valid_to) runs
+    "r6_scd2_history" -> (AnalyticsQueries.r6Scd2History _),
+    // y18: BM25 top-50 retrieval scoring (rational idf, libm-free)
+    "y18_bm25" -> (TextQueries.y18Bm25 _),
+    // m6: media payload dedupe by decode-pass content hash
+    "m6_media_dedup" -> (operators.MultimodalOps.mm6MediaDedup _),
+    // w10: association rules (support/confidence/lift) over w7's pairs
+    "w10_assoc_rules" -> (AnalyticsQueries.w10AssocRules _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -2174,5 +2185,125 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, neighbor_id) AS rn FROM p)
         |SELECT vec_id, neighbor_id, round(s, 6) AS sim FROM r WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+    // t8: the scaled CUSUM recursion T_t = max(0, T_{t-1} + 4n·x − 5s +
+    // inj·2s) in exact micro-scaled BIGINTs (slack μ/4, injected +μ/2
+    // purchase shift from day 19743), as a recursive CTE
+    "t8_cusum_drift" ->
+      """WITH RECURSIVE d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS xl
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n, CAST(sum(xl) AS BIGINT) AS s
+        |  FROM d GROUP BY 1),
+        |o AS (SELECT d.event_type, d.day, d.xl, tot.n, tot.s,
+        |    CASE WHEN d.event_type = 'purchase' AND d.day >= 19743 THEN 2 ELSE 0 END AS inj,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+        |  FROM d JOIN tot USING (event_type)),
+        |r AS (
+        |  SELECT event_type, day, xl, n, s, rn,
+        |    greatest(4 * n * xl - 5 * s + inj * s, 0) AS t FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.xl, o.n, o.s, o.rn,
+        |    greatest(r.t + 4 * o.n * o.xl - 5 * o.s + o.inj * o.s, 0) AS t
+        |  FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(xl AS DOUBLE) / 1000000.0 AS day_value,
+        |  CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * 4000000.0) AS cusum,
+        |  t > 4 * s AS is_drift
+        |FROM r ORDER BY event_type, day""".stripMargin,
+    // r6: lag change-points, then lead/row_number over the change-points
+    // only — the same two-window shape as the Spark plan
+    "r6_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, us, event_type FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id, event_type AS state, us AS valid_from,
+        |    lead(us) OVER w AS valid_to,
+        |    row_number() OVER w AS version
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, state, valid_from, valid_to,
+        |  CAST(version AS BIGINT) AS version, valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    // y18: the SAME fixed IEEE expression tree as the Spark score — the
+    // (k1+1)/(1-b) factors are written unfolded so both engines fold the
+    // identical double constants; ranking is on the raw double, round on
+    // output only (v1's discipline)
+    "y18_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS dl,
+        |    (length(' ' || replace(text, ' ', '  ') || ' ') -
+        |     length(replace(' ' || replace(text, ' ', '  ') || ' ', ' spark ', ''))) // 7
+        |      AS tf_spark,
+        |    (length(' ' || replace(text, ' ', '  ') || ' ') -
+        |     length(replace(' ' || replace(text, ' ', '  ') || ' ', ' join ', ''))) // 6
+        |      AS tf_join,
+        |    (length(' ' || replace(text, ' ', '  ') || ' ') -
+        |     length(replace(' ' || replace(text, ' ', '  ') || ' ', ' filter ', ''))) // 8
+        |      AS tf_filter
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        |    sum(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END) AS df_filter
+        |  FROM d),
+        |sc AS (SELECT doc_id, dl,
+        |    (CAST(n AS DOUBLE) - df_spark + 0.5) / (CAST(df_spark AS DOUBLE) + 0.5)
+        |      * (CAST(tf_spark AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_spark AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+        |  + (CAST(n AS DOUBLE) - df_join + 0.5) / (CAST(df_join AS DOUBLE) + 0.5)
+        |      * (CAST(tf_join AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_join AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+        |  + (CAST(n AS DOUBLE) - df_filter + 0.5) / (CAST(df_filter AS DOUBLE) + 0.5)
+        |      * (CAST(tf_filter AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf_filter AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n))))
+        |  AS raw
+        |  FROM d CROSS JOIN s)
+        |SELECT doc_id, dl, round(raw, 6) AS bm25
+        |FROM sc ORDER BY raw DESC, doc_id LIMIT 50""".stripMargin,
+    // m6: the stub's sha256 grouping re-derived in SQL — payloads with
+    // equal bytes collapse to one CAS entry; rollup per decoded type.
+    // Every 11th doc's payload is one of 3 canonical blobs (the injection
+    // pattern), so collisions exist at every SF
+    "m6_media_dedup" ->
+      """WITH p AS (SELECT CASE WHEN doc_id % 11 = 0
+        |      THEN 'dup payload ' || (doc_id % 3) ELSE text END AS payload
+        |    FROM documents),
+        |d AS (SELECT sha256(payload) AS h, octet_length(encode(payload)) AS blen
+        |    FROM p),
+        |g AS (SELECT h,
+        |    max(CASE (('0x' || substr(h, 1, 2))::INT % 3)
+        |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS media_type,
+        |    count(*) AS n, max(blen) AS blen
+        |  FROM d GROUP BY h)
+        |SELECT media_type, CAST(count(*) AS BIGINT) AS uniq_payloads,
+        |  CAST(sum(n) AS BIGINT) AS n_payloads,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+        |  CAST(sum(n - 1) AS BIGINT) AS dup_copies,
+        |  CAST(sum((n - 1) * blen) AS BIGINT) AS reclaimable_bytes
+        |FROM g GROUP BY 1 ORDER BY media_type""".stripMargin,
+    // w10: ratios of exact counts — each one fixed IEEE division, the
+    // same expression tree as the Spark plan; ranking on the exact count
+    "w10_assoc_rules" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  ORDER BY n_orders DESC, part_a, part_b LIMIT 20),
+        |c AS (SELECT l_partkey, count(*) AS cnt FROM i GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM i)
+        |SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(n_orders AS DOUBLE) / n_baskets AS support,
+        |  CAST(n_orders AS DOUBLE) / ca.cnt AS conf_a_b,
+        |  CAST(n_orders AS DOUBLE) / cb.cnt AS conf_b_a,
+        |  (CAST(n_orders AS DOUBLE) * n_baskets) / (CAST(ca.cnt AS DOUBLE) * cb.cnt) AS lift
+        |FROM p JOIN c ca ON p.part_a = ca.l_partkey
+        |  JOIN c cb ON p.part_b = cb.l_partkey
+        |CROSS JOIN nb
+        |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
   )
 }

@@ -441,6 +441,31 @@ final class DedupeEngine(
         $"chunkAddress" <= pos && $"chunkAddress" + $"chunkLength" > pos)
       .limit(1).collect().headOption
 
+  /** Dedupe-aware object clone — copy an object WITHOUT touching a single
+    * payload byte: the CAS benefit the reference's content-keyed design
+    * implies but never ships as a verb. The destination gets the source's
+    * map rows re-keyed plus a fresh objects row; every shared chunk's
+    * refcount rises by construction (refcounts are DERIVED from objmap,
+    * so there is no counter to race on). Cost is O(source chunk count)
+    * index appends and ZERO payload I/O — cloning a 1 TB object moves
+    * kilobytes of index. Source and clone then share chunks exactly like
+    * two independently-written identical objects: deleting either leaves
+    * the other fully readable (F1's anti-join GC sees the survivor's
+    * references). */
+  def cloneObject(srcKey: String, dstKey: String): Unit = {
+    require(dstKey != null && dstKey.nonEmpty, "object key required")
+    if (!exists(srcKey)) throw new NoSuchElementException(s"no such object: $srcKey")
+    if (exists(dstKey)) throw new IllegalArgumentException(s"object key already exists: $dstKey")
+    purgeDebrisFor(Seq(dstKey))
+    objmapT.append(objmap.filter($"objectKey" === srcKey).toDF()
+      .withColumn("objectKey", lit(dstKey))
+      .select($"objectKey", $"chunkKey", $"chunkLength", $"chunkPosition", $"chunkAddress"))
+    objectsT.append(objects.filter($"objectKey" === srcKey).toDF()
+      .withColumn("objectKey", lit(dstKey))
+      .withColumn("createdUtc", lit(new Timestamp(System.currentTimeMillis())))
+      .select($"objectKey", $"originalLength", $"compressedLength", $"chunkCount", $"createdUtc"))
+  }
+
   // ---------------------------------------------------------------- read
 
   /** Reconstruct an object: filter map → join payloads → order → concat

@@ -1087,6 +1087,128 @@ object AnalyticsQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** t8's synthesized changepoint: purchase days at/after this epoch day
+    * carry a +μ/2 shift (the y12/y16 injection pattern — the synthetic
+    * series has no real drift, so one is injected identically on both
+    * engines to prove the detector end to end). */
+  private val CusumShiftDay = 19743L
+
+  /** t8: CUSUM drift detection over the daily value series — the
+    * changepoint/monitoring verb next to t6's windowed z-test: t6 catches
+    * single-day spikes, CUSUM accumulates SMALL persistent shifts no one
+    * window flags. The one-sided recursion S_t = max(0, S_{t-1} + x_t +
+    * shift_t − (μ + μ/4)) (slack k = μ/4) is cleared of ALL division by
+    * scaling through 4n (series length n, s = Σx): T_t = max(0,
+    * T_{t-1} + 4n·x_t − 5s + inj_t·2s) with inj ∈ {0,1} marking the
+    * injected +μ/2 days, flagged when T > 4s (cumulative excess beyond
+    * one average day's volume). Everything runs in EXACT micro-scaled
+    * longs (the decimal(18,6) day total ×10^6 is an exact BIGINT; T is
+    * bounded by 4n·max(x)·days ≪ 2^63), so both engines walk
+    * bit-identical integers and the flag has no float boundary — and the
+    * injected purchase tail flags within ~4 days at EVERY corpus scale,
+    * while t6's 2σ spike test never sees a +0.5μ shift. The recursion is
+    * inherently sequential, which is exactly why it must NEVER run over
+    * raw rows: the corpus aggregates to the per-day series first
+    * (map-side partial below the one exchange), and the walk happens per
+    * event_type over a group bounded by the DAY SPAN (~10^2 rows at any
+    * corpus size — 100 TB of events still spans the same calendar),
+    * sorted in memory inside flatMapGroups. Oracle = the same integer
+    * recursion as a recursive CTE. */
+  def t8CusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("x"))
+      .select(col("event_type"), col("day"),
+        (col("x") * 1000000L).cast("long").as("xl"))
+    val walked = daily
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (ty: String, it: Iterator[(String, Long, Long)]) =>
+        // group = one type's per-day series: bounded by the calendar span,
+        // not the corpus, so sorting in memory is safe by construction
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length.toLong
+        val s = rows.iterator.map(_._3).sum
+        var tAcc = 0L
+        rows.iterator.map { case (_, day, xl) =>
+          val inj = if (ty == "purchase" && day >= CusumShiftDay) 2L else 0L
+          tAcc = math.max(0L, tAcc + 4L * n * xl - 5L * s + inj * s)
+          (ty, day, xl, tAcc, n, s)
+        }
+      }
+    walked.toDF("event_type", "day", "xl", "t", "n", "s")
+      .select(col("event_type"), col("day"),
+        (col("xl").cast("double") / 1e6).as("day_value"),
+        // S_t = T/(4n·10^6): exact long -> double, then ONE IEEE divide
+        (col("t").cast("double") / (col("n").cast("double") * 4000000.0)).as("cusum"),
+        (col("t") > col("s") * 4L).as("is_drift"))
+      .orderBy("event_type", "day")
+  }
+
+  /** r6: SCD2 (slowly-changing-dimension type 2) history build — the
+    * warehouse temporal-modeling verb: each user's CONSECUTIVE RUN of one
+    * event_type becomes one versioned row with [valid_from, valid_to)
+    * bounds, a per-user version number, and an is_current flag on the
+    * open-ended run. Run starts are lag() change-points; valid_to is the
+    * NEXT run's start via lead() over the change-points only — both
+    * windows share one user_id exchange and one (us, event_id) sort, and
+    * the output is change-points only (≪ events). The (ts, event_id)
+    * order is total, so runs and versions are deterministic. Scale: one
+    * hash exchange on user_id; per-user state is a window frame of 1. */
+  def r6Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("us", 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("us").as("valid_from"), col("valid_to"),
+        col("version").cast("long").as("version"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** w10: association rules over w7's co-occurrence pairs — the
+    * market-basket mining verb completed: the top-20 pairs annotated with
+    * support, both directed confidences, and lift (the recommendation /
+    * cross-sell planning table). Every metric is a ratio of EXACT counts
+    * — each one fixed IEEE division (or one multiply per side for lift),
+    * identical on both engines; ranking stays on the exact pair count
+    * with full tiebreaks. Scale: the pair self-join is w7's (fan-out
+    * bounded by basket size); the per-item count table shuffles once on
+    * partkey and joins the 20-row pair list (broadcast by size); the
+    * 1-row basket total is a PlanLint-whitelisted O(1) cross join. */
+  def w10AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val i = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = i.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = i.withColumnRenamed("l_partkey", "part_a")
+      .join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    val cnts = i.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val nb = i.agg(countDistinct("l_orderkey").as("n_baskets"))
+    val n = col("n_orders").cast("double")
+    pairs
+      .join(cnts.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")
+      .join(cnts.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), "part_b")
+      .join(nb)
+      .select(col("part_a"), col("part_b"), col("n_orders"),
+        (n / col("n_baskets")).as("support"),
+        (n / col("cnt_a")).as("conf_a_b"),
+        (n / col("cnt_b")).as("conf_b_a"),
+        ((n * col("n_baskets")) / (col("cnt_a").cast("double") * col("cnt_b")))
+          .as("lift"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+  }
+
   /** Touch channels w8 credits a purchase to, and its lookback horizon. */
   private val TouchTypes = Seq("click", "view")
   private val AttributionLookbackUs = 3L * 86400L * 1000000L

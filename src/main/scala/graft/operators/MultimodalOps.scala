@@ -218,6 +218,46 @@ object MultimodalOps {
       .orderBy("seq_id")
   }
 
+  /** m6: media payload dedupe — the x1 exact-dup verb on the BINARY side
+    * of the corpus: payloads group by the decoder's content hash (the
+    * sha256 the stub already computes — production gets it free from the
+    * same decode pass), and the per-type rollup reports dup groups,
+    * redundant copies, and the bytes a content-addressed media store
+    * reclaims — the planning table a multimodal ingest sizes its CAS
+    * against. Scale: the groupBy shuffles one (hash, type, length) row
+    * per payload — 32-byte digests, never media bytes (x1's discipline);
+    * the per-type rollup is |types| rows. Oracle re-derives the stub's
+    * sha256 grouping in SQL, so the hash-match proves the decode→hash→
+    * dedupe plumbing, not just counts. */
+  def mm6MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The synthetic corpus has no byte-identical payloads at the small
+    // gate SFs, so (y12/y16's injection pattern) every 11th doc's payload
+    // is one of 3 canonical blobs on BOTH engines — the dedupe path is
+    // exercised on real collisions at every scale.
+    val media = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("dup payload "), col("doc_id") % 3))
+          .otherwise(col("text")).cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    media.mapPartitions { it =>
+      // real codec init would go here, once per partition
+      it.map { case (id, bytes) => stubDecode(id, bytes) }
+    }.toDF()
+      .groupBy("contentHash")
+      .agg(max(col("mediaType")).as("media_type"),
+        count(lit(1)).as("n"),
+        max(col("byteLen")).as("blen"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("uniq_payloads"),
+        sum(col("n")).as("n_payloads"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
+        sum(col("n") - 1).as("dup_copies"),
+        sum((col("n") - 1) * col("blen")).as("reclaimable_bytes"))
+      .orderBy("media_type")
+  }
+
   /** Metadata rollup per media type — the query a curation pipeline runs
     * over the decoded corpus. Snake-case output columns so the DuckDB
     * oracle (which re-derives the stub's sha256 arithmetic in SQL) aligns

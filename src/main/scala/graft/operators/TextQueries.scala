@@ -24,6 +24,19 @@ object TextQueries {
   private[operators] def tokenCount(text: Column): Column =
     (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
 
+  /** EXACT standalone-token occurrence count. [[wordCount]]'s single-pad
+    * replace undercounts ADJACENT repeats ("a a a" counts 2, not 3 — the
+    * middle match consumes the shared space), which is fine for its
+    * presence-style callers but wrong for a true term frequency. Doubling
+    * every space first gives each token its own private padding, so the
+    * " word " matches are disjoint and the count is exact — still plain
+    * replace arithmetic (codegen'd, dialect-free). */
+  private[operators] def tokenOcc(text: Column, word: String): Column = {
+    val p = concat(lit(" "), replace(text, lit(" "), lit("  ")), lit(" "))
+    ((length(p) - length(replace(p, lit(s" $word "), lit("")))) /
+      (word.length + 2)).cast("long")
+  }
+
   /** Unigram-LM typicality scoring, log-free: a document's score is the
     * MEAN CORPUS FREQUENCY of its tokens (the monotone stand-in for
     * unigram log-likelihood — higher = more typical of the corpus; real
@@ -551,6 +564,47 @@ object TextQueries {
         sum(when(col("aug").rlike("<[^>]*>"), 1L).otherwise(0L)).as("marked_docs"),
         sum((length(col("aug")) - length(col("clean"))).cast("long")).as("chars_removed"))
       .orderBy("source")
+  }
+
+  /** y18: BM25 retrieval scoring — the lexical-ranking verb next to y15's
+    * TF-IDF terms: the top-50 documents for a fixed 3-term query under
+    * BM25 (k1=1.2, b=0.75), the scoring function retrieval-augmented data
+    * curation and eval-set mining rank with. Log-free like y14/y15: the
+    * idf factor stays the RATIONAL (N−df+0.5)/(df+0.5) (the monotone core
+    * of the usual log idf — rank-preserving per term, and libm-free so
+    * both engines agree bitwise). Term frequencies are exact space-padded
+    * replace counts (tokenOcc — no split/explode, stays in codegen); dl
+    * and Σdl are exact longs, so avgdl is ONE IEEE divide, and the score
+    * is the same fixed expression tree of IEEE ops on both engines —
+    * ranking happens on the RAW double (v1's discipline), round only on
+    * output. Scale: per-doc scoring is a shuffle-free codegen'd
+    * projection; the 1-row corpus stats (N, Σdl, 3 dfs) broadcast onto
+    * the scan (PlanLint-whitelisted O(1) side); the only movement is the
+    * TakeOrderedAndProject top-50. */
+  def y18Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "filter")
+    val k1 = 1.2; val b = 0.75
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id") +: tokenCount(col("text")).as("dl") +:
+        terms.map(tm => tokenOcc(col("text"), tm).as(s"tf_$tm")): _*)
+    val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      terms.map(tm =>
+        sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+    val stats = docs.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n")
+    val score = terms.map { tm =>
+      val tf = col(s"tf_$tm").cast("double")
+      val idf = (col("n").cast("double") - col(s"df_$tm") + 0.5) /
+        (col(s"df_$tm").cast("double") + 0.5)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }.reduce(_ + _)
+    docs.join(stats)
+      .withColumn("raw", score)
+      .orderBy(col("raw").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("dl"),
+        round(col("raw"), 6).as("bm25"))
   }
 
   /** y16: Unicode NFC canonicalization rollup via the native

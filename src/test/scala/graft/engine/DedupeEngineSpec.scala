@@ -47,6 +47,28 @@ class DedupeEngineSpec extends SparkSpec {
     assert(e.chunks.collect().forall(_.refCount == 10))
   }
 
+  test("cloneObject copies via the index only: zero payload writes, GC-safe") {
+    val e = newEngine()
+    val data = randomBytes(30000, 77)
+    e.write("src", data)
+    val payloadCount = e.payloads.count()
+    e.cloneObject("src", "dst")
+    // byte-identical clone, not one payload row added
+    assert(java.util.Arrays.equals(e.get("dst").get, data))
+    assert(e.payloads.count() == payloadCount)
+    assert(e.chunks.collect().forall(_.refCount == 2))
+    // guards: missing source, duplicate destination
+    assertThrows[NoSuchElementException](e.cloneObject("nope", "x"))
+    assertThrows[IllegalArgumentException](e.cloneObject("src", "dst"))
+    // deleting the source must not GC chunks the clone still references
+    e.delete("src")
+    assert(java.util.Arrays.equals(e.get("dst").get, data))
+    assert(e.payloads.count() == payloadCount)
+    // deleting the last reference reclaims the payloads
+    e.delete("dst")
+    assert(e.payloads.count() == 0)
+  }
+
   test("metadata: ordered map tiles object, chunkCount consistent") {
     val e = newEngine()
     val data = randomBytes(20000, 5)

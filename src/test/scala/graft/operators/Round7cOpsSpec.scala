@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Brute-force JVM oracles for the round-7 batch-E additions
+ * (t8/r6/y18/m6) on the sf0.001 corpus — complementing the driver's
+ * DuckDB hash gate with independent in-JVM recomputation.
+ */
+class Round7cOpsSpec extends SparkSpec {
+
+  test("t8 CUSUM drift equals a brute-force integer recursion walk") {
+    val dayUs = 86400L * 1000000L
+    val rows = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / dayUs, r.getDouble(2)))
+    // daily decimal(18,6) totals scaled to exact micro longs
+    val daily = rows.groupBy(t => (t._1, t._2)).map { case ((ty, day), es) =>
+      val x = es.map(e => BigDecimal(e._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _)
+      (ty, day, (x * 1000000).toLongExact)
+    }.toSeq
+    val expected = daily.groupBy(_._1).flatMap { case (ty, ds) =>
+      val sorted = ds.sortBy(_._2)
+      val n = sorted.length.toLong
+      val s = sorted.map(_._3).sum
+      var t = 0L
+      sorted.map { case (_, day, xl) =>
+        val inj = if (ty == "purchase" && day >= 19743L) 2L else 0L
+        t = math.max(0L, t + 4L * n * xl - 5L * s + inj * s)
+        (ty, day) -> (xl.toDouble / 1e6, t.toDouble / (n.toDouble * 4000000.0), t > 4L * s)
+      }
+    }
+    val got = AnalyticsQueries.t8CusumDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got == expected)
+    assert(got.exists { case ((ty, day), v) => ty == "purchase" && day >= 19747L && v._3 },
+      "the injected +mu/2 purchase shift must flag within the tail")
+    assert(got.exists { case ((ty, day), v) => ty == "purchase" && day < 19743L && !v._3 },
+      "pre-shift purchase days must not all flag")
+  }
+
+  test("r6 SCD2 history equals a brute-force per-user run scan") {
+    val events = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = events.groupBy(_._1).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      // collapse consecutive same-type events into runs
+      val starts = sorted.zipWithIndex.filter { case (e, i) =>
+        i == 0 || sorted(i - 1)._4 != e._4
+      }.map(_._1)
+      starts.zipWithIndex.map { case (e, v) =>
+        val validTo = if (v + 1 < starts.length) Some(starts(v + 1)._3) else None
+        (uid, v + 1L) -> (e._4, e._3, validTo, validTo.isEmpty)
+      }.toSeq
+    }
+    val got = AnalyticsQueries.r6Scd2History(spark, sfDir).collect()
+      .map { r =>
+        val vt = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        (r.getLong(0), r.getLong(4)) -> (r.getString(1), r.getLong(2), vt, r.getBoolean(5))
+      }.toMap
+    assert(got == expected)
+    // every user has exactly one open-ended current row
+    val currents = got.toSeq.groupBy(_._1._1).map { case (_, rs) => rs.count(_._2._4) }
+    assert(currents.forall(_ == 1), "exactly one is_current row per user")
+    assert(got.values.exists(!_._4), "closed historical rows must exist")
+  }
+
+  test("y18 BM25 equals a brute-force double-for-double scoring") {
+    val terms = Seq("spark", "join", "filter")
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, tx) => (id, tx.split(" ", -1)) }
+    val dls = toks.map { case (id, ts) => (id, ts.length.toLong) }.toMap
+    val n = docs.length.toLong
+    val sdl = dls.values.sum
+    val avgdl = sdl.toDouble / n
+    val tf = toks.map { case (id, ts) =>
+      (id, terms.map(tm => tm -> ts.count(_ == tm).toLong).toMap)
+    }.toMap
+    val df = terms.map(tm => tm -> tf.values.count(_(tm) > 0).toLong).toMap
+    def score(id: Long): Double =
+      terms.map { tm =>
+        val t = tf(id)(tm).toDouble
+        val idf = (n.toDouble - df(tm) + 0.5) / (df(tm).toDouble + 0.5)
+        idf * (t * (1.2 + 1.0)) /
+          (t + 1.2 * (1.0 - 0.75 + 0.75 * (dls(id).toDouble / avgdl)))
+      }.reduce(_ + _)
+    val expected = docs.map(_._1).sortBy(id => (-score(id), id)).take(50)
+      .map(id => (id, dls(id),
+        // valueOf (shortest-repr) mirrors Spark's Round, not new BigDecimal
+        BigDecimal.valueOf(score(id)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val got = TextQueries.y18Bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.head._3 > got.last._3, "scores must actually discriminate")
+  }
+
+  test("w10 association rules equal a brute-force basket walk") {
+    val edges = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = edges.map(_._1).distinct.length.toLong
+    val cnt = edges.groupBy(_._2).map { case (p, es) => p -> es.length.toLong }
+    val pairCounts = edges.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val parts = es.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val top = pairCounts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    val expected = top.map { case ((a, b), n) =>
+      (a, b, n, n.toDouble / nBaskets, n.toDouble / cnt(a), n.toDouble / cnt(b),
+        (n.toDouble * nBaskets) / (cnt(a).toDouble * cnt(b)))
+    }
+    val got = AnalyticsQueries.w10AssocRules(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == expected)
+    assert(expected.forall(r => r._7 > 0 && r._4 <= r._5 && r._4 <= r._6),
+      "support can never exceed either confidence")
+  }
+
+  test("m6 media dedupe equals a brute-force sha256 grouping") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val metas = docs.map { case (id, tx) =>
+      val payload = if (id % 11 == 0) s"dup payload ${id % 3}" else tx
+      MultimodalOps.stubDecode(id, payload.getBytes("UTF-8"))
+    }
+    val expected = metas.groupBy(_.contentHash).map { case (_, ms) =>
+      (ms.head.mediaType, ms.length.toLong, ms.head.byteLen)
+    }.groupBy(_._1).map { case (ty, gs) =>
+      ty -> (gs.size.toLong, gs.map(_._2).sum, gs.count(_._2 > 1).toLong,
+        gs.map(_._2 - 1).sum, gs.map(g => (g._2 - 1) * g._3).sum)
+    }
+    val got = MultimodalOps.mm6MediaDedup(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._4 > 0), "the corpus has exact dups to reclaim")
+  }
+}
