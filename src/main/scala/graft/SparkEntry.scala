@@ -136,6 +136,9 @@ object SparkEntry {
     "m6_media_dedup" -> (operators.MultimodalOps.mm6MediaDedup _),
     // w10: association rules (support/confidence/lift) over w7's pairs
     "w10_assoc_rules" -> (AnalyticsQueries.w10AssocRules _),
+    // v14: quantizer drift audit — centroid divergence + membership churn
+    // between the old-slice (v8) and full-corpus (v5) quantizers
+    "v14_quantizer_drift" -> (SimilarityQueries.v14QuantizerDrift _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -618,6 +621,43 @@ object SparkEntry {
       |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
       |  FROM nw n CROSS JOIN c3 c) WHERE rk = 1)
       |SELECT vec_id, cell, round(s, 6) AS score FROM asg ORDER BY vec_id""".stripMargin
+
+  /** v14: the old-slice Lloyd chain (kmeansCteFor, CTE names src/c0..c3)
+    * plus an `n`-prefixed full-corpus chain, then BOTH quantizers assign
+    * the FULL corpus for the churn count and the shared cells' centroids
+    * compare via list_dot_product (the same ascending fold as dot_f). */
+  private val quantizerDriftOracle: String = {
+    def assign(out: String, src: String, cents: String): String =
+      s"""$out AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+         |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+         |  FROM $src e CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
+    def centroids(out: String, from: String): String =
+      s"""$out AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+         |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
+         |    SELECT cell, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM $from)
+         |  GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+    kmeansCteFor("WHERE vec_id % 7 <> 0") + ",\n" + Seq(
+      "nsrc AS (SELECT vec_id, embedding FROM embeddings)",
+      """nc0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS centroid
+        |  FROM nsrc WHERE vec_id < 10)""".stripMargin,
+      assign("na0", "nsrc", "nc0"), centroids("nc1", "na0"),
+      assign("na1", "nsrc", "nc1"), centroids("nc2", "na1"),
+      assign("na2", "nsrc", "nc2"), centroids("nc3", "na2"),
+      assign("aold", "embeddings", "c3"),
+      assign("anew", "embeddings", "nc3"),
+      """ch AS (SELECT o.cell, count(*) AS n_vectors,
+        |    sum(CASE WHEN n.cell <> o.cell THEN 1 ELSE 0 END) AS n_moved
+        |  FROM aold o JOIN anew n USING (vec_id) GROUP BY 1)""".stripMargin
+    ).mkString(",\n") + """
+      |SELECT ch.cell, CAST(n_vectors AS BIGINT) AS n_vectors,
+      |  CAST(n_moved AS BIGINT) AS n_moved,
+      |  round(list_dot_product(a.centroid, b.centroid), 6) AS centroid_sim
+      |FROM ch JOIN c3 a ON ch.cell = a.cell JOIN nc3 b ON ch.cell = b.cell
+      |ORDER BY ch.cell""".stripMargin
+  }
 
   /** The 30-min-gap session derivation shared VERBATIM by the st2 (native
     * session_window) and st8 (flatMapGroupsWithState custom state machine)
@@ -2305,5 +2345,6 @@ object SparkEntry {
         |  JOIN c cb ON p.part_b = cb.l_partkey
         |CROSS JOIN nb
         |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
+    "v14_quantizer_drift" -> quantizerDriftOracle,
   )
 }

@@ -701,4 +701,44 @@ object SimilarityQueries {
         round(col("s"), 6).as("sim"))
       .orderBy("query_id", "neighbor_id")
   }
+
+  /** v14: quantizer drift audit — the WHEN-TO-RETRAIN signal that closes
+    * the index-maintenance loop v8 opened: v8 assigns new batches to the
+    * stale quantizer (trained on the old slice); this query measures what
+    * that staleness costs. Per cell shared by the OLD-trained (v8's) and
+    * FULL-corpus (v5's) quantizers: the raw-dot similarity between the
+    * two centroids, plus how many corpus vectors sit in the cell under
+    * the old quantizer and how many of them would land in a DIFFERENT
+    * cell under the fresh one (the membership churn a rebuild would
+    * cause). When churn or centroid divergence crosses a budget, the
+    * nightly job schedules the retrain. Scale: two Lloyd loops (each
+    * `iters + 1` corpus passes — the audit is an offline maintenance
+    * query); the comparison pass is ONE corpus projection under two
+    * broadcast argmax expressions into a ≤k-group map-side count — the
+    * corpus never shuffles; the k×k centroid-similarity table is driver
+    * arithmetic in the SAME ascending-index fold as `dot_f`/DuckDB's
+    * list_dot_product, so it is bitwise-reproducible. */
+  def v14QuantizerDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+    val old = e.filter(col("vec_id") % 7 =!= 0)
+    val centsOld = lloydCentroids(spark, old, 10, 3)
+    val centsNew = lloydCentroids(spark, e, 10, 3)
+    val (cellOld, _, _) = assignExprs(col("embedding"), centsOld)
+    val (cellNew, _, _) = assignExprs(col("embedding"), centsNew)
+    val churn = e.select(cellOld.as("cell"), cellNew.as("new_cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("new_cell") =!= col("cell"), 1L).otherwise(0L)).as("n_moved"))
+    val sims = centsOld.flatMap { case (id, co) =>
+      centsNew.find(_._1 == id).map { case (_, cn) =>
+        // ascending-index fold == list_dot_product's accumulation order
+        (id, co.iterator.zip(cn.iterator).foldLeft(0.0) { case (a, (x, y)) => a + x * y })
+      }
+    }.toDF("cell", "centroid_sim")
+    churn.join(broadcast(sims), Seq("cell"))
+      .select(col("cell"), col("n_vectors"), col("n_moved"),
+        round(col("centroid_sim"), 6).as("centroid_sim"))
+      .orderBy("cell")
+  }
 }

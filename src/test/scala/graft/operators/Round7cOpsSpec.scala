@@ -125,6 +125,21 @@ class Round7cOpsSpec extends SparkSpec {
       "support can never exceed either confidence")
   }
 
+  test("v14 quantizer drift audit is complete and the drift actually bites") {
+    val rows = SimilarityQueries.v14QuantizerDrift(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val corpus = Tables.t(spark, sfDir, "embeddings").count()
+    // every corpus vector is accounted for under the old quantizer, and
+    // the shared cells are exactly the old quantizer's init ids
+    // (vec_id < 10 minus the %7==0 holdout: 7 and 0 are absent)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4, 5, 6, 8, 9))
+    assert(rows.map(_._2).sum == corpus)
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= r._2))
+    // retraining on the full corpus must actually move members somewhere —
+    // the audit's reason to exist
+    assert(rows.exists(_._3 > 0), "some cell must show membership churn")
+  }
+
   test("m6 media dedupe equals a brute-force sha256 grouping") {
     val docs = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).collect()
