@@ -184,6 +184,8 @@ object SparkEntry {
     // y14: log-free unigram-LM typicality — integer cross-multiplied
     // verdicts, so the flag involves no floating point at all
     "y14_unigram_typicality" -> (TextQueries.y14UnigramTypicality _),
+    // y19: y14 extended to the order-2 (bigram) LM — the word-salad catch
+    "y19_bigram_typicality" -> (TextQueries.y19BigramTypicality _),
     // y15: per-doc TF-IDF top terms with rational idf (log-free ranking)
     "y15_tfidf_terms" -> (TextQueries.y15TfIdfTerms _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
@@ -2346,5 +2348,22 @@ object SparkEntry {
         |CROSS JOIN nb
         |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
     "v14_quantizer_drift" -> quantizerDriftOracle,
+    // y19: y14's shape over bigrams; list_transform(generate_series)
+    // builds each row's adjacent pairs, unnest of an empty list drops
+    // sub-2-token docs on both engines
+    "y19_bigram_typicality" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS sp FROM documents),
+        |bgs AS (SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(sp) - 1),
+        |      i -> sp[i] || ' ' || sp[i + 1])) AS bg
+        |  FROM tok),
+        |f AS (SELECT bg, count(*) AS cf FROM bgs GROUP BY 1),
+        |d AS (SELECT doc_id, lang, count(*) AS n, sum(cf) AS s
+        |  FROM bgs JOIN f USING (bg) GROUP BY 1, 2),
+        |g AS (SELECT sum(s) AS gs, sum(n) AS gn FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN 100*s*gn < 97*gs*n THEN 1 ELSE 0 END) AS BIGINT) AS atypical_docs,
+        |  round(CAST(sum(s) AS DOUBLE) / sum(n), 4) AS avg_bigram_freq
+        |FROM d, g GROUP BY 1 ORDER BY lang""".stripMargin,
   )
 }

@@ -31,8 +31,8 @@ object DedupeCli {
   /** Nonzero-exit signal from [[run]]: thrown instead of calling
     * `sys.exit` directly so the process-level side effect stays in [[main]]
     * and specs can assert exit codes (1 = not found, 2 = unknown command,
-    * 3 = downstream pipe failure, 4 = requested slice out of range) without
-    * killing the test JVM. */
+    * 3 = downstream pipe failure, 4 = requested slice out of range,
+    * 5 = destination key already exists) without killing the test JVM. */
   private[apps] final case class CliExit(code: Int)
       extends RuntimeException(s"exit $code")
 
@@ -172,6 +172,16 @@ object DedupeCli {
       case "del" =>
         val gcd = engine().delete(rest(0))
         println(s"deleted ${rest(0)}; gc'd ${gcd.size} chunks")
+      case "clone" =>
+        // dedupe-aware copy: index appends only, zero payload I/O (G3)
+        val (src, dst) = (rest(0), rest(1))
+        try { engine().cloneObject(src, dst); println(s"cloned $src -> $dst") }
+        catch {
+          case _: NoSuchElementException =>
+            Console.err.println(s"not found: $src"); throw CliExit(1)
+          case e: IllegalArgumentException =>
+            Console.err.println(e.getMessage); throw CliExit(5)
+        }
       case "exists" =>
         println(engine().exists(rest(0)))
       case "md" =>

@@ -75,6 +75,42 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** y19: BIGRAM-LM typicality — y14's unigram scoring extended to the
+    * order-2 model (the perplexity-style filter real pipelines run: word
+    * salad scores typical under a unigram LM but its BIGRAMS are rare, so
+    * the order-2 score is what catches shuffled/templated text). Bigrams
+    * come from a per-row `zip_with(slice, slice)` over the split array —
+    * no position join, no second corpus pass; a doc's score is the mean
+    * corpus frequency of its bigrams (log-free, the y14/y15 rationale),
+    * the atypicality flag cross-multiplies exact longs against the 97%
+    * global mean threshold, and the per-lang mean divides two exact sums
+    * once. Docs with <2 tokens have no bigrams and drop out (both
+    * engines: explode/unnest of an empty list). Scale: y14's exact shape
+    * — one bigram-keyed exchange serves freq and the join back, the 1-row
+    * global broadcasts; bigram strings shuffle (vocabulary², the honest
+    * cost of an order-2 LM — production would hash them to longs, same
+    * algebra). */
+  def y19BigramTypicality(spark: SparkSession, dir: String): DataFrame = {
+    val a = split(col("text"), " ")
+    val bg = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bg"))
+    val freq = bg.groupBy("bg").agg(count(lit(1)).as("cf"))
+    val perDoc = bg.join(freq, "bg")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n"), sum("cf").as("s"))
+    val g = perDoc.agg(sum("s").as("gs"), sum("n").as("gn"))
+    perDoc.join(broadcast(g))
+      .withColumn("atypical",
+        (lit(100L) * col("s") * col("gn") < lit(97L) * col("gs") * col("n")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("atypical").as("atypical_docs"),
+        round(sum("s").cast("double") / sum("n"), 4).as("avg_bigram_freq"))
+      .orderBy("lang")
+  }
+
   /** TF-IDF top terms, log-free (the y14 rationale: idf stays the exact
     * rational N/df instead of log(N/df) — the same per-document ranking,
     * since log is monotone, without libm in the oracle path): each

@@ -147,6 +147,22 @@ class DedupeCliSpec extends SparkSpec {
     assert(broken.code === 3)
   }
 
+  test("clone copies via the index; missing source exits 1, taken dest exits 5") {
+    val dir = newIndex()
+    val e = DedupeEngine.open(spark, dir)
+    val before = e.payloads.count()
+    val out = captureOut(DedupeCli.run(spark, dir, "clone", Array("k001", "copy1")))
+    assert(out.exists(_.contains("cloned k001 -> copy1")))
+    assert(java.util.Arrays.equals(e.get("copy1").get, e.get("k001").get))
+    assert(e.payloads.count() == before, "clone must write zero payloads")
+    val miss = intercept[DedupeCli.CliExit](
+      captureOut(DedupeCli.run(spark, dir, "clone", Array("nope", "x"))))
+    assert(miss.code == 1)
+    val taken = intercept[DedupeCli.CliExit](
+      captureOut(DedupeCli.run(spark, dir, "clone", Array("k001", "copy1"))))
+    assert(taken.code == 5)
+  }
+
   test("unknown command exits 2") {
     val dir = newIndex()
     val e = intercept[DedupeCli.CliExit](

@@ -125,6 +125,33 @@ class Round7cOpsSpec extends SparkSpec {
       "support can never exceed either confidence")
   }
 
+  test("y19 bigram typicality equals a brute-force bigram-frequency walk") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bgs = docs.flatMap { case (id, lang, tx) =>
+      tx.split(" ", -1).sliding(2).collect {
+        case Array(a, b) => (id, lang, s"$a $b")
+      }
+    }
+    val cf = bgs.groupBy(_._3).map { case (k, v) => k -> v.length.toLong }
+    val perDoc = bgs.groupBy(d => (d._1, d._2)).map { case ((id, lang), es) =>
+      (id, lang, es.length.toLong, es.map(e => cf(e._3)).sum)
+    }.toSeq
+    val gs = perDoc.map(_._4).sum
+    val gn = perDoc.map(_._3).sum
+    val expected = perDoc.groupBy(_._2).map { case (lang, ds) =>
+      lang -> (ds.size.toLong,
+        ds.count(d => 100L * d._4 * gn < 97L * gs * d._3).toLong,
+        BigDecimal.valueOf(ds.map(_._4).sum.toDouble / ds.map(_._3).sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextQueries.y19BigramTypicality(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "the order-2 filter must flag someone")
+  }
+
   test("v14 quantizer drift audit is complete and the drift actually bites") {
     val rows = SimilarityQueries.v14QuantizerDrift(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
