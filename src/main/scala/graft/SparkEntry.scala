@@ -360,6 +360,15 @@ object SparkEntry {
       graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
         s"st8_${System.nanoTime()}", graft.streaming.EventStreamOps.customSessions)
         .orderBy("user_id", "session_start_us")),
+    // st12: SCD2 maintained on the stream — closed runs emit the moment
+    //     the watermark proves the boundary; the open run is exactly what
+    //     an unbounded stream cannot finalize, so the oracle is the batch
+    //     SCD2 (r6) restricted to valid_to IS NOT NULL. The hash-match
+    //     proves the incremental dimension equals the nightly rebuild.
+    "st12_stream_scd2" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
+        s"st12_${System.nanoTime()}", graft.streaming.EventStreamOps.streamScd2)
+        .orderBy("user_id", "version")),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
@@ -2348,6 +2357,23 @@ object SparkEntry {
         |CROSS JOIN nb
         |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
     "v14_quantizer_drift" -> quantizerDriftOracle,
+    // st12: r6's SCD2 derivation restricted to CLOSED rows — the stream
+    // can only finalize a run whose successor is behind the watermark
+    "st12_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, us, event_type FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id, event_type AS state, us AS valid_from,
+        |    lead(us) OVER w AS valid_to,
+        |    row_number() OVER w AS version
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, state, valid_from, valid_to,
+        |  CAST(version AS BIGINT) AS version
+        |FROM v WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, version""".stripMargin,
     // y19: y14's shape over bigrams; list_transform(generate_series)
     // builds each row's adjacent pairs, unnest of an empty list drops
     // sub-2-token docs on both engines

@@ -18,6 +18,14 @@ final case class SessionizerState(sessions: Seq[SessSpan])
 final case class SessionRow(user_id: Long, session_start_us: Long, n_events: Long,
   session_value: Double)
 
+/** [[EventStreamOps.streamScd2]]'s per-user state: the not-yet-stable event
+  * buffer (everything at/after the watermark — bounded by the watermark
+  * lag), plus the open run the stable prefix has established so far. */
+final case class Scd2State(buffer: Seq[(Long, Long, String)],
+  curType: String, curFrom: Long, version: Long, started: Boolean)
+final case class Scd2Row(user_id: Long, state: String, valid_from: Long,
+  valid_to: Long, version: Long)
+
 /**
  * Structured Streaming surface over the events table. The reference has no
  * event-stream engine at all (SURVEY §2 "no counterpart" list) — this is the
@@ -376,6 +384,76 @@ object EventStreamOps {
             }
             done.iterator.map(s => SessionRow(userId, s.startUs, s.n,
               java.math.BigDecimal.valueOf(s.sumMicros, 6).doubleValue()))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** st12: SCD2 history maintained ON THE STREAM — r6's warehouse
+    * temporal-modeling verb as an incremental query: each user's
+    * consecutive same-type run becomes one versioned [valid_from,
+    * valid_to) row, EMITTED THE MOMENT THE RUN PROVABLY CLOSES (a
+    * different-type event is behind the watermark, so no earlier event
+    * can reorder the boundary). This is how a streaming pipeline keeps a
+    * type-2 dimension current without nightly rebuilds. Output is CLOSED
+    * runs only — the open run is precisely what an unbounded stream can
+    * never finalize, so it lives in state (the "current" dimension row)
+    * and the oracle is the batch SCD2 restricted to `valid_to IS NOT
+    * NULL`; versions match the batch row_number because runs close in
+    * order.
+    *
+    * Mechanics ([[customSessions]]' finalization discipline): fresh
+    * events below the watermark are dropped (the native operators'
+    * late-data contract); the rest buffer in state until the watermark
+    * passes them, then the stable prefix walks through the run machine in
+    * (ts, event_id) order — so the emitted set is a pure function of the
+    * DATA, independent of micro-batch carving. State per key = the open
+    * run (O(1)) + the buffer (bounded by the 30-min watermark lag). An
+    * event-time timeout is armed ONLY while the buffer is non-empty (a
+    * quiet key with an open run costs no timer); the finite-replay flush
+    * rows advance the watermark past everything, draining every buffer. */
+  def streamScd2(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String)],
+         state: GroupState[Scd2State]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (userId < 0) {
+            // finite-replay flush sentinels: consume, keep nothing
+            if (state.exists) state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(Scd2State(Nil, null, 0L, 0L, false))
+            val fresh = rows.map(r => (r._3, r._4, r._5)).filter(_._1 >= wmUs).toSeq
+            val (stable, pending) =
+              (prev.buffer ++ fresh).sortBy(t => (t._1, t._2)).partition(_._1 < wmUs)
+            var curType = prev.curType; var curFrom = prev.curFrom
+            var version = prev.version; var started = prev.started
+            val out = Seq.newBuilder[Scd2Row]
+            for ((ts, _, ty) <- stable) {
+              if (!started) { started = true; curType = ty; curFrom = ts }
+              else if (ty != curType) {
+                version += 1
+                out += Scd2Row(userId, curType, curFrom, ts, version)
+                curType = ty; curFrom = ts
+              }
+            }
+            if (!started && pending.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(Scd2State(pending, curType, curFrom, version, started))
+              if (pending.nonEmpty) // drain timer, ms-ceiled past the watermark
+                state.setTimeoutTimestamp(wmUs / 1000L + 1L)
+            }
+            out.result().iterator
           }
         }
       }

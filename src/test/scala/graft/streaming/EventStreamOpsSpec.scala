@@ -224,6 +224,24 @@ class EventStreamOpsSpec extends SparkSpec {
       "flatMapGroupsWithState sessions must be row-identical to session_window")
   }
 
+  test("streaming SCD2 emits exactly the batch history's closed runs") {
+    val streamed = EventStreamOps.runToMemoryAppend(spark, eventsPath, "scd2_w",
+      EventStreamOps.streamScd2)
+    val batch = graft.operators.AnalyticsQueries.r6Scd2History(spark, sfDir)
+      .filter(col("valid_to").isNotNull)
+      .select("user_id", "state", "valid_from", "valid_to", "version")
+    assert(streamed.count() == batch.count(),
+      "closed-run count must match the batch SCD2")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "incremental dimension rows must equal the nightly-rebuild rows")
+    // the open runs (one per user) stay in state, not in output
+    val users = graft.operators.Tables.t(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    val batchAll = graft.operators.AnalyticsQueries.r6Scd2History(spark, sfDir).count()
+    assert(batchAll - streamed.count() == users,
+      "exactly one open (unemittable) run per user")
+  }
+
   test("stateful user sessions accumulate counts per user") {
     val sessions = EventStreamOps.runToMemory(spark, eventsPath, "sess_t",
       df => EventStreamOps.userSessions(spark, df).toDF(),
