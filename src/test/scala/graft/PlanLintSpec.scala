@@ -29,6 +29,7 @@ class PlanLintSpec extends SparkSpec {
     "e1_index_stats" -> "two 1-row aggregate legs (object totals x chunk totals) zipped",
     "y10_mixture_resample" -> "1-row smallest-class target joined onto the per-lang rate table",
     "y14_unigram_typicality" -> "1-row corpus-mean scalar broadcast onto per-doc scores",
+    "y19_bigram_typicality" -> "1-row corpus-mean scalar broadcast onto per-doc bigram scores",
     "y15_tfidf_terms" -> "1-row corpus doc-count broadcast into every idf term",
     "y18_bm25" -> "1-row corpus stats (N, Σdl, 3 dfs) broadcast onto per-doc scores",
     "w10_assoc_rules" -> "1-row basket total joined onto the 20-row rule list"
