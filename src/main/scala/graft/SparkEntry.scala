@@ -139,6 +139,8 @@ object SparkEntry {
     // v14: quantizer drift audit — centroid divergence + membership churn
     // between the old-slice (v8) and full-corpus (v5) quantizers
     "v14_quantizer_drift" -> (SimilarityQueries.v14QuantizerDrift _),
+    // j6: fact-to-SCD2 point-in-time lookup — r6's consumer side
+    "j6_scd2_lookup" -> (JoinQueries.j6Scd2Lookup _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -2357,6 +2359,26 @@ object SparkEntry {
         |CROSS JOIN nb
         |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
     "v14_quantizer_drift" -> quantizerDriftOracle,
+    // j6: browsing-mode SCD2 runs (click/view only) consumed by purchase
+    // facts via half-open containment; unmatched purchases roll up as
+    // 'none'
+    "j6_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS prev_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id, event_id, us, event_type FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id, event_type AS mode, us AS valid_from,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+        |  FROM c),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT coalesce(v.mode, 'none') AS mode, count(*) AS n_purchases,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id AND p.pus >= v.valid_from
+        |  AND (v.valid_to IS NULL OR p.pus < v.valid_to)
+        |GROUP BY 1 ORDER BY mode""".stripMargin,
     // st12: r6's SCD2 derivation restricted to CLOSED rows — the stream
     // can only finalize a run whose successor is behind the watermark
     "st12_stream_scd2" ->

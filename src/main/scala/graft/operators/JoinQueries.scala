@@ -172,4 +172,42 @@ object JoinQueries {
         col("m.cid").as("nearest_click_id"), col("m.dus").as("delta_us"))
       .orderBy("event_id")
   }
+
+  /** j6: point-in-time SCD2 dimension lookup — the consumer side of r6's
+    * temporal build (and st12's streamed maintenance): each PURCHASE
+    * fact joins to the dimension row that was current at its timestamp.
+    * The dimension is the user's browsing-mode history — r6's run
+    * derivation over the click/view stream only — so the join is a real
+    * cross-family as-of lookup, not the circular self-join (joining
+    * events to runs built FROM them is diagonal by construction: every
+    * event's as-of state is its own type). Containment is half-open
+    * (`valid_from ≤ ts < valid_to`, open row unbounded): a user's runs
+    * tile [first touch, ∞), so a purchase matches at most one row;
+    * purchases before any touch fall out of the LEFT join as mode
+    * 'none'. Emits purchases and decimal-exact revenue per then-current
+    * mode — the "does browsing mode convert" table. Scale: equi-join on
+    * user_id with the range residual as join filter (j1's shape); the
+    * dimension side is change-points only (≪ facts); the rollup is
+    * |modes|+1 rows after a map-side partial. */
+  def j6Scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val w = Window.partitionBy("du").orderBy("us", "event_id")
+    val dim = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("du"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("us", 1).over(w))
+      .select(col("du"), col("event_type").as("mode"),
+        col("us").as("valid_from"), col("valid_to"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"), col("value"))
+    p.join(dim, col("user_id") === col("du") &&
+        col("pus") >= col("valid_from") &&
+        (col("valid_to").isNull || col("pus") < col("valid_to")), "left")
+      .groupBy(coalesce(col("mode"), lit("none")).as("mode"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy("mode")
+  }
 }

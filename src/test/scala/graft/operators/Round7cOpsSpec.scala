@@ -125,6 +125,35 @@ class Round7cOpsSpec extends SparkSpec {
       "support can never exceed either confidence")
   }
 
+  test("j6 SCD2 lookup equals a brute-force as-of scan; every purchase counted once") {
+    val events = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val touchesByUser = events.filter(e => e._4 == "click" || e._4 == "view")
+      .groupBy(_._1).map { case (u, es) => u -> es.sortBy(e => (e._3, e._2)) }
+    val purchases = events.filter(_._4 == "purchase")
+    val credited = purchases.map { p =>
+      // as-of mode = type of the latest touch at-or-before the purchase
+      val mode = touchesByUser.get(p._1)
+        .flatMap(ts => ts.takeWhile(t => t._3 <= p._3).lastOption.map(_._4))
+        .getOrElse("none")
+      (mode, p._5)
+    }
+    val expected = credited.groupBy(_._1).map { case (m, vs) =>
+      m -> ((vs.length.toLong,
+        vs.map(x => BigDecimal(x._2).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .foldLeft(BigDecimal(0))(_ + _).toDouble))
+    }
+    val got = JoinQueries.j6Scd2Lookup(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == purchases.length,
+      "half-open runs tile the timeline: each purchase credited exactly once")
+    assert(got.contains("click") && got.contains("view"),
+      "both browsing modes must attract purchases")
+  }
+
   test("y19 bigram typicality equals a brute-force bigram-frequency walk") {
     val docs = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text")).collect()
