@@ -16,8 +16,10 @@ object R7cProbe {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
     val sf01 = "/root/testdata/sf0.1"
     val names = Seq("t8_cusum_drift", "r6_scd2_history", "y18_bm25",
-      "m6_media_dedup", "w10_assoc_rules", "v14_quantizer_drift")
-    for (n <- Seq("r6_scd2_history", "y18_bm25", "w10_assoc_rules")) {
+      "m6_media_dedup", "w10_assoc_rules", "v14_quantizer_drift",
+      "y19_bigram_typicality", "j6_scd2_lookup")
+    for (n <- Seq("r6_scd2_history", "y18_bm25", "w10_assoc_rules",
+        "j6_scd2_lookup", "y19_bigram_typicality")) {
       println(s"=== $n formatted plan (sf0.1) ===")
       graft.SparkEntry.queries(n)(spark, sf01).explain("formatted")
     }
