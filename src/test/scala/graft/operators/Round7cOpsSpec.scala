@@ -154,6 +154,31 @@ class Round7cOpsSpec extends SparkSpec {
       "both browsing modes must attract purchases")
   }
 
+  test("tokenOcc is the exact token frequency on adversarial adjacent-repeat text") {
+    import spark.implicits._
+    // vocab chosen so substring traps ("a" in "ab"/"aa") and adjacent
+    // repeats ("a a a") both occur — the two failure modes of naive
+    // replace counting (the latter is the documented wordCount limit)
+    val vocab = Seq("a", "ab", "b", "spark", "aa")
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val out = rows.toDF("id", "text").select(col("id"),
+      TextQueries.tokenOcc(col("text"), "a").as("occ"),
+      TextQueries.wordCount(col("text"), "a").as("wc")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, tx) =>
+      val exact = tx.split(" ", -1).count(_ == "a").toLong
+      assert(out(id)._1 == exact, s"tokenOcc wrong for '$tx'")
+      assert(out(id)._2 <= exact, s"wordCount must never overcount ('$tx')")
+    }
+    assert(rows.exists { case (id, tx) =>
+      out(id)._2 < tx.split(" ", -1).count(_ == "a") },
+      "the generator must hit the adjacent-repeat case wordCount undercounts")
+  }
+
   test("y19 bigram typicality equals a brute-force bigram-frequency walk") {
     val docs = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text")).collect()
