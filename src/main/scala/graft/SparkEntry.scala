@@ -141,6 +141,9 @@ object SparkEntry {
     "v14_quantizer_drift" -> (SimilarityQueries.v14QuantizerDrift _),
     // j6: fact-to-SCD2 point-in-time lookup — r6's consumer side
     "j6_scd2_lookup" -> (JoinQueries.j6Scd2Lookup _),
+    // n1: PageRank (2 damped power iterations) over the part co-purchase
+    // graph — iterative graph analytics beyond x7's components
+    "n1_pagerank" -> (AnalyticsQueries.n1Pagerank _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -2379,6 +2382,30 @@ object SparkEntry {
         |FROM p LEFT JOIN v ON p.user_id = v.user_id AND p.pus >= v.valid_from
         |  AND (v.valid_to IS NULL OR p.pus < v.valid_to)
         |GROUP BY 1 ORDER BY mode""".stripMargin,
+    // n1: two unrolled power iterations; per-edge contributions quantize
+    // to decimal(38,12) before the sum so accumulation is exact and
+    // order-free on both engines (|term| <= 1 keeps the rounding digit
+    // inside the shortest-repr/binary agreement zone)
+    "n1_pagerank" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM e GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.s AS p
+        |  FROM e JOIN o USING (src)),
+        |nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
+        |r1 AS (SELECT ed.dst AS part,
+        |    0.15 / nn.n + CAST(sum(CAST((1.0 / nn.n) * ed.p * 0.85
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS r
+        |  FROM ed CROSS JOIN nn GROUP BY ed.dst, nn.n),
+        |r2 AS (SELECT ed.dst AS part,
+        |    0.15 / nn.n + CAST(sum(CAST(r1.r * ed.p * 0.85
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS r
+        |  FROM ed JOIN r1 ON ed.src = r1.part CROSS JOIN nn
+        |  GROUP BY ed.dst, nn.n)
+        |SELECT part, round(r, 8) AS pagerank
+        |FROM r2 ORDER BY r DESC, part LIMIT 20""".stripMargin,
     // st12: r6's SCD2 derivation restricted to CLOSED rows — the stream
     // can only finalize a run whose successor is behind the watermark
     "st12_stream_scd2" ->

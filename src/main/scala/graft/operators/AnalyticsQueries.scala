@@ -1209,6 +1209,52 @@ object AnalyticsQueries {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
   }
 
+  /** n1: PageRank over the part co-purchase graph — the iterative graph
+    * verb beyond x7's connected components: parts are nodes, co-occurrence
+    * in an order is a (symmetric, count-weighted) edge, and two damped
+    * power iterations rank parts by network centrality (the
+    * recommendation-seed / influence table). Each iteration is ONE
+    * edges⋈ranks join + dst aggregation — the classic Pregel step as
+    * DataFrame algebra, no driver loop over nodes. Determinism: the
+    * per-edge contribution (a double) is cast to decimal(38,12) BEFORE the
+    * sum, so accumulation is exact and partition-order-independent; at
+    * scale 12 both engines round the SAME digit sequence (double shortest-
+    * repr and binary expansion agree through the 17th significant digit,
+    * and |term| ≤ 1 keeps the rounding digit at ≤ 13 significant), so the
+    * quantization — documented, ~1e-12 — is bitwise-reproducible. Scale:
+    * edges build once (w7's basket-bounded self-join) and localCheckpoint
+    * (each iteration re-reads them — x7's lesson); ranks are (part, 1
+    * double) rows; the per-iteration shuffle carries longs + one decimal;
+    * N reaches the driver as one bounded scalar. */
+  def n1Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val i = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = i.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    val e = i.withColumnRenamed("l_partkey", "src")
+      .join(b, Seq("l_orderkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = e.groupBy("src").agg(sum("w").as("s"))
+    val edges = e.join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("s")).as("p"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("part")).distinct()
+    val n = nodes.count() // bounded scalar: the graph's node count
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to 2) {
+      val contrib = edges.join(ranks, edges("src") === ranks("part"))
+        .select(col("dst"),
+          (col("r") * col("p") * 0.85).cast("decimal(38,12)").as("c"))
+      ranks = contrib.groupBy("dst")
+        .agg((lit(0.15 / n) + sum(col("c")).cast("double")).as("r"))
+        .withColumnRenamed("dst", "part")
+    }
+    ranks.orderBy(col("r").desc, col("part"))
+      .limit(20)
+      .select(col("part"), round(col("r"), 8).as("pagerank"))
+  }
+
   /** Touch channels w8 credits a purchase to, and its lookback horizon. */
   private val TouchTypes = Seq("click", "view")
   private val AttributionLookbackUs = 3L * 86400L * 1000000L

@@ -221,6 +221,39 @@ class Round7cOpsSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0), "some cell must show membership churn")
   }
 
+  test("n1 PageRank equals a brute-force two-iteration power walk") {
+    val pairs = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ps = es.map(_._2).toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.groupBy(identity).map { case ((s, d), v) => (s, d, v.size.toLong) }.toSeq
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val withP = edges.map { case (s, d, w) => (s, d, w.toDouble / outW(s)) }
+    val n = edges.map(_._1).distinct.size.toLong
+    var r = edges.map(_._1).distinct.map(p => p -> (1.0 / n)).toMap
+    for (_ <- 1 to 2) {
+      val acc = scala.collection.mutable.Map.empty[Long, BigDecimal]
+      withP.foreach { case (s, d, p) =>
+        // valueOf (shortest repr) mirrors Spark's double->decimal cast
+        val q = BigDecimal.valueOf(r(s) * p * 0.85)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        acc(d) = acc.getOrElse(d, BigDecimal(0)) + q
+      }
+      r = acc.map { case (d, c) => d -> (0.15 / n + c.toDouble) }.toMap
+    }
+    val expected = r.toSeq.sortBy { case (p, v) => (-v, p) }.take(20)
+      .map { case (p, v) =>
+        (p, BigDecimal.valueOf(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = AnalyticsQueries.n1Pagerank(spark, sfDir).collect()
+      .map(r2 => (r2.getLong(0), r2.getDouble(1)))
+    assert(got.toSeq == expected)
+    assert(expected.head._2 > 1.0 / n,
+      "the top part must rank above the uniform prior")
+  }
+
   test("m6 media dedupe equals a brute-force sha256 grouping") {
     val docs = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).collect()
