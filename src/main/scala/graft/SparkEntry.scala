@@ -144,6 +144,8 @@ object SparkEntry {
     // n1: PageRank (2 damped power iterations) over the part co-purchase
     // graph — iterative graph analytics beyond x7's components
     "n1_pagerank" -> (AnalyticsQueries.n1Pagerank _),
+    // t9: weekly OHLC downsampling (open/close via the struct-argmin bridge)
+    "t9_weekly_ohlc" -> (AnalyticsQueries.t9WeeklyOhlc _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -2406,6 +2408,16 @@ object SparkEntry {
         |  GROUP BY ed.dst, nn.n)
         |SELECT part, round(r, 8) AS pagerank
         |FROM r2 ORDER BY r DESC, part LIMIT 20""".stripMargin,
+    // t9: open/close = lexicographic struct min/max (w8's bridge);
+    // high/low plain extremes; mass sums in decimal
+    "t9_weekly_ohlc" ->
+      """SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |  min({'us': epoch_us(ts), 'id': event_id, 'v': value}).v AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max({'us': epoch_us(ts), 'id': event_id, 'v': value}).v AS close,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mass
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, week""".stripMargin,
     // st12: r6's SCD2 derivation restricted to CLOSED rows — the stream
     // can only finalize a run whose successor is behind the watermark
     "st12_stream_scd2" ->

@@ -1263,6 +1263,34 @@ object AnalyticsQueries {
       .select(col("part"), round(col("r"), 8).as("pagerank"))
   }
 
+  /** t9: OHLC series downsampling — the metrics/financial resample verb
+    * next to t4's gap-fill: per (event_type, epoch week), the opening and
+    * closing observation plus high/low/volume. Open/close are ONE
+    * lexicographic min/max(struct(us, event_id, value)) each (w8/j5's
+    * argmin bridge — no window, no row_number, ties total-ordered by
+    * event_id), high/low are plain extremes, and the value mass sums in
+    * decimal — everything either exact or a single comparison, so both
+    * engines agree bitwise. Scale: one map-side partial agg below one
+    * exchange of ≤ |types|×|weeks| groups; the raw events never move
+    * twice. */
+  def t9WeeklyOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val wkUs = 7L * 86400L * 1000000L
+    t(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .groupBy(col("event_type"), expr(s"us div $wkUs").as("week"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value"))).getField("value")
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("us"), col("event_id"), col("value"))).getField("value")
+          .as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("mass"))
+      .orderBy("event_type", "week")
+  }
+
   /** Touch channels w8 credits a purchase to, and its lookback horizon. */
   private val TouchTypes = Seq("click", "view")
   private val AttributionLookbackUs = 3L * 86400L * 1000000L

@@ -221,6 +221,28 @@ class Round7cOpsSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0), "some cell must show membership churn")
   }
 
+  test("t9 weekly OHLC equals a brute-force resample walk") {
+    val wkUs = 7L * 86400L * 1000000L
+    val events = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = events.groupBy(e => (e._1, e._2 / wkUs)).map { case (k, es) =>
+      val open = es.minBy(e => (e._2, e._3))._4
+      val close = es.maxBy(e => (e._2, e._3))._4
+      val mass = es.map(e => BigDecimal(e._4).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _).toDouble
+      k -> ((open, es.map(_._4).max, es.map(_._4).min, close, es.length.toLong, mass))
+    }
+    val got = AnalyticsQueries.t9WeeklyOhlc(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(v => v._1 != v._4),
+      "some week must open and close on different observations")
+  }
+
   test("n1 PageRank equals a brute-force two-iteration power walk") {
     val pairs = Tables.t(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
