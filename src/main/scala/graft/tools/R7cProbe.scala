@@ -17,7 +17,8 @@ object R7cProbe {
     val sf01 = "/root/testdata/sf0.1"
     val names = Seq("t8_cusum_drift", "r6_scd2_history", "y18_bm25",
       "m6_media_dedup", "w10_assoc_rules", "v14_quantizer_drift",
-      "y19_bigram_typicality", "j6_scd2_lookup", "n1_pagerank")
+      "y19_bigram_typicality", "j6_scd2_lookup", "n1_pagerank",
+      "t9_weekly_ohlc")
     for (n <- Seq("r6_scd2_history", "y18_bm25", "w10_assoc_rules",
         "j6_scd2_lookup", "y19_bigram_typicality", "n1_pagerank")) {
       println(s"=== $n formatted plan (sf0.1) ===")
