@@ -146,6 +146,9 @@ object SparkEntry {
     "n1_pagerank" -> (AnalyticsQueries.n1Pagerank _),
     // t9: weekly OHLC downsampling (open/close via the struct-argmin bridge)
     "t9_weekly_ohlc" -> (AnalyticsQueries.t9WeeklyOhlc _),
+    // n2: HITS hubs/authorities over the bipartite customer-part graph
+    // (L1-normalized half-steps — sqrt-free, bitwise-portable)
+    "n2_hits" -> (AnalyticsQueries.n2Hits _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -2418,6 +2421,35 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mass
         |FROM events GROUP BY 1, 2 ORDER BY event_type, week""".stripMargin,
+    // n2: two unrolled HITS rounds; contributions quantize to
+    // decimal(38,12) pre-sum (all scores <= 1 after L1 normalization,
+    // inside the rounding agreement zone), mass is an exact decimal sum,
+    // one IEEE divide per node per half-step
+    "n2_hits" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |h1r AS (SELECT cust, sum(CAST(1.0 AS DECIMAL(38,12))) AS rawd
+        |  FROM e GROUP BY 1),
+        |h1m AS (SELECT sum(rawd) AS m FROM h1r),
+        |h1 AS (SELECT cust, CAST(rawd AS DOUBLE) / CAST(m AS DOUBLE) AS score
+        |  FROM h1r CROSS JOIN h1m),
+        |a1r AS (SELECT part, sum(CAST(h1.score AS DECIMAL(38,12))) AS rawd
+        |  FROM e JOIN h1 USING (cust) GROUP BY 1),
+        |a1m AS (SELECT sum(rawd) AS m FROM a1r),
+        |a1 AS (SELECT part, CAST(rawd AS DOUBLE) / CAST(m AS DOUBLE) AS score
+        |  FROM a1r CROSS JOIN a1m),
+        |h2r AS (SELECT cust, sum(CAST(a1.score AS DECIMAL(38,12))) AS rawd
+        |  FROM e JOIN a1 USING (part) GROUP BY 1),
+        |h2m AS (SELECT sum(rawd) AS m FROM h2r),
+        |h2 AS (SELECT cust, CAST(rawd AS DOUBLE) / CAST(m AS DOUBLE) AS score
+        |  FROM h2r CROSS JOIN h2m),
+        |a2r AS (SELECT part, sum(CAST(h2.score AS DECIMAL(38,12))) AS rawd
+        |  FROM e JOIN h2 USING (cust) GROUP BY 1),
+        |a2m AS (SELECT sum(rawd) AS m FROM a2r),
+        |a2 AS (SELECT part, CAST(rawd AS DOUBLE) / CAST(m AS DOUBLE) AS score
+        |  FROM a2r CROSS JOIN a2m)
+        |SELECT part, round(score, 8) AS authority
+        |FROM a2 ORDER BY score DESC, part LIMIT 20""".stripMargin,
     // st12: r6's SCD2 derivation restricted to CLOSED rows — the stream
     // can only finalize a run whose successor is behind the watermark
     "st12_stream_scd2" ->

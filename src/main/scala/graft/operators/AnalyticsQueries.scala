@@ -1291,6 +1291,51 @@ object AnalyticsQueries {
       .orderBy("event_type", "week")
   }
 
+  /** n2: HITS hubs/authorities over the BIPARTITE customer↔part purchase
+    * graph — the second iterative graph verb, structurally different from
+    * n1: alternating half-steps over a two-sided edge set (hub(cust) =
+    * Σ auth(part); auth(part) = Σ hub(cust)), the recommendation-
+    * bootstrap ranking for "influential buyers / sought-after parts".
+    * L1 normalization each half-step replaces the classical L2 (which
+    * needs sqrt — libm, not bitwise-portable): rank order is unchanged
+    * and scores stay ≤ 1, which ALSO keeps every quantized contribution
+    * inside the decimal(38,12) agreement zone (n1's determinism
+    * contract — terms cast to decimal before the sum, so accumulation is
+    * exact and order-free; the global L1 mass is an exact decimal sum
+    * and each node divides once in IEEE). Scale: the small side moves —
+    * score tables are |custs| / |parts| rows and broadcast onto the
+    * checkpointed edge set; the 1-row mass is a PlanLint-whitelisted
+    * O(1) cross join; per half-step cost is one edge-set pass. */
+  def n2Hits(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val e = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint()
+    def l1Normalize(raw: DataFrame, id: String): DataFrame = {
+      val mass = raw.agg(sum(col("rawd")).as("m"))
+      raw.join(mass)
+        .select(col(id),
+          (col("rawd").cast("double") / col("m").cast("double")).as("score"))
+    }
+    var auth = e.select(col("part")).distinct().withColumn("score", lit(1.0))
+    var hub: DataFrame = null
+    for (_ <- 1 to 2) {
+      hub = l1Normalize(
+        e.join(broadcast(auth), Seq("part"))
+          .groupBy("cust")
+          .agg(sum(col("score").cast("decimal(38,12)")).as("rawd")), "cust")
+      auth = l1Normalize(
+        e.join(broadcast(hub), Seq("cust"))
+          .groupBy("part")
+          .agg(sum(col("score").cast("decimal(38,12)")).as("rawd")), "part")
+    }
+    auth.orderBy(col("score").desc, col("part"))
+      .limit(20)
+      .select(col("part"), round(col("score"), 8).as("authority"))
+  }
+
   /** Touch channels w8 credits a purchase to, and its lookback horizon. */
   private val TouchTypes = Seq("click", "view")
   private val AttributionLookbackUs = 3L * 86400L * 1000000L

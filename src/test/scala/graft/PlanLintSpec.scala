@@ -32,7 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "y19_bigram_typicality" -> "1-row corpus-mean scalar broadcast onto per-doc bigram scores",
     "y15_tfidf_terms" -> "1-row corpus doc-count broadcast into every idf term",
     "y18_bm25" -> "1-row corpus stats (N, Σdl, 3 dfs) broadcast onto per-doc scores",
-    "w10_assoc_rules" -> "1-row basket total joined onto the 20-row rule list"
+    "w10_assoc_rules" -> "1-row basket total joined onto the 20-row rule list",
+    "n2_hits" -> "1-row L1 mass joined back per normalization half-step"
   )
 
   // one analysis pass per query: optimizedPlan only (no execution)

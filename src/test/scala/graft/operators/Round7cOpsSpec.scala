@@ -276,6 +276,39 @@ class Round7cOpsSpec extends SparkSpec {
       "the top part must rank above the uniform prior")
   }
 
+  test("n2 HITS equals a brute-force alternating walk") {
+    val orders = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (orders(r.getLong(0)), r.getLong(1))).distinct
+    def q(d: Double) =
+      BigDecimal.valueOf(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def l1(raw: Map[Long, BigDecimal]): Map[Long, Double] = {
+      val m = raw.values.foldLeft(BigDecimal(0))(_ + _).toDouble
+      raw.map { case (k, v) => k -> v.toDouble / m }
+    }
+    var auth = edges.map(_._2).distinct.map(_ -> 1.0).toMap
+    var hub = Map.empty[Long, Double]
+    for (_ <- 1 to 2) {
+      hub = l1(edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => q(auth(e._2))).foldLeft(BigDecimal(0))(_ + _)
+      })
+      auth = l1(edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => q(hub(e._1))).foldLeft(BigDecimal(0))(_ + _)
+      })
+    }
+    val expected = auth.toSeq.sortBy { case (p, s) => (-s, p) }.take(20)
+      .map { case (p, s) =>
+        (p, BigDecimal.valueOf(s).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = AnalyticsQueries.n2Hits(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == expected)
+    assert(expected.head._2 > expected.last._2, "authorities must discriminate")
+  }
+
   test("m6 media dedupe equals a brute-force sha256 grouping") {
     val docs = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).collect()
