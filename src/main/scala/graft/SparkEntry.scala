@@ -149,6 +149,8 @@ object SparkEntry {
     // n2: HITS hubs/authorities over the bipartite customer-part graph
     // (L1-normalized half-steps — sqrt-free, bitwise-portable)
     "n2_hits" -> (AnalyticsQueries.n2Hits _),
+    // n3: k-hop BFS reachability from the lowest part key (exact set algebra)
+    "n3_khop_reach" -> (AnalyticsQueries.n3KhopReach _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -2450,6 +2452,24 @@ object SparkEntry {
         |  FROM a2r CROSS JOIN a2m)
         |SELECT part, round(score, 8) AS authority
         |FROM a2 ORDER BY score DESC, part LIMIT 20""".stripMargin,
+    // n3: three unrolled BFS frontiers as exact set algebra (EXCEPT
+    // against the union of earlier hops)
+    "n3_khop_reach" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |f0 AS (SELECT min(src) AS part FROM e),
+        |f1 AS (SELECT DISTINCT e.dst AS part FROM e JOIN f0 ON e.src = f0.part
+        |  EXCEPT SELECT part FROM f0),
+        |f2 AS (SELECT DISTINCT e.dst AS part FROM e JOIN f1 ON e.src = f1.part
+        |  EXCEPT (SELECT part FROM f0 UNION SELECT part FROM f1)),
+        |f3 AS (SELECT DISTINCT e.dst AS part FROM e JOIN f2 ON e.src = f2.part
+        |  EXCEPT (SELECT part FROM f0 UNION SELECT part FROM f1 UNION SELECT part FROM f2))
+        |SELECT CAST(0 AS INT) AS hop, count(*) AS n_parts FROM f0
+        |UNION ALL SELECT CAST(1 AS INT), count(*) FROM f1
+        |UNION ALL SELECT CAST(2 AS INT), count(*) FROM f2
+        |UNION ALL SELECT CAST(3 AS INT), count(*) FROM f3
+        |ORDER BY hop""".stripMargin,
     // st12: r6's SCD2 derivation restricted to CLOSED rows — the stream
     // can only finalize a run whose successor is behind the watermark
     "st12_stream_scd2" ->

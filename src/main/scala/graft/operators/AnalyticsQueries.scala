@@ -1336,6 +1336,45 @@ object AnalyticsQueries {
       .select(col("part"), round(col("score"), 8).as("authority"))
   }
 
+  /** n3: k-hop reachability — BFS frontier expansion over the part
+    * co-purchase graph from a deterministic seed (the lowest part key in
+    * the graph): how much of the catalog is 1, 2, 3 co-purchase hops
+    * away — the blast-radius / lineage-traversal query shape (and the
+    * third iterative graph verb: n1 ranks, n2 scores a bipartite graph,
+    * n3 TRAVERSES). Each hop is one edges⋈frontier join, a distinct, and
+    * a left-anti against the visited set — all exact set algebra, so the
+    * per-hop counts are deterministic with no numeric contract needed.
+    * Scale: the frontier/visited tables are node-sized and AQE picks
+    * broadcast vs shuffle per hop as the frontier grows (hop 1 is tiny,
+    * hop 2 can be most of a small-world graph — hinting broadcast would
+    * be wrong); each frontier localCheckpoints because three consumers
+    * reuse it (count, anti-join, next visited — x7's lesson). Output is
+    * the per-hop reach table. */
+  def n3KhopReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val i = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = i.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    val e = i.withColumnRenamed("l_partkey", "src")
+      .join(b, Seq("l_orderkey"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .localCheckpoint()
+    val seed = e.agg(min(col("src"))).head().getLong(0)
+    var frontier = Seq(seed).toDF("part").localCheckpoint()
+    var visited = frontier
+    val counts = scala.collection.mutable.Buffer((0, 1L))
+    for (h <- 1 to 3) {
+      frontier = e.join(frontier.withColumnRenamed("part", "src"), Seq("src"))
+        .select(col("dst").as("part")).distinct()
+        .join(visited, Seq("part"), "left_anti")
+        .localCheckpoint()
+      counts += ((h, frontier.count()))
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    counts.toSeq.toDF("hop", "n_parts").orderBy("hop")
+  }
+
   /** Touch channels w8 credits a purchase to, and its lookback horizon. */
   private val TouchTypes = Seq("click", "view")
   private val AttributionLookbackUs = 3L * 86400L * 1000000L

@@ -309,6 +309,30 @@ class Round7cOpsSpec extends SparkSpec {
     assert(expected.head._2 > expected.last._2, "authorities must discriminate")
   }
 
+  test("n3 k-hop reach equals a brute-force BFS") {
+    val pairs = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.groupBy(_._1).values.flatMap { es =>
+      val ps = es.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSeq.distinct.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2).toSet }
+    val seed = adj.keys.min
+    var visited = Set(seed)
+    var frontier = Set(seed)
+    val expected = scala.collection.mutable.Buffer((0, 1L))
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(p => adj.getOrElse(p, Set.empty)) -- visited
+      expected += ((h, frontier.size.toLong))
+      visited ++= frontier
+    }
+    val got = AnalyticsQueries.n3KhopReach(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+    assert(expected(1)._2 > 0 && expected(2)._2 > 0,
+      "the seed must actually reach the graph at hops 1 and 2")
+  }
+
   test("m6 media dedupe equals a brute-force sha256 grouping") {
     val docs = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).collect()
