@@ -18,7 +18,7 @@ object R7cProbe {
     val names = Seq("t8_cusum_drift", "r6_scd2_history", "y18_bm25",
       "m6_media_dedup", "w10_assoc_rules", "v14_quantizer_drift",
       "y19_bigram_typicality", "j6_scd2_lookup", "n1_pagerank",
-      "t9_weekly_ohlc")
+      "t9_weekly_ohlc", "n2_hits", "n3_khop_reach")
     for (n <- Seq("r6_scd2_history", "y18_bm25", "w10_assoc_rules",
         "j6_scd2_lookup", "y19_bigram_typicality", "n1_pagerank")) {
       println(s"=== $n formatted plan (sf0.1) ===")
