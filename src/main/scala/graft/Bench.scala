@@ -46,6 +46,8 @@ object Bench {
     // same fairness rule for the k-means assignment memo (v5/v7 share it):
     // the timed pass pays the Lloyd loop once, at the first consumer
     graft.operators.SimilarityQueries.clearMemo()
+    // and for the co-purchase edge memo (n1/n3 share it)
+    graft.operators.GraphOps.clearMemo()
     // Drain warmup-pass debris NOW: dropping the memo released two
     // localCheckpointed RDDs, and the untimed pass left shuffle/broadcast
     // refs that ContextCleaner reclaims on GC. Forcing the GC here runs

@@ -143,14 +143,14 @@ object SparkEntry {
     "j6_scd2_lookup" -> (JoinQueries.j6Scd2Lookup _),
     // n1: PageRank (2 damped power iterations) over the part co-purchase
     // graph — iterative graph analytics beyond x7's components
-    "n1_pagerank" -> (AnalyticsQueries.n1Pagerank _),
+    "n1_pagerank" -> (GraphOps.n1Pagerank _),
     // t9: weekly OHLC downsampling (open/close via the struct-argmin bridge)
     "t9_weekly_ohlc" -> (AnalyticsQueries.t9WeeklyOhlc _),
     // n2: HITS hubs/authorities over the bipartite customer-part graph
     // (L1-normalized half-steps — sqrt-free, bitwise-portable)
-    "n2_hits" -> (AnalyticsQueries.n2Hits _),
+    "n2_hits" -> (GraphOps.n2Hits _),
     // n3: k-hop BFS reachability from the lowest part key (exact set algebra)
-    "n3_khop_reach" -> (AnalyticsQueries.n3KhopReach _),
+    "n3_khop_reach" -> (GraphOps.n3KhopReach _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),

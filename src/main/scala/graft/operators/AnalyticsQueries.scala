@@ -1209,60 +1209,6 @@ object AnalyticsQueries {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
   }
 
-  /** n1: PageRank over the part co-purchase graph — the iterative graph
-    * verb beyond x7's connected components: parts are nodes, co-occurrence
-    * in an order is a (symmetric, count-weighted) edge, and two damped
-    * power iterations rank parts by network centrality (the
-    * recommendation-seed / influence table). Each iteration is ONE
-    * edges⋈ranks join + dst aggregation — the classic Pregel step as
-    * DataFrame algebra, no driver loop over nodes. Determinism: the
-    * per-edge contribution (a double) is cast to decimal(38,12) BEFORE the
-    * sum, so accumulation is exact and partition-order-independent; at
-    * scale 12 both engines round the SAME digit sequence (double shortest-
-    * repr and binary expansion agree through the 17th significant digit,
-    * and |term| ≤ 1 keeps the rounding digit at ≤ 13 significant), so the
-    * quantization — documented, ~1e-12 — is bitwise-reproducible. Scale:
-    * edges build once (w7's basket-bounded self-join) and localCheckpoint
-    * (each iteration re-reads them — x7's lesson); ranks are (part, 1
-    * double) rows; the per-iteration shuffle carries longs + one decimal;
-    * N reaches the driver as one bounded scalar. */
-  def n1Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val i = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = i.select(col("l_orderkey"), col("l_partkey").as("dst"))
-    val e = i.withColumnRenamed("l_partkey", "src")
-      .join(b, Seq("l_orderkey"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    val outw = e.groupBy("src").agg(sum("w").as("s"))
-    val edges = e.join(outw, "src")
-      .select(col("src"), col("dst"),
-        (col("w").cast("double") / col("s")).as("p"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("part")).distinct()
-    val n = nodes.count() // bounded scalar: the graph's node count
-    var ranks = nodes.withColumn("r", lit(1.0 / n))
-    for (_ <- 1 to 2) {
-      // ranks are (part, double) — |nodes| rows, orders of magnitude below
-      // the edge set — so they BROADCAST onto the checkpointed edges and
-      // the big side never re-shuffles per iteration (an un-hinted SMJ
-      // re-exchanges + re-sorts all edges every pass: measured 2.4x
-      // slower at sf1). At node counts past broadcast range the
-      // production form co-partitions edges by src once and ships only
-      // ranks through that partitioning — same principle: iterate by
-      // moving the SMALL side.
-      val contrib = edges.join(broadcast(ranks), edges("src") === ranks("part"))
-        .select(col("dst"),
-          (col("r") * col("p") * 0.85).cast("decimal(38,12)").as("c"))
-      ranks = contrib.groupBy("dst")
-        .agg((lit(0.15 / n) + sum(col("c")).cast("double")).as("r"))
-        .withColumnRenamed("dst", "part")
-    }
-    ranks.orderBy(col("r").desc, col("part"))
-      .limit(20)
-      .select(col("part"), round(col("r"), 8).as("pagerank"))
-  }
-
   /** t9: OHLC series downsampling — the metrics/financial resample verb
     * next to t4's gap-fill: per (event_type, epoch week), the opening and
     * closing observation plus high/low/volume. Open/close are ONE
@@ -1289,90 +1235,6 @@ object AnalyticsQueries {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("mass"))
       .orderBy("event_type", "week")
-  }
-
-  /** n2: HITS hubs/authorities over the BIPARTITE customer↔part purchase
-    * graph — the second iterative graph verb, structurally different from
-    * n1: alternating half-steps over a two-sided edge set (hub(cust) =
-    * Σ auth(part); auth(part) = Σ hub(cust)), the recommendation-
-    * bootstrap ranking for "influential buyers / sought-after parts".
-    * L1 normalization each half-step replaces the classical L2 (which
-    * needs sqrt — libm, not bitwise-portable): rank order is unchanged
-    * and scores stay ≤ 1, which ALSO keeps every quantized contribution
-    * inside the decimal(38,12) agreement zone (n1's determinism
-    * contract — terms cast to decimal before the sum, so accumulation is
-    * exact and order-free; the global L1 mass is an exact decimal sum
-    * and each node divides once in IEEE). Scale: the small side moves —
-    * score tables are |custs| / |parts| rows and broadcast onto the
-    * checkpointed edge set; the 1-row mass is a PlanLint-whitelisted
-    * O(1) cross join; per half-step cost is one edge-set pass. */
-  def n2Hits(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val e = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      .distinct()
-      .localCheckpoint()
-    def l1Normalize(raw: DataFrame, id: String): DataFrame = {
-      val mass = raw.agg(sum(col("rawd")).as("m"))
-      raw.join(mass)
-        .select(col(id),
-          (col("rawd").cast("double") / col("m").cast("double")).as("score"))
-    }
-    var auth = e.select(col("part")).distinct().withColumn("score", lit(1.0))
-    var hub: DataFrame = null
-    for (_ <- 1 to 2) {
-      hub = l1Normalize(
-        e.join(broadcast(auth), Seq("part"))
-          .groupBy("cust")
-          .agg(sum(col("score").cast("decimal(38,12)")).as("rawd")), "cust")
-      auth = l1Normalize(
-        e.join(broadcast(hub), Seq("cust"))
-          .groupBy("part")
-          .agg(sum(col("score").cast("decimal(38,12)")).as("rawd")), "part")
-    }
-    auth.orderBy(col("score").desc, col("part"))
-      .limit(20)
-      .select(col("part"), round(col("score"), 8).as("authority"))
-  }
-
-  /** n3: k-hop reachability — BFS frontier expansion over the part
-    * co-purchase graph from a deterministic seed (the lowest part key in
-    * the graph): how much of the catalog is 1, 2, 3 co-purchase hops
-    * away — the blast-radius / lineage-traversal query shape (and the
-    * third iterative graph verb: n1 ranks, n2 scores a bipartite graph,
-    * n3 TRAVERSES). Each hop is one edges⋈frontier join, a distinct, and
-    * a left-anti against the visited set — all exact set algebra, so the
-    * per-hop counts are deterministic with no numeric contract needed.
-    * Scale: the frontier/visited tables are node-sized and AQE picks
-    * broadcast vs shuffle per hop as the frontier grows (hop 1 is tiny,
-    * hop 2 can be most of a small-world graph — hinting broadcast would
-    * be wrong); each frontier localCheckpoints because three consumers
-    * reuse it (count, anti-join, next visited — x7's lesson). Output is
-    * the per-hop reach table. */
-  def n3KhopReach(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val i = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = i.select(col("l_orderkey"), col("l_partkey").as("dst"))
-    val e = i.withColumnRenamed("l_partkey", "src")
-      .join(b, Seq("l_orderkey"))
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-      .localCheckpoint()
-    val seed = e.agg(min(col("src"))).head().getLong(0)
-    var frontier = Seq(seed).toDF("part").localCheckpoint()
-    var visited = frontier
-    val counts = scala.collection.mutable.Buffer((0, 1L))
-    for (h <- 1 to 3) {
-      frontier = e.join(frontier.withColumnRenamed("part", "src"), Seq("src"))
-        .select(col("dst").as("part")).distinct()
-        .join(visited, Seq("part"), "left_anti")
-        .localCheckpoint()
-      counts += ((h, frontier.count()))
-      visited = visited.union(frontier).localCheckpoint()
-    }
-    counts.toSeq.toDF("hop", "n_parts").orderBy("hop")
   }
 
   /** Touch channels w8 credits a purchase to, and its lookback horizon. */

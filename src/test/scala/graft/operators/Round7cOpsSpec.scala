@@ -269,7 +269,7 @@ class Round7cOpsSpec extends SparkSpec {
       .map { case (p, v) =>
         (p, BigDecimal.valueOf(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
-    val got = AnalyticsQueries.n1Pagerank(spark, sfDir).collect()
+    val got = GraphOps.n1Pagerank(spark, sfDir).collect()
       .map(r2 => (r2.getLong(0), r2.getDouble(1)))
     assert(got.toSeq == expected)
     assert(expected.head._2 > 1.0 / n,
@@ -303,7 +303,7 @@ class Round7cOpsSpec extends SparkSpec {
       .map { case (p, s) =>
         (p, BigDecimal.valueOf(s).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
-    val got = AnalyticsQueries.n2Hits(spark, sfDir).collect()
+    val got = GraphOps.n2Hits(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == expected)
     assert(expected.head._2 > expected.last._2, "authorities must discriminate")
@@ -326,7 +326,7 @@ class Round7cOpsSpec extends SparkSpec {
       expected += ((h, frontier.size.toLong))
       visited ++= frontier
     }
-    val got = AnalyticsQueries.n3KhopReach(spark, sfDir).collect()
+    val got = GraphOps.n3KhopReach(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     assert(got.toSeq == expected.toSeq)
     assert(expected(1)._2 > 0 && expected(2)._2 > 0,
