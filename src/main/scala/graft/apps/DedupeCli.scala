@@ -174,6 +174,9 @@ object DedupeCli {
         println(s"deleted ${rest(0)}; gc'd ${gcd.size} chunks")
       case "clone" =>
         // dedupe-aware copy: index appends only, zero payload I/O (G3)
+        if (rest.length < 2) {
+          Console.err.println("usage: clone <srcKey> <dstKey>"); throw CliExit(2)
+        }
         val (src, dst) = (rest(0), rest(1))
         try { engine().cloneObject(src, dst); println(s"cloned $src -> $dst") }
         catch {

@@ -1101,12 +1101,19 @@ object AnalyticsQueries {
     * scaling through 4n (series length n, s = Σx): T_t = max(0,
     * T_{t-1} + 4n·x_t − 5s + inj_t·2s) with inj ∈ {0,1} marking the
     * injected +μ/2 days, flagged when T > 4s (cumulative excess beyond
-    * one average day's volume). Everything runs in EXACT micro-scaled
-    * longs (the decimal(18,6) day total ×10^6 is an exact BIGINT; T is
-    * bounded by 4n·max(x)·days ≪ 2^63), so both engines walk
-    * bit-identical integers and the flag has no float boundary — and the
-    * injected purchase tail flags within ~4 days at EVERY corpus scale,
-    * while t6's 2σ spike test never sees a +0.5μ shift. The recursion is
+    * one average day's volume). The walk runs in EXACT micro-scaled
+    * integers: the decimal(18,6) day total ×10^6 is an exact integer,
+    * and the accumulator is a BigInt INSIDE the per-type group (the
+    * series is calendar-bounded, so arbitrary precision costs nothing) —
+    * Spark never wraps however large the corpus-scale 4n·x terms grow.
+    * Both engines walk bit-identical integers and the flag has no float
+    * boundary; the agreement bound is the ORACLE's side: DuckDB's BIGINT
+    * recursion errors (loudly, never silently) past 2^63, which caps the
+    * oracle-checkable day volume at ~9.2e12 micro-units — beyond that the
+    * Spark walk stays exact and only the cross-engine check ends. The
+    * injected purchase tail flags within ~4 days at every oracle-range
+    * scale, while t6's 2σ spike test never sees a +0.5μ shift. The
+    * recursion is
     * inherently sequential, which is exactly why it must NEVER run over
     * raw rows: the corpus aggregates to the per-day series first
     * (map-side partial below the one exchange), and the walk happens per
@@ -1121,29 +1128,33 @@ object AnalyticsQueries {
       .groupBy(col("event_type"), expr(s"unix_micros(ts) div $dayUs").as("day"))
       .agg(sum(col("value").cast("decimal(18,6)")).as("x"))
       .select(col("event_type"), col("day"),
-        (col("x") * 1000000L).cast("long").as("xl"))
+        // decimal(38,0) micro-units: exact integer, never a wrapping cast
+        (col("x") * 1000000L).cast("decimal(38,0)").as("xl"))
     val walked = daily
-      .as[(String, Long, Long)]
+      .as[(String, Long, BigDecimal)]
       .groupByKey(_._1)
-      .flatMapGroups { (ty: String, it: Iterator[(String, Long, Long)]) =>
+      .flatMapGroups { (ty: String, it: Iterator[(String, Long, BigDecimal)]) =>
         // group = one type's per-day series: bounded by the calendar span,
-        // not the corpus, so sorting in memory is safe by construction
-        val rows = it.toArray.sortBy(_._2)
-        val n = rows.length.toLong
-        val s = rows.iterator.map(_._3).sum
-        var tAcc = 0L
-        rows.iterator.map { case (_, day, xl) =>
-          val inj = if (ty == "purchase" && day >= CusumShiftDay) 2L else 0L
-          tAcc = math.max(0L, tAcc + 4L * n * xl - 5L * s + inj * s)
-          (ty, day, xl, tAcc, n, s)
+        // not the corpus, so sorting in memory is safe by construction —
+        // and BigInt accumulation over ~10^2 rows is free, so the 4n·x
+        // terms cannot wrap at any corpus volume
+        val rows = it.toArray.sortBy(_._2).map { case (_, day, x) =>
+          (day, x.toBigInt)
+        }
+        val n = BigInt(rows.length)
+        val s = rows.iterator.map(_._2).sum
+        var tAcc = BigInt(0)
+        rows.iterator.map { case (day, xl) =>
+          val inj = if (ty == "purchase" && day >= CusumShiftDay) BigInt(2) else BigInt(0)
+          tAcc = (tAcc + 4 * n * xl - 5 * s + inj * s).max(BigInt(0))
+          // S_t = T/(4n·10^6): exact integer -> double, then ONE IEEE
+          // divide — the same two rounding steps the oracle's
+          // CAST(t AS DOUBLE)/(CAST(n AS DOUBLE)*4e6) performs
+          (ty, day, xl.toDouble / 1e6,
+            tAcc.toDouble / (n.toDouble * 4000000.0), tAcc > 4 * s)
         }
       }
-    walked.toDF("event_type", "day", "xl", "t", "n", "s")
-      .select(col("event_type"), col("day"),
-        (col("xl").cast("double") / 1e6).as("day_value"),
-        // S_t = T/(4n·10^6): exact long -> double, then ONE IEEE divide
-        (col("t").cast("double") / (col("n").cast("double") * 4000000.0)).as("cusum"),
-        (col("t") > col("s") * 4L).as("is_drift"))
+    walked.toDF("event_type", "day", "day_value", "cusum", "is_drift")
       .orderBy("event_type", "day")
   }
 

@@ -27,6 +27,41 @@ object GraphOps {
 
   private[graft] def clearMemo(): Unit = edgeMemo.clear()
 
+  /** Size gate for the iterative joins' node-sized side (ranks/scores).
+    * At or below this many node rows the side is forced-broadcast (a
+    * (long, double) row is ~32 B on the wire, so the default 2M rows ≈
+    * 64 MB — the upper bound of a sane per-executor broadcast). ABOVE the
+    * gate the hint would tax every executor with a linearly-growing table
+    * every iteration, so instead the checkpointed edge set is
+    * co-partitioned by its join key ONCE (one exchange total, paid inside
+    * the checkpoint build) and every iteration ships only the node-sized
+    * side through that partitioning — the production form for a graph
+    * whose node count outgrows broadcast range. Overridable per session
+    * via `graft.graph.broadcastNodeLimit` (specs set 0 to force the
+    * co-partitioned regime at test scale). */
+  private[graft] def broadcastNodeLimit(spark: SparkSession): Long =
+    spark.conf.getOption("graft.graph.broadcastNodeLimit")
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** Repartition by `key` and checkpoint WITH the partitioning preserved.
+    * Under AQE the physical plan a checkpoint captures is an
+    * AdaptiveSparkPlan whose outputPartitioning is Unknown(0) (measured —
+    * tools/R8Probe), so the checkpoint would forget the co-partitioning
+    * and every later iteration join would re-exchange the edge set:
+    * exactly the cost this path exists to avoid. Building the checkpoint
+    * with AQE momentarily OFF makes LogicalRDD capture
+    * HashPartitioning(key, shuffle.partitions), which EnsureRequirements
+    * then honors in every downstream join (GraphScaleSpec asserts zero
+    * edge-row shuffles in the final executed plans). AQE stays on for the
+    * iteration queries themselves. */
+  private def coPartitionedCheckpoint(
+      spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.repartition(col(key)).localCheckpoint()
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   /** `(src, dst, w)` — directed both ways (symmetric), `w` = number of
     * orders containing both parts. */
   private[operators] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
@@ -58,26 +93,43 @@ object GraphOps {
     * edges come from the session memo (built once per sweep, shared with
     * n3); ranks are (part, 1 double) rows; the per-iteration shuffle
     * carries longs + one decimal; N reaches the driver as one bounded
-    * scalar. */
+    * scalar; the iteration join is SIZE-GATED (`broadcastNodeLimit`) —
+    * forced broadcast of the rank rows only while they fit, one reused
+    * src co-partitioning of the edges above that. */
   def n1Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = coPurchaseEdges(spark, dir)
     val outw = e.groupBy("src").agg(sum("w").as("s"))
-    val edges = e.join(outw, "src")
+    val edges0 = e.join(outw, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("s")).as("p"))
-      .localCheckpoint()
+    // Size-gate the iteration join (NOTE: counts — Spark actions — run at
+    // DataFrame-CONSTRUCTION time here, so plan-only consumers of this
+    // query trigger real jobs). Below the gate, ranks are (part, double)
+    // rows orders of magnitude under the edge set, so they BROADCAST onto
+    // the checkpointed edges and the big side never re-shuffles per
+    // iteration (an un-hinted SMJ re-exchanges + re-sorts all edges every
+    // pass: measured 78 -> 62 s at sf1). Above the gate a per-iteration
+    // broadcast of a linearly-growing table is the scale trap, so the
+    // edges co-partition by src ONCE inside this checkpoint (one exchange
+    // total) and every iteration ships only the rank rows through that
+    // preserved partitioning — localCheckpoint keeps outputPartitioning,
+    // so no later plan ever exchanges the edge set again (spec-asserted:
+    // zero `hashpartitioning(src` exchanges in the executed plan).
+    // bounded scalar: the graph's node count (counted ONCE, off the
+    // memoized e — same cardinality as edges0's src set) — it both seeds
+    // the uniform prior and decides the regime.
+    val n = e.select(col("src")).distinct().count()
+    if (n == 0) return Seq.empty[(Long, Double)].toDF("part", "pagerank")
+    val useBroadcast = n <= broadcastNodeLimit(spark)
+    val edges =
+      if (useBroadcast) edges0.localCheckpoint()
+      else coPartitionedCheckpoint(spark, edges0, "src")
     val nodes = edges.select(col("src").as("part")).distinct()
-    val n = nodes.count() // bounded scalar: the graph's node count
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to 2) {
-      // ranks are (part, double) — |nodes| rows, orders of magnitude below
-      // the edge set — so they BROADCAST onto the checkpointed edges and
-      // the big side never re-shuffles per iteration (an un-hinted SMJ
-      // re-exchanges + re-sorts all edges every pass: measured 78 -> 62 s
-      // at sf1). At node counts past broadcast range the production form
-      // co-partitions edges by src once and ships only ranks through that
-      // partitioning — same principle: iterate by moving the SMALL side.
-      val contrib = edges.join(broadcast(ranks), edges("src") === ranks("part"))
+      val rside = if (useBroadcast) broadcast(ranks) else ranks
+      val contrib = edges.join(rside, edges("src") === rside("part"))
         .select(col("dst"),
           (col("r") * col("p") * 0.85).cast("decimal(38,12)").as("c"))
       ranks = contrib.groupBy("dst")
@@ -101,9 +153,13 @@ object GraphOps {
     * contract — terms cast to decimal before the sum, so accumulation is
     * exact and order-free; the global L1 mass is an exact decimal sum
     * and each node divides once in IEEE). Scale: the small side moves —
-    * score tables are |custs| / |parts| rows and broadcast onto the
-    * checkpointed edge set; the 1-row mass is a PlanLint-whitelisted
-    * O(1) cross join; per half-step cost is one edge-set pass. */
+    * score tables are |custs| / |parts| rows and, under the
+    * `broadcastNodeLimit` size gate, broadcast onto the checkpointed edge
+    * set; past the gate the edges hold two checkpointed co-partitions
+    * (by part / by cust — one exchange each, total, across all
+    * iterations) and only score rows move; the 1-row mass is a
+    * PlanLint-whitelisted O(1) cross join; per half-step cost is one
+    * edge-set pass. */
   def n2Hits(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val e = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
@@ -117,15 +173,34 @@ object GraphOps {
         .select(col(id),
           (col("rawd").cast("double") / col("m").cast("double")).as("score"))
     }
-    var auth = e.select(col("part")).distinct().withColumn("score", lit(1.0))
+    // Size gate (n1's contract; counted once off the checkpointed edge
+    // set — a bounded 2-long scalar): below it the node-sized score
+    // tables broadcast onto the edges each half-step; above it the edge
+    // set is co-partitioned ONCE PER JOIN KEY — the bipartite iteration
+    // alternates between joining on `part` and on `cust`, so the
+    // production form keeps two checkpointed co-partitions (two exchanges
+    // total across ALL iterations) and each half-step ships only the
+    // score rows, which arrive already partitioned on the right key from
+    // the previous half-step's groupBy.
+    val cnt = e.agg(countDistinct(col("cust")).as("nc"),
+                    countDistinct(col("part")).as("np")).head()
+    val useBroadcast =
+      math.max(cnt.getLong(0), cnt.getLong(1)) <= broadcastNodeLimit(spark)
+    val (eByPart, eByCust) =
+      if (useBroadcast) (e, e)
+      else (coPartitionedCheckpoint(spark, e, "part"),
+            coPartitionedCheckpoint(spark, e, "cust"))
+    def side(df: DataFrame) = if (useBroadcast) broadcast(df) else df
+    var auth = eByPart.select(col("part")).distinct()
+      .withColumn("score", lit(1.0))
     var hub: DataFrame = null
     for (_ <- 1 to 2) {
       hub = l1Normalize(
-        e.join(broadcast(auth), Seq("part"))
+        eByPart.join(side(auth), Seq("part"))
           .groupBy("cust")
           .agg(sum(col("score").cast("decimal(38,12)")).as("rawd")), "cust")
       auth = l1Normalize(
-        e.join(broadcast(hub), Seq("cust"))
+        eByCust.join(side(hub), Seq("cust"))
           .groupBy("part")
           .agg(sum(col("score").cast("decimal(38,12)")).as("rawd")), "part")
     }
@@ -148,11 +223,19 @@ object GraphOps {
     * be most of a small-world graph — hinting broadcast would be wrong);
     * each frontier localCheckpoints because three consumers reuse it
     * (count, anti-join, next visited — x7's lesson). Output is the
-    * per-hop reach table. */
+    * per-hop reach table. NOTE: like n1, this query executes Spark
+    * actions (seed lookup, per-hop counts, eager checkpoints) at
+    * DataFrame-CONSTRUCTION time — plan-only consumers (explain tooling,
+    * PlanLint) trigger real jobs for the n* entries. A degenerate empty
+    * edge set returns the empty hop table rather than NPE-ing on the
+    * seed lookup. */
   def n3KhopReach(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = coPurchaseEdges(spark, dir).select("src", "dst")
-    val seed = e.agg(min(col("src"))).head().getLong(0)
+    val seedRow = e.agg(min(col("src"))).head()
+    if (seedRow.isNullAt(0))
+      return Seq.empty[(Int, Long)].toDF("hop", "n_parts")
+    val seed = seedRow.getLong(0)
     var frontier = Seq(seed).toDF("part").localCheckpoint()
     var visited = frontier
     val counts = scala.collection.mutable.Buffer((0, 1L))

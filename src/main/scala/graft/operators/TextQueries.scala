@@ -45,9 +45,12 @@ object TextQueries {
     * until one final rounded divide). A doc is flagged ATYPICAL iff its
     * score falls below 97% of the corpus-pooled mean, compared
     * CROSS-MULTIPLIED in integers (100·s·N < 97·S·n) so the verdict
-    * involves no floating point at all. Products stay under 2^63 through
-    * sf1-scale corpora; a larger corpus would cross-multiply in
-    * decimal(38,0).
+    * involves no floating point at all — in decimal(38,0), where the
+    * worst-case product (gs ≤ (Σcf)² with n_doc ≈ 10^3 tokens) stays
+    * under 10^31 even at a 100 TB corpus, and past 10^38 Spark's ANSI
+    * decimal errors LOUDLY rather than wrapping (the oracle's BIGINT
+    * errors far earlier, at 2^63 — that bound caps the cross-engine
+    * check, not this query's correctness).
     *
     * Scale design: the frequency table is vocab-sized and joins the token
     * stream WITHOUT a broadcast hint (x8's rationale — a web-scale vocab
@@ -56,6 +59,19 @@ object TextQueries {
     * one partitioning, map-side partial aggs; the per-doc rollup then
     * shuffles compact (doc_id, lang, 2 longs) rows, and the 1-row global
     * broadcasts back over the per-doc table (q11's shape). */
+  /** The 97%-of-global-mean atypicality verdict, cross-multiplied in
+    * decimal(38,0): `100·s·gn < 97·gs·n` over per-doc (s, n) and global
+    * (gs, gn) exact sums. Widened from long because the factors are
+    * corpus-scale totals — long products wrap SILENTLY in Spark at 2^63
+    * while DuckDB raises, so the engines could diverge exactly where the
+    * oracle can no longer look (y14's unigram sums get near the edge at
+    * large SFs; y19's bigram cf·gn products square the exposure). */
+  private def atypicalFlag: Column = {
+    def d(c: Column) = c.cast("decimal(38,0)")
+    (lit(100L) * d(col("s")) * d(col("gn")) <
+      lit(97L) * d(col("gs")) * d(col("n"))).cast("long")
+  }
+
   def y14UnigramTypicality(spark: SparkSession, dir: String): DataFrame = {
     val tok = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tk"))
@@ -65,8 +81,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n"), sum("cf").as("s"))
     val g = perDoc.agg(sum("s").as("gs"), sum("n").as("gn"))
     perDoc.join(broadcast(g))
-      .withColumn("atypical",
-        (lit(100L) * col("s") * col("gn") < lit(97L) * col("gs") * col("n")).cast("long"))
+      .withColumn("atypical", atypicalFlag)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("atypical").as("atypical_docs"),
@@ -102,8 +117,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n"), sum("cf").as("s"))
     val g = perDoc.agg(sum("s").as("gs"), sum("n").as("gn"))
     perDoc.join(broadcast(g))
-      .withColumn("atypical",
-        (lit(100L) * col("s") * col("gn") < lit(97L) * col("gs") * col("n")).cast("long"))
+      .withColumn("atypical", atypicalFlag)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("atypical").as("atypical_docs"),

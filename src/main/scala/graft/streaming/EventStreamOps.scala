@@ -407,8 +407,13 @@ object EventStreamOps {
     * events below the watermark are dropped (the native operators'
     * late-data contract); the rest buffer in state until the watermark
     * passes them, then the stable prefix walks through the run machine in
-    * (ts, event_id) order — so the emitted set is a pure function of the
-    * DATA, independent of micro-batch carving. State per key = the open
+    * (ts, event_id) order — so FOR EVENTS WITHIN THE 30-MINUTE watermark
+    * lag the emitted set is a pure function of the DATA, independent of
+    * micro-batch carving. An event later than the lag is dropped at
+    * whatever batch it arrives in, so with genuinely late data the output
+    * depends on carving exactly the way the native stateful operators'
+    * late-data contract allows (the finite-replay harness sees none: its
+    * first batch runs at watermark 0). State per key = the open
     * run (O(1)) + the buffer (bounded by the 30-min watermark lag). An
     * event-time timeout is armed ONLY while the buffer is non-empty (a
     * quiet key with an open run costs no timer); the finite-replay flush

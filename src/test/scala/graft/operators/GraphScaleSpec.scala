@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/**
+ * The size-gated iterative-graph join contract (GraphOps.broadcastNodeLimit):
+ * below the gate n1/n2 broadcast the node-sized rank/score side; above it
+ * the checkpointed edge set is co-partitioned by its join key ONCE and
+ * every iteration ships only node-sized rows. These specs force the
+ * co-partitioned regime (gate = 0, auto-broadcast off so AQE can't convert
+ * the demonstration join back to broadcast) and assert BOTH halves of the
+ * "done" contract: identical output to the broadcast regime (the oracle
+ * hash is regime-independent because per-edge terms quantize to decimal
+ * before summing), and ZERO shuffles of edge-shaped rows anywhere in the
+ * executed plan — the one edge exchange happens inside the eager
+ * localCheckpoint build, so the iteration plans only ever exchange rank /
+ * score / partial-agg rows.
+ */
+class GraphScaleSpec extends SparkSpec {
+
+  /** Output column-name sets of every shuffle exchange in the final
+    * (post-AQE) executed plan — the fingerprint that separates edge-row
+    * shuffles from node-row shuffles. */
+  private def shuffleOutputs(plan: SparkPlan): Seq[Set[String]] = {
+    val buf = scala.collection.mutable.Buffer.empty[Set[String]]
+    def go(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case s: ShuffleExchangeExec =>
+        buf += s.output.map(_.name).toSet; s.children.foreach(go)
+      case q: QueryStageExec => go(q.plan)
+      case other => other.children.foreach(go)
+    }
+    go(plan)
+    buf.toSeq
+  }
+
+  private def inCoPartitionedRegime[A](body: => A): A = {
+    val conf = spark.conf
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("graft.graph.broadcastNodeLimit", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      conf.unset("graft.graph.broadcastNodeLimit")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+
+  test("n1 co-partitioned regime: same ranks, edges never re-shuffle") {
+    val viaBroadcast = rows(GraphOps.n1Pagerank(spark, sfDir))
+    val (viaCoPart, shuffles) = inCoPartitionedRegime {
+      val df = GraphOps.n1Pagerank(spark, sfDir)
+      val got = rows(df) // materialize so the adaptive plan is final
+      (got, shuffleOutputs(df.queryExecution.executedPlan))
+    }
+    assert(viaCoPart == viaBroadcast,
+      "the regime is a physical-plan choice; ranks must be bit-identical")
+    // Edge rows carry (src, dst, p); rank-side and partial-agg shuffles
+    // never hold src and dst together. One edge exchange exists — inside
+    // the checkpoint build — so the iteration plan must show none.
+    val edgeShuffles = shuffles.filter(o => o.contains("src") && o.contains("dst"))
+    assert(edgeShuffles.isEmpty,
+      s"edge set re-shuffled in the iteration plan: $edgeShuffles")
+    assert(shuffles.nonEmpty,
+      "sanity: the co-partitioned plan still shuffles node-sized rows")
+  }
+
+  test("n2 co-partitioned regime: same authorities, edges never re-shuffle") {
+    val viaBroadcast = rows(GraphOps.n2Hits(spark, sfDir))
+    val (viaCoPart, shuffles) = inCoPartitionedRegime {
+      val df = GraphOps.n2Hits(spark, sfDir)
+      val got = rows(df)
+      (got, shuffleOutputs(df.queryExecution.executedPlan))
+    }
+    assert(viaCoPart == viaBroadcast,
+      "the regime is a physical-plan choice; scores must be bit-identical")
+    // Edge rows carry (cust, part); score tables and partials hold only
+    // one of the two ids. Both co-partitions materialize inside their
+    // eager checkpoints, so the half-step plans must never shuffle them.
+    val edgeShuffles = shuffles.filter(o => o.contains("cust") && o.contains("part"))
+    assert(edgeShuffles.isEmpty,
+      s"edge set re-shuffled in the half-step plan: $edgeShuffles")
+  }
+}
