@@ -219,6 +219,10 @@ object SparkEntry {
     // v8: the index-maintenance increment — new batch assigned to the
     // quantizer trained on the existing remainder only (no retraining)
     "v8_incremental_ivf" -> (SimilarityQueries.v8IncrementalIvf _),
+    // v15: the nlist ≈ √N contract executed — k = max(10, ⌊√N⌋) derived
+    // from one counted scalar, quantizer built at that k, cell-occupancy
+    // table out (the v-family's last prose-only scale claim, now run)
+    "v15_auto_nlist" -> (SimilarityQueries.v15AutoNlist _),
     // x13: SemDeDup — within-k-means-cell near-duplicate drop verdicts
     // (registered with the x dedupe family; lives with the quantizer)
     "x13_semantic_dedup" -> (SimilarityQueries.x13SemanticDedup _),
@@ -474,11 +478,14 @@ object SparkEntry {
     * v5, v7, and v8 oracles — one template, three consumers, so the
     * oracles can never disagree about the same quantizer. `pred` narrows
     * the training slice (empty = whole table; v8 trains on the old slice
-    * only). Ends in `af(vec_id, embedding, cell)` over the slice. */
-  private def kmeansCteFor(pred: String): String =
+    * only); `kSql` is the nlist expression seeding c0 (default the fixed
+    * 10; v15 passes the √N scalar subquery so the SAME template carries
+    * the auto-scaled quantizer). Ends in `af(vec_id, embedding, cell)`
+    * over the slice. */
+  private def kmeansCteFor(pred: String, kSql: String = "10"): String =
     s"""WITH src AS (SELECT vec_id, embedding FROM embeddings $pred),
       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS centroid
-      |  FROM src WHERE vec_id < 10),
+      |  FROM src WHERE vec_id < ($kSql)),
       |a0 AS (SELECT vec_id, embedding, cell FROM (
       |  SELECT e.vec_id, e.embedding, c.cell,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -2142,6 +2149,16 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, neighbor_id) AS rn FROM p)
         |SELECT vec_id, cell, neighbor_id, round(s, 6) AS sim
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    // v15: the SAME Lloyd template, but c0 seeds from the √N scalar
+    // subquery instead of the fixed 10 — ⌊√N⌋ agrees across engines
+    // (IEEE sqrt is correctly rounded; exact on perfect squares), so the
+    // auto-scaled quantizer and its occupancy rollup hash-match
+    "v15_auto_nlist" -> (kmeansCteFor("",
+      "SELECT GREATEST(10, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) FROM embeddings") + """,
+        |k AS (SELECT GREATEST(10, CAST(FLOOR(SQRT(count(*))) AS BIGINT)) AS nlist
+        |  FROM embeddings)
+        |SELECT cell, count(*) AS n_vecs, k.nlist AS nlist
+        |FROM af, k GROUP BY cell, k.nlist ORDER BY cell""".stripMargin),
     // v8: the quantizer CTE trains on the OLD slice only (pred narrows
     // src); the new slice then gets the same rank-1 cell assignment —
     // score arithmetic identical to the Spark side's broadcast pass

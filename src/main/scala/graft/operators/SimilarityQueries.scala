@@ -348,6 +348,30 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** v15: the nlist ≈ √N contract EXECUTED — v7 parameterizes k and the
+    * family's docs state the cell-bounded-join work sum(|cell|²) stays
+    * flat only when nlist grows with the corpus; this query derives
+    * k = max(10, ⌊√N⌋) from ONE counted scalar and builds/assigns the
+    * quantizer at that k, emitting the cell-occupancy table (cell,
+    * n_vecs, nlist). The row count itself is the evidence: ≈ √N cells,
+    * each ≈ √N vectors — the shape that keeps v6/v7-style within-cell
+    * joins linear in N. ⌊√N⌋ agrees across engines because IEEE sqrt is
+    * correctly rounded (exact on perfect squares), and the occupancy
+    * rollup is exact counting. Scale: the count is one scan; training is
+    * the shared memoized Lloyd loop (k×dim driver state — at 100 TB,
+    * k ≈ 10^6 centroids × dim doubles still fits the driver, and past
+    * THAT the quantizer itself shards hierarchically, which is IVF-HNSW
+    * territory, not this operator's); assignment is the usual broadcast
+    * projection; the rollup shuffles k-bounded (cell, count) partials. */
+  def v15AutoNlist(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "embeddings").count() // bounded scalar
+    val k = math.max(10L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+    kmeansAssigned(spark, dir, k, 3)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("nlist", lit(k.toLong))
+      .orderBy("cell")
+  }
+
   /** Incremental IVF index maintenance — the similarity-side face of x11's
     * cross-run theme: a NEW batch of vectors (the vec_id % 7 slice) is
     * assigned to the k-means quantizer trained on the EXISTING remainder

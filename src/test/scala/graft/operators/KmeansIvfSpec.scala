@@ -192,4 +192,19 @@ class KmeansIvfSpec extends SparkSpec {
     assert(candidates.size < allPairs / 2,
       s"candidate set ${candidates.size} is not meaningfully sub-quadratic (all-pairs $allPairs)")
   }
+
+  test("v15 auto-nlist derives k = max(10, floor(sqrt(N))) and partitions the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.operators.Tables.t(spark, dir, "embeddings").count()
+    val expectedK = math.max(10L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val got = SimilarityQueries.v15AutoNlist(spark, dir).collect()
+    assert(got.forall(_.getLong(2) == expectedK), "nlist column must carry the derived k")
+    // every vector lands in exactly one cell; the occupancy table sums to N
+    assert(got.map(_.getLong(1)).sum == n)
+    // the auto-scale actually bites: with N=500 the derived k exceeds the
+    // fixed-10 floor and the quantizer keeps most of those cells populated
+    assert(expectedK > 10, s"testdata should exercise the sqrt branch (N=$n)")
+    assert(got.length > 10 && got.length <= expectedK,
+      s"expected >10 and <= $expectedK populated cells, got ${got.length}")
+  }
 }
