@@ -33,7 +33,10 @@ final case class Scd2Row(user_id: Long, state: String, valid_from: Long,
  * batch, expressed as an incremental streaming query with watermarked state.
  *
  * All transforms take a streaming OR batch DataFrame (Spark's unified API),
- * so specs drive them with the file source and a memory sink.
+ * so specs drive them with the file source and the replay FILE sink
+ * (tmpfs parquet + read-back; only the Complete-mode test helper still
+ * uses the memory sink, which Append queries avoid because it holds the
+ * whole output driver-resident).
  */
 object EventStreamOps {
 
@@ -85,12 +88,15 @@ object EventStreamOps {
         .write.mode("overwrite").parquet(s"$d/src")
       val stream = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1").parquet(s"$d/src")
-      val q = transform(stream)
-        .writeStream.outputMode(OutputMode.Append()).format("memory")
+      val result = transform(stream)
+      val sink = replaySinkDir(name)
+      val q = result
+        .writeStream.outputMode(OutputMode.Append()).format("parquet")
+        .option("path", sink.toString)
         .option("checkpointLocation", replayCheckpointDir(name))
         .queryName(name).start()
       try q.processAllAvailable() finally q.stop()
-      spark.table(name)
+      spark.read.schema(result.schema).parquet(sink.toString)
     } finally deleteStagingDir(d)
   }
 
@@ -664,7 +670,10 @@ object EventStreamOps {
     * past every real window. The flush row's own window never finalizes and
     * is never emitted; for non-windowed transforms that would pass it
     * through, the returned frame filters it back out. The source is staged
-    * into a private temp dir so the flush file cannot leak into other runs. */
+    * into a private temp dir so the flush file cannot leak into other runs.
+    * (The name is historical: since r8 the output lands in the replay FILE
+    * sink — parquet + `_spark_metadata` commit log, read back lazily — not
+    * a driver-resident memory-sink table; see [[replaySinkDir]].) */
   def runToMemoryAppend(rootSpark: SparkSession, path: String, name: String,
       transform: DataFrame => DataFrame, flushTail: Boolean = true): DataFrame = {
     // Finite replay runs in a CHILD session with state partitions right-sized
@@ -707,7 +716,7 @@ object EventStreamOps {
     * a durable checkpointLocation instead (this path is for the
     * test/bench replay harness only, where the checkpoint has no
     * restart value). */
-  private def replayCheckpointDir(name: String): String = {
+  private[streaming] def replayCheckpointDir(name: String): String = {
     val base = java.nio.file.Paths.get("/dev/shm")
     val root =
       if (java.nio.file.Files.isDirectory(base) && java.nio.file.Files.isWritable(base)) base
@@ -735,11 +744,32 @@ object EventStreamOps {
     } finally deleteStagingDir(d)
   }
 
+  /** Sink root for finite replays — tmpfs like the checkpoints, for the
+    * same churn reason. A FILE sink, not memory: the memory sink holds
+    * the query's entire output driver-resident (st2's session table is
+    * ~95k rows at sf0.1 and 10× that at sf1 — corpus-proportional), while
+    * the parquet sink streams each micro-batch's rows to files and the
+    * harness reads the committed result back through `_spark_metadata`,
+    * exactly the shape a production Append query ships with. The dir
+    * registers for exit cleanup; the returned frame reads lazily from it. */
+  private[streaming] def replaySinkDir(name: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(base) && java.nio.file.Files.isWritable(base)) base
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val dir = java.nio.file.Files.createTempDirectory(root, s"graft-sink-$name-")
+    graft.core.FsUtil.deleteOnExitRecursively(dir)
+    dir
+  }
+
   private def runAppendStaged(spark: SparkSession, sourcePath: String,
       d: java.nio.file.Path, staged: Long, name: String,
       transform: DataFrame => DataFrame, flushTail: Boolean): DataFrame = {
-    val q = transform(replayStream(spark, sourcePath, d, staged))
-      .writeStream.outputMode(OutputMode.Append()).format("memory")
+    val result = transform(replayStream(spark, sourcePath, d, staged))
+    val sink = replaySinkDir(name)
+    val q = result
+      .writeStream.outputMode(OutputMode.Append()).format("parquet")
+      .option("path", sink.toString)
       .option("checkpointLocation", replayCheckpointDir(name))
       .queryName(name).start()
     try {
@@ -761,7 +791,9 @@ object EventStreamOps {
         }
       }
     } finally q.stop()
-    val out = spark.table(name)
+    // read back through the sink's commit log (declared schema: a
+    // zero-output query leaves only _spark_metadata, which can't infer one)
+    val out = spark.read.schema(result.schema).parquet(sink.toString)
     if (out.columns.contains("event_type"))
       out.filter(col("event_type") =!= FlushEventType)
     else out

@@ -61,8 +61,10 @@ object VectorStreamOps {
   }
 
   /** New-batch vectors (the vec_id % 7 slice) streamed through the
-    * quantizer trained batch-side on the old slice. Returns the
-    * materialized memory-sink table: (vec_id, cell, s). */
+    * quantizer trained batch-side on the old slice. Output lands in the
+    * replay file sink (EventStreamOps.replaySinkDir — the new-batch table
+    * is corpus-slice-proportional, so it must not sit driver-resident)
+    * and reads back as (vec_id, cell, s). */
   def streamIvfAssign(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
     // static side: train on the EXISTING remainder only (v8's contract)
@@ -77,7 +79,7 @@ object VectorStreamOps {
           (cell, arr, 0.5 * cn2)
         }
     val bc = spark.sparkContext.broadcast(cents)
-    val q = spark.readStream
+    val assigned = spark.readStream
       .schema(embeddingSchema)
       .option("maxFilesPerTrigger", "4")
       .parquet(stagedDirFor(s"$dir/embeddings.parquet"))
@@ -97,8 +99,12 @@ object VectorStreamOps {
         (id, bestCell, bestS)
       }
       .toDF("vec_id", "cell", "s")
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    val sink = EventStreamOps.replaySinkDir(name)
+    val q = assigned.writeStream.outputMode("append").format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", EventStreamOps.replayCheckpointDir(name))
+      .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    spark.read.schema(assigned.schema).parquet(sink.toString)
   }
 }
