@@ -74,6 +74,17 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+      // BENCH_FULL.json is overwritten every run, which made rounds 2-6
+      // unparseable for per-query regression checks (the driver's stdout
+      // tail dropped the totals). Append each run's complete report —
+      // timestamped — to a history log that nothing overwrites, so any
+      // two rounds diff machine-checkably without prose anchors.
+      val ts = java.time.Instant.now().toString
+      val hist = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+      java.nio.file.Files.write(hist,
+        (full.replaceFirst("\\{", s"""{"ts":"$ts",""") + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
     // stop() BEFORE println: any shutdown warnings it logs must land above
     // the JSON line, not between it and the end of the captured tail

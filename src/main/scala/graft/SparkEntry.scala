@@ -151,6 +151,9 @@ object SparkEntry {
     "n2_hits" -> (GraphOps.n2Hits _),
     // n3: k-hop BFS reachability from the lowest part key (exact set algebra)
     "n3_khop_reach" -> (GraphOps.n3KhopReach _),
+    // n4: weighted SSSP — delta-relaxed Bellman-Ford (≤3 edges) over the
+    // co-purchase graph; exact integer edge lengths, 20 nearest parts
+    "n4_sssp" -> (GraphOps.n4Sssp _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -2487,6 +2490,34 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INT), count(*) FROM f2
         |UNION ALL SELECT CAST(3 AS INT), count(*) FROM f3
         |ORDER BY hop""".stripMargin,
+    // n4: three unrolled Bellman-Ford relaxation rounds (the classical
+    // full-relax form — equivalent to the shipped delta-relaxation by
+    // induction); edge length 1000000 // w is exact integer floor
+    // division on both engines, so the walk never touches a float
+    "n4_sssp" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |ec AS (SELECT src, dst, 1000000 // w AS cost FROM e),
+        |d0 AS (SELECT min(src) AS part, CAST(0 AS BIGINT) AS dist FROM ec),
+        |d1 AS (SELECT part, min(dist) AS dist FROM (
+        |    SELECT part, dist FROM d0
+        |    UNION ALL
+        |    SELECT ec.dst, d0.dist + ec.cost FROM d0 JOIN ec ON ec.src = d0.part
+        |  ) GROUP BY 1),
+        |d2 AS (SELECT part, min(dist) AS dist FROM (
+        |    SELECT part, dist FROM d1
+        |    UNION ALL
+        |    SELECT ec.dst, d1.dist + ec.cost FROM d1 JOIN ec ON ec.src = d1.part
+        |  ) GROUP BY 1),
+        |d3 AS (SELECT part, min(dist) AS dist FROM (
+        |    SELECT part, dist FROM d2
+        |    UNION ALL
+        |    SELECT ec.dst, d2.dist + ec.cost FROM d2 JOIN ec ON ec.src = d2.part
+        |  ) GROUP BY 1)
+        |SELECT part, CAST(dist AS BIGINT) AS dist FROM d3
+        |ORDER BY dist, part LIMIT 20""".stripMargin,
     // st12: r6's SCD2 derivation restricted to CLOSED rows — the stream
     // can only finalize a run whose successor is behind the watermark
     "st12_stream_scd2" ->

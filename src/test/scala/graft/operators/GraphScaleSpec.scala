@@ -88,4 +88,39 @@ class GraphScaleSpec extends SparkSpec {
     assert(edgeShuffles.isEmpty,
       s"edge set re-shuffled in the half-step plan: $edgeShuffles")
   }
+
+  test("n4 delta-relaxation equals classical full Bellman-Ford") {
+    import org.apache.spark.sql.functions._
+    // classical form: every settled node re-relaxes each round (the shape
+    // the DuckDB oracle unrolls); the shipped delta form must agree exactly
+    val e = GraphOps.coPurchaseEdges(spark, sfDir)
+      .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
+    val seed = e.agg(min(col("src"))).head().getLong(0)
+    import spark.implicits._
+    var dist = Seq((seed, 0L)).toDF("part", "dist")
+    for (_ <- 1 to 3) {
+      dist = dist
+        .union(e.join(dist.select(col("part").as("src"), col("dist").as("d0")),
+            Seq("src"))
+          .select(col("dst").as("part"), (col("d0") + col("cost")).as("dist")))
+        .groupBy("part").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    val classical = dist.orderBy(col("dist"), col("part")).limit(20)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val shipped = GraphOps.n4Sssp(spark, sfDir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(shipped == classical)
+    assert(shipped.head == ((seed, 0L)), "seed is its own nearest node at 0")
+    assert(shipped.map(_._2) == shipped.map(_._2).sorted, "dist-ascending")
+  }
+
+  test("n4 empty edge set returns the empty distance table") {
+    import spark.implicits._
+    val empty = java.nio.file.Files.createTempDirectory("n4empty").toString
+    Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$empty/lineitem.parquet")
+    val out = GraphOps.n4Sssp(spark, empty)
+    assert(out.columns.toSeq == Seq("part", "dist") && out.count() == 0)
+  }
 }
