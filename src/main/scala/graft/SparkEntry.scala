@@ -154,6 +154,8 @@ object SparkEntry {
     // n4: weighted SSSP — delta-relaxed Bellman-Ford (≤3 edges) over the
     // co-purchase graph; exact integer edge lengths, 20 nearest parts
     "n4_sssp" -> (GraphOps.n4Sssp _),
+    // n5: degree-oriented triangle counting (√(2m)-bounded wedge fan-out)
+    "n5_triangles" -> (GraphOps.n5Triangles _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -226,6 +228,9 @@ object SparkEntry {
     // from one counted scalar, quantizer built at that k, cell-occupancy
     // table out (the v-family's last prose-only scale claim, now run)
     "v15_auto_nlist" -> (SimilarityQueries.v15AutoNlist _),
+    // v16: two-stage ANN serving — IVFADC top-20 shortlist, then exact
+    // raw-vector re-rank of the survivors (the production read path)
+    "v16_rerank" -> (SimilarityQueries.v16Rerank _),
     // x13: SemDeDup — within-k-means-cell near-duplicate drop verdicts
     // (registered with the x dedupe family; lives with the quantizer)
     "x13_semantic_dedup" -> (SimilarityQueries.x13SemanticDedup _),
@@ -612,7 +617,10 @@ object SparkEntry {
     * pqSubspaceCte + qd tables for ADC), joined so each query scores only
     * its own coarse cell. One composition, zero new derivations — the
     * oracles can never disagree with v5/v10's. */
-  private val ivfAdcOracle: String =
+  /** Everything through the `scored` CTE — shared VERBATIM by the v12
+    * oracle (rank on the ADC score) and the v16 oracle (shortlist then
+    * exact re-rank), matching the Scala side's shared `ivfAdcScored`. */
+  private val ivfAdcScoredCtes: String =
     "WITH " + kmeansCteFor("").stripPrefix("WITH ") + ",\n" +
     (0 until 4).map(pqSubspaceCte).mkString(",\n") + ",\n" +
     (0 until 4).map(s =>
@@ -631,12 +639,34 @@ object SparkEntry {
       |  JOIN qd_0 q0 ON q0.query_id = qc.query_id AND q0.cell = n0.cell
       |  JOIN qd_1 q1 ON q1.query_id = qc.query_id AND q1.cell = n1.cell
       |  JOIN qd_2 q2 ON q2.query_id = qc.query_id AND q2.cell = n2.cell
-      |  JOIN qd_3 q3 ON q3.query_id = qc.query_id AND q3.cell = n3.cell),
+      |  JOIN qd_3 q3 ON q3.query_id = qc.query_id AND q3.cell = n3.cell)""".stripMargin
+
+  private val ivfAdcOracle: String =
+    ivfAdcScoredCtes + """,
       |r AS (SELECT query_id, neighbor_id, s,
       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
       |  FROM scored)
       |SELECT query_id, neighbor_id, round(s, 6) AS adc_sim, rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** v16: the same `scored` stream, but the quantized score only SELECTS
+    * the top-20 shortlist; the emitted top-5 re-rank by the exact raw
+    * dot (the bitwise list_dot_product fold v1's oracle proves). */
+  private val rerankOracle: String =
+    ivfAdcScoredCtes + """,
+      |short AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS srank
+      |  FROM scored) WHERE srank <= 20),
+      |ex AS (SELECT sh.query_id, sh.neighbor_id,
+      |    list_dot_product(n.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+      |  FROM short sh JOIN embeddings n ON n.vec_id = sh.neighbor_id
+      |  JOIN embeddings q ON q.vec_id = sh.query_id),
+      |r2 AS (SELECT query_id, neighbor_id, sim,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM ex)
+      |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+      |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by v8 (batch) and st9 (streaming): the quantizer trains on the
     * OLD slice only, the new slice gets the same rank-1 cell assignment —
@@ -2226,6 +2256,7 @@ object SparkEntry {
     "v9_product_quantization" -> pqOracle,
     "v10_pq_adc" -> pqAdcOracle,
     "v12_ivf_adc" -> ivfAdcOracle,
+    "v16_rerank" -> rerankOracle,
     // g2: the chunk-level ranged read must equal reading the source
     // directly (corpus is ASCII: char offsets ARE byte offsets)
     "g2_ranged_read" ->
@@ -2518,6 +2549,26 @@ object SparkEntry {
         |  ) GROUP BY 1)
         |SELECT part, CAST(dist AS BIGINT) AS dist FROM d3
         |ORDER BY dist, part LIMIT 20""".stripMargin,
+    // n5: the same degree-orientation in SQL — each triangle a≺b≺c
+    // (≺ = (degree, id) order) counted once as a closed oriented wedge
+    "n5_triangles" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst FROM e
+        |  JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+        |  WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+        |tri AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+        |  FROM ed w1 JOIN ed w2 ON w2.src = w1.src AND w2.dst <> w1.dst
+        |  JOIN ed cl ON cl.src = w1.dst AND cl.dst = w2.dst),
+        |cnt AS (SELECT part, count(*) AS triangles FROM (
+        |    SELECT u AS part FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri
+        |  ) GROUP BY 1)
+        |SELECT part, triangles FROM cnt
+        |ORDER BY triangles DESC, part LIMIT 20""".stripMargin,
     // st12: r6's SCD2 derivation restricted to CLOSED rows — the stream
     // can only finalize a run whose successor is behind the watermark
     "st12_stream_scd2" ->

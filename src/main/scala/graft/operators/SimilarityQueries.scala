@@ -651,6 +651,22 @@ object SimilarityQueries {
     * emits (cell, 4 codes) per vector; the only exchange is the rank
     * shuffle of k·|queries| rows after the WindowGroupLimit pushdown. */
   def v12IvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("neighbor_id"))
+    ivfAdcScored(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("s"), 6).as("adc_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The IVFADC candidate stream `(query_id, neighbor_id, s)` — each
+    * query's own-cell candidates under the ADC score — shared by v12
+    * (rank directly on the quantized score) and v16 (shortlist, then
+    * exact re-rank). One derivation, two consumers, mirroring how the
+    * SQL oracles share the `scored` CTE verbatim. */
+  private[operators] def ivfAdcScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (m, subDim) = (PqM, PqSubDim)
     val cents = pqCodebooks(spark, dir)
@@ -680,17 +696,52 @@ object SimilarityQueries {
       }.reduce(_ + _)
       struct(lit(qid).as("query_id"), lit(qcell).as("qcell"), score.as("s"))
     }
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("s").desc, col("neighbor_id"))
     coded.select(col("neighbor_id"), col("cell"),
         explode(array(perQuery.toIndexedSeq: _*)).as("u"))
       .filter(col("u.qcell") === col("cell") &&
         col("neighbor_id") =!= col("u.query_id"))
       .select(col("u.query_id").as("query_id"), col("neighbor_id"), col("u.s").as("s"))
-      .withColumn("rank", row_number().over(w))
+  }
+
+  /** v16: two-stage ANN serving — the production read path every vector
+    * store runs: the quantized index proposes, the raw vectors decide.
+    * Stage 1 is v12's IVFADC candidate stream widened to a top-20
+    * SHORTLIST per query (ADC scores over 4 codes/vector — cheap, reads
+    * no raw embeddings); stage 2 joins ONLY the ≤20 survivors per query
+    * back to their raw embeddings and re-ranks by the exact double dot
+    * ([[Tables.dot]], the ascending-index fold `list_dot_product` also
+    * runs), emitting the top 5 with exact similarities. Determinism:
+    * both stages' orderings are total ((score desc, neighbor_id)), the
+    * shortlist boundary sits on v12's already-hash-proven ADC scores,
+    * and the exact rerank is the same bitwise fold v1 proves. At 100 TB:
+    * stage 1 scans codes (16 B/vector, no shuffle before the window's
+    * group-limit pushdown); stage 2 touches raw vectors for
+    * 20·|queries| rows — a point-lookup-sized semi-join, NOT a corpus
+    * scan, which is exactly why serving systems shortlist before they
+    * re-rank. Queries broadcast (10 rows); the neighbor-side join keys
+    * on vec_id against the shortlist, so AQE sizes it (shortlist ≪
+    * corpus → broadcast the shortlist, never the embeddings). */
+  def v16Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("neighbor_id"))
+    val shortlist = ivfAdcScored(spark, dir)
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", dot(col("nv"), col("qv")))
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("s"), 6).as("adc_sim"), col("rank"))
+        round(col("sim"), 6).as("sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
 

@@ -115,6 +115,49 @@ class GraphScaleSpec extends SparkSpec {
     assert(shipped.map(_._2) == shipped.map(_._2).sorted, "dist-ascending")
   }
 
+  test("n5 degree-oriented count equals naive id-ordered enumeration") {
+    import org.apache.spark.sql.functions._
+    // naive canonical form: enumerate each triangle once as u<v<w by PLAIN
+    // id over the symmetric edge set — no degree orientation involved, so
+    // agreement proves the orientation neither drops nor double-counts
+    val e = GraphOps.coPurchaseEdges(spark, sfDir).select("src", "dst")
+    val tri = e.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") < col("v"))
+      .join(e.select(col("src").as("v"), col("dst").as("w"))
+        .filter(col("v") < col("w")), Seq("v"))
+      .join(e.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"))
+    val naive = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("triangles"))
+      .orderBy(col("triangles").desc, col("part")).limit(20)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val shipped = GraphOps.n5Triangles(spark, sfDir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(shipped == naive)
+    assert(shipped.nonEmpty, "co-purchase graph has triangles at every SF")
+  }
+
+  test("v16 re-ranks only the ADC shortlist, with exact sims") {
+    import org.apache.spark.sql.functions._
+    val shortlist = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("s").desc, col("neighbor_id"))
+      SimilarityQueries.ivfAdcScored(spark, sfDir)
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 20)
+        .select("query_id", "neighbor_id")
+        .collect().toSet.map((r: org.apache.spark.sql.Row) =>
+          (r.getLong(0), r.getLong(1)))
+    }
+    val out = graft.SparkEntry.queries("v16_rerank")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sorted.reverse.toSeq == sims.toSeq, "rank follows exact sim desc")
+    }
+    assert(out.forall(r => shortlist.contains((r.getLong(0), r.getLong(1)))),
+      "every re-ranked neighbor came through the quantized shortlist")
+  }
+
   test("n4 empty edge set returns the empty distance table") {
     import spark.implicits._
     val empty = java.nio.file.Files.createTempDirectory("n4empty").toString
