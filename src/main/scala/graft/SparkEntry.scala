@@ -156,6 +156,9 @@ object SparkEntry {
     "n4_sssp" -> (GraphOps.n4Sssp _),
     // n5: degree-oriented triangle counting (√(2m)-bounded wedge fan-out)
     "n5_triangles" -> (GraphOps.n5Triangles _),
+    // n6: synchronous label-propagation communities (deterministic
+    // (mass desc, label asc) tie order), top-20 community sizes
+    "n6_label_prop" -> (GraphOps.n6LabelProp _),
     // --- dedupe pipeline (north_star)
     "x1_exact_dup_stats" -> (DedupQueries.x1ExactDupStats _),
     "x2_normalized_dup" -> (DedupQueries.x2NormalizedDup _),
@@ -2569,6 +2572,27 @@ object SparkEntry {
         |  ) GROUP BY 1)
         |SELECT part, triangles FROM cnt
         |ORDER BY triangles DESC, part LIMIT 20""".stripMargin,
+    // n6: two unrolled synchronous LPA rounds; the row_number
+    // (mass desc, label asc) tie-break is the same total order as the
+    // Spark side's max(struct(mass, -label)) fold — exact integers only
+    "n6_label_prop" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |l0 AS (SELECT DISTINCT src AS part, src AS lbl FROM e),
+        |s1 AS (SELECT e.src, l0.lbl, CAST(sum(e.w) AS BIGINT) AS s
+        |  FROM e JOIN l0 ON l0.part = e.dst GROUP BY 1, 2),
+        |l1 AS (SELECT src AS part, lbl FROM (
+        |  SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY s DESC, lbl) AS rn
+        |  FROM s1) WHERE rn = 1),
+        |s2 AS (SELECT e.src, l1.lbl, CAST(sum(e.w) AS BIGINT) AS s
+        |  FROM e JOIN l1 ON l1.part = e.dst GROUP BY 1, 2),
+        |l2 AS (SELECT src AS part, lbl FROM (
+        |  SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY s DESC, lbl) AS rn
+        |  FROM s2) WHERE rn = 1)
+        |SELECT lbl AS community, count(*) AS n_members FROM l2
+        |GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20""".stripMargin,
     // st12: r6's SCD2 derivation restricted to CLOSED rows — the stream
     // can only finalize a run whose successor is behind the watermark
     "st12_stream_scd2" ->

@@ -313,19 +313,27 @@ object GraphOps {
     * triangles, each triangle {a,b,c} crediting all three members.
     *
     * Scale: the naive wedge join on a symmetric edge set is Σ deg(u)² —
-    * quadratic in the hub degree, the classic triangle trap. This is the
-    * DEGREE-ORIENTED form (the standard O(m^{3/2}) bound): every
+    * quadratic in the hub degree, the classic triangle trap. Two
+    * standard moves compose here. (1) DEGREE ORIENTATION: every
     * undirected edge orients from its (degree, id)-smaller endpoint to
-    * the larger, making the orientation a DAG along a total order, so
-    * (a) each triangle a≺b≺c appears exactly once, as the wedge
-    * (a→b, a→c) closed by the edge b→c — no de-dup pass, and (b) wedge
-    * fan-out is bounded by the ORIENTED out-degree, ≤ √(2m) for every
-    * node however skewed the raw degree distribution (a hub of degree d
-    * keeps only its ≥-degree neighbors out-bound). The oriented edge set
-    * localCheckpoints because three plan arms reuse it (two wedge sides
-    * + the closing probe); joins stay unhinted — edge-sized both sides,
-    * AQE's stats pick the strategy. All-integer set algebra: no numeric
-    * contract needed, the oracle unrolls the same orientation in SQL. */
+    * the larger, a DAG along a total order, so each triangle a≺b≺c is
+    * found exactly once and every node's ORIENTED out-degree is ≤ √(2m)
+    * however skewed the raw degrees (a hub keeps only its ≥-degree
+    * neighbors out-bound). (2) EDGE-ITERATOR over adjacency ARRAYS:
+    * materializing the 82M-wedge stream (sf0.1; 10× that at sf1) and
+    * shuffling it by (v,w) to close wedges OOM'd the sf1 probe — the
+    * measured form of the trap — so instead each node's out-neighbors
+    * pack into ONE sorted array (≤ √(2m) longs), both endpoints' arrays
+    * join onto each oriented edge (two edge-sized exchanges against the
+    * node-sized adj table), and the triangle set through edge (u,v) is
+    * the in-row `array_intersect` — never shuffled, never wider than
+    * two bounded arrays. The canonical edge (u,v) of triangle {u,v,w}
+    * credits u and v by |W| and each w ∈ W once, so the only
+    * wedge-scale data that ever moves is the 3·T credit stream, partial-
+    * aggregated map-side before its one exchange (T = 1.9M at sf0.1 vs
+    * 82M wedges). All-integer set algebra — no numeric contract; the
+    * oracle unrolls the same orientation (its row counts are DuckDB's
+    * problem, and the canonical-wedge join is fine at oracle SFs). */
   def n5Triangles(spark: SparkSession, dir: String): DataFrame = {
     val e = coPurchaseEdges(spark, dir).select("src", "dst")
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -336,17 +344,62 @@ object GraphOps {
       .filter(col("ds") < col("dd") ||
         (col("ds") === col("dd") && col("src") < col("dst")))
       .select("src", "dst")
-      .localCheckpoint()
-    val wedges = ed.select(col("src").as("u"), col("dst").as("v"))
-      .join(ed.select(col("src").as("u"), col("dst").as("w")), Seq("u"))
-      .filter(col("v") =!= col("w"))
-    // closing probe: exactly one of (v,w)/(w,v) is oriented, so the
-    // inner join both closes the wedge and picks the canonical triple
-    val tri = wedges.join(
-      ed.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-    tri.select(explode(array(col("u"), col("v"), col("w"))).as("part"))
-      .groupBy("part").agg(count(lit(1)).as("triangles"))
+      .localCheckpoint() // two plan arms: the adj build + the edge probe
+    val adj = ed.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // inner joins prune edges whose dst has no out-neighbors — they
+    // cannot close a canonical wedge, so dropping them is both correct
+    // and the cheap path
+    val withAdj = ed
+      .join(adj.select(col("src"), col("nbrs").as("un")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("vn")), Seq("dst"))
+    val credits = withAdj
+      .select(col("src"), col("dst"),
+        array_intersect(col("un"), col("vn")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(explode(concat(
+        array_repeat(col("src"), size(col("ws"))),
+        array_repeat(col("dst"), size(col("ws"))),
+        col("ws"))).as("part"))
+    credits.groupBy("part").agg(count(lit(1)).as("triangles"))
       .orderBy(col("triangles").desc, col("part"))
+      .limit(20)
+  }
+
+  /** n6: community detection by synchronous label propagation over the
+    * weighted co-purchase graph — the sixth graph verb (n1 ranks, n2
+    * scores, n3 traverses, n4 measures, n5 counts, n6 CLUSTERS): after
+    * seeding every part with its own id, each round reassigns each node
+    * the label carrying the largest incident edge-weight mass, and two
+    * rounds later the label histogram is the community table (top 20 by
+    * size). Classical async LPA is nondeterministic by design (visit
+    * order decides ties); this is the SYNCHRONOUS variant with a total
+    * tie order — (mass desc, label asc), folded into one exact
+    * `max(struct(mass, -label))` aggregate — so the fixpoint prefix it
+    * computes is a pure function of the data, like every other n* entry.
+    * All arithmetic is exact integer (edge weights are co-purchase
+    * counts; masses are bounded by a node's order participation), so
+    * there is no numeric contract to defend — the oracle unrolls the
+    * same two rounds with a row_number tie-break, provably the same
+    * argmax. Scale: per round ONE edges⋈labels join (the label side is
+    * node-sized, AQE sizes it — n3's frontier discipline) and two
+    * map-side-combined aggregations; label tables carry two longs; the
+    * memoized edge set is shared with n1/n3/n4/n5 and never rebuilt. */
+  def n6LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir)
+    var labels = e.select(col("src").as("part")).distinct()
+      .withColumn("lbl", col("part"))
+    for (_ <- 1 to 2) {
+      val mass = e
+        .join(labels.select(col("part").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy("src", "lbl").agg(sum("w").as("s"))
+      labels = mass.groupBy("src")
+        .agg(max(struct(col("s"), (-col("lbl")).as("nl"))).as("b"))
+        .select(col("src").as("part"), (-col("b.nl")).as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
       .limit(20)
   }
 }

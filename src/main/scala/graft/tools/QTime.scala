@@ -18,6 +18,7 @@ object QTime {
     qs.foreach { case (_, fn) => fn(spark, sfDir).count() }
     graft.operators.DedupQueries.clearMemo()
     graft.operators.SimilarityQueries.clearMemo()
+    graft.operators.GraphOps.clearMemo()
     System.gc(); Thread.sleep(500)
     qs.foreach { case (name, fn) =>
       val t0 = System.nanoTime(); val n = fn(spark, sfDir).count()
