@@ -212,6 +212,9 @@ object SparkEntry {
     // z4: md5-keyed 80/10/10 split, stratification audited per source
     "z4_stratified_split" -> (TextQueries.z4StratifiedSplit _),
     "z5_zorder_layout" -> (LayoutOps.z5ZorderLayout _),
+    // z7: zone-map skip audit — one predicate vs three layouts (z-order /
+    // day-sorted / qty-sorted): zones scanned, rows read, true matches
+    "z7_zone_skip" -> (LayoutOps.z7ZoneSkip _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -1862,6 +1865,7 @@ object SparkEntry {
         |  CAST(sum(length(aug) - length(clean)) AS BIGINT) AS chars_removed
         |FROM s GROUP BY 1 ORDER BY source""".stripMargin,
     "z5_zorder_layout" -> LayoutOps.z5OracleSql,
+    "z7_zone_skip" -> LayoutOps.z7OracleSql,
     // y13: y2's exact stop-hit arithmetic + row_number over the same
     // deterministic (score desc, doc_id) order; integer-only rollup
     "y13_source_cap" ->

@@ -381,17 +381,29 @@ object GraphOps {
     * counts; masses are bounded by a node's order participation), so
     * there is no numeric contract to defend — the oracle unrolls the
     * same two rounds with a row_number tie-break, provably the same
-    * argmax. Scale: per round ONE edges⋈labels join (the label side is
-    * node-sized, AQE sizes it — n3's frontier discipline) and two
-    * map-side-combined aggregations; label tables carry two longs; the
-    * memoized edge set is shared with n1/n3/n4/n5 and never rebuilt. */
+    * argmax. Scale: per round ONE edges⋈labels join and two map-side-
+    * combined aggregations; label tables carry two longs; the memoized
+    * edge set is shared with n1/n3/n4/n5 and never rebuilt. Unlike
+    * n3/n4's SWINGING frontiers (where AQE's per-round choice is the
+    * point), the label side is always exactly node-sized, so the join
+    * takes n1/n2's SIZE-GATE: below `broadcastNodeLimit` the labels
+    * broadcast onto the checkpointed edges; above it the edges
+    * co-partition by dst ONCE (one exchange total, inside the
+    * checkpoint build) and both rounds ship only label rows through
+    * that preserved partitioning — never the edge set (spec-asserted,
+    * n1's contract). Like n1/n2, the gate's node count runs at
+    * DataFrame-construction time. */
   def n6LabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(spark, dir)
+    val e0 = coPurchaseEdges(spark, dir)
+    val n = e0.select(col("src")).distinct().count()
+    val useBroadcast = n <= broadcastNodeLimit(spark)
+    val e = if (useBroadcast) e0 else coPartitionedCheckpoint(spark, e0, "dst")
     var labels = e.select(col("src").as("part")).distinct()
       .withColumn("lbl", col("part"))
     for (_ <- 1 to 2) {
+      val lside = labels.select(col("part").as("dst"), col("lbl"))
       val mass = e
-        .join(labels.select(col("part").as("dst"), col("lbl")), Seq("dst"))
+        .join(if (useBroadcast) broadcast(lside) else lside, Seq("dst"))
         .groupBy("src", "lbl").agg(sum("w").as("s"))
       labels = mass.groupBy("src")
         .agg(max(struct(col("s"), (-col("lbl")).as("nl"))).as("b"))

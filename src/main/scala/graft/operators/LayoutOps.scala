@@ -95,6 +95,92 @@ object LayoutOps {
       .orderBy("source", "shard")
   }
 
+  /** z7's fixed audit predicate: qty ∈ [30,35] (12% of the 1..50 range) ×
+    * ship-decade ∈ [100,149] (20% of 0..249) — ~2.4% row selectivity, the
+    * shape where layout decides whether a scan reads 2% or 20% of files. */
+  private val QtyLo = 30L
+  private val QtyHi = 35L
+  private val DayLo = 100L
+  private val DayHi = 149L
+
+  /** z7: zone-map skip audit — the quantified case for z5's layout. Every
+    * warehouse prunes scans with per-file min/max stats; how much they
+    * prune is a pure function of LAYOUT. This query plays one fixed
+    * two-dimensional predicate against three shardings of the same
+    * corpus — z5's Morton z-buckets, a day-sorted layout (qy), a
+    * qty-sorted layout (qx) — and reports, per layout, the zone count,
+    * the zones a stats-pruning reader must scan (zone rectangle
+    * intersects the predicate box), the rows inside those zones (the
+    * actual I/O), and the true matching rows (the floor any layout is
+    * chasing). Single-dimension sorts prune ONLY their own dimension
+    * (day-sorted reads ~20%, qty-sorted ~12% of rows); the z-order grid
+    * prunes both — the measured reason z5 exists. One pitfall is itself
+    * part of the audit: interleaving the RAW 1..50 quantity against the
+    * 0..249 day code wastes 2+ of quantity's 8 bit positions and widens
+    * every grid cell to 16 qty units (a first z7 run measured that form
+    * scanning MORE rows than the plain qty-sort), so the z-key scales
+    * quantity by 5 (5..250) before interleaving — equal per-dimension
+    * resolution, the textbook z-order practice. Scale: ONE corpus
+    * pass — each row explodes into its three (layout, shard)
+    * memberships and the map-side partial agg collapses every task to
+    * ≤ ~560 zone rows before the only exchange; the second agg is 3
+    * groups. Exact integers end to end. */
+  def z7ZoneSkip(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val base = t(spark, dir, "lineitem")
+      .withColumn("qx", col("l_quantity").cast("long"))
+      .withColumn("qy", least(lit(255L), greatest(lit(0L), expr(
+        s"(unix_micros(cast(l_shipdate as timestamp)) div $dayUs - $DayBase) div 10"))))
+      .withColumn("zbucket",
+        shiftright(zInterleave(col("qx") * 5, col("qy")), 8))
+    val exploded = base.select(col("qx"), col("qy"), explode(array(
+      struct(lit("zorder").as("layout"), col("zbucket").as("shard")),
+      struct(lit("linear_day").as("layout"), col("qy").as("shard")),
+      struct(lit("linear_qty").as("layout"), col("qx").as("shard")))).as("m"))
+      .select(col("m.layout").as("layout"), col("m.shard").as("shard"),
+        col("qx"), col("qy"))
+    val matches = col("qx").between(QtyLo, QtyHi) && col("qy").between(DayLo, DayHi)
+    val zones = exploded.groupBy("layout", "shard")
+      .agg(count(lit(1)).as("n"),
+        min("qx").as("qlo"), max("qx").as("qhi"),
+        min("qy").as("dlo"), max("qy").as("dhi"),
+        sum(when(matches, 1L).otherwise(0L)).as("m"))
+    val scanned = col("qhi") >= QtyLo && col("qlo") <= QtyHi &&
+      col("dhi") >= DayLo && col("dlo") <= DayHi
+    zones.groupBy("layout")
+      .agg(count(lit(1)).as("zones_total"),
+        sum(when(scanned, 1L).otherwise(0L)).as("zones_scanned"),
+        sum(when(scanned, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("m")).as("rows_matched"))
+      .orderBy("layout")
+  }
+
+  /** The z7 oracle: the same three audits, rendered as three explicit
+    * zone rollups over the shared quantization (UNION ALL instead of the
+    * explode — DuckDB scans thrice, the decision logic is identical). */
+  def z7OracleSql: String = {
+    def audit(layout: String, shard: String): String =
+      s"""SELECT '$layout' AS layout, $shard AS shard, count(*) AS n,
+         |  min(qx) AS qlo, max(qx) AS qhi, min(qy) AS dlo, max(qy) AS dhi,
+         |  sum(CASE WHEN qx BETWEEN $QtyLo AND $QtyHi AND qy BETWEEN $DayLo AND $DayHi
+         |      THEN 1 ELSE 0 END) AS m
+         |FROM z GROUP BY 2""".stripMargin
+    s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qx,
+       |    least(255, greatest(0, (epoch_us(l_shipdate) // 86400000000 - $DayBase) // 10)) AS qy
+       |  FROM lineitem),
+       |z AS (SELECT qx, qy, (${zInterleaveSql("(qx * 5)", "qy")}) >> 8 AS zbucket FROM b),
+       |u AS (${audit("zorder", "zbucket")}
+       |  UNION ALL ${audit("linear_day", "qy")}
+       |  UNION ALL ${audit("linear_qty", "qx")})
+       |SELECT layout, count(*) AS zones_total,
+       |  CAST(sum(CASE WHEN qhi >= $QtyLo AND qlo <= $QtyHi AND dhi >= $DayLo AND dlo <= $DayHi
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+       |  CAST(sum(CASE WHEN qhi >= $QtyLo AND qlo <= $QtyHi AND dhi >= $DayLo AND dlo <= $DayHi
+       |    THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(m) AS BIGINT) AS rows_matched
+       |FROM u GROUP BY 1 ORDER BY layout""".stripMargin
+  }
+
   /** The z5 oracle: same quantization constants and the SAME generated
     * interleave formula (one loop renders both engines' expressions). */
   def z5OracleSql: String =

@@ -115,6 +115,23 @@ class GraphScaleSpec extends SparkSpec {
     assert(shipped.map(_._2) == shipped.map(_._2).sorted, "dist-ascending")
   }
 
+  test("n6 co-partitioned regime: same communities, edges never re-shuffle") {
+    val viaBroadcast = rows2(GraphOps.n6LabelProp(spark, sfDir))
+    val (viaCoPart, shuffles) = inCoPartitionedRegime {
+      val df = GraphOps.n6LabelProp(spark, sfDir)
+      val got = rows2(df)
+      (got, shuffleOutputs(df.queryExecution.executedPlan))
+    }
+    assert(viaCoPart == viaBroadcast,
+      "the regime is a physical-plan choice; communities must be identical")
+    val edgeShuffles = shuffles.filter(o => o.contains("src") && o.contains("dst"))
+    assert(edgeShuffles.isEmpty,
+      s"edge set re-shuffled in the round plan: $edgeShuffles")
+  }
+
+  private def rows2(df: DataFrame): Seq[(Long, Long)] =
+    df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+
   test("n5 degree-oriented count equals naive id-ordered enumeration") {
     import org.apache.spark.sql.functions._
     // naive canonical form: enumerate each triangle once as u<v<w by PLAIN
