@@ -96,6 +96,9 @@ object SparkEntry {
     "r4_pivot_matrix" -> (AnalyticsQueries.r4PivotMatrix _),
     "m4_frame_sample" -> (operators.MultimodalOps.mm4FrameSample _),
     "p3_cms_topk" -> (AnalyticsQueries.p3CmsTopk _),
+    // p5: exact heavy hitters through a wide-CMS prefilter — the sketch
+    // prunes the exact agg's exchange, never the answer
+    "p5_heavy_hitters" -> (AnalyticsQueries.p5HeavyHitters _),
     "r5_unpivot" -> (AnalyticsQueries.r5Unpivot _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
@@ -1294,6 +1297,13 @@ object SparkEntry {
         |  CAST(e.est_count - t.true_count AS BIGINT) AS overcount
         |FROM top t JOIN est e ON e.key = t.key
         |ORDER BY t.true_count DESC, t.key""".stripMargin,
+    // p5: the oracle is the PLAIN exact query — the sketch prefilter is
+    // a plan optimization whose correctness claim is precisely that it
+    // cannot change this answer (CMS never undercounts)
+    "p5_heavy_hitters" ->
+      """SELECT l_partkey AS part_key, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 40
+        |ORDER BY n_rows DESC, part_key""".stripMargin,
     "r5_unpivot" ->
       """WITH m AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -884,6 +884,53 @@ object AnalyticsQueries {
     cmsReport(keys, "part_key", sketch)
   }
 
+  /** p5's support threshold (rows per part). The corpus generator's
+    * per-part row count is scale-invariant (~30 mean, max ~50), so 40
+    * bites at every SF: 6 / 85 / 914 heavy keys at sf0.001/0.01/0.1. */
+  private[operators] val HeavyHitterT = 40L
+
+  /** p5: EXACT heavy hitters through a sketch prefilter — the
+    * "sketch proposes, exact disposes" pattern (v16's two-stage
+    * discipline on the frequency side). Phase 1 builds p3's CMS in one
+    * map-side-merged pass, but WIDER (4×16384, 512 KB — still O(1)
+    * driver state): width is what turns the sketch from a calibration
+    * toy into a pruner, since the overcount is ~e·N/width. Phase 2
+    * re-scans, drops every row whose key's sketch estimate is already
+    * below the threshold, and exact-counts only the survivors. The
+    * composition is provably EXACT, not approximate: CMS never
+    * undercounts, so a truly-heavy key's estimate is ≥ its true count ≥
+    * T on EVERY row — zero false negatives at any width — and the final
+    * HAVING removes the false positives the collisions let through. At
+    * 100 TB the win is the exchange: the exact aggregation shuffles only
+    * keys that MIGHT be heavy (est ≥ T) instead of the full key space —
+    * the sketch does driver-free map-side pruning the way a Bloom
+    * prefilter does for x12. Exact integers end to end; the oracle is
+    * the plain HAVING query, which is the point: the sketch changes the
+    * PLAN, never the answer (spec-asserted against the unfiltered agg,
+    * plus the pruning actually biting). */
+  def p5HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val keys = t(spark, dir, "lineitem").select(col("l_partkey").as("key"))
+    keys
+      .filter(p5Prefilter(spark, dir, col("key")))
+      .groupBy(col("key").as("part_key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") >= HeavyHitterT)
+      .orderBy(col("n_rows").desc, col("part_key"))
+  }
+
+  /** p5's sketch prefilter as a standalone predicate over a part-key
+    * column (also the spec's seam for measuring how hard it prunes). */
+  private[operators] def p5Prefilter(
+      spark: SparkSession, dir: String, key: Column): Column = {
+    import spark.implicits._
+    val (depth, width) = (4, 16384)
+    val sketch = t(spark, dir, "lineitem").select(col("l_partkey").as("key"))
+      .as[Long]
+      .select(new graft.functions.CmsSketchAgg(depth, width).toColumn.name("cms"))
+      .head()
+    cmsEstimate(sketch, key, depth, width) >= HeavyHitterT
+  }
+
   /** w7: co-purchase basket pairs — the market-basket co-occurrence
     * primitive (the same self-join shape a co-citation / term-cooccurrence
     * pipeline uses). (order, part) dedupes first, then the orderkey
