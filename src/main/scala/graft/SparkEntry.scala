@@ -468,6 +468,31 @@ object SparkEntry {
       |    CAST(sum(bit << (p % 16)) AS BIGINT) AS band_key
       |  FROM sg JOIN nn ON nn.doc_id = sg.doc_id AND nn.nn > 0 GROUP BY 1, 2)""".stripMargin
 
+  /** The md5-affine MinHash banding, shared VERBATIM by the x4, x11 and
+    * z2 oracles (mirroring the Scala side's one memoized `minhashBands`
+    * pass): per shingle one md5 yields lanes m1 (hex 1–15) / m2 (hex
+    * 17–31 >> 2), signature j = min of (m1 + j·m2) mod 2^61−1 — nonneg
+    * long arithmetic that cannot overflow on either engine — and the
+    * band key is the comma-joined 4-signature string. Ends in
+    * `bk(doc_id, band, bkey)` plus the shingle-set CTEs (e, sizes) the
+    * verification legs reuse. */
+  private val minhashBandCte: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+      |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+      |hh AS (SELECT doc_id,
+      |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS m1,
+      |    (('0x' || substr(md5(g), 17, 15))::BIGINT >> 2) AS m2
+      |  FROM e),
+      |mh AS (SELECT doc_id, j, min((m1 + j * m2) % 2305843009213693951) AS sg
+      |  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+      |  GROUP BY 1, 2),
+      |bk AS (SELECT doc_id, j // 4 AS band,
+      |    string_agg(sg::VARCHAR, ',' ORDER BY j) AS bkey
+      |  FROM mh GROUP BY 1, 2)""".stripMargin
+
   private val dupClusterCte: String =
     """WITH RECURSIVE
       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1637,19 +1662,25 @@ object SparkEntry {
     // candidates, and on near-identical dup clusters (jaccard >= 0.5 with
     // 4x4 banding) every true pair collides in some band, so the verified
     // set equals x3's exact set; DedupQueriesSpec pins that equality.
+    // x4: the oracle re-derives the SAME md5-affine minhash banding (r8
+    // migration — the old oracle was the exact all-pairs answer, which
+    // only matches while LSH recall is accidentally total; the sf0.1
+    // full-surface gate caught a J=0.8 pair missing all 4 bands), then
+    // exact-Jaccard-verifies exactly the banded candidates
     "x4_minhash_lsh" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      (minhashBandCte + """,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c JOIN e a ON a.doc_id = c.doc_a
+        |  JOIN e b ON b.doc_id = c.doc_b AND b.g = a.g
+        |  GROUP BY 1, 2),
         |j AS (SELECT doc_a, doc_b,
         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
         |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "x7_dup_clusters" -> (dupClusterCte +
       """
         |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
@@ -1702,14 +1733,16 @@ object SparkEntry {
     // LEFT join from the full new slice so kept docs surface with NULLs.
     // Emitted values are the verified exact pairs, so banding on the Spark
     // side is output-invariant (same argument as x4's oracle).
+    // x11: same r8 banding migration as x4 — candidates come from the
+    // shared md5-affine band CTE (new x old only), then exact verify
     "x11_incremental_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+      (minhashBandCte + """,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c JOIN e a ON a.doc_id = c.doc_a
+        |  JOIN e b ON b.doc_id = c.doc_b AND b.g = a.g
         |  GROUP BY 1, 2),
         |j AS (SELECT doc_a, doc_b,
         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
@@ -1723,18 +1756,19 @@ object SparkEntry {
         |  CAST(best.doc_b AS BIGINT) AS dup_of, best.jaccard
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
         |LEFT JOIN best ON best.doc_a = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
     // z2: x11's new x old dedupe gate (dropped = has ANY verified old
-    // match) composed with y2/y8's text-gate arithmetic, restricted to the
-    // new slice — the same composition pattern as z1's oracle
+    // match among the BANDED candidates — the r8 migration, so the gate
+    // composes x11's actual verdicts at every scale) with y2/y8's
+    // text-gate arithmetic, restricted to the new slice
     "z2_incremental_curation" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+      (minhashBandCte + """,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c JOIN e a ON a.doc_id = c.doc_a
+        |  JOIN e b ON b.doc_id = c.doc_b AND b.g = a.g
         |  GROUP BY 1, 2),
         |j AS (SELECT doc_a, doc_b,
         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
@@ -1763,7 +1797,7 @@ object SparkEntry {
         |  CAST(sum(admitted) AS BIGINT) AS admitted_docs,
         |  CAST(sum(CASE WHEN admitted = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
         |    AS admitted_tokens
-        |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+        |FROM k GROUP BY 1 ORDER BY source""".stripMargin),
     // x8: shingle formula matches x3's (hashing preserves set identity, so
     // shared-gram counts agree); eval slice = every 50th doc_id
     "x8_contamination" -> contaminationOracle,

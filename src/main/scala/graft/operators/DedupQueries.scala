@@ -255,44 +255,77 @@ object DedupQueries {
   }
 
   /** MinHash + LSH banding near-dup candidates — the sub-quadratic scale
-    * path: k=16 signatures per doc (min over shingles of xxhash64-remixed
-    * shingle hashes), 4 bands x 4 rows; docs colliding in any band are
-    * candidates, then exact-Jaccard verified. Signatures are computed
-    * per-row inside the scan (no shuffle); at 100 TB only the 4-rows-per-doc
-    * band-key join shuffles, and it shuffles 3 longs per row.
-    */
-  /** The MinHash band rows `(doc_id, band, band_key)` — k=16 signatures,
-    * 4 bands x 4 rows, computed per-row inside the scan (no shuffle) from
-    * the memoized shingle arrays, then localCheckpointed and MEMOIZED:
+    * path: k=16 signatures per doc, 4 bands x 4 rows; docs colliding in
+    * any band are candidates, then exact-Jaccard verified. Signatures are
+    * computed per-row inside the scan (no shuffle); at 100 TB only the
+    * per-doc band-key join shuffles.
+    *
+    * ROUND-8 ORACLE MIGRATION (found by the full-surface sf0.1 gate): the
+    * original xxhash64 signatures were not SQL-computable, so the x4/x11
+    * oracles compared against the EXACT all-pairs answer — which only
+    * matches while banding recall happens to be total. At sf0.1 a J=0.8
+    * pair (docs 1568/2466) missed all 4 bands (P(miss) ≈ (1−J⁴)⁴ ≈ 12% —
+    * expected LSH behavior, not a bug) and the gate went red. The hash
+    * family is now the md5-affine scheme (x5/x6/y4's r7 pattern): per
+    * shingle ONE md5 yields two lanes m1 (60-bit, hex chars 1–15) and m2
+    * (58-bit, chars 17–31 >> 2), and signature j is
+    * min over shingles of (m1 + j·m2) mod (2^61−1) — the classic
+    * one-strong-hash affine minhash family, in PURE nonneg long
+    * arithmetic that cannot overflow on either engine (m1 + 15·m2 <
+    * 2^63). Band keys are the comma-joined 4 signatures, which
+    * `string_agg(... ORDER BY j)` rebuilds verbatim in SQL, so the
+    * oracles now re-derive the SAME candidate set at every scale and the
+    * LSH recall boundary is inside the contract, not outside it. */
+  /** The MinHash band rows `(doc_id, band, band_key)` — computed per-row
+    * inside the scan (no shuffle), then localCheckpointed and MEMOIZED:
     * x4's self-join and x11's incremental new-vs-old join consume the same
-    * signature pass, so a sweep running both pays it once. */
+    * signature pass, so a sweep running both pays it once. The md5 pass is
+    * minhash-local (x5's rationale); the xxhash64 shingle memo still backs
+    * the set-identity consumers (x3/x7/verification). */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "minhashBands") {
       import spark.implicits._
       val numHashes = 16
       val rowsPerBand = 4
       val numBands = numHashes / rowsPerBand
-      // one cached shingle pass feeds BOTH the signature flatMap and the
-      // verification side (re-scanning documents would double the most
-      // expensive narrow stage) — and is shared with x3/x7 via the memo
-      docSets(spark, dir).select(col("doc_id"), col("hs")).as[(Long, Array[Long])]
-        .flatMap { case (id, hs) =>
+      val P = 2305843009213693951L // 2^61 - 1
+      t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val toks = text.split(' ')
+          val n = math.max(toks.length - 2, 1)
           val sigs = Array.fill(numHashes)(Long.MaxValue)
-          var k = 0
-          while (k < hs.length) {
-            var j = 0
-            while (j < numHashes) {
-              val v = XXH64.hashLong(hs(k), j + 1)
-              if (v < sigs(j)) sigs(j) = v
-              j += 1
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < n) {
+            sb.setLength(0)
+            sb.append(toks(i))
+            var j = i + 1
+            val end = math.min(i + 3, toks.length)
+            while (j < end) { sb.append(' '); sb.append(toks(j)); j += 1 }
+            md.reset()
+            val d = md.digest(sb.toString.getBytes(UTF_8))
+            val bb = java.nio.ByteBuffer.wrap(d)
+            val m1 = bb.getLong(0) >>> 4 // SQL: ('0x'||substr(md5(g),1,15))::BIGINT
+            val m2 = bb.getLong(8) >>> 6 // SQL: ('0x'||substr(md5(g),17,15))::BIGINT >> 2
+            var h = 0
+            while (h < numHashes) {
+              val v = (m1 + h * m2) % P
+              if (v < sigs(h)) sigs(h) = v
+              h += 1
             }
-            k += 1
+            i += 1
           }
           (0 until numBands).iterator.map { b =>
-            var key = b.toLong
+            val key = new java.lang.StringBuilder(84)
             var r = 0
-            while (r < rowsPerBand) { key = XXH64.hashLong(sigs(b * rowsPerBand + r), key); r += 1 }
-            (id, b, key)
+            while (r < rowsPerBand) {
+              if (r > 0) key.append(',')
+              key.append(sigs(b * rowsPerBand + r))
+              r += 1
+            }
+            (id, b, key.toString)
           }
         }.toDF("doc_id", "band", "band_key")
         .localCheckpoint() // minhash pipeline runs once, not per join side
