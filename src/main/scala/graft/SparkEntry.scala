@@ -209,6 +209,9 @@ object SparkEntry {
     "y14_unigram_typicality" -> (TextQueries.y14UnigramTypicality _),
     // y19: y14 extended to the order-2 (bigram) LM — the word-salad catch
     "y19_bigram_typicality" -> (TextQueries.y19BigramTypicality _),
+    // y20: token-frequency spectrum (Zipf octaves) per source — exact
+    // integer bit-length bucketing, no libm
+    "y20_freq_spectrum" -> (TextQueries.y20FreqSpectrum _),
     // y15: per-doc TF-IDF top terms with rational idf (log-free ranking)
     "y15_tfidf_terms" -> (TextQueries.y15TfIdfTerms _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
@@ -1322,6 +1325,14 @@ object SparkEntry {
         |  CAST(e.est_count - t.true_count AS BIGINT) AS overcount
         |FROM top t JOIN est e ON e.key = t.key
         |ORDER BY t.true_count DESC, t.key""".stripMargin,
+    // y20: the same exact octave (binary-format length − 1) in SQL
+    "y20_freq_spectrum" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT source, tok, count(*) AS f FROM tok GROUP BY 1, 2),
+        |c AS (SELECT source, length(format('{:b}', f)) - 1 AS k, f FROM f)
+        |SELECT source, CAST(k AS BIGINT) AS k, count(*) AS n_types,
+        |  CAST(sum(f) AS BIGINT) AS n_occurrences
+        |FROM c GROUP BY 1, 2 ORDER BY source, k""".stripMargin,
     // p5: the oracle is the PLAIN exact query — the sketch prefilter is
     // a plan optimization whose correctness claim is precisely that it
     // cannot change this answer (CMS never undercounts)

@@ -293,6 +293,29 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** y20: token-frequency SPECTRUM per source — the Zipf/Heaps corpus-
+    * health diagnostic a curation pipeline reads before trusting y11's
+    * one-number TTR: for each source, how many distinct token types sit
+    * in each frequency octave k = ⌊log₂(freq)⌋ and how much occurrence
+    * mass they carry. A natural corpus shows the Zipf signature (hapax-
+    * heavy k=0 class, geometrically thinning types with roughly constant
+    * mass per octave); templated or synthetic feeds collapse it. The
+    * octave is computed EXACTLY as `length(bin(f)) − 1` — integer bit
+    * length, no log/libm float anywhere — so both engines bucket
+    * identically at any frequency. Scale: one tokenize pass; the
+    * (source, token) frequency agg partial-combines map-side (the
+    * shuffle carries each partition's distinct vocabulary, not the token
+    * stream) and the octave rollup is a second, vocabulary-bounded
+    * exchange down to |sources|·~20 rows. */
+  def y20FreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+      .withColumn("k", (length(expr("bin(f)")) - 1).cast("long"))
+      .groupBy("source", "k")
+      .agg(count(lit(1)).as("n_types"), sum("f").as("n_occurrences"))
+      .orderBy("source", "k")
+
   /** Language-likelihood heuristic: English-function-word density score per
     * doc, aggregated per labeled lang. (The corpus text is synthetic word
     * soup, so this measures the heuristic's behavior, not real language ID —
