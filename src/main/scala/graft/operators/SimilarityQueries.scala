@@ -202,9 +202,63 @@ object SimilarityQueries {
       element_at(array(dots: _*), pos), element_at(scoreArr, pos))
   }
 
+  /** Past this many centroids the expression-chain assignment
+    * ([[assignExprs]]: k inlined literal dots) generates O(k·dim) code,
+    * falls out of whole-stage codegen and goes interpreted — v15's √N
+    * quantizer (k=141 at sf0.1) measured 40.9 s in-suite on that path.
+    * Above the gate, [[assignCells]] switches to a JIT'd mapPartitions
+    * argmax over a broadcast centroid matrix (v2's LSH-projection
+    * precedent): the SAME left-to-right double fold as [[DotProductF]]
+    * and the same (score desc, cell asc) tie order — first strict
+    * improvement wins over cell-sorted centroids — so cells are
+    * bit-identical across paths (the sf0.1 oracle run proves it at
+    * k=141) and the cost is one tight k·dim loop per row at ANY k. */
+  private val AssignExprMaxK = 32
+
+  /** Rank-1 cell assignment `(vec_id, embedding, cell)` — expression
+    * path for small k (inside codegen, zero extra operators), JVM-loop
+    * path past [[AssignExprMaxK]]. */
+  private def assignCells(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import e.sparkSession.implicits._
+    if (cents.size <= AssignExprMaxK) {
+      val (cell, _, _) = assignExprs(col("embedding"), cents)
+      e.select(col("vec_id"), col("embedding"), cell.as("cell"))
+    } else {
+      require(cents.map(_._1) == cents.map(_._1).sorted,
+        "centroids must be cell-sorted")
+      val cellIds = cents.map(_._1).toArray
+      val cmat = cents.map(_._2.toArray).toArray
+      // 0.5·‖c‖² per cell, the same ascending fold the expression path's
+      // dot(c, c) literal runs — one double per cell, precomputed once
+      val bias = cmat.map { c =>
+        var a = 0.0; var i = 0
+        while (i < c.length) { a += c(i) * c(i); i += 1 }
+        0.5 * a
+      }
+      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.map { case (id, emb) =>
+            var best = 0
+            var bestScore = Double.NegativeInfinity
+            var ci = 0
+            while (ci < cmat.length) {
+              val c = cmat(ci)
+              var a = 0.0; var i = 0
+              while (i < c.length) { a += emb(i).toDouble * c(i); i += 1 }
+              val s = a - bias(ci)
+              if (s > bestScore) { bestScore = s; best = ci }
+              ci += 1
+            }
+            (id, emb, cellIds(best))
+          }
+        }.toDF("vec_id", "embedding", "cell")
+    }
+  }
+
   /** The Lloyd loop, driver-side centroids in and out: init = the k lowest
-    * vec_ids, each iteration one expression-assignment pass (see
-    * [[assignExprs]]) + the decimal-exact per-cell mean. */
+    * vec_ids, each iteration one assignment pass (see [[assignCells]])
+    * + the decimal-exact per-cell mean. */
   private def lloydCentroids(spark: SparkSession, e: DataFrame, k: Int,
       iters: Int): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
@@ -213,8 +267,7 @@ object SimilarityQueries {
       .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
       .map { case (id, emb) => (id, emb.map(_.toDouble).toSeq) }
     for (_ <- 1 to iters) {
-      val (cell, _, _) = assignExprs(col("embedding"), cents)
-      cents = e.select(cell.as("cell"), posexplode(col("embedding")))
+      cents = assignCells(e, cents).select(col("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos")
         .agg((sum(col("col").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("c"))
         .groupBy("cell")
@@ -271,9 +324,7 @@ object SimilarityQueries {
       k: Int, iters: Int): DataFrame = assignMemo.computeIfAbsent(
     s"${spark.sparkContext.applicationId}|$dir|$k|$iters", _ => {
       val e = t(spark, dir, "embeddings")
-      val (cell, _, _) = assignExprs(col("embedding"),
-        trainedCentroids(spark, dir, "full", k, iters))
-      e.select(col("vec_id"), col("embedding"), cell.as("cell"))
+      assignCells(e, trainedCentroids(spark, dir, "full", k, iters))
         .localCheckpoint() // assignment feeds every consumer materialized
     })
 
