@@ -344,7 +344,12 @@ object GraphOps {
       .filter(col("ds") < col("dd") ||
         (col("ds") === col("dd") && col("src") < col("dst")))
       .select("src", "dst")
-      .localCheckpoint() // two plan arms: the adj build + the edge probe
+    // NOT checkpointed: the two consumers (adj build, edge probe) each
+    // recompute two cheap joins off the already-materialized edge memo,
+    // which costs less than caching a third edge-scale copy on the heap —
+    // the r8 sf1 FULL-SUITE run OOM'd an 8 GiB driver with the round's
+    // accumulated edge-scale checkpoints aboard, and this was the one
+    // that buys nothing (the memo already bounds the rebuild).
     val adj = ed.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     // inner joins prune edges whose dst has no out-neighbors — they
