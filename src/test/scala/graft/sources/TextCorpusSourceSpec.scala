@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** JSONL corpus source: lossless round-trip vs the parquet corpus, and
+  * the permissive quarantine contract (torn/null-key lines surface in
+  * `corrupt`, never silently vanish, never poison `good`). */
+class TextCorpusSourceSpec extends SparkSpec {
+
+  private def corpusHash(df: org.apache.spark.sql.DataFrame): String =
+    df.select(md5(concat_ws("",
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))).as("h"))
+      .agg(md5(concat_ws("", collect_list(col("h")))).as("all"))
+      .head().getString(0)
+
+  private def sortedHash(df: org.apache.spark.sql.DataFrame): String =
+    corpusHash(df.orderBy("doc_id"))
+
+  test("parquet -> jsonl -> parquet round-trip is content-identical") {
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    TextCorpusSource.writeDocumentsJsonl(src, s"$dir/docs")
+    val back = TextCorpusSource.readDocumentsJsonl(spark, s"$dir/docs")
+    assert(back.corrupt.count() == 0)
+    assert(back.good.count() == src.count())
+    assert(sortedHash(back.good) == sortedHash(src))
+  }
+
+  test("torn and null-key lines quarantine; good rows are untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonlq").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web", "n_chars": 10}""",
+      """{"doc_id": 2, "text": "gamma", "lang": "en", "source": "web", "n_chars": 5}""",
+      """{"doc_id": 3, "text": "delta", "lang": "en"""", // torn mid-object
+      """not json at all""",
+      """{"doc_id": null, "text": "orphan", "lang": "en", "source": "web", "n_chars": 6}""",
+      """{"doc_id": 4, "lang": "en", "source": "web", "n_chars": 0}""" // no text
+    )
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val got = TextCorpusSource.readDocumentsJsonl(spark, dir)
+    assert(got.good.count() == 2, "only fully-keyed parseable rows are good")
+    assert(got.good.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val corrupt = got.corrupt.collect().map(_.getString(0))
+    assert(corrupt.length == 4, s"good + corrupt must reconcile: $corrupt")
+    assert(corrupt.exists(_.contains("not json at all")),
+      "raw line preserved for the reprocess queue")
+  }
+}
