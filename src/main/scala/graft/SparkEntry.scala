@@ -243,6 +243,9 @@ object SparkEntry {
     // v16: two-stage ANN serving — IVFADC top-20 shortlist, then exact
     // raw-vector re-rank of the survivors (the production read path)
     "v16_rerank" -> (SimilarityQueries.v16Rerank _),
+    // v17: measured recall@5 of the two-stage index vs the exact scan —
+    // the tuning table that quantifies the IVF cell restriction
+    "v17_recall_audit" -> (SimilarityQueries.v17RecallAudit _),
     // x13: SemDeDup — within-k-means-cell near-duplicate drop verdicts
     // (registered with the x dedupe family; lives with the quantizer)
     "x13_semantic_dedup" -> (SimilarityQueries.x13SemanticDedup _),
@@ -677,6 +680,37 @@ object SparkEntry {
       |  JOIN qd_1 q1 ON q1.query_id = qc.query_id AND q1.cell = n1.cell
       |  JOIN qd_2 q2 ON q2.query_id = qc.query_id AND q2.cell = n2.cell
       |  JOIN qd_3 q3 ON q3.query_id = qc.query_id AND q3.cell = n3.cell)""".stripMargin
+
+  /** v17: the exact top-5 (v1's CTEs) LEFT-joined against v16's approx
+    * top-5 (the rerank CTEs) — both templates reused verbatim, so the
+    * recall numbers derive from the two already-proven answers. */
+  private val recallAuditOracle: String =
+    ivfAdcScoredCtes + """,
+      |short AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS srank
+      |  FROM scored) WHERE srank <= 20),
+      |ex AS (SELECT sh.query_id, sh.neighbor_id,
+      |    list_dot_product(n.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
+      |  FROM short sh JOIN embeddings n ON n.vec_id = sh.neighbor_id
+      |  JOIN embeddings q ON q.vec_id = sh.query_id),
+      |appr AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM ex) WHERE rank <= 5),
+      |xj AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+      |    list_dot_product(e2.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+      |  FROM embeddings e2 CROSS JOIN embeddings q
+      |  WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id),
+      |xr AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rk
+      |  FROM xj) WHERE rk <= 5)
+      |SELECT x.query_id, count(a.neighbor_id) AS hits,
+      |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_5
+      |FROM xr x LEFT JOIN appr a
+      |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+      |GROUP BY 1 ORDER BY x.query_id""".stripMargin
 
   private val ivfAdcOracle: String =
     ivfAdcScoredCtes + """,
@@ -2319,6 +2353,7 @@ object SparkEntry {
     "v10_pq_adc" -> pqAdcOracle,
     "v12_ivf_adc" -> ivfAdcOracle,
     "v16_rerank" -> rerankOracle,
+    "v17_recall_audit" -> recallAuditOracle,
     // g2: the chunk-level ranged read must equal reading the source
     // directly (corpus is ASCII: char offsets ARE byte offsets)
     "g2_ranged_read" ->

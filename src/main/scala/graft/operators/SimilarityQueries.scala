@@ -796,6 +796,34 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** v17: ANN recall audit — the table every vector-index deployment
+    * reads before trusting its index: per query, how many of the TRUE
+    * top-5 (v1's exact scan) the two-stage index (v16) actually
+    * returned. The number quantifies the IVF cell restriction — recall
+    * lost to probing 1/nlist of the corpus — which no amount of
+    * re-ranking can recover; a deployment tunes nprobe/nlist until this
+    * table clears its floor. Deterministic end to end (both inputs are
+    * hash-proven), and the oracle composes the two proven templates.
+    * At 100 TB the practice this encodes: ground truth is the exact
+    * scan over a bounded QUERY SAMPLE (here the 10 probe queries), never
+    * all-pairs — the audit costs one corpus pass per refresh. On THIS
+    * corpus the embeddings are random vectors with no cluster structure
+    * (x6's scaladoc records the same property), so 1-probe recall is
+    * intrinsically low (~0.44 mean at sf0.1) — which is the point: the
+    * audit MEASURES it instead of letting the index ship on faith. */
+  def v17RecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = v1CosineTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = v16Rerank(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits") / lit(5.0), 4).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   /** IVF-flavored per-label centroids + assignment check: exact-decimal
     * element-wise centroid per label, then each vector's cosine to its own
     * label centroid — the coarse-quantizer building block of an IVF index. */
