@@ -408,6 +408,11 @@ object SparkEntry {
       graft.streaming.EventStreamOps.runToMemoryAppend(s, s"$dir/events.parquet",
         s"st12_${System.nanoTime()}", graft.streaming.EventStreamOps.streamScd2)
         .orderBy("user_id", "version")),
+    // st13: streaming JSONL corpus ingest with quarantine — the batch
+    // source contract (explicit schema, PERMISSIVE + quarantine) proven
+    // micro-batch by micro-batch; deterministic torn-line evidence
+    "st13_stream_jsonl_ingest" ->
+      (graft.streaming.CorpusStreamIngest.st13StreamJsonlIngest _),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
@@ -1359,6 +1364,15 @@ object SparkEntry {
         |  CAST(e.est_count - t.true_count AS BIGINT) AS overcount
         |FROM top t JOIN est e ON e.key = t.key
         |ORDER BY t.true_count DESC, t.key""".stripMargin,
+    // st13: every real doc admits under its source; exactly the %97
+    // docs (the staged torn 20-byte prefixes) quarantine — good +
+    // corrupt reconcile to staged lines by construction
+    "st13_stream_jsonl_ingest" ->
+      """SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+        |UNION ALL
+        |SELECT '__corrupt__' AS source, count(*) AS n_docs
+        |FROM documents WHERE doc_id % 97 = 0
+        |ORDER BY source""".stripMargin,
     // y20: the same exact octave (binary-format length − 1) in SQL
     "y20_freq_spectrum" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
