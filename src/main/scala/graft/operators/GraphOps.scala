@@ -25,7 +25,13 @@ object GraphOps {
   private val edgeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def clearMemo(): Unit = edgeMemo.clear()
+  private[graft] def clearMemo(): Unit = {
+    // Unpersist any DISK_ONLY entries (no-op for localCheckpointed ones)
+    // so spec suites that clear the memo also release the cache blocks.
+    edgeMemo.values().forEach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    edgeMemo.clear()
+  }
 
   /** Size gate for the iterative joins' node-sized side (ranks/scores).
     * At or below this many node rows the side is forced-broadcast (a
@@ -43,23 +49,30 @@ object GraphOps {
     spark.conf.getOption("graft.graph.broadcastNodeLimit")
       .map(_.toLong).getOrElse(2000000L)
 
-  /** Repartition by `key` and checkpoint WITH the partitioning preserved.
-    * Under AQE the physical plan a checkpoint captures is an
+  /** Repartition by `key` and materialize WITH the partitioning preserved.
+    * Under AQE the physical plan a localCheckpoint captures is an
     * AdaptiveSparkPlan whose outputPartitioning is Unknown(0) (measured —
-    * tools/R8Probe), so the checkpoint would forget the co-partitioning
-    * and every later iteration join would re-exchange the edge set:
-    * exactly the cost this path exists to avoid. Building the checkpoint
-    * with AQE momentarily OFF makes LogicalRDD capture
-    * HashPartitioning(key, shuffle.partitions), which EnsureRequirements
-    * then honors in every downstream join (GraphScaleSpec asserts zero
-    * edge-row shuffles in the final executed plans). AQE stays on for the
-    * iteration queries themselves. */
+    * tools/R8Probe), so a checkpoint would forget the co-partitioning and
+    * every later iteration join would re-exchange the edge set: exactly
+    * the cost this path exists to avoid. The r8 build toggled
+    * `spark.sql.adaptive.enabled` off around the checkpoint — correct but
+    * NOT thread-safe (a concurrently-planning query in the same session
+    * would silently lose AQE). This build uses the cache layer instead:
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` defaults
+    * to false, so an InMemoryRelation over the repartition keeps
+    * HashPartitioning(key) and EnsureRequirements honors it in every
+    * downstream join — tools/R9Probe shows the final SMJ plan reading
+    * TableCacheQueryStage with a partition-local Sort and ZERO exchanges
+    * on the cached side, AQE on throughout (GraphScaleSpec asserts the
+    * same on the shipped plans, plus conf-untouched under concurrency).
+    * DISK_ONLY: edge-scale blocks never tax the heap (the r8 sf1 OOM
+    * lesson); the eager count populates the cache exactly once. */
   private def coPartitionedCheckpoint(
       spark: SparkSession, df: DataFrame, key: String): DataFrame = {
-    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.repartition(col(key)).localCheckpoint()
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val cached = df.repartition(col(key))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    cached.count()
+    cached
   }
 
   /** `(src, dst, w)` — directed both ways (symmetric), `w` = number of
@@ -335,21 +348,31 @@ object GraphOps {
     * oracle unrolls the same orientation (its row counts are DuckDB's
     * problem, and the canonical-wedge join is fine at oracle SFs). */
   def n5Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(spark, dir).select("src", "dst")
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      .withColumnRenamed("src", "node")
-    val ed = e
-      .join(deg.select(col("node").as("src"), col("d").as("ds")), Seq("src"))
-      .join(deg.select(col("node").as("dst"), col("d").as("dd")), Seq("dst"))
-      .filter(col("ds") < col("dd") ||
-        (col("ds") === col("dd") && col("src") < col("dst")))
-      .select("src", "dst")
-    // NOT checkpointed: the two consumers (adj build, edge probe) each
-    // recompute two cheap joins off the already-materialized edge memo,
-    // which costs less than caching a third edge-scale copy on the heap —
-    // the r8 sf1 FULL-SUITE run OOM'd an 8 GiB driver with the round's
-    // accumulated edge-scale checkpoints aboard, and this was the one
-    // that buys nothing (the memo already bounds the rebuild).
+    // Memoized + persisted at DISK_ONLY: r8 shipped `ed` unmaterialized
+    // after its localCheckpoint OOM'd the sf1 full-suite heap, but that
+    // left the two consumers (adj build :N, edge probe :N) racing to
+    // recompute it under whatever memory pressure the suite had
+    // accumulated — BENCH_HISTORY shows 2.8 s vs 17.4 s on identical
+    // code/scale back-to-back (the r8 `weak`). DISK_ONLY is the point on
+    // the trade-off the r8 fix missed: zero heap cost (the thing the OOM
+    // fix was protecting) AND zero recompute (the thing the fix gave up).
+    // The memo bounds it to one materialization per (session, dir), like
+    // the co-purchase edge set it derives from.
+    val ed = edgeMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|oriented", _ => {
+        val e = coPurchaseEdges(spark, dir).select("src", "dst")
+        val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+          .withColumnRenamed("src", "node")
+        val oriented = e
+          .join(deg.select(col("node").as("src"), col("d").as("ds")), Seq("src"))
+          .join(deg.select(col("node").as("dst"), col("d").as("dd")), Seq("dst"))
+          .filter(col("ds") < col("dd") ||
+            (col("ds") === col("dd") && col("src") < col("dst")))
+          .select("src", "dst")
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        oriented.count()
+        oriented
+      })
     val adj = ed.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     // inner joins prune edges whose dst has no out-neighbors — they
