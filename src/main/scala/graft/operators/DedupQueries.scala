@@ -102,6 +102,13 @@ object DedupQueries {
     * the safe default for an immutable-input batch pipeline. */
   private val memo = new java.util.LinkedHashMap[String, DataFrame]()
 
+  /** MinHash family parameters (x4/x11's banding contract): k signatures,
+    * 4 bands × 4 rows, affine over the Mersenne prime 2^61−1. m1 + 15·m2
+    * < 2^63, so the fold never overflows on either engine. */
+  private val MinhashK = 16
+  private val MinhashRowsPerBand = 4
+  private val MinhashP = 2305843009213693951L // 2^61 - 1
+
   /** Drop every memoized stage. The bench calls this between its untimed
     * codegen-warmup pass and its timed pass so the timed sweep pays the
     * candidate build exactly ONCE, at the query that triggers it — a
@@ -121,21 +128,71 @@ object DedupQueries {
     }
   }
 
+  /** The ONE tokenize+shingle pass over the corpus, memoized: per doc the
+    * sorted xxhash64 shingle set `hs` (the set-identity/verification lane
+    * — x3/x7/x8/x12 and every exact-Jaccard rerank) AND the 16 md5-affine
+    * MinHash signatures `sigs` (the SQL-re-derivable banding lane — x4/
+    * x11/z2/x15). Until r9 these were two separate memoized stages, each
+    * re-reading documents and re-running split+shingle-string building —
+    * the costliest narrow stage in the repo, paid twice per sweep (the r8
+    * ADVICE finding). One pass computes both hash lanes per shingle
+    * string: the tokenize/StringBuilder/UTF-8 work is shared, and only 16
+    * extra longs per doc ride the checkpoint (NOT the per-shingle md5
+    * lanes — minimums fold inline, so the artifact stays node-sized).
+    * Signature semantics are unchanged: minimums fold over ALL shingle
+    * occurrences (min over a multiset equals min over its set), while
+    * `hs` dedupes — exactly the two prior stages' behaviors. */
+  private def docShingleStats(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "docShingleStats") {
+      import spark.implicits._
+      t(spark, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val toks = text.split(' ')
+          val n = math.max(toks.length - 2, 1)
+          val seen = new java.util.HashSet[java.lang.Long](math.max(16, n * 2))
+          val out = new Array[Long](n)
+          var m = 0
+          val sigs = Array.fill(MinhashK)(Long.MaxValue)
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < n) {
+            sb.setLength(0)
+            sb.append(toks(i))
+            var j = i + 1
+            val end = math.min(i + 3, toks.length)
+            while (j < end) { sb.append(' '); sb.append(toks(j)); j += 1 }
+            val b = sb.toString.getBytes(UTF_8)
+            val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+            if (seen.add(h)) { out(m) = h; m += 1 }
+            md.reset()
+            val d = md.digest(b)
+            val bb = java.nio.ByteBuffer.wrap(d)
+            val m1 = bb.getLong(0) >>> 4 // SQL: ('0x'||substr(md5(g),1,15))::BIGINT
+            val m2 = bb.getLong(8) >>> 6 // SQL: ('0x'||substr(md5(g),17,15))::BIGINT >> 2
+            var hh = 0
+            while (hh < MinhashK) {
+              val v = (m1 + hh * m2) % MinhashP
+              if (v < sigs(hh)) sigs(hh) = v
+              hh += 1
+            }
+            i += 1
+          }
+          val trimmed = if (m == n) out else java.util.Arrays.copyOf(out, m)
+          java.util.Arrays.sort(trimmed)
+          (id, trimmed, trimmed.length, sigs)
+        }.toDF("doc_id", "hs", "n", "sigs").localCheckpoint()
+    }
+
   /** One row per doc: `(doc_id, hs ARRAY<LONG>, n)` — the verification-side
-    * shape, computed once per (session, corpus) and shared by x3/x4/x7.
+    * shape, shared by x3/x4/x7: a projection of [[docShingleStats]] (the
+    * checkpointed parent holds the bytes; this plan is column pruning).
     * Joining candidate pairs to these arrays and intersecting with
     * `array_intersect` is O(|cands| * shingles), versus exploding every
     * candidate into its shingle rows and re-aggregating (which was 50x the
     * rows and dominated the pair-verification cost). */
   private def docSets(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "docSets") {
-      import spark.implicits._
-      t(spark, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val hs = shingleHashes(text)
-          (id, hs, hs.length)
-        }.toDF("doc_id", "hs", "n").localCheckpoint()
-    }
+    docShingleStats(spark, dir).select("doc_id", "hs", "n")
 
   /** Exact-Jaccard verification of candidate `(doc_a, doc_b)` pairs against
     * per-doc shingle-set arrays; emits pairs at or above `threshold`.
@@ -276,60 +333,26 @@ object DedupQueries {
     * `string_agg(... ORDER BY j)` rebuilds verbatim in SQL, so the
     * oracles now re-derive the SAME candidate set at every scale and the
     * LSH recall boundary is inside the contract, not outside it. */
-  /** The MinHash band rows `(doc_id, band, band_key)` — computed per-row
-    * inside the scan (no shuffle), then localCheckpointed and MEMOIZED:
-    * x4's self-join and x11's incremental new-vs-old join consume the same
-    * signature pass, so a sweep running both pays it once. The md5 pass is
-    * minhash-local (x5's rationale); the xxhash64 shingle memo still backs
-    * the set-identity consumers (x3/x7/verification). */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "minhashBands") {
-      import spark.implicits._
-      val numHashes = 16
-      val rowsPerBand = 4
-      val numBands = numHashes / rowsPerBand
-      val P = 2305843009213693951L // 2^61 - 1
-      t(spark, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val toks = text.split(' ')
-          val n = math.max(toks.length - 2, 1)
-          val sigs = Array.fill(numHashes)(Long.MaxValue)
-          val sb = new java.lang.StringBuilder(64)
-          var i = 0
-          while (i < n) {
-            sb.setLength(0)
-            sb.append(toks(i))
-            var j = i + 1
-            val end = math.min(i + 3, toks.length)
-            while (j < end) { sb.append(' '); sb.append(toks(j)); j += 1 }
-            md.reset()
-            val d = md.digest(sb.toString.getBytes(UTF_8))
-            val bb = java.nio.ByteBuffer.wrap(d)
-            val m1 = bb.getLong(0) >>> 4 // SQL: ('0x'||substr(md5(g),1,15))::BIGINT
-            val m2 = bb.getLong(8) >>> 6 // SQL: ('0x'||substr(md5(g),17,15))::BIGINT >> 2
-            var h = 0
-            while (h < numHashes) {
-              val v = (m1 + h * m2) % P
-              if (v < sigs(h)) sigs(h) = v
-              h += 1
-            }
-            i += 1
-          }
-          (0 until numBands).iterator.map { b =>
-            val key = new java.lang.StringBuilder(84)
-            var r = 0
-            while (r < rowsPerBand) {
-              if (r > 0) key.append(',')
-              key.append(sigs(b * rowsPerBand + r))
-              r += 1
-            }
-            (id, b, key.toString)
-          }
-        }.toDF("doc_id", "band", "band_key")
-        .localCheckpoint() // minhash pipeline runs once, not per join side
+  /** The MinHash band rows `(doc_id, band, band_key)` — a cheap expression
+    * projection over [[docShingleStats]]' signature column (the r9 shared-
+    * scan refactor: the tokenize+md5 work lives in the ONE memoized corpus
+    * pass; this just comma-joins each band's 4 signatures — `Long.toString`
+    * on both paths, which `string_agg(... ORDER BY j)` rebuilds verbatim
+    * in SQL). Not separately checkpointed: the parent holds the bytes, and
+    * x4's self-join reuses the one band-key exchange (same keys both
+    * sides). x4's self-join and x11's incremental new-vs-old join consume
+    * the same signature pass, so a sweep running both pays it once. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val numBands = MinhashK / MinhashRowsPerBand
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until MinhashRowsPerBand).map(r =>
+          col("sigs")(b * MinhashRowsPerBand + r).cast("string")): _*).as("band_key"))
     }
+    docShingleStats(spark, dir).select(col("doc_id"), col("sigs"))
+      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
 
   def x4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sets = docSets(spark, dir)

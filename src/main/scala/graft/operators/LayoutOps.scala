@@ -49,9 +49,15 @@ object LayoutOps {
     * file — tight rectangles (≤ ~16 units per dim per bucket, vs the full
     * 50×250 range a date-sorted layout gives the quantity dim) are what
     * turn per-file stats into real two-dimensional scan pruning.
-    * Integer-exact end to end; one scan, one 256-group rollup — at 100 TB
-    * the map-side partial agg reduces each task to ≤256 rows before the
-    * shuffle. */
+    * The z-key scales quantity by 5 (1..50 → 5..250) before interleaving
+    * so both dimensions spend their full 8-bit budget — z7's audit
+    * MEASURED the unscaled form scanning more rows than a plain
+    * qty-sort (2+ wasted bit positions widen every grid cell to 16 qty
+    * units), and until r9 z5 shipped that inferior key while z7 audited
+    * the scaled one (the r8 ADVICE mismatch); now layout and audit are
+    * the same key. Integer-exact end to end; one scan, one 256-group
+    * rollup — at 100 TB the map-side partial agg reduces each task to
+    * ≤256 rows before the shuffle. */
   def z5ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400L * 1000000L
     val li = t(spark, dir, "lineitem")
@@ -59,7 +65,7 @@ object LayoutOps {
       // integer div end to end — `/` is IEEE double division in Spark SQL
       .withColumn("qy", least(lit(255L), greatest(lit(0L), expr(
         s"(unix_micros(cast(l_shipdate as timestamp)) div $dayUs - $DayBase) div 10"))))
-    li.withColumn("zbucket", shiftright(zInterleave(col("qx"), col("qy")), 8))
+    li.withColumn("zbucket", shiftright(zInterleave(col("qx") * 5, col("qy")), 8))
       .groupBy("zbucket")
       .agg(count(lit(1)).as("n_rows"),
         min("qx").as("qty_lo"), max("qx").as("qty_hi"),
@@ -187,7 +193,7 @@ object LayoutOps {
     s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qx,
        |    least(255, greatest(0, (epoch_us(l_shipdate) // 86400000000 - $DayBase) // 10)) AS qy
        |  FROM lineitem),
-       |z AS (SELECT qx, qy, ${zInterleaveSql("qx", "qy")} AS zv FROM b)
+       |z AS (SELECT qx, qy, ${zInterleaveSql("(qx * 5)", "qy")} AS zv FROM b)
        |SELECT zv >> 8 AS zbucket, count(*) AS n_rows,
        |  min(qx) AS qty_lo, max(qx) AS qty_hi, min(qy) AS day_lo, max(qy) AS day_hi
        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin

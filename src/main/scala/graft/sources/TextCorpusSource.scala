@@ -46,26 +46,30 @@ object TextCorpusSource {
   final case class JsonlCorpus(good: DataFrame, corrupt: DataFrame)
 
   /** Read a JSONL documents corpus with the explicit schema and the
-    * permissive quarantine split. One pass; no inference scan. */
+    * permissive quarantine split. One pass; no inference scan.
+    *
+    * Reads the files as TEXT and parses with `from_json` (same Jackson
+    * parser, same splittable scan) rather than `spark.read.json`: the
+    * json source only fills `_corrupt_record` for lines it cannot PARSE,
+    * so a structurally-valid line quarantined for a null doc_id/text
+    * would otherwise reach the reprocess queue as a lossy `to_json`
+    * re-serialization — unknown extra fields, key order, and formatting
+    * silently dropped (the r8 ADVICE finding). Keeping the raw `value`
+    * column alongside the parsed struct preserves the ORIGINAL line for
+    * every quarantined row, whatever the reason it quarantined. */
   def readDocumentsJsonl(spark: SparkSession, path: String): JsonlCorpus = {
-    val raw = spark.read
-      .schema(documentsSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      // the permissive parser materializes lazily; cacheless split needs
-      // the corrupt column referenced from the SAME read, so keep one frame
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"), col("_corrupt_record"))
-    val bad = col("_corrupt_record").isNotNull ||
-      col("doc_id").isNull || col("text").isNull
+    val parsed = spark.read.text(path)
+      .withColumn("p", from_json(col("value"), documentsSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+    // p is null only for blank/whitespace lines (the json source silently
+    // skips those; a text read surfaces them — quarantine, don't drop)
+    val bad = col("p").isNull || col("p._corrupt_record").isNotNull ||
+      col("p.doc_id").isNull || col("p.text").isNull
     JsonlCorpus(
-      good = raw.filter(!bad)
-        .select("doc_id", "text", "lang", "source", "n_chars"),
-      corrupt = raw.filter(bad)
-        .select(coalesce(col("_corrupt_record"),
-          to_json(struct(col("doc_id"), col("text"), col("lang"),
-            col("source"), col("n_chars")))).as("raw_line")))
+      good = parsed.filter(!bad)
+        .select("p.doc_id", "p.text", "p.lang", "p.source", "p.n_chars"),
+      corrupt = parsed.filter(bad).select(col("value").as("raw_line")))
   }
 
   /** Export a documents frame as JSONL (one object per line, canonical

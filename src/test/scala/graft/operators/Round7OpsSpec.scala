@@ -194,7 +194,10 @@ class Round7OpsSpec extends SparkSpec {
     val total = Tables.t(spark, sfDir, "lineitem").count()
     assert(rows.map(_._2).sum == total) // partition of the corpus
     rows.foreach { case (zb, _, qlo, qhi, dlo, dhi) =>
-      assert(qhi - qlo < 16, s"bucket $zb quantity extent")
+      // the ×5 quantity scaling (r9: z5 adopted the key z7's audit
+      // measured as superior) pins a bucket's SCALED extent under 16,
+      // so the raw quantity extent is ≤ 3 — vs 15 for the unscaled key
+      assert(qhi - qlo <= 3, s"bucket $zb quantity extent")
       assert(dhi - dlo < 16, s"bucket $zb day extent")
     }
     assert(rows.length > 16, "grid is genuinely two-dimensional here")

@@ -36,7 +36,7 @@ class TextCorpusSourceSpec extends SparkSpec {
       """{"doc_id": 2, "text": "gamma", "lang": "en", "source": "web", "n_chars": 5}""",
       """{"doc_id": 3, "text": "delta", "lang": "en"""", // torn mid-object
       """not json at all""",
-      """{"doc_id": null, "text": "orphan", "lang": "en", "source": "web", "n_chars": 6}""",
+      """{"text": "orphan", "extra_field": [1, 2], "doc_id": null,  "lang": "en", "source": "web", "n_chars": 6}""",
       """{"doc_id": 4, "lang": "en", "source": "web", "n_chars": 0}""" // no text
     )
     java.nio.file.Files.write(
@@ -49,5 +49,12 @@ class TextCorpusSourceSpec extends SparkSpec {
     assert(corrupt.length == 4, s"good + corrupt must reconcile: $corrupt")
     assert(corrupt.exists(_.contains("not json at all")),
       "raw line preserved for the reprocess queue")
+    // a STRUCTURALLY-VALID line quarantined only for a null key must also
+    // reach the queue as the ORIGINAL line — unknown extra fields, key
+    // order, and spacing intact, not a lossy to_json re-serialization
+    assert(corrupt.contains(lines(4)),
+      s"null-key line must be preserved verbatim: $corrupt")
+    assert(corrupt.toSet == Set(lines(2), lines(3), lines(4), lines(5)),
+      "every quarantined row is its exact input line")
   }
 }
