@@ -243,9 +243,12 @@ object SparkEntry {
     // v16: two-stage ANN serving — IVFADC top-20 shortlist, then exact
     // raw-vector re-rank of the survivors (the production read path)
     "v16_rerank" -> (SimilarityQueries.v16Rerank _),
-    // v17: measured recall@5 of the two-stage index vs the exact scan —
-    // the tuning table that quantifies the IVF cell restriction
+    // v17: measured recall@5 of the two-stage index vs the exact scan,
+    // per nprobe setting — the tuning table for the IVF recall/cost dial
     "v17_recall_audit" -> (SimilarityQueries.v17RecallAudit _),
+    // v18: v16's two-stage serve with nprobe=4 — each query probes its 4
+    // nearest coarse cells (the knob v17's audit measures)
+    "v18_multiprobe" -> (SimilarityQueries.v18Multiprobe _),
     // x13: SemDeDup — within-k-means-cell near-duplicate drop verdicts
     // (registered with the x dedupe family; lives with the quantizer)
     "x13_semantic_dedup" -> (SimilarityQueries.x13SemanticDedup _),
@@ -686,15 +689,50 @@ object SparkEntry {
       |  JOIN qd_2 q2 ON q2.query_id = qc.query_id AND q2.cell = n2.cell
       |  JOIN qd_3 q3 ON q3.query_id = qc.query_id AND q3.cell = n3.cell)""".stripMargin
 
-  /** v17: the exact top-5 (v1's CTEs) LEFT-joined against v16's approx
-    * top-5 (the rerank CTEs) — both templates reused verbatim, so the
-    * recall numbers derive from the two already-proven answers. */
-  private val recallAuditOracle: String =
-    ivfAdcScoredCtes + """,
+  /** [[ivfAdcScoredCtes]] with the probe window PARAMETERIZED by nprobe:
+    * `qp` keeps each query's nprobe top cells under the SAME objective
+    * window `af` assigns with (identical expression, identical tiebreak),
+    * so rank 1 is exactly the assignment cell and the nprobe=1
+    * instantiation derives the same candidate set as the `qc` form
+    * above — the multi-probe oracles extend the proven template rather
+    * than forking it. */
+  private def ivfAdcScoredCtesFor(nprobe: Int): String =
+    "WITH " + kmeansCteFor("").stripPrefix("WITH ") + ",\n" +
+    (0 until 4).map(pqSubspaceCte).mkString(",\n") + ",\n" +
+    (0 until 4).map(s =>
+      s"""qd_$s AS (SELECT q.vec_id AS query_id, c.cell,
+         |  list_dot_product(q.emb::DOUBLE[], c.centroid) AS d
+         |  FROM src_$s q CROSS JOIN c3_$s c WHERE q.vec_id < 10)""".stripMargin
+    ).mkString(",\n") + s""",
+      |qp AS (SELECT query_id, cell FROM (
+      |  SELECT e.vec_id AS query_id, c.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+      |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+      |  FROM src e CROSS JOIN c3 c WHERE e.vec_id < 10) WHERE rk <= $nprobe),
+      |scored AS (SELECT qp.query_id, n.vec_id AS neighbor_id,
+      |    q0.d + q1.d + q2.d + q3.d AS s
+      |  FROM af n JOIN qp ON n.cell = qp.cell AND n.vec_id <> qp.query_id
+      |  JOIN af_0 n0 ON n0.vec_id = n.vec_id
+      |  JOIN af_1 n1 ON n1.vec_id = n.vec_id
+      |  JOIN af_2 n2 ON n2.vec_id = n.vec_id
+      |  JOIN af_3 n3 ON n3.vec_id = n.vec_id
+      |  JOIN qd_0 q0 ON q0.query_id = qp.query_id AND q0.cell = n0.cell
+      |  JOIN qd_1 q1 ON q1.query_id = qp.query_id AND q1.cell = n1.cell
+      |  JOIN qd_2 q2 ON q2.query_id = qp.query_id AND q2.cell = n2.cell
+      |  JOIN qd_3 q3 ON q3.query_id = qp.query_id AND q3.cell = n3.cell)""".stripMargin
+
+  /** v17: the exact top-5 (v1's CTEs) LEFT-joined against the two-stage
+    * approx top-5 — both templates reused verbatim, so the recall numbers
+    * derive from the already-proven answers. r9: one audit block per
+    * nprobe setting (1 = v16's own-cell serve, 4 = v18's multi-probe),
+    * UNION ALL'd into the recall-vs-nprobe table. */
+  private def recallAuditFor(np: Int): String =
+    ivfAdcScoredCtesFor(np) + s""",
       |short AS (SELECT query_id, neighbor_id FROM (
       |  SELECT query_id, neighbor_id,
       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS srank
-      |  FROM scored) WHERE srank <= 20),
+      |  FROM scored) WHERE srank <= ${20 * np}),
       |ex AS (SELECT sh.query_id, sh.neighbor_id,
       |    list_dot_product(n.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
       |  FROM short sh JOIN embeddings n ON n.vec_id = sh.neighbor_id
@@ -711,11 +749,19 @@ object SparkEntry {
       |  SELECT query_id, neighbor_id,
       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rk
       |  FROM xj) WHERE rk <= 5)
-      |SELECT x.query_id, count(a.neighbor_id) AS hits,
+      |SELECT CAST($np AS BIGINT) AS nprobe, x.query_id,
+      |  count(a.neighbor_id) AS hits,
       |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_5
       |FROM xr x LEFT JOIN appr a
       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
-      |GROUP BY 1 ORDER BY x.query_id""".stripMargin
+      |GROUP BY 1, 2""".stripMargin
+
+  private val recallAuditOracle: String =
+    s"""SELECT * FROM (
+       |${recallAuditFor(1)}
+       |) UNION ALL SELECT * FROM (
+       |${recallAuditFor(4)}
+       |) ORDER BY nprobe, query_id""".stripMargin
 
   private val ivfAdcOracle: String =
     ivfAdcScoredCtes + """,
@@ -728,12 +774,16 @@ object SparkEntry {
   /** v16: the same `scored` stream, but the quantized score only SELECTS
     * the top-20 shortlist; the emitted top-5 re-rank by the exact raw
     * dot (the bitwise list_dot_product fold v1's oracle proves). */
-  private val rerankOracle: String =
-    ivfAdcScoredCtes + """,
+  /** The stage-2 tail shared by the v16 (nprobe=1, budget 20) and v18
+    * (nprobe=4, budget 80) oracles: top-`shortlistK` ADC shortlist from
+    * `scored`, exact top-5 out. The budget scales with nprobe because a
+    * fixed one measurably throttles what probing buys (v18's scaladoc
+    * records the measured recall DROP under a fixed 20). */
+  private def rerankTailFor(shortlistK: Int): String = s""",
       |short AS (SELECT query_id, neighbor_id FROM (
       |  SELECT query_id, neighbor_id,
       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS srank
-      |  FROM scored) WHERE srank <= 20),
+      |  FROM scored) WHERE srank <= $shortlistK),
       |ex AS (SELECT sh.query_id, sh.neighbor_id,
       |    list_dot_product(n.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim
       |  FROM short sh JOIN embeddings n ON n.vec_id = sh.neighbor_id
@@ -743,6 +793,11 @@ object SparkEntry {
       |  FROM ex)
       |SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
       |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val rerankOracle: String = ivfAdcScoredCtes + rerankTailFor(20)
+
+  /** v18: the identical two stages over the nprobe=4 candidate window. */
+  private val multiprobeOracle: String = ivfAdcScoredCtesFor(4) + rerankTailFor(80)
 
   /** Shared by v8 (batch) and st9 (streaming): the quantizer trains on the
     * OLD slice only, the new slice gets the same rank-1 cell assignment —
@@ -1366,12 +1421,16 @@ object SparkEntry {
         |ORDER BY t.true_count DESC, t.key""".stripMargin,
     // st13: every real doc admits under its source; exactly the %97
     // docs (the staged torn 20-byte prefixes) quarantine — good +
-    // corrupt reconcile to staged lines by construction
+    // corrupt reconcile to staged lines by construction. HAVING guards
+    // the corrupt leg: a corpus whose doc_ids avoid multiples of 97
+    // stages no torn lines, so the stream lands no __corrupt__ group
+    // and the oracle must not emit a count-0 row for it (r8 ADVICE).
     "st13_stream_jsonl_ingest" ->
       """SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
         |UNION ALL
         |SELECT '__corrupt__' AS source, count(*) AS n_docs
         |FROM documents WHERE doc_id % 97 = 0
+        |HAVING count(*) > 0
         |ORDER BY source""".stripMargin,
     // y20: the same exact octave (binary-format length − 1) in SQL
     "y20_freq_spectrum" ->
@@ -2368,6 +2427,7 @@ object SparkEntry {
     "v12_ivf_adc" -> ivfAdcOracle,
     "v16_rerank" -> rerankOracle,
     "v17_recall_audit" -> recallAuditOracle,
+    "v18_multiprobe" -> multiprobeOracle,
     // g2: the chunk-level ranged read must equal reading the source
     // directly (corpus is ASCII: char offsets ARE byte offsets)
     "g2_ranged_read" ->

@@ -20,13 +20,17 @@ final case class ResizedMeta(docId: Long, mediaType: String,
  * with typed metadata, decode / feature-extract / frame-sample as
  * partition-parallel transforms over `Dataset[(Long, Array[Byte])]`.
  *
- * The decode step is a DETERMINISTIC STUB (`stubDecode`): real codecs
- * (JPEG/PNG/ffmpeg) are not in this container, so it derives plausible
- * metadata and features from the bytes alone. Everything around it —
- * binary schema, mapPartitions batching (one decoder init per partition,
- * the same shape a Pandas-UDF/mapInPandas batch has), fixed-width feature
- * schema, partition sizing — is real and tested, so swapping in a real
- * codec is a one-function change.
+ * Decoding goes through the [[MultimodalOps.MediaCodec]] seam with TWO
+ * implementations: the DETERMINISTIC STUB ([[MultimodalOps.StubCodec]] —
+ * what the driver queries run, because the DuckDB oracle re-derives its
+ * sha256 arithmetic in SQL), and a REAL image decoder
+ * ([[MultimodalOps.ImageIoCodec]], `javax.imageio` PNG/BMP/GIF — the JDK's
+ * own codecs, spec-proven on synthetic images with known pixels). External
+ * codecs (JPEG turbo paths, ffmpeg) are not in this container; everything
+ * around the seam — binary schema, mapPartitions batching (one decoder
+ * init per partition, the same shape a Pandas-UDF/mapInPandas batch has),
+ * fixed-width feature schema, partition sizing — is identical for both,
+ * so a production codec is one more MediaCodec instance.
  */
 object MultimodalOps {
 
@@ -52,6 +56,83 @@ object MultimodalOps {
     }
   }
 
+  /** The codec seam: the m-family's decode / feature-extract passes are
+    * written against this interface, so the SAME partition-parallel
+    * plumbing (binary schema, mapPartitions batching, fixed-width feature
+    * schema) runs either codec. Serializable because instances ship in
+    * task closures. */
+  trait MediaCodec extends Serializable {
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta
+    def features(docId: Long, bytes: Array[Byte], frames: Int): Seq[MediaFeature]
+  }
+
+  /** The deterministic stand-in codec — what the driver queries run on
+    * (oracle stability: DuckDB re-derives sha256 arithmetic, not pixels). */
+  object StubCodec extends MediaCodec {
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
+      stubDecode(docId, bytes)
+    def features(docId: Long, bytes: Array[Byte], frames: Int): Seq[MediaFeature] =
+      stubFeatures(docId, bytes, frames)
+  }
+
+  /** REAL image decode via `javax.imageio` (PNG/BMP/GIF — the decoders
+    * the JDK ships, no external libs): metadata comes from the decoded
+    * raster's true geometry, and features from actual pixels — frame f of
+    * n is the f-th horizontal band, its 8-dim feature the per-strip mean
+    * integer luma ((299R+587G+114B)/1000, floor mean) of 8 vertical
+    * strips, scaled to [-1, 1] like the stub's byte features. The scaling
+    * keeps [[mm2FrameStats]]' byte-recovery contract: rint((x+1)/2·255)
+    * recovers the integer luma mean exactly, so the same rollup is exact
+    * over real pixels (MultimodalOpsSpec proves it against independently
+    * computed pixel truth). Decoder state is per-call (ImageIO readers
+    * are not thread-safe to share); the mapPartitions batching still
+    * amortizes classloading/SPI lookup per partition. */
+  object ImageIoCodec extends MediaCodec {
+    private def read(docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"payload of doc $docId is not a decodable image")
+      img
+    }
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      val img = read(docId, bytes)
+      val h = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      MediaMeta(docId, "image", bytes.length.toLong,
+        img.getWidth, img.getHeight, durationMs = 0L,
+        contentHash = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(h))
+    }
+    /** Integer mean luma of the pixel box [x0,x1)×[y0,y1); 0 for an
+      * empty box (degenerate band on a tiny image). */
+    private def meanLuma(img: java.awt.image.BufferedImage,
+        x0: Int, x1: Int, y0: Int, y1: Int): Int = {
+      var sum = 0L; var n = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      if (n == 0) 0 else (sum / n).toInt
+    }
+    def features(docId: Long, bytes: Array[Byte], frames: Int): Seq[MediaFeature] = {
+      val img = read(docId, bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      (0 until frames).map { f =>
+        val y0 = (h.toLong * f / frames).toInt
+        val y1 = (h.toLong * (f + 1) / frames).toInt
+        MediaFeature(docId, f, Array.tabulate(8) { i =>
+          val x0 = (w.toLong * i / 8).toInt
+          val x1 = (w.toLong * (i + 1) / 8).toInt
+          (meanLuma(img, x0, x1, y0, y1) / 255.0f) * 2f - 1f
+        })
+      }
+    }
+  }
+
   /** The documents table as an opaque binary media column — the corpus'
     * stand-in payload source (UTF-8 bytes of the text). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
@@ -61,26 +142,36 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
   }
 
-  /** Decode pass: one decoder per partition (mapPartitions — the JVM
-    * equivalent of a mapInPandas batch: amortized init, streaming batches,
-    * no per-row setup), yielding the typed metadata table. */
-  def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
-    import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { it =>
-      // real codec init would go here, once per partition
-      it.map { case (id, bytes) => stubDecode(id, bytes) }
+  /** Decode pass over any binary media source: one decoder per partition
+    * (mapPartitions — the JVM equivalent of a mapInPandas batch: amortized
+    * init, streaming batches, no per-row setup), yielding the typed
+    * metadata table under the given codec. */
+  def decodeMetaOf(media: Dataset[(Long, Array[Byte])],
+      codec: MediaCodec): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // codec init amortizes here, once per partition
+      it.map { case (id, bytes) => codec.decode(id, bytes) }
     }
   }
 
+  /** The corpus decode pass on the stand-in codec (driver-query surface). */
+  def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] =
+    decodeMetaOf(mediaTable(spark, dir), StubCodec)
+
   /** Frame-sample + feature-extract pass: flatMap partitions into the
     * long-form (docId, frameIdx, feature[8]) table — the shape an
-    * embedding-index build consumes. */
-  def extractFeatures(spark: SparkSession, dir: String, frames: Int = 3): Dataset[MediaFeature] = {
-    import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { it =>
-      it.flatMap { case (id, bytes) => stubFeatures(id, bytes, frames) }
+    * embedding-index build consumes — under the given codec. */
+  def extractFeaturesOf(media: Dataset[(Long, Array[Byte])], frames: Int,
+      codec: MediaCodec): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (id, bytes) => codec.features(id, bytes, frames) }
     }
   }
+
+  def extractFeatures(spark: SparkSession, dir: String, frames: Int = 3): Dataset[MediaFeature] =
+    extractFeaturesOf(mediaTable(spark, dir), frames, StubCodec)
 
   /** Per-frame feature digest over the long-form feature table: positive-
     * component count and recovered byte mass per (doc, frame). Both measures
@@ -90,7 +181,15 @@ object MultimodalOps {
     * hazard — the hash-match proves the whole decode→frame-sample→feature
     * plumbing end to end, not just row counts. */
   def mm2FrameStats(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark, dir).toDF()
+    frameStatsOf(mediaTable(spark, dir), 3, StubCodec)
+
+  /** The m2 rollup over any media source/codec — the byte-recovery
+    * arithmetic holds for BOTH codecs (stub: source bytes; imageio:
+    * integer luma means), so the same query shape audits real decodes
+    * (MultimodalOpsSpec runs it on ImageIoCodec over synthetic PNGs). */
+  def frameStatsOf(media: Dataset[(Long, Array[Byte])], frames: Int,
+      codec: MediaCodec): DataFrame =
+    extractFeaturesOf(media, frames, codec).toDF()
       .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
         explode(col("feature")).as("x"))
       .groupBy("doc_id", "frame_idx")

@@ -713,14 +713,30 @@ object SimilarityQueries {
   }
 
   /** The IVFADC candidate stream `(query_id, neighbor_id, s)` — each
-    * query's own-cell candidates under the ADC score — shared by v12
-    * (rank directly on the quantized score) and v16 (shortlist, then
-    * exact re-rank). One derivation, two consumers, mirroring how the
-    * SQL oracles share the `scored` CTE verbatim. */
-  private[operators] def ivfAdcScored(spark: SparkSession, dir: String): DataFrame = {
+    * query's probed-cell candidates under the ADC score — shared by v12
+    * (rank directly on the quantized score), v16 (shortlist, then exact
+    * re-rank) and v18 (the same two stages at nprobe=4). One derivation,
+    * three consumers, mirroring how the SQL oracles share the `scored`
+    * CTE verbatim.
+    *
+    * `nprobe` is THE IVF recall/cost dial (v17's audit measures what it
+    * buys): each query's candidates come from its `nprobe` nearest coarse
+    * cells by the quantizer objective dot(q,c) − |c|²/2 — ranked
+    * driver-side over the k×dim centroid table with the SAME
+    * ascending-index fold as [[graft.functions.DotProductF]] /
+    * list_dot_product and the (score desc, cell asc) tie order, so the
+    * probe set is bitwise the window the SQL oracle ranks (and rank 1 is
+    * exactly the assignment cell, making nprobe=1 the classic own-cell
+    * probe). Scale: the probe set multiplies only the CANDIDATE stream
+    * (nprobe/nlist of the corpus per query, still never a corpus scan);
+    * the codes scan and the window's group-limit pushdown are
+    * unchanged. */
+  private[operators] def ivfAdcScored(spark: SparkSession, dir: String,
+      nprobe: Int = 1): DataFrame = {
     import spark.implicits._
     val (m, subDim) = (PqM, PqSubDim)
     val cents = pqCodebooks(spark, dir)
+    val coarse = trainedCentroids(spark, dir, "full", 10, 3)
     val assigned = kmeansAssigned(spark, dir, 10, 3)
     val codeCols = (0 until m).map { s =>
       assignExprs(slice(col("embedding"), s * subDim + 1, subDim), cents(s))
@@ -736,7 +752,19 @@ object SimilarityQueries {
       while (i < c.length) { acc += q(off + i).toDouble * c(i); i += 1 }
       acc
     }
+    // ascending-index fold == list_dot_product's accumulation order, the
+    // same arithmetic assignExprs runs — driver ranking of k cells per
+    // query is exact, so rank 1 always equals the assignment cell
+    def cellObjective(q: Array[Float], c: Seq[Double]): Double = {
+      var cn = 0.0; var i = 0
+      while (i < c.length) { cn += c(i) * c(i); i += 1 }
+      jdot(q, c, 0) - 0.5 * cn
+    }
     val perQuery = queries.map { case (qid, qcell, qv) =>
+      val probes: Seq[Int] =
+        if (nprobe <= 1) Seq(qcell)
+        else coarse.map { case (id, c) => (id, cellObjective(qv, c)) }
+          .sortBy { case (id, s) => (-s, id) }.take(nprobe).map(_._1)
       val score = (0 until m).map { s =>
         val lookups = cents(s).map { case (cellId, c) =>
           (cellId, jdot(qv, c, s * subDim)) }
@@ -745,11 +773,12 @@ object SimilarityQueries {
           case (acc, (cellId, d)) => acc.when(col(s"code_$s") === cellId, lit(d))
         }
       }.reduce(_ + _)
-      struct(lit(qid).as("query_id"), lit(qcell).as("qcell"), score.as("s"))
+      struct(lit(qid).as("query_id"),
+        typedLit(probes).as("qcells"), score.as("s"))
     }
     coded.select(col("neighbor_id"), col("cell"),
         explode(array(perQuery.toIndexedSeq: _*)).as("u"))
-      .filter(col("u.qcell") === col("cell") &&
+      .filter(array_contains(col("u.qcells"), col("cell")) &&
         col("neighbor_id") =!= col("u.query_id"))
       .select(col("u.query_id").as("query_id"), col("neighbor_id"), col("u.s").as("s"))
   }
@@ -772,12 +801,37 @@ object SimilarityQueries {
     * re-rank. Queries broadcast (10 rows); the neighbor-side join keys
     * on vec_id against the shortlist, so AQE sizes it (shortlist ≪
     * corpus → broadcast the shortlist, never the embeddings). */
-  def v16Rerank(spark: SparkSession, dir: String): DataFrame = {
+  def v16Rerank(spark: SparkSession, dir: String): DataFrame =
+    rerankOver(spark, dir, ivfAdcScored(spark, dir))
+
+  /** v18: [[v16Rerank]] with the nprobe dial TURNED — the same two-stage
+    * serving read path over the nprobe=4 candidate stream (each query's 4
+    * nearest coarse cells instead of 1), with the shortlist budget scaled
+    * to match (20·nprobe). The scaling is NOT optional garnish — the first
+    * cut kept the fixed top-20 shortlist and v17's audit measured recall
+    * FALLING at nprobe=4 (26 → 14 hits of 50 at sf0.001): this PQ's
+    * 4^4-combination code space floods the boundary with quantized-score
+    * ties, so 4× candidates under a fixed budget evict true neighbors
+    * from the shortlist — exactly the deployment pitfall the audit exists
+    * to catch (every production IVF-PQ exposes the refine budget as a
+    * dial next to nprobe for this reason). Cost: still a cell-bounded
+    * candidate stream, never a corpus scan; the stage-2 raw-vector touch
+    * grows to ≤20·nprobe·|queries| rows — point-lookup-sized at any
+    * corpus scale. */
+  def v18Multiprobe(spark: SparkSession, dir: String): DataFrame =
+    rerankOver(spark, dir, ivfAdcScored(spark, dir, nprobe = 4), shortlistK = 80)
+
+  /** The shared stage-2 exact re-rank: top-`shortlistK` ADC shortlist
+    * from the given candidate stream, raw-vector exact top-5 out (v16's
+    * scaladoc carries the full design rationale; v18 reuses it at
+    * nprobe=4 with the scaled budget). */
+  private def rerankOver(spark: SparkSession, dir: String,
+      scored: DataFrame, shortlistK: Int = 20): DataFrame = {
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("s").desc, col("neighbor_id"))
-    val shortlist = ivfAdcScored(spark, dir)
+    val shortlist = scored
       .withColumn("srank", row_number().over(wShort))
-      .filter(col("srank") <= 20)
+      .filter(col("srank") <= shortlistK)
       .select(col("query_id"), col("neighbor_id"))
     val e = t(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
@@ -810,18 +864,32 @@ object SimilarityQueries {
     * corpus the embeddings are random vectors with no cluster structure
     * (x6's scaladoc records the same property), so 1-probe recall is
     * intrinsically low (~0.44 mean at sf0.1) — which is the point: the
-    * audit MEASURES it instead of letting the index ship on faith. */
+    * audit MEASURES it instead of letting the index ship on faith.
+    *
+    * r9: the table is now recall-vs-NPROBE — one block per setting of the
+    * dial the audit exists to tune (nprobe=1, v16's own-cell serve;
+    * nprobe=4, v18's multi-probe), so the deployment reads what turning
+    * the knob actually buys on this corpus instead of prose promising it
+    * rises. Candidate sets are nested by construction (rank ≤ 1 cells ⊂
+    * rank ≤ 4 cells), but the SHORTLIST boundary is not monotone in
+    * theory (a flood of better-ADC candidates could push a true neighbor
+    * off the top-20) — measuring instead of assuming is the audit's whole
+    * job, and KmeansIvfSpec asserts what IS structural (probe-set
+    * nesting) separately. */
   def v17RecallAudit(spark: SparkSession, dir: String): DataFrame = {
     val exact = v1CosineTopK(spark, dir)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = v16Rerank(spark, dir)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .groupBy("query_id")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
-      .select(col("query_id"), col("hits"),
-        round(col("hits") / lit(5.0), 4).as("recall_at_5"))
-      .orderBy("query_id")
+    def audit(np: Int, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("query_id"), col("hits"),
+          round(col("hits") / lit(5.0), 4).as("recall_at_5"))
+    audit(1, v16Rerank(spark, dir))
+      .union(audit(4, v18Multiprobe(spark, dir)))
+      .orderBy("nprobe", "query_id")
   }
 
   /** IVF-flavored per-label centroids + assignment check: exact-decimal

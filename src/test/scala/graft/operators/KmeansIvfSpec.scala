@@ -193,6 +193,42 @@ class KmeansIvfSpec extends SparkSpec {
       s"candidate set ${candidates.size} is not meaningfully sub-quadratic (all-pairs $allPairs)")
   }
 
+  test("v18 multi-probe: probe sets nest, candidates grow, recall table measures both dials") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def cands(np: Int): Set[(Long, Long)] =
+      SimilarityQueries.ivfAdcScored(spark, dir, np)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c1 = cands(1)
+    val c4 = cands(4)
+    // rank ≤ 1 cells ⊂ rank ≤ 4 cells per query, so the candidate stream
+    // is nested by construction — the structural half of v17's contract
+    assert(c1.subsetOf(c4), "nprobe=1 candidates must nest inside nprobe=4")
+    assert(c4.size > c1.size, "probing 3 more cells must add candidates")
+    // v18's output is the exact-rerank shape: per query ≤5 rows, sims
+    // descending with rank, and every neighbor came through a probed cell
+    val out = SimilarityQueries.v18Multiprobe(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sorted.reverse.toSeq == sims.toSeq, "rank follows exact sim desc")
+    }
+    assert(out.forall(r => c4.contains((r.getLong(0), r.getLong(1)))),
+      "every re-ranked neighbor came through the multi-probe candidate set")
+    // the audit table has one block per dial setting over the same queries
+    val audit = SimilarityQueries.v17RecallAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val np1 = audit.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+    val np4 = audit.filter(_._1 == 4L).map(t => t._2 -> t._3).toMap
+    assert(np1.keySet == np4.keySet, "both blocks audit the same query set")
+    // mean recall must not FALL when the dial opens on this corpus (the
+    // per-query boundary is measured, not assumed — see v17's scaladoc)
+    assert(np4.values.sum >= np1.values.sum,
+      s"mean recall at nprobe=4 (${np4.values.sum}) below nprobe=1 (${np1.values.sum})")
+  }
+
   test("v15 auto-nlist derives k = max(10, floor(sqrt(N))) and partitions the corpus") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.operators.Tables.t(spark, dir, "embeddings").count()

@@ -25,6 +25,70 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(feats.map(f => (f.docId, f.frameIdx)).distinct.length == 1500)
   }
 
+  /** Deterministic synthetic raster: pixel (x,y) of image `id` is the
+    * RGB ((x*7 + y*13 + id*31) % 256, (x*3 + y*5) % 256, (x + y*11) % 256)
+    * — full dynamic range, different per image, trivially recomputable. */
+  private def syntheticImage(id: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (((x * 7 + y * 13 + id * 31) % 256) << 16) |
+        (((x * 3 + y * 5) % 256) << 8) | ((x + y * 11) % 256))
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNG/BMP pixels: true geometry + exact m2 stats") {
+    import spark.implicits._
+    // sizes deliberately NOT multiples of 8/3 so strip/band boundaries
+    // exercise the integer split; one BMP to prove the seam is per-format
+    val specs = Seq((1L, 37, 23, "png"), (2L, 64, 41, "png"),
+      (3L, 129, 50, "png"), (4L, 40, 27, "bmp"))
+    val images = specs.map { case (id, w, h, fmt) =>
+      (id, w, h, encode(syntheticImage(id.toInt, w, h), fmt))
+    }
+    val media = images.map { case (id, _, _, b) => (id, b) }
+      .toDF("docId", "payload").as[(Long, Array[Byte])]
+    // metadata comes from the DECODED raster, not the container bytes
+    val meta = MultimodalOps.decodeMetaOf(media, MultimodalOps.ImageIoCodec)
+      .collect().map(m => m.docId -> m).toMap
+    specs.foreach { case (id, w, h, _) =>
+      assert(meta(id).width == w && meta(id).height == h,
+        s"doc $id decoded geometry ${meta(id).width}x${meta(id).height} != ${w}x$h")
+      assert(meta(id).mediaType == "image" && meta(id).durationMs == 0L)
+    }
+    // m2 frame stats over REAL pixels must equal pixel-truth recomputed
+    // independently here: per frame band (3 bands) and strip (8 strips),
+    // the floor-mean integer luma; n_pos counts means >= 128, byte_sum
+    // recovers the mean sum exactly through the float feature scaling
+    val got = MultimodalOps.frameStatsOf(media, 3, MultimodalOps.ImageIoCodec)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> (r.getLong(2), r.getLong(3))).toMap
+    val expected = images.flatMap { case (id, w, h, _) =>
+      val img = syntheticImage(id.toInt, w, h)
+      (0 until 3).map { f =>
+        val (y0, y1) = ((h.toLong * f / 3).toInt, (h.toLong * (f + 1) / 3).toInt)
+        val means = (0 until 8).map { i =>
+          val (x0, x1) = ((w.toLong * i / 8).toInt, (w.toLong * (i + 1) / 8).toInt)
+          val px = for (y <- y0 until y1; x <- x0 until x1) yield {
+            val rgb = img.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
+          if (px.isEmpty) 0L else px.map(_.toLong).sum / px.size
+        }
+        (id, f.toLong) -> ((means.count(_ >= 128).toLong, means.sum))
+      }
+    }.toMap
+    assert(got == expected,
+      s"real-pixel m2 stats diverge from pixel truth: got $got expected $expected")
+  }
+
   test("mm1MediaSummary aggregates by media type") {
     val s = MultimodalOps.mm1MediaSummary(spark, sfDir).collect()
     assert(s.map(_.getLong(1)).sum == 500)
