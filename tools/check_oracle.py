@@ -95,6 +95,9 @@ def bounded_check(con, name, cols, rows):
 
 def main(outdir, sfdir):
     con = duckdb.connect()
+    # container task limits can fail DuckDB's default one-thread-per-core
+    # spawn on big corpora ("Resource temporarily unavailable"); cap it
+    con.execute(f"SET threads TO {os.environ.get('ORACLE_THREADS', '8')}")
     for t in TABLES:
         # driver testdata ships single-file tables; ScaleUp corpora are
         # Spark-written part-file directories — glob those
