@@ -64,6 +64,10 @@ object MultimodalOps {
   trait MediaCodec extends Serializable {
     def decode(docId: Long, bytes: Array[Byte]): MediaMeta
     def features(docId: Long, bytes: Array[Byte], frames: Int): Seq[MediaFeature]
+    /** Fused decode→resize (the mm3 shape): aspect-preserving integer
+      * downscale to `maxDim`, reporting the output geometry and byte
+      * volume. Codecs that re-encode report REAL output bytes. */
+    def resize(docId: Long, bytes: Array[Byte], maxDim: Int): ResizedMeta
   }
 
   /** The deterministic stand-in codec — what the driver queries run on
@@ -73,6 +77,8 @@ object MultimodalOps {
       stubDecode(docId, bytes)
     def features(docId: Long, bytes: Array[Byte], frames: Int): Seq[MediaFeature] =
       stubFeatures(docId, bytes, frames)
+    def resize(docId: Long, bytes: Array[Byte], maxDim: Int): ResizedMeta =
+      stubResize(stubDecode(docId, bytes), maxDim)
   }
 
   /** REAL image decode via `javax.imageio` (PNG/BMP/GIF — the decoders
@@ -131,6 +137,37 @@ object MultimodalOps {
         })
       }
     }
+    /** REAL fused decode→resize→re-encode: same integer geometry formula
+      * as the stub (floor((dim·maxDim)/max)), a Graphics2D bilinear
+      * scale onto the exact (nw, nh) raster, PNG re-encode; outBytes is
+      * the TRUE encoded size (vs the stub's raw nw·nh·3 model). The
+      * encoded payload is returned too, so a write-side pipeline can
+      * land it — the production "decode feeds the scaler inside the
+      * same batch" shape mm3's scaladoc describes. */
+    def resizeEncode(docId: Long, bytes: Array[Byte],
+        maxDim: Int): (ResizedMeta, Array[Byte]) = {
+      val img = read(docId, bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val mx = math.max(w, h)
+      val (nw, nh) =
+        if (mx <= maxDim) (w, h)
+        else (math.max(1, (w * maxDim) / mx), math.max(1, (h * maxDim) / mx))
+      val out = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      val enc = bos.toByteArray
+      (ResizedMeta(docId, "image", w, h, nw, nh, enc.length.toLong), enc)
+    }
+    def resize(docId: Long, bytes: Array[Byte], maxDim: Int): ResizedMeta =
+      resizeEncode(docId, bytes, maxDim)._1
   }
 
   /** The documents table as an opaque binary media column — the corpus'
@@ -217,11 +254,20 @@ object MultimodalOps {
     * the output byte volume, and what the downscale saves. All quantities
     * are integer-exact through the stub, so the oracle hash-match proves
     * the fused decode→resize plumbing, not just row counts. */
-  def mm3ResizeSummary(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { it =>
-      // codec + scaler init would go here, once per partition
-      it.map { case (id, bytes) => stubResize(stubDecode(id, bytes)) }
+  def mm3ResizeSummary(spark: SparkSession, dir: String): DataFrame =
+    resizeSummaryOf(mediaTable(spark, dir), 128, StubCodec)
+
+  /** The mm3 rollup over any media source/codec — with [[ImageIoCodec]]
+    * the fused decode→resize→re-encode runs on real rasters and
+    * `out_bytes` is true encoded volume (MultimodalOpsSpec proves the
+    * distributed rollup equals a client-side recompute over the same
+    * codec on synthetic PNGs). */
+  def resizeSummaryOf(media: Dataset[(Long, Array[Byte])], maxDim: Int,
+      codec: MediaCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // codec + scaler init amortizes here, once per partition
+      it.map { case (id, bytes) => codec.resize(id, bytes, maxDim) }
     }.toDF()
       .groupBy(col("mediaType").as("media_type"))
       .agg(count(lit(1)).as("n"),

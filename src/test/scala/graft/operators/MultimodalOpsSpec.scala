@@ -89,6 +89,39 @@ class MultimodalOpsSpec extends SparkSpec {
       s"real-pixel m2 stats diverge from pixel truth: got $got expected $expected")
   }
 
+  test("ImageIoCodec fused resize: true geometry, real re-encoded bytes, mm3 rollup") {
+    import spark.implicits._
+    val specs = Seq((1L, 300, 180), (2L, 128, 96), (3L, 260, 400), (4L, 64, 64))
+    val images = specs.map { case (id, w, h) =>
+      (id, w, h, encode(syntheticImage(id.toInt, w, h), "png"))
+    }
+    // client-side truth: run the SAME codec per image and re-derive the
+    // rollup; the distributed operator must agree exactly
+    val metas = images.map { case (id, _, _, b) =>
+      MultimodalOps.ImageIoCodec.resizeEncode(id, b, 128)
+    }
+    specs.zip(metas).foreach { case ((id, w, h), (m, enc)) =>
+      val mx = math.max(w, h)
+      val (ew, eh) = if (mx <= 128) (w, h)
+        else (math.max(1, w * 128 / mx), math.max(1, h * 128 / mx))
+      assert((m.newWidth, m.newHeight) == ((ew, eh)), s"doc $id geometry")
+      // the re-encoded payload is a REAL image of exactly that geometry
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      assert(back.getWidth == ew && back.getHeight == eh)
+      assert(m.outBytes == enc.length && m.outBytes > 0, "true encoded size")
+    }
+    val media = images.map { case (id, _, _, b) => (id, b) }
+      .toDF("docId", "payload").as[(Long, Array[Byte])]
+    val got = MultimodalOps.resizeSummaryOf(media, 128, MultimodalOps.ImageIoCodec)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ms = metas.map(_._1)
+    val expected = Array(("image", ms.size.toLong,
+      ms.count(m => m.newWidth < m.width || m.newHeight < m.height).toLong,
+      ms.map(_.outBytes).sum))
+    assert(got.toSeq == expected.toSeq,
+      s"distributed rollup ${got.toSeq} != client-side truth ${expected.toSeq}")
+  }
+
   test("mm1MediaSummary aggregates by media type") {
     val s = MultimodalOps.mm1MediaSummary(spark, sfDir).collect()
     assert(s.map(_.getLong(1)).sum == 500)
