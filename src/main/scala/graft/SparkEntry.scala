@@ -416,6 +416,11 @@ object SparkEntry {
     // micro-batch by micro-batch; deterministic torn-line evidence
     "st13_stream_jsonl_ingest" ->
       (graft.streaming.CorpusStreamIngest.st13StreamJsonlIngest _),
+    // st14: ingest-time near-dup rejection — x11's verdict computed per
+    // micro-batch against the static old-corpus LSH index (foreachBatch;
+    // stateless across batches, so the batch oracle is exact)
+    "st14_stream_ingest_dedup" ->
+      (graft.streaming.CorpusStreamDedup.st14StreamIngestDedup _),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
@@ -506,6 +511,34 @@ object SparkEntry {
       |bk AS (SELECT doc_id, j // 4 AS band,
       |    string_agg(sg::VARCHAR, ',' ORDER BY j) AS bkey
       |  FROM mh GROUP BY 1, 2)""".stripMargin
+
+  /** x11's full incremental-dedupe oracle — shared VERBATIM by
+    * st14_stream_ingest_dedup: the streamed admission table is the same
+    * computation run micro-batch by micro-batch against the static old
+    * index, and per-doc verdict independence makes the batch answer the
+    * exact streaming contract. */
+  private val incrementalDedupOracle: String =
+    minhashBandCte + """,
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+      |    AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+      |  FROM cand c JOIN e a ON a.doc_id = c.doc_a
+      |  JOIN e b ON b.doc_id = c.doc_b AND b.g = a.g
+      |  GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+      |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b),
+      |p AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+      |best AS (SELECT doc_a, doc_b, jaccard FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rk
+      |   FROM p) WHERE rk = 1)
+      |SELECT d.doc_id,
+      |  CAST(CASE WHEN best.doc_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+      |  CAST(best.doc_b AS BIGINT) AS dup_of, best.jaccard
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+      |LEFT JOIN best ON best.doc_a = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   private val dupClusterCte: String =
     """WITH RECURSIVE
@@ -1853,28 +1886,11 @@ object SparkEntry {
     // side is output-invariant (same argument as x4's oracle).
     // x11: same r8 banding migration as x4 — candidates come from the
     // shared md5-affine band CTE (new x old only), then exact verify
-    "x11_incremental_dedup" ->
-      (minhashBandCte + """,
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
-        |    AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
-        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-        |  FROM cand c JOIN e a ON a.doc_id = c.doc_a
-        |  JOIN e b ON b.doc_id = c.doc_b AND b.g = a.g
-        |  GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b,
-        |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
-        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b),
-        |p AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
-        |best AS (SELECT doc_a, doc_b, jaccard FROM
-        |  (SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rk
-        |   FROM p) WHERE rk = 1)
-        |SELECT d.doc_id,
-        |  CAST(CASE WHEN best.doc_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
-        |  CAST(best.doc_b AS BIGINT) AS dup_of, best.jaccard
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
-        |LEFT JOIN best ON best.doc_a = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin),
+    "x11_incremental_dedup" -> incrementalDedupOracle,
+    // st14: the streamed admission table must hash-match x11's BATCH
+    // oracle verbatim — verdicts are independent per new doc (static
+    // index side), so micro-batch boundaries provably cannot change them
+    "st14_stream_ingest_dedup" -> incrementalDedupOracle,
     // z2: x11's new x old dedupe gate (dropped = has ANY verified old
     // match among the BANDED candidates — the r8 migration, so the gate
     // composes x11's actual verdicts at every scale) with y2/y8's

@@ -142,45 +142,54 @@ object DedupQueries {
     * Signature semantics are unchanged: minimums fold over ALL shingle
     * occurrences (min over a multiset equals min over its set), while
     * `hs` dedupes — exactly the two prior stages' behaviors. */
+  /** The per-doc computation of the one pass: (sorted xxhash64 shingle
+    * set, 16 md5-affine minhash signatures). Factored out so the
+    * STREAMING ingest-dedupe (st14) runs the bit-identical arithmetic
+    * per micro-batch row that the batch memo runs per corpus row. */
+  private[graft] def shingleStats(text: String): (Array[Long], Array[Long]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.split(' ')
+    val n = math.max(toks.length - 2, 1)
+    val seen = new java.util.HashSet[java.lang.Long](math.max(16, n * 2))
+    val out = new Array[Long](n)
+    var m = 0
+    val sigs = Array.fill(MinhashK)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var j = i + 1
+      val end = math.min(i + 3, toks.length)
+      while (j < end) { sb.append(' '); sb.append(toks(j)); j += 1 }
+      val b = sb.toString.getBytes(UTF_8)
+      val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      md.reset()
+      val d = md.digest(b)
+      val bb = java.nio.ByteBuffer.wrap(d)
+      val m1 = bb.getLong(0) >>> 4 // SQL: ('0x'||substr(md5(g),1,15))::BIGINT
+      val m2 = bb.getLong(8) >>> 6 // SQL: ('0x'||substr(md5(g),17,15))::BIGINT >> 2
+      var hh = 0
+      while (hh < MinhashK) {
+        val v = (m1 + hh * m2) % MinhashP
+        if (v < sigs(hh)) sigs(hh) = v
+        hh += 1
+      }
+      i += 1
+    }
+    val trimmed = if (m == n) out else java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(trimmed)
+    (trimmed, sigs)
+  }
+
   private def docShingleStats(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "docShingleStats") {
       import spark.implicits._
       t(spark, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val toks = text.split(' ')
-          val n = math.max(toks.length - 2, 1)
-          val seen = new java.util.HashSet[java.lang.Long](math.max(16, n * 2))
-          val out = new Array[Long](n)
-          var m = 0
-          val sigs = Array.fill(MinhashK)(Long.MaxValue)
-          val sb = new java.lang.StringBuilder(64)
-          var i = 0
-          while (i < n) {
-            sb.setLength(0)
-            sb.append(toks(i))
-            var j = i + 1
-            val end = math.min(i + 3, toks.length)
-            while (j < end) { sb.append(' '); sb.append(toks(j)); j += 1 }
-            val b = sb.toString.getBytes(UTF_8)
-            val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-            if (seen.add(h)) { out(m) = h; m += 1 }
-            md.reset()
-            val d = md.digest(b)
-            val bb = java.nio.ByteBuffer.wrap(d)
-            val m1 = bb.getLong(0) >>> 4 // SQL: ('0x'||substr(md5(g),1,15))::BIGINT
-            val m2 = bb.getLong(8) >>> 6 // SQL: ('0x'||substr(md5(g),17,15))::BIGINT >> 2
-            var hh = 0
-            while (hh < MinhashK) {
-              val v = (m1 + hh * m2) % MinhashP
-              if (v < sigs(hh)) sigs(hh) = v
-              hh += 1
-            }
-            i += 1
-          }
-          val trimmed = if (m == n) out else java.util.Arrays.copyOf(out, m)
-          java.util.Arrays.sort(trimmed)
-          (id, trimmed, trimmed.length, sigs)
+          val (hs, sigs) = shingleStats(text)
+          (id, hs, hs.length, sigs)
         }.toDF("doc_id", "hs", "n", "sigs").localCheckpoint()
     }
 
@@ -342,17 +351,33 @@ object DedupQueries {
     * x4's self-join reuses the one band-key exchange (same keys both
     * sides). x4's self-join and x11's incremental new-vs-old join consume
     * the same signature pass, so a sweep running both pays it once. */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandRowsOf(docShingleStats(spark, dir).select(col("doc_id"), col("sigs")))
+
+  /** `(doc_id, sigs)` → `(doc_id, band, band_key)` — the band-key
+    * expression projection, shared with the streaming ingest-dedupe
+    * (st14), whose per-batch band rows must be byte-identical to the
+    * static index's. `Long` renders via cast-to-string on both paths. */
+  private[graft] def bandRowsOf(df: DataFrame): DataFrame = {
     val numBands = MinhashK / MinhashRowsPerBand
     val bands = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until MinhashRowsPerBand).map(r =>
           col("sigs")(b * MinhashRowsPerBand + r).cast("string")): _*).as("band_key"))
     }
-    docShingleStats(spark, dir).select(col("doc_id"), col("sigs"))
-      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+    df.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
+
+  /** The STATIC sides of the ingest-time dedupe (st14): the existing
+    * corpus' band index and shingle sets (the doc_id % 7 ≠ 0 remainder,
+    * x11's old slice), both projections of the session memo — a stream
+    * joins these per micro-batch without ever rebuilding them. */
+  private[graft] def oldBandIndex(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(spark, dir).filter(col("doc_id") % 7 =!= 0)
+
+  private[graft] def oldShingleSets(spark: SparkSession, dir: String): DataFrame =
+    docSets(spark, dir).filter(col("doc_id") % 7 =!= 0)
 
   def x4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sets = docSets(spark, dir)
