@@ -80,36 +80,43 @@ object CorpusStreamDedup {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         import batch.sparkSession.implicits._
         // one narrow pass per batch row — the SAME per-doc arithmetic as
-        // the batch memo; checkpointed because two consumers reuse it
-        // (band rows, verification arrays)
+        // the batch memo; persisted DISK_ONLY because two consumers reuse
+        // it (band rows, verification arrays) and RELEASED when the batch
+        // lands: a suite-length run must not accumulate per-batch blocks
+        // on the heap (the r8 sf1 OOM lesson — an earlier localCheckpoint
+        // here tipped the 8 GiB full-suite margin at sf1)
         val stats = batch.as[(Long, String)].map { case (id, text) =>
           val (hs, sigs) = DedupQueries.shingleStats(text)
           (id, hs, hs.length, sigs)
-        }.toDF("doc_id", "hs", "n", "sigs").localCheckpoint()
-        val cands = DedupQueries.bandRowsOf(stats.select("doc_id", "sigs")).as("a")
-          .join(oldBands.as("b"),
-            col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        val matches = cands
-          .join(stats.select(col("doc_id").as("doc_a"),
-            col("hs").as("ha"), col("n").as("na")), "doc_a")
-          .join(oldSets.select(col("doc_id").as("doc_b"),
-            col("hs").as("hb"), col("n").as("nb")), "doc_b")
-          .withColumn("inter",
-            graft.functions.SortedIntersectSize.sortedIntersectSize(col("ha"), col("hb")))
-          .withColumn("jaccard",
-            round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-          .filter(col("jaccard") >= 0.5)
-        val w = Window.partitionBy("doc_a").orderBy(col("jaccard").desc, col("doc_b"))
-        val best = matches.withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_of"), col("jaccard"))
-        batch.select("doc_id").join(best, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            col("dup_of").isNull.cast("long").as("keep"),
-            col("dup_of"), col("jaccard"))
-          .write.mode("append").parquet(sink.toString)
+        }.toDF("doc_id", "hs", "n", "sigs")
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        try {
+          stats.count()
+          val cands = DedupQueries.bandRowsOf(stats.select("doc_id", "sigs")).as("a")
+            .join(oldBands.as("b"),
+              col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .dropDuplicates("doc_a", "doc_b")
+          val matches = cands
+            .join(stats.select(col("doc_id").as("doc_a"),
+              col("hs").as("ha"), col("n").as("na")), "doc_a")
+            .join(oldSets.select(col("doc_id").as("doc_b"),
+              col("hs").as("hb"), col("n").as("nb")), "doc_b")
+            .withColumn("inter",
+              graft.functions.SortedIntersectSize.sortedIntersectSize(col("ha"), col("hb")))
+            .withColumn("jaccard",
+              round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+            .filter(col("jaccard") >= 0.5)
+          val w = Window.partitionBy("doc_a").orderBy(col("jaccard").desc, col("doc_b"))
+          val best = matches.withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_of"), col("jaccard"))
+          batch.select("doc_id").join(best, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              col("dup_of").isNull.cast("long").as("keep"),
+              col("dup_of"), col("jaccard"))
+            .write.mode("append").parquet(sink.toString)
+        } finally stats.unpersist(blocking = false)
       }
       .option("checkpointLocation", EventStreamOps.replayCheckpointDir("st14"))
       .queryName("st14").start()
