@@ -48,6 +48,13 @@ object Bench {
     graft.operators.SimilarityQueries.clearMemo()
     // and for the co-purchase edge memo (n1/n3 share it)
     graft.operators.GraphOps.clearMemo()
+    // and the persisted-ANN staging root (v19 re-persists in the timed
+    // pass, so the row reports real persist+reopen+serve cost)
+    graft.operators.AnnIndexStore.clearMemo()
+    // and the z8 export root (the timed pass pays the real shard write)
+    graft.operators.ExportOps.clearMemo()
+    // and st15's staged replay (the timed pass pays the staging write)
+    graft.streaming.LateDataAudit.clearMemo()
     // Drain warmup-pass debris NOW: dropping the memo released two
     // localCheckpointed RDDs, and the untimed pass left shuffle/broadcast
     // refs that ContextCleaner reclaims on GC. Forcing the GC here runs

@@ -221,6 +221,9 @@ object SparkEntry {
     // z7: zone-map skip audit — one predicate vs three layouts (z-order /
     // day-sorted / qty-sorted): zones scanned, rows read, true matches
     "z7_zone_skip" -> (LayoutOps.z7ZoneSkip _),
+    // z8: the composed export — x10 survivors → z3 packing → fixed-token
+    // shards LANDED as partitioned parquet; manifest read back from disk
+    "z8_shard_export" -> (ExportOps.z8ShardExport _),
     // --- similarity search (north_star)
     "v1_cosine_topk" -> (SimilarityQueries.v1CosineTopK _),
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
@@ -258,12 +261,20 @@ object SparkEntry {
     "v10_pq_adc" -> (SimilarityQueries.v10PqAdcSearch _),
     "v11_sq8_search" -> (SimilarityQueries.v11Sq8Search _),
     "v12_ivf_adc" -> (SimilarityQueries.v12IvfAdc _),
+    // v19: v12's read path served from the PERSISTED index (VersionedTable
+    // centroids/codebooks/codes — train-once/serve-many); same oracle SQL
+    // as v12 because persist→reopen→serve must lose nothing
+    "v19_persisted_serve" -> (operators.AnnIndexStore.v19PersistedServe _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
     "m1_media_summary" -> (MultimodalOps.mm1MediaSummary _),
     "m2_frame_stats" -> (MultimodalOps.mm2FrameStats _),
     "m3_resize_summary" -> (MultimodalOps.mm3ResizeSummary _),
+    // m7: the REAL javax.imageio codec end-to-end — synthetic PNGs whose
+    // pixels are integer functions of doc_id, so the oracle re-derives
+    // true decoded geometry + per-band luma features in SQL
+    "m7_real_decode" -> (MultimodalOps.m7RealDecode _),
     // --- streaming engine driven end-to-end, ORACLED: the streaming aggs
     //     accumulate in decimal (order-independent), so the finalized
     //     Append-mode output is bit-identical to the batch/DuckDB answer.
@@ -421,6 +432,12 @@ object SparkEntry {
     // stateless across batches, so the batch oracle is exact)
     "st14_stream_ingest_dedup" ->
       (graft.streaming.CorpusStreamDedup.st14StreamIngestDedup _),
+    // st15: watermark late-data ACCOUNTING — an injected 2h-late slice
+    // replays after the main snapshot; output = per-hour admitted rows +
+    // the engine's own numRowsDroppedByWatermark counter as a
+    // `__dropped__` row; the oracle recomputes both from the closed-form
+    // watermark predicate (floored-ms max − 30 min, drop iff window end ≤ wm)
+    "st15_late_audit" -> (graft.streaming.LateDataAudit.st15LateAudit _),
   )
 
   /** DuckDB-equivalent SQL per query (omitted => driver does rows-only check).
@@ -900,7 +917,26 @@ object SparkEntry {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Force every CTE in an oracle to single evaluation (`AS MATERIALIZED`
+    * — a DuckDB optimization fence, result-identical by definition).
+    * Without it DuckDB inlines chained CTEs at each reference site, and
+    * the v-family's unrolled Lloyd chains / the n-family's edge CTEs blow
+    * up EXPONENTIALLY across iterations: the v12 oracle alone measured
+    * 38.9 s plain vs 0.3 s materialized at sf0.001 (identical rows) —
+    * which is how an external checker with a time budget can zero out a
+    * whole round (the r9 CORRECTNESS artifact came back `{}`; its DuckDB
+    * pass ran ~15 min at sf0.01, ~40 s materialized). Recursive CTEs
+    * cannot take the keyword, so those oracles pass through untouched. */
+  private def materializeCtes(sql: String): String =
+    if (sql.contains("RECURSIVE")) sql
+    // the `(\s*SELECT` guard keeps named-window clauses (`WINDOW fr AS
+    // (PARTITION BY ...)`) untouched — only CTE bodies open with SELECT
+    else sql.replaceAll("(\\w+) AS \\((\\s*SELECT)", "$1 AS MATERIALIZED ($2")
+
+  def oracleSql: Map[String, String] =
+    oracleSqlPlain.map { case (k, v) => (k, materializeCtes(v)) }
+
+  private def oracleSqlPlain: Map[String, String] = Map(
     // a3: the chunker's boundary rule, re-derived relationally. Settings
     // (min=256, max=2048, shift=8, boundary=1B): chunk starts and window
     // starts stay multiples of 8 (0 starts a doc; fires land at p+256 and
@@ -1848,6 +1884,26 @@ object SparkEntry {
         |    AS chars_removed
         |FROM cl JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY cluster_id""".stripMargin),
+    // z8: the composed export manifest — x10's survivors (docs that are
+    // not non-keeper cluster members) run z3's token cumsum, then chop at
+    // shard granularity (64 sequences × 2048 tokens = 131072); per
+    // (shard, source) doc count + token fill must equal what the landed
+    // parquet reads back
+    "z8_shard_export" -> (dupClusterCte + """,
+        |surv AS (SELECT d.doc_id, d.source,
+        |  length(d.text) - length(replace(d.text, ' ', '')) + 1 AS toks
+        |  FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+        |soff AS (SELECT doc_id, source, toks,
+        |  sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fin
+        |  FROM surv WHERE toks > 0),
+        |sx AS (SELECT source, fin - toks AS strt, fin,
+        |  unnest(generate_series(CAST((fin - toks) // 131072 AS BIGINT),
+        |    CAST((fin - 1) // 131072 AS BIGINT))) AS shard_id FROM soff)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id, source, count(*) AS n_docs,
+        |  CAST(sum(least(fin, (shard_id + 1) * 131072) - greatest(strt, shard_id * 131072))
+        |    AS BIGINT) AS fill_tokens
+        |FROM sx GROUP BY 1, 2 ORDER BY shard_id, source""".stripMargin),
     // z1: the three-filter composition over the shared cluster CTE — the
     // text gates re-derive y2/y8's arithmetic, the dup gate is cl's
     // non-keeper members, all per-doc flags AND'd before the rollup.
@@ -1891,6 +1947,32 @@ object SparkEntry {
     // oracle verbatim — verdicts are independent per new doc (static
     // index side), so micro-batch boundaries provably cannot change them
     "st14_stream_ingest_dedup" -> incrementalDedupOracle,
+    // st15: the watermark's drop arithmetic in closed form — wm =
+    // (floor-ms of max ts − 30 min) µs; a late row (the last 6 h of the
+    // corpus, shifted −1 h — straddles the cutoff so both outcomes occur)
+    // is dropped iff its hour-window END ≤ wm (boundary pinned by
+    // LateDataAuditSpec); `__dropped__` counts DISTINCT expired windows
+    // because numRowsDroppedByWatermark meters post-partial-agg rows
+    "st15_late_audit" ->
+      """WITH ev AS (SELECT event_id, ts, value FROM events),
+        |mx AS (SELECT max(epoch_us(ts)) AS mu FROM ev),
+        |wm AS (SELECT ((mu // 1000) - 1800000) * 1000 AS wmu FROM mx),
+        |late AS (SELECT ts - INTERVAL 1 HOUR AS ts, value FROM ev, mx
+        |  WHERE epoch_us(ts) > mu - 21600000000),
+        |kept AS (SELECT l.ts, l.value FROM late l, wm
+        |  WHERE epoch_us(date_trunc('hour', l.ts) + INTERVAL 1 HOUR) > wmu),
+        |dropped AS (SELECT count(DISTINCT date_trunc('hour', l.ts)) AS n
+        |  FROM late l, wm
+        |  WHERE epoch_us(date_trunc('hour', l.ts) + INTERVAL 1 HOUR) <= wmu),
+        |allrows AS (SELECT ts, value FROM ev UNION ALL SELECT ts, value FROM kept)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM allrows GROUP BY 1
+        |UNION ALL
+        |SELECT '__dropped__' AS bucket, n, CAST(NULL AS DOUBLE) AS sum_value
+        |FROM dropped
+        |ORDER BY bucket""".stripMargin,
     // z2: x11's new x old dedupe gate (dropped = has ANY verified old
     // match among the BANDED candidates — the r8 migration, so the gate
     // composes x11's actual verdicts at every scale) with y2/y8's
@@ -2297,6 +2379,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN byte >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(sum(byte) AS BIGINT) AS byte_sum
         |FROM b GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
+    // m7: REAL imageio decode over synthetic PNGs — pixels are a pure
+    // integer function of doc_id (3-band × 8-strip solid-color grid on an
+    // 8|width, 3|height raster), so the decoded geometry and per-band
+    // features re-derive exactly: block luma = (299r+587g+114b) // 1000,
+    // n_pos counts strips with luma >= 128 (x > 0 through the float
+    // feature), byte_sum recovers the luma mass (rint((x+1)/2·255))
+    "m7_real_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (SELECT doc_id,
+        |  CAST(8 * (2 + doc_id % 13) AS INT) AS width,
+        |  CAST(3 * (2 + doc_id % 7) AS INT) AS height FROM ids),
+        |g AS (SELECT doc_id, width, height,
+        |  unnest(generate_series(0, 2)) AS band FROM dims),
+        |b AS (SELECT doc_id, width, height, band,
+        |  unnest(generate_series(0, 7)) AS strip FROM g),
+        |l AS (SELECT doc_id, width, height, band,
+        |  (299 * ((7 * doc_id + 31 * band + 13 * strip) % 256)
+        |   + 587 * ((11 * doc_id + 37 * band + 17 * strip) % 256)
+        |   + 114 * ((13 * doc_id + 41 * band + 19 * strip) % 256)) // 1000 AS luma
+        |  FROM b)
+        |SELECT doc_id, width, height, CAST(band AS INT) AS frame_idx,
+        |  CAST(sum(CASE WHEN luma >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(luma) AS BIGINT) AS byte_sum
+        |FROM l GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_idx""".stripMargin,
     "y6_bpe_tokens" ->
       """WITH d AS (SELECT lang,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
@@ -2441,6 +2547,9 @@ object SparkEntry {
     "v9_product_quantization" -> pqOracle,
     "v10_pq_adc" -> pqAdcOracle,
     "v12_ivf_adc" -> ivfAdcOracle,
+    // v19 serves v12's query from the persisted index: the oracle is
+    // v12's VERBATIM — any loss in persist→reopen→serve breaks the hash
+    "v19_persisted_serve" -> ivfAdcOracle,
     "v16_rerank" -> rerankOracle,
     "v17_recall_audit" -> recallAuditOracle,
     "v18_multiprobe" -> multiprobeOracle,

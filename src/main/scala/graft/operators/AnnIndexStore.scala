@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Train-once / serve-many persistence for the ANN + dedupe indexes — the
+ * reference's config-persistence pattern (A7: settings survive the process
+ * that wrote them, reference: src/DedupeLibrary/DedupeLibrary.cs settings
+ * round-trip) applied to the index state that actually matters at 100 TB:
+ * a production IVF-PQ index is trained ONCE (the expensive Lloyd loops +
+ * corpus encode) and then served for months across thousands of sessions,
+ * so the centroids, codebooks, coded vectors and the MinHash band index
+ * must live in STORAGE, not in a session memo.
+ *
+ * Storage is [[VersionedTable]] — the same atomic write-then-publish
+ * commit protocol the engine's config/table stores already use, so index
+ * refreshes (retrain, re-encode) are atomic version bumps: readers either
+ * see the old index or the new one, never a torn mix of new centroids
+ * with old codes (the corruption mode a plain parquet-overwrite layout
+ * invites; mixing quantizer generations silently poisons every distance).
+ *
+ * Four tables under one root:
+ *   - `coarse`    (cell, centroid float64[]) — k×dim, the IVF quantizer;
+ *   - `codebooks` (s, cell, centroid float64[]) — M·k' PQ sub-centroids;
+ *   - `coded`     (neighbor_id, cell, code_0..3) — the index BODY: one
+ *     row of 4 byte-range ints + a cell per corpus vector (the 16× PQ
+ *     compression is exactly why this table, not the embeddings, is what
+ *     serving reads at scale);
+ *   - `bands`     (doc_id, band, band_key) — the MinHash-LSH band index
+ *     the cross-run dedupe (x11) and ingest-time rejection (st14) probe.
+ *
+ * Serving reads the two SMALL tables driver-side (k×dim doubles — the
+ * same driver-resident footprint the session memos hold, and the
+ * classical serve shape: FAISS loads centroids into RAM, codes stream)
+ * and keeps `coded`/`bands` distributed. The scoring core is
+ * [[SimilarityQueries.ivfAdcServe]] — the SAME function the in-session
+ * path runs — so a reopened index reproduces the memo's results bitwise
+ * by construction (AnnIndexStoreSpec proves it across a memo wipe, and
+ * the v19 driver row hash-matches v12's oracle verbatim).
+ */
+object AnnIndexStore {
+
+  private val centroidArr = ArrayType(DoubleType, containsNull = false)
+  private[operators] val coarseSchema = StructType(Seq(
+    StructField("cell", IntegerType), StructField("centroid", centroidArr)))
+  private[operators] val codebookSchema = StructType(Seq(
+    StructField("s", IntegerType), StructField("cell", IntegerType),
+    StructField("centroid", centroidArr)))
+  private[operators] val codedSchema = StructType(Seq(
+    StructField("neighbor_id", LongType), StructField("cell", IntegerType),
+    StructField("code_0", IntegerType), StructField("code_1", IntegerType),
+    StructField("code_2", IntegerType), StructField("code_3", IntegerType)))
+  private[operators] val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("band_key", StringType)))
+
+  private def table(spark: SparkSession, root: String, name: String,
+      schema: StructType): VersionedTable =
+    new VersionedTable(spark, s"$root/$name", schema)
+
+  /** Train (via the session memos — one Lloyd sweep, ever) and publish
+    * all four index tables atomically-per-table under `root`. Re-running
+    * publishes fresh versions; readers flip whole versions, never mixes. */
+  def persist(spark: SparkSession, dir: String, root: String): Unit = {
+    import spark.implicits._
+    val coarse = SimilarityQueries.trainedCentroids(spark, dir, "full", 10, 3)
+      .toDF("cell", "centroid")
+    val books = SimilarityQueries.pqCodebooks(spark, dir).zipWithIndex
+      .flatMap { case (cb, s) => cb.map { case (c, v) => (s, c, v) } }
+      .toDF("s", "cell", "centroid")
+    table(spark, root, "coarse", coarseSchema).publish(coarse)
+    table(spark, root, "codebooks", codebookSchema).publish(books)
+    table(spark, root, "coded", codedSchema)
+      .publish(SimilarityQueries.codedVectors(spark, dir))
+    table(spark, root, "bands", bandSchema)
+      .publish(DedupQueries.minhashBands(spark, dir)
+        .select("doc_id", "band", "band_key"))
+  }
+
+  /** Reopen the quantizer halves from storage (k×dim driver-side, the
+    * serve shape) — usable from any session with no training state. */
+  private[operators] def openQuantizer(spark: SparkSession, root: String)
+      : (Seq[(Int, Seq[Double])], IndexedSeq[Seq[(Int, Seq[Double])]]) = {
+    import spark.implicits._
+    val coarse = table(spark, root, "coarse", coarseSchema).read()
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val books = table(spark, root, "codebooks", codebookSchema).read()
+      .as[(Int, Int, Seq[Double])].collect()
+    val m = books.map(_._1).max + 1
+    val cents = (0 until m).map(s =>
+      books.filter(_._1 == s).map(r => (r._2, r._3)).toSeq.sortBy(_._1))
+    (coarse, cents)
+  }
+
+  /** The persisted band index, distributed (x11/st14's static probe side). */
+  def openBands(spark: SparkSession, root: String): DataFrame =
+    table(spark, root, "bands", bandSchema).read()
+
+  /** v12's exact read path served ENTIRELY from the persisted index: the
+    * quantizer halves load driver-side, the coded table streams from its
+    * versioned segments, and only the probe queries' raw vectors touch
+    * the embeddings table (the query vector always arrives raw at serve
+    * time). No Lloyd loop, no corpus encode — reopening costs O(index
+    * read), which is the entire point of persisting. */
+  def serveTopK(spark: SparkSession, dir: String, root: String): DataFrame = {
+    import spark.implicits._
+    val (coarse, cents) = openQuantizer(spark, root)
+    val coded = table(spark, root, "coded", codedSchema).read()
+    // query cells come from the persisted codes (a point lookup), raw
+    // query vectors from the corpus — never the other corpus vectors
+    val queries = Tables.t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .join(coded.select(col("neighbor_id").as("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("neighbor_id"))
+    SimilarityQueries.ivfAdcServe(coarse, cents, coded, queries, nprobe = 1)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("s"), 6).as("adc_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Staging root memo for the v19 driver row: one persist per
+    * (session, corpus), after which every serve is storage-only. */
+  private val rootMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def clearMemo(): Unit = rootMemo.clear()
+
+  /** v19: the persisted-index serve as a driver query — persist on first
+    * touch (memoized), then answer v12's query from STORAGE. The oracle
+    * is v12's SQL verbatim: a hash-match proves the whole
+    * persist→reopen→serve cycle loses nothing. */
+  def v19PersistedServe(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-annidx")
+        graft.core.FsUtil.deleteOnExitRecursively(d)
+        persist(spark, dir, d.toString)
+        d.toString
+      })
+    serveTopK(spark, dir, root)
+  }
+}

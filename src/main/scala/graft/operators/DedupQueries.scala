@@ -351,7 +351,7 @@ object DedupQueries {
     * x4's self-join reuses the one band-key exchange (same keys both
     * sides). x4's self-join and x11's incremental new-vs-old join consume
     * the same signature pass, so a sweep running both pays it once. */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def minhashBands(spark: SparkSession, dir: String): DataFrame =
     bandRowsOf(docShingleStats(spark, dir).select(col("doc_id"), col("sigs")))
 
   /** `(doc_id, sigs)` → `(doc_id, band, band_key)` — the band-key

@@ -25,12 +25,24 @@ object GraphOps {
   private val edgeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Frames persisted by coPartitionedCheckpoint — NOT memoized (each
+    * gated run builds its own), so without tracking they would outlive
+    * clearMemo() and accumulate CacheManager entries (plus pin the
+    * superseded localCheckpointed edge blocks they read) across bench
+    * warm→timed cycles — the r8 sf1 OOM class shifted into the cache
+    * layer. Tracked here so clearMemo() releases them too. */
+  private val checkpointCache =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
   private[graft] def clearMemo(): Unit = {
     // Unpersist any DISK_ONLY entries (no-op for localCheckpointed ones)
     // so spec suites that clear the memo also release the cache blocks.
     edgeMemo.values().forEach(df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () })
     edgeMemo.clear()
+    checkpointCache.forEach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    checkpointCache.clear()
   }
 
   /** Size gate for the iterative joins' node-sized side (ranks/scores).
@@ -72,6 +84,7 @@ object GraphOps {
     val cached = df.repartition(col(key))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     cached.count()
+    checkpointCache.add(cached)
     cached
   }
 
@@ -358,9 +371,15 @@ object GraphOps {
     // fix was protecting) AND zero recompute (the thing the fix gave up).
     // The memo bounds it to one materialization per (session, dir), like
     // the co-purchase edge set it derives from.
+    // Materialize the BASE memo entry BEFORE entering computeIfAbsent:
+    // ConcurrentHashMap forbids the mapping function mutating the map, and
+    // coPurchaseEdges is itself a computeIfAbsent on edgeMemo — nesting the
+    // two only worked while the keys landed in different hash bins (a
+    // same-bin collision throws "Recursive update").
+    val base = coPurchaseEdges(spark, dir)
     val ed = edgeMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir|oriented", _ => {
-        val e = coPurchaseEdges(spark, dir).select("src", "dst")
+        val e = base.select("src", "dst")
         val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
           .withColumnRenamed("src", "node")
         val oriented = e

@@ -415,4 +415,74 @@ object MultimodalOps {
         round(avg(col("width") * col("height")), 2).as("avg_pixels"),
         sum(when(col("durationMs") > 0, 1).otherwise(0)).as("timed_media"))
       .orderBy("media_type")
+
+  /** m7's synthetic payload: a real PNG whose pixels are a pure integer
+    * function of `docId` — a 3-band × 8-strip grid of solid colors
+    * (`r,g,b = (7·id+31·band+13·strip, 11·id+37·band+17·strip,
+    * 13·id+41·band+19·strip) mod 256`) on a raster whose width is a
+    * multiple of 8 and height a multiple of 3, so [[ImageIoCodec]]'s
+    * feature strips/bands land EXACTLY on the color blocks. PNG is
+    * lossless over TYPE_INT_RGB, so the decoded per-block integer mean
+    * luma equals the generator's `(299r+587g+114b) div 1000` — the whole
+    * real decode→frame-sample→feature path becomes SQL-rederivable from
+    * doc_id alone. */
+  private[operators] def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 8 * (2 + (docId % 13)).toInt   // 16..112, always /8
+    val h = 3 * (2 + (docId % 7)).toInt    // 6..24,   always /3
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var band = 0
+    while (band < 3) {
+      var strip = 0
+      while (strip < 8) {
+        val r = ((7 * docId + 31 * band + 13 * strip) % 256).toInt
+        val g = ((11 * docId + 37 * band + 17 * strip) % 256).toInt
+        val b = ((13 * docId + 41 * band + 19 * strip) % 256).toInt
+        val rgb = (r << 16) | (g << 8) | b
+        val (x0, x1) = (w * strip / 8, w * (strip + 1) / 8)
+        val (y0, y1) = (h * band / 3, h * (band + 1) / 3)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        strip += 1
+      }
+      band += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** m7: the REAL codec driven end-to-end as a driver query — closes the
+    * "ImageIoCodec is spec-proven but has no CORRECTNESS row" gap: every
+    * third document becomes a [[syntheticPng]] payload (generated ON THE
+    * EXECUTORS inside the same mapPartitions batch a production decode
+    * runs in), [[decodeMetaOf]] reads the true raster geometry and
+    * [[frameStatsOf]] the true pixel features through `javax.imageio` —
+    * no stub anywhere on the path — and because the pixels are an integer
+    * function of doc_id, the DuckDB oracle re-derives `n_pos`/`byte_sum`
+    * (per-band positive-strip count and recovered luma mass) and the
+    * decoded geometry exactly. A hash-match here certifies REAL
+    * decode→feature plumbing, not sha256 arithmetic. Scale: payloads are
+    * generated and decoded in-partition and never shuffle — only the
+    * (doc_id, 5 longs) feature rollup moves, the m-family discipline. */
+  def m7RealDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def media: Dataset[(Long, Array[Byte])] =
+      Tables.t(spark, dir, "documents")
+        .filter(col("doc_id") % 3 === 0).select("doc_id").as[Long]
+        .mapPartitions { it =>
+          // encoder init (ImageIO SPI lookup) amortizes here, per partition
+          it.map(id => (id, syntheticPng(id)))
+        }
+    val meta = decodeMetaOf(media, ImageIoCodec).toDF()
+      .select(col("docId").as("doc_id"), col("width"), col("height"))
+    val stats = frameStatsOf(media, 3, ImageIoCodec)
+    meta.join(stats, "doc_id")
+      .select("doc_id", "width", "height", "frame_idx", "n_pos", "byte_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
 }

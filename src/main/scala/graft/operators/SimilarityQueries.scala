@@ -731,22 +731,54 @@ object SimilarityQueries {
     * (nprobe/nlist of the corpus per query, still never a corpus scan);
     * the codes scan and the window's group-limit pushdown are
     * unchanged. */
-  private[operators] def ivfAdcScored(spark: SparkSession, dir: String,
-      nprobe: Int = 1): DataFrame = {
-    import spark.implicits._
+  /** The IVF-PQ index BODY `(neighbor_id, cell, code_0..code_{M-1})` —
+    * what a persisted index stores per vector (4 ints + the coarse cell,
+    * never the raw floats): one codegen'd assignment scan over the
+    * session-memoized coarse assignment. Shared by the in-session read
+    * path ([[ivfAdcScored]]) and the persist path
+    * ([[AnnIndexStore.persist]]), so the persisted codes are bitwise the
+    * session's. */
+  private[operators] def codedVectors(spark: SparkSession, dir: String): DataFrame = {
     val (m, subDim) = (PqM, PqSubDim)
     val cents = pqCodebooks(spark, dir)
-    val coarse = trainedCentroids(spark, dir, "full", 10, 3)
     val assigned = kmeansAssigned(spark, dir, 10, 3)
     val codeCols = (0 until m).map { s =>
       assignExprs(slice(col("embedding"), s * subDim + 1, subDim), cents(s))
         ._1.as(s"code_$s")
     }
-    val coded = assigned.select(
+    assigned.select(
       col("vec_id").as("neighbor_id") +: col("cell") +: codeCols: _*)
+  }
+
+  private[operators] def ivfAdcScored(spark: SparkSession, dir: String,
+      nprobe: Int = 1): DataFrame = {
+    import spark.implicits._
+    val cents = pqCodebooks(spark, dir)
+    val coarse = trainedCentroids(spark, dir, "full", 10, 3)
+    val assigned = kmeansAssigned(spark, dir, 10, 3)
+    val coded = codedVectors(spark, dir)
     val queries = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("cell"), col("embedding"))
-      .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1).toSeq
+    ivfAdcServe(coarse, cents, coded, queries, nprobe)
+  }
+
+  /** The IVFADC scoring core over EXPLICIT index parts — the serve-time
+    * read path detached from training: callers hand it the coarse
+    * centroids, the PQ codebooks, the coded-vector table and the
+    * (query_id, own cell, raw vector) probe set, and it runs the exact
+    * arithmetic [[ivfAdcScored]] always ran (ascending-index folds,
+    * (score desc, cell asc) ties, inlined per-query distance tables).
+    * The in-session path and [[AnnIndexStore]]'s persisted-index path
+    * both delegate here, which is what makes "reopened index ≡ session
+    * memo" a structural fact rather than a hope. */
+  private[operators] def ivfAdcServe(
+      coarse: Seq[(Int, Seq[Double])],
+      cents: IndexedSeq[Seq[(Int, Seq[Double])]],
+      coded: DataFrame,
+      queries: Seq[(Long, Int, Array[Float])],
+      nprobe: Int): DataFrame = {
+    val m = PqM; val subDim = PqSubDim
     def jdot(q: Array[Float], c: Seq[Double], off: Int): Double = {
       var acc = 0.0; var i = 0
       while (i < c.length) { acc += q(off + i).toDouble * c(i); i += 1 }

@@ -57,9 +57,14 @@ object CorpusStreamDedup {
       val d = java.nio.file.Files.createTempDirectory("graft-st14")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       val out = d.resolve("new").toString
+      // Range-partition (EventStreamOps' staging discipline), not
+      // round-robin: per-doc verdict independence makes st14 immune to
+      // batch composition TODAY, but a round-robin stage would let any
+      // future stateful extension become silently batch-order-dependent
+      // across sessions. Range by doc_id pins each micro-batch's contents.
       Tables.t(spark, dir, "documents").filter(col("doc_id") % 7 === 0)
         .select("doc_id", "text")
-        .repartition(4)
+        .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(out)
       out
     })
@@ -121,6 +126,13 @@ object CorpusStreamDedup {
       .option("checkpointLocation", EventStreamOps.replayCheckpointDir("st14"))
       .queryName("st14").start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink.toString).orderBy("doc_id")
+    // Explicit schema: with an empty increment (no doc_id % 7 rows)
+    // foreachBatch never appends a file and schema inference would throw
+    // on the bare sink dir — the batch path (x11) returns an empty frame
+    // for the same input, so the stream path must too.
+    val admissionSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("keep", LongType),
+      StructField("dup_of", LongType), StructField("jaccard", DoubleType)))
+    spark.read.schema(admissionSchema).parquet(sink.toString).orderBy("doc_id")
   }
 }

@@ -126,4 +126,32 @@ class MultimodalOpsSpec extends SparkSpec {
     val s = MultimodalOps.mm1MediaSummary(spark, sfDir).collect()
     assert(s.map(_.getLong(1)).sum == 500)
   }
+
+  test("m7: real imageio decode of synthetic PNGs matches closed-form pixel truth") {
+    // independent truth: the generator formula evaluated directly (no
+    // codec, no Spark) — per (doc, band): luma of each of 8 strips
+    def luma(id: Long, band: Int, strip: Int): Long =
+      (299 * ((7 * id + 31 * band + 13 * strip) % 256)
+        + 587 * ((11 * id + 37 * band + 17 * strip) % 256)
+        + 114 * ((13 * id + 41 * band + 19 * strip) % 256)) / 1000
+    val got = MultimodalOps.m7RealDecode(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)),
+        (r.getInt(1), r.getInt(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty && got.size % 3 == 0)
+    got.foreach { case ((id, band), (w, h, nPos, byteSum)) =>
+      assert(w == 8 * (2 + (id % 13)).toInt && h == 3 * (2 + (id % 7)).toInt,
+        s"decoded geometry of doc $id")
+      val lumas = (0 until 8).map(s => luma(id, band, s))
+      assert(nPos == lumas.count(_ >= 128), s"n_pos of ($id, $band)")
+      assert(byteSum == lumas.sum, s"byte_sum of ($id, $band)")
+    }
+    // and the payload really is a decodable PNG whose pixels carry the
+    // formula — checked through plain ImageIO, no graft code in the loop
+    val png = MultimodalOps.syntheticPng(6L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 8 * (2 + 6 % 13) && img.getHeight == 3 * (2 + 6 % 7))
+    val rgb = img.getRGB(0, 0) // band 0, strip 0 of doc 6
+    assert(((rgb >> 16) & 0xff) == (7 * 6) % 256 &&
+      ((rgb >> 8) & 0xff) == (11 * 6) % 256 && (rgb & 0xff) == (13 * 6) % 256)
+  }
 }

@@ -3,7 +3,7 @@
 parquet written by graft.Verify, run the corresponding oracle SQL in DuckDB
 over the same testdata dir and compare (columns sorted by name, rows sorted,
 values hashed). Usage: check_oracle.py <verifyOutDir> <sfDir>"""
-import sys, os, json, hashlib
+import sys, os, json, hashlib, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -106,6 +106,7 @@ def main(outdir, sfdir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     results = {}
+    timings = {}
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
@@ -121,10 +122,12 @@ def main(outdir, sfdir):
                 b = f"BOUNDED-FAIL harness error: {str(e)[:120]}"
             results[name] = b if b else f"NO-ORACLE rows={len(spark_rows)}"
             continue
+        t0 = time.time()
         try:
             cur = con.execute(oracle[name])
             duck_cols = [c[0] for c in cur.description]
             duck_rows = cur.fetchall()
+            timings[name] = time.time() - t0
             # The driver may materialize oracle results via pandas, where
             # HUGEINT (e.g. sum(INTEGER)) degrades to float64 and DECIMAL to
             # float/object — their string forms then diverge from Spark's
@@ -166,6 +169,11 @@ def main(outdir, sfdir):
     bad = len(results) - ok - noor
     for k, v in results.items():
         print(f"{k:24s} {v}")
+    if timings:
+        worst = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+        print("\n-- slowest DuckDB oracles: " +
+              ", ".join(f"{k}={v:.1f}s" for k, v in worst) +
+              f"; total={sum(timings.values()):.1f}s")
     print(f"\n== {ok} match, {noor} no-oracle, {bad} BAD of {len(results)}")
     return 1 if bad else 0
 
