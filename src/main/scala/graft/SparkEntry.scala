@@ -265,6 +265,10 @@ object SparkEntry {
     // centroids/codebooks/codes — train-once/serve-many); same oracle SQL
     // as v12 because persist→reopen→serve must lose nothing
     "v19_persisted_serve" -> (operators.AnnIndexStore.v19PersistedServe _),
+    // v20: the IVFADC serve as a pure JOIN dataflow (O(1) expression
+    // size — the production-query-volume form; inline path is v12) —
+    // same oracle as v12 because the arithmetic must be bitwise-identical
+    "v20_adc_join_serve" -> (SimilarityQueries.v20AdcJoinServe _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -2550,6 +2554,8 @@ object SparkEntry {
     // v19 serves v12's query from the persisted index: the oracle is
     // v12's VERBATIM — any loss in persist→reopen→serve breaks the hash
     "v19_persisted_serve" -> ivfAdcOracle,
+    // v20's join dataflow must reproduce the inline path bit for bit
+    "v20_adc_join_serve" -> ivfAdcOracle,
     "v16_rerank" -> rerankOracle,
     "v17_recall_audit" -> recallAuditOracle,
     "v18_multiprobe" -> multiprobeOracle,

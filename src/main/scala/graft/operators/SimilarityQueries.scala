@@ -853,6 +853,76 @@ object SimilarityQueries {
   def v18Multiprobe(spark: SparkSession, dir: String): DataFrame =
     rerankOver(spark, dir, ivfAdcScored(spark, dir, nprobe = 4), shortlistK = 80)
 
+  /** The IVFADC candidate stream as a pure JOIN dataflow — the
+    * PRODUCTION-QUERY-VOLUME form of [[ivfAdcScored]]. The inline path
+    * builds per-query distance tables as driver-side CASE literal chains:
+    * exact and fast at the 10-query driver sample, but the expression
+    * tree grows O(|Q|·M·k') and the whole probe set rides the driver's
+    * plan — at real serving volumes (thousands of concurrent queries)
+    * that is a driver bottleneck, not a data-plane one. This form keeps
+    * EVERYTHING in the data plane, expression size O(1):
+    *   1. probe cells  = queries ⋈ broadcast(k×dim coarse table), window
+    *      top-nprobe per query by the quantizer objective;
+    *   2. M distance tables = queries ⋈ broadcast(k'-row codebook_s):
+    *      (query_id, code_s, d_s = dot(q_s, centroid)) — |Q|·k' rows;
+    *   3. candidates   = codes scan ⋈ probe cells on cell (the only
+    *      corpus-side join — cell-equi, AQE size-gates the build side);
+    *   4. score        = M successive (query_id, code_s) hash-join
+    *      lookups, s = d_0 + … + d_(M−1) in subspace order.
+    * Only the k×dim / k'-row quantizer tables carry broadcast HINTS; the
+    * |Q|-scaled probe/distance tables are unhinted — AQE broadcasts them
+    * while |Q| is small and degrades to shuffled hash joins when |Q|
+    * outgrows broadcast range, which is exactly the wanted behavior.
+    * Arithmetic is BITWISE the inline path's: [[graft.functions.DotProductF]]
+    * is the same ascending fold as the driver-side jdot, the probe rank
+    * order the same (objective desc, cell asc), the subspace sum the same
+    * left-assoc order — AdcJoinSpec asserts stream equality and the v20
+    * driver row shares v12's oracle verbatim. */
+  private[operators] def ivfAdcScoredJoined(spark: SparkSession, dir: String,
+      nprobe: Int = 1): DataFrame = {
+    import spark.implicits._
+    val (m, subDim) = (PqM, PqSubDim)
+    val coarseDf = trainedCentroids(spark, dir, "full", 10, 3)
+      .toDF("cell", "centroid")
+    val books = pqCodebooks(spark, dir)
+    val coded = codedVectors(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("query_id").orderBy(col("obj").desc, col("cell"))
+    val probes = q.join(broadcast(coarseDf))
+      .withColumn("obj", dot(col("qv"), col("centroid")) -
+        lit(0.5) * dot(col("centroid"), col("centroid")))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nprobe)
+      .select("query_id", "cell")
+    val dtabs = (0 until m).map { s =>
+      q.join(broadcast(books(s).toDF(s"code_$s", "centroid")))
+        .select(col("query_id"), col(s"code_$s"),
+          dot(slice(col("qv"), s * subDim + 1, subDim), col("centroid")).as(s"d_$s"))
+    }
+    val cands = coded.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    (0 until m).foldLeft(cands) { (df, s) =>
+        df.join(dtabs(s), Seq("query_id", s"code_$s"))
+      }
+      .select(col("query_id"), col("neighbor_id"),
+        (0 until m).map(s => col(s"d_$s")).reduce(_ + _).as("s"))
+  }
+
+  /** v20: v12's top-5 ADC ranking over the JOIN-dataflow candidate
+    * stream — the scale form executed and hash-proven against the same
+    * oracle as the inline form (any arithmetic or tie-order divergence
+    * between the two serving implementations breaks the driver hash). */
+  def v20AdcJoinServe(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("neighbor_id"))
+    ivfAdcScoredJoined(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("s"), 6).as("adc_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The shared stage-2 exact re-rank: top-`shortlistK` ADC shortlist
     * from the given candidate stream, raw-vector exact top-5 out (v16's
     * scaladoc carries the full design rationale; v18 reuses it at

@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** v20's contract: the join-dataflow ADC serve is bitwise the inline
+  * (driver-expression) serve — candidate stream and final ranking. */
+class AdcJoinSpec extends SparkSpec {
+
+  test("joined candidate stream equals the inline stream bitwise") {
+    def stream(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = stream(SimilarityQueries.ivfAdcScored(spark, sfDir))
+    val joined = stream(SimilarityQueries.ivfAdcScoredJoined(spark, sfDir))
+    assert(joined.nonEmpty && joined == inline,
+      "same candidates, same raw double scores — no rounding slack")
+    // and at nprobe=4 (the multiprobe regime) too
+    val inline4 = stream(SimilarityQueries.ivfAdcScored(spark, sfDir, nprobe = 4))
+    val joined4 = stream(SimilarityQueries.ivfAdcScoredJoined(spark, sfDir, nprobe = 4))
+    assert(joined4 == inline4 && joined4.size > joined.size)
+  }
+
+  test("v20 rows equal v12 rows") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(rows(SimilarityQueries.v20AdcJoinServe(spark, sfDir))
+      == rows(SimilarityQueries.v12IvfAdc(spark, sfDir)))
+  }
+}
