@@ -269,6 +269,10 @@ object SparkEntry {
     // size — the production-query-volume form; inline path is v12) —
     // same oracle as v12 because the arithmetic must be bitwise-identical
     "v20_adc_join_serve" -> (SimilarityQueries.v20AdcJoinServe _),
+    // v21: the index-maintenance lifecycle — old-slice-trained index
+    // persisted, the increment encoded FROM STORAGE and appended (an
+    // O(new) VersionedTable commit), then served over old+new
+    "v21_index_append" -> (operators.AnnIndexStore.v21IndexAppend _),
     "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
@@ -639,15 +643,23 @@ object SparkEntry {
     * v5/v7/v8 template re-instantiated per 16-dim slice with k=4 (init =
     * the 4 lowest vec_ids' slices). Ends in `af_<s>(vec_id, cell, sim)`
     * where sim is the RAW dot against the winning subspace centroid. */
-  private def pqSubspaceCte(s: Int): String = {
+  private def pqSubspaceCte(s: Int): String = pqSubspaceCteFor(s, "")
+
+  /** The subspace-s PQ training chain with the TRAINING slice narrowed by
+    * `pred` (empty = whole table — byte-compatible with the historical
+    * template via `tsrc == src`): training assignments/means read
+    * `tsrc_s`, while the final `af_s` assignment always covers the FULL
+    * table — the index-maintenance shape (v21) where old-trained
+    * codebooks encode everything including the increment. */
+  private def pqSubspaceCteFor(s: Int, pred: String): String = {
     val lo = s * 16 + 1; val hi = (s + 1) * 16
-    def assign(out: String, cents: String): String =
+    def assign(out: String, from: String, cents: String): String =
       s"""$out AS (SELECT vec_id, emb, cell FROM (
          |  SELECT e.vec_id, e.emb, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |      list_dot_product(e.emb::DOUBLE[], c.centroid)
          |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
-         |  FROM src_$s e CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
+         |  FROM $from e CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
     def centroids(out: String, from: String): String =
       s"""$out AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM (
          |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
@@ -655,13 +667,14 @@ object SparkEntry {
          |  GROUP BY 1, 2) GROUP BY 1)""".stripMargin
     Seq(
       s"src_$s AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings)",
+      s"tsrc_$s AS (SELECT vec_id, emb FROM src_$s $pred)",
       s"""c0_$s AS (SELECT CAST(vec_id AS INT) AS cell, emb::DOUBLE[] AS centroid
-         |  FROM src_$s WHERE vec_id < 4)""".stripMargin,
-      assign(s"a0_$s", s"c0_$s"),
+         |  FROM tsrc_$s WHERE vec_id < 4)""".stripMargin,
+      assign(s"a0_$s", s"tsrc_$s", s"c0_$s"),
       centroids(s"c1_$s", s"a0_$s"),
-      assign(s"a1_$s", s"c1_$s"),
+      assign(s"a1_$s", s"tsrc_$s", s"c1_$s"),
       centroids(s"c2_$s", s"a1_$s"),
-      assign(s"a2_$s", s"c2_$s"),
+      assign(s"a2_$s", s"tsrc_$s", s"c2_$s"),
       centroids(s"c3_$s", s"a2_$s"),
       s"""af_$s AS (SELECT vec_id, cell, sim FROM (
          |  SELECT e.vec_id, c.cell,
@@ -819,6 +832,47 @@ object SparkEntry {
 
   private val ivfAdcOracle: String =
     ivfAdcScoredCtes + """,
+      |r AS (SELECT query_id, neighbor_id, s,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(s, 6) AS adc_sim, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** v21: the index-append lifecycle's answer in closed form — the Lloyd
+    * chain AND the four PQ chains train on the OLD slice only
+    * (`vec_id % 7 <> 0`), then the FULL corpus (old + the appended
+    * increment) assigns/encodes/scores against those frozen codebooks:
+    * `af2` is everyone's coarse cell under the old-trained quantizer,
+    * the `af_s` subspace assignments already cover the full table
+    * (pqSubspaceCteFor trains narrow, assigns wide), and the scoring /
+    * ranking tail is v12's verbatim. */
+  private val indexAppendOracle: String =
+    "WITH " + kmeansCteFor("WHERE vec_id % 7 <> 0").stripPrefix("WITH ") + ",\n" +
+    (0 until 4).map(s => pqSubspaceCteFor(s, "WHERE vec_id % 7 <> 0")).mkString(",\n") + ",\n" +
+    (0 until 4).map(s =>
+      s"""qd_$s AS (SELECT q.vec_id AS query_id, c.cell,
+         |  list_dot_product(q.emb::DOUBLE[], c.centroid) AS d
+         |  FROM src_$s q CROSS JOIN c3_$s c WHERE q.vec_id < 10)""".stripMargin
+    ).mkString(",\n") + """,
+      |allv AS (SELECT vec_id, embedding FROM embeddings),
+      |af2 AS (SELECT vec_id, cell FROM (
+      |  SELECT e.vec_id, c.cell,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.embedding::DOUBLE[], c.centroid)
+      |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
+      |  FROM allv e CROSS JOIN c3 c) WHERE rk = 1),
+      |qp AS (SELECT vec_id AS query_id, cell FROM af2 WHERE vec_id < 10),
+      |scored AS (SELECT qp.query_id, n.vec_id AS neighbor_id,
+      |    q0.d + q1.d + q2.d + q3.d AS s
+      |  FROM af2 n JOIN qp ON n.cell = qp.cell AND n.vec_id <> qp.query_id
+      |  JOIN af_0 n0 ON n0.vec_id = n.vec_id
+      |  JOIN af_1 n1 ON n1.vec_id = n.vec_id
+      |  JOIN af_2 n2 ON n2.vec_id = n.vec_id
+      |  JOIN af_3 n3 ON n3.vec_id = n.vec_id
+      |  JOIN qd_0 q0 ON q0.query_id = qp.query_id AND q0.cell = n0.cell
+      |  JOIN qd_1 q1 ON q1.query_id = qp.query_id AND q1.cell = n1.cell
+      |  JOIN qd_2 q2 ON q2.query_id = qp.query_id AND q2.cell = n2.cell
+      |  JOIN qd_3 q3 ON q3.query_id = qp.query_id AND q3.cell = n3.cell),
       |r AS (SELECT query_id, neighbor_id, s,
       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
       |  FROM scored)
@@ -2556,6 +2610,7 @@ object SparkEntry {
     "v19_persisted_serve" -> ivfAdcOracle,
     // v20's join dataflow must reproduce the inline path bit for bit
     "v20_adc_join_serve" -> ivfAdcOracle,
+    "v21_index_append" -> indexAppendOracle,
     "v16_rerank" -> rerankOracle,
     "v17_recall_audit" -> recallAuditOracle,
     "v18_multiprobe" -> multiprobeOracle,

@@ -99,6 +99,15 @@ object AnnIndexStore {
   def openBands(spark: SparkSession, root: String): DataFrame =
     table(spark, root, "bands", bandSchema).read()
 
+  /** The persisted coded table, distributed. */
+  def openCoded(spark: SparkSession, root: String): DataFrame =
+    table(spark, root, "coded", codedSchema).read()
+
+  /** Segment count of the coded table — the append-cost witness the
+    * lifecycle spec asserts (base publish + one O(new) append = 2). */
+  private[operators] def codedSegmentCount(spark: SparkSession, root: String): Int =
+    table(spark, root, "coded", codedSchema).segmentCount
+
   /** v12's exact read path served ENTIRELY from the persisted index: the
     * quantizer halves load driver-side, the coded table streams from its
     * versioned segments, and only the probe queries' raw vectors touch
@@ -106,19 +115,9 @@ object AnnIndexStore {
     * time). No Lloyd loop, no corpus encode — reopening costs O(index
     * read), which is the entire point of persisting. */
   def serveTopK(spark: SparkSession, dir: String, root: String): DataFrame = {
-    import spark.implicits._
-    val (coarse, cents) = openQuantizer(spark, root)
-    val coded = table(spark, root, "coded", codedSchema).read()
-    // query cells come from the persisted codes (a point lookup), raw
-    // query vectors from the corpus — never the other corpus vectors
-    val queries = Tables.t(spark, dir, "embeddings")
-      .filter(col("vec_id") < 10)
-      .join(coded.select(col("neighbor_id").as("vec_id"), col("cell")), "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"))
-      .as[(Long, Int, Array[Float])].collect().sortBy(_._1).toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("s").desc, col("neighbor_id"))
-    SimilarityQueries.ivfAdcServe(coarse, cents, coded, queries, nprobe = 1)
+    servedStream(spark, dir, root)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"),
@@ -126,12 +125,90 @@ object AnnIndexStore {
       .orderBy("query_id", "rank")
   }
 
-  /** Staging root memo for the v19 driver row: one persist per
-    * (session, corpus), after which every serve is storage-only. */
+  /** The candidate stream from the persisted index (what [[serveTopK]]
+    * ranks) — exposed so the TWO-STAGE read path can also run from
+    * storage: [[serveRerank]] feeds it into the shared exact re-rank. */
+  private[operators] def servedStream(spark: SparkSession, dir: String,
+      root: String, nprobe: Int = 1): DataFrame = {
+    import spark.implicits._
+    val (coarse, cents) = openQuantizer(spark, root)
+    val coded = table(spark, root, "coded", codedSchema).read()
+    val queries = Tables.t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .join(coded.select(col("neighbor_id").as("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1).toSeq
+    SimilarityQueries.ivfAdcServe(coarse, cents, coded, queries, nprobe)
+  }
+
+  /** v16's two-stage serve (quantized shortlist → exact raw-vector
+    * re-rank) ENTIRELY from the persisted index — the production read
+    * path reopened cold. Spec-proven identical to the session-memo v16. */
+  def serveRerank(spark: SparkSession, dir: String, root: String,
+      nprobe: Int = 1, shortlistK: Int = 20): DataFrame =
+    SimilarityQueries.rerankOver(spark, dir,
+      servedStream(spark, dir, root, nprobe), shortlistK)
+
+  /** Persist an index TRAINED ON THE STANDING CORPUS ONLY (the
+    * `vec_id % 7 ≠ 0` remainder — v8/x11's old slice): quantizer halves
+    * from the old-slice Lloyd/PQ training, coded table = the old vectors.
+    * This is the base state of the index-maintenance lifecycle v21
+    * exercises; [[appendIncrement]] is the arrival path. */
+  def persistOldTrained(spark: SparkSession, dir: String, root: String): Unit = {
+    import spark.implicits._
+    val coarse = SimilarityQueries.trainedCentroids(spark, dir, "old", 10, 3)
+    val cents = SimilarityQueries.pqCodebooks(spark, dir, "old")
+    table(spark, root, "coarse", coarseSchema).publish(coarse.toDF("cell", "centroid"))
+    table(spark, root, "codebooks", codebookSchema).publish(
+      cents.zipWithIndex
+        .flatMap { case (cb, s) => cb.map { case (c, v) => (s, c, v) } }
+        .toDF("s", "cell", "centroid"))
+    val old = Tables.t(spark, dir, "embeddings").filter(col("vec_id") % 7 =!= 0)
+    table(spark, root, "coded", codedSchema)
+      .publish(SimilarityQueries.encodeWith(old, coarse, cents))
+  }
+
+  /** The index-maintenance ARRIVAL path: encode `pred`'s vectors with the
+    * quantizer REOPENED FROM STORAGE (no training state anywhere — the
+    * production constraint: the ingest job that encodes increments is not
+    * the job that trained the index) and APPEND them to the coded table —
+    * an O(increment) VersionedTable commit, never a table rewrite. */
+  def appendIncrement(spark: SparkSession, dir: String, root: String,
+      pred: org.apache.spark.sql.Column): Unit = {
+    val (coarse, cents) = openQuantizer(spark, root)
+    val nw = Tables.t(spark, dir, "embeddings").filter(pred)
+    table(spark, root, "coded", codedSchema)
+      .append(SimilarityQueries.encodeWith(nw, coarse, cents))
+  }
+
+  /** Staging root memo for the v19/v21 driver rows: one persist per
+    * (session, corpus, variant), after which every serve is storage-only. */
   private val rootMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def clearMemo(): Unit = rootMemo.clear()
+
+  /** v21: the full index-maintenance lifecycle as a driver query —
+    * train-on-standing-corpus → persist → the increment arrives and is
+    * encoded FROM the persisted codebooks → appended (an O(new) commit)
+    * → served. The serve ranks over old+new coded rows under the
+    * old-trained quantizer (v8's no-retrain semantic carried through the
+    * storage layer); the oracle re-derives the old-trained Lloyd + PQ
+    * chains and scores the full corpus against them. Scale: the append
+    * writes only the increment's (id, cell, 4 codes) rows; nothing else
+    * in the index is touched — which is the entire point of the
+    * manifest-based table under it. */
+  def v21IndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|incr", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-annidx-incr")
+        graft.core.FsUtil.deleteOnExitRecursively(d)
+        persistOldTrained(spark, dir, d.toString)
+        appendIncrement(spark, dir, d.toString, col("vec_id") % 7 === 0)
+        d.toString
+      })
+    serveTopK(spark, dir, root)
+  }
 
   /** v19: the persisted-index serve as a driver query — persist on first
     * touch (memoized), then answer v12's query from STORAGE. The oracle

@@ -519,12 +519,18 @@ object SimilarityQueries {
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Seq[(Int, Seq[Double])]]]()
 
-  private[operators] def pqCodebooks(spark: SparkSession,
-      dir: String): IndexedSeq[Seq[(Int, Seq[Double])]] = pqMemo.computeIfAbsent(
-    s"${spark.sparkContext.applicationId}|$dir", _ => {
+  private[operators] def pqCodebooks(spark: SparkSession, dir: String,
+      sliceTag: String = "full"): IndexedSeq[Seq[(Int, Seq[Double])]] = pqMemo.computeIfAbsent(
+    s"${spark.sparkContext.applicationId}|$dir|$sliceTag", _ => {
     import spark.implicits._
     val (m, subDim, k, iters) = (PqM, PqSubDim, PqK, PqIters)
-    val e = t(spark, dir, "embeddings")
+    // slice tags mirror trainedCentroids: "old" trains the codebooks on
+    // the standing corpus only (the index-maintenance regime — v21
+    // encodes the increment with these, never retraining)
+    val e = sliceTag match {
+      case "full" => t(spark, dir, "embeddings")
+      case "old"  => t(spark, dir, "embeddings").filter(col("vec_id") % 7 =!= 0)
+    }
     // The M Lloyd loops run FUSED: one pass per iteration computes every
     // subspace's assignment and per-(subspace, cell, pos) decimal mean
     // (rows are disjoint by subspace, so the groups — and the math — are
@@ -750,6 +756,24 @@ object SimilarityQueries {
       col("vec_id").as("neighbor_id") +: col("cell") +: codeCols: _*)
   }
 
+  /** Encode arbitrary `(vec_id, embedding)` rows against an EXPLICIT
+    * quantizer — the write-side twin of [[ivfAdcServe]]: same
+    * [[assignExprs]] arithmetic as the memoized paths, but the quantizer
+    * arrives as data (e.g. reopened from [[AnnIndexStore]] storage), so
+    * an index increment encodes with the PERSISTED codebooks and never
+    * touches training state. */
+  private[operators] def encodeWith(e: DataFrame,
+      coarse: Seq[(Int, Seq[Double])],
+      cents: IndexedSeq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val (m, subDim) = (PqM, PqSubDim)
+    val (cell, _, _) = assignExprs(col("embedding"), coarse)
+    val codeCols = (0 until m).map { s =>
+      assignExprs(slice(col("embedding"), s * subDim + 1, subDim), cents(s))
+        ._1.as(s"code_$s")
+    }
+    e.select(col("vec_id").as("neighbor_id") +: cell.as("cell") +: codeCols: _*)
+  }
+
   private[operators] def ivfAdcScored(spark: SparkSession, dir: String,
       nprobe: Int = 1): DataFrame = {
     import spark.implicits._
@@ -927,7 +951,7 @@ object SimilarityQueries {
     * from the given candidate stream, raw-vector exact top-5 out (v16's
     * scaladoc carries the full design rationale; v18 reuses it at
     * nprobe=4 with the scaled budget). */
-  private def rerankOver(spark: SparkSession, dir: String,
+  private[operators] def rerankOver(spark: SparkSession, dir: String,
       scored: DataFrame, shortlistK: Int = 20): DataFrame = {
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("s").desc, col("neighbor_id"))

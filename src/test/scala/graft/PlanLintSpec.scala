@@ -33,7 +33,9 @@ class PlanLintSpec extends SparkSpec {
     "y15_tfidf_terms" -> "1-row corpus doc-count broadcast into every idf term",
     "y18_bm25" -> "1-row corpus stats (N, Σdl, 3 dfs) broadcast onto per-doc scores",
     "w10_assoc_rules" -> "1-row basket total joined onto the 20-row rule list",
-    "n2_hits" -> "1-row L1 mass joined back per normalization half-step"
+    "n2_hits" -> "1-row L1 mass joined back per normalization half-step",
+    "v20_adc_join_serve" ->
+      "quantizer tables (k=10-row coarse, k'=4-row codebooks) cross the query set — O(k) sides by construction, the ADC distance-table build"
   )
 
   // one analysis pass per query: optimizedPlan only (no execution)

@@ -38,9 +38,43 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(reopened.nonEmpty && reopened == direct)
   }
 
+  test("two-stage rerank from the persisted index equals session-memo v16/v18") {
+    val root = java.nio.file.Files.createTempDirectory("annidx-rerank").toString
+    AnnIndexStore.persist(spark, sfDir, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(rows(AnnIndexStore.serveRerank(spark, sfDir, root))
+      == rows(SimilarityQueries.v16Rerank(spark, sfDir)))
+    assert(rows(AnnIndexStore.serveRerank(spark, sfDir, root, nprobe = 4, shortlistK = 80))
+      == rows(SimilarityQueries.v18Multiprobe(spark, sfDir)))
+  }
+
   test("v19 driver row equals v12's (the shared-oracle premise)") {
     val a = v12Rows(AnnIndexStore.v19PersistedServe(spark, sfDir))
     val b = v12Rows(SimilarityQueries.v12IvfAdc(spark, sfDir))
     assert(a == b)
+  }
+
+  test("v21 lifecycle: O(new) append, storage-encoded increment, serve over old+new") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("annidx-incr").toString
+    AnnIndexStore.persistOldTrained(spark, sfDir, root)
+    // the increment encodes against the REOPENED quantizer after a memo
+    // wipe — proof the arrival path needs no training state at all
+    SimilarityQueries.clearMemo()
+    AnnIndexStore.appendIncrement(spark, sfDir, root, col("vec_id") % 7 === 0)
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val coded = AnnIndexStore.openCoded(spark, root)
+    assert(coded.count() == e.count(), "old + appended new covers the corpus")
+    assert(AnnIndexStore.codedSegmentCount(spark, root) == 2,
+      "append commits ONE new segment; the base is never rewritten")
+    // serve equals the session-side recompute under the same frozen quantizer
+    val coarse = SimilarityQueries.trainedCentroids(spark, sfDir, "old", 10, 3)
+    val cents = SimilarityQueries.pqCodebooks(spark, sfDir, "old")
+    val expectedCodes = SimilarityQueries.encodeWith(e, coarse, cents)
+      .collect().map(_.toSeq).toSet
+    assert(coded.collect().map(_.toSeq).toSet == expectedCodes,
+      "storage-encoded rows equal memo-encoded rows bitwise")
+    assert(v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root)).nonEmpty)
   }
 }
