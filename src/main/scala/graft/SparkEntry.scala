@@ -665,16 +665,24 @@ object SparkEntry {
          |  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c FROM (
          |    SELECT cell, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM $from)
          |  GROUP BY 1, 2) GROUP BY 1)""".stripMargin
-    Seq(
-      s"src_$s AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings)",
-      s"tsrc_$s AS (SELECT vec_id, emb FROM src_$s $pred)",
+    // with an empty pred, train straight off src_s — a pass-through
+    // tsrc_s CTE would get force-materialized into 4 redundant full-table
+    // slice copies per PQ oracle (the fence cuts re-evaluation, but only
+    // if we don't hand it useless layers to pin)
+    val train = if (pred.isEmpty) s"src_$s" else s"tsrc_$s"
+    val trainCte =
+      if (pred.isEmpty) Nil
+      else Seq(s"tsrc_$s AS (SELECT vec_id, emb FROM src_$s $pred)")
+    (Seq(
+      s"src_$s AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings)") ++
+    trainCte ++ Seq(
       s"""c0_$s AS (SELECT CAST(vec_id AS INT) AS cell, emb::DOUBLE[] AS centroid
-         |  FROM tsrc_$s WHERE vec_id < 4)""".stripMargin,
-      assign(s"a0_$s", s"tsrc_$s", s"c0_$s"),
+         |  FROM $train WHERE vec_id < 4)""".stripMargin,
+      assign(s"a0_$s", train, s"c0_$s"),
       centroids(s"c1_$s", s"a0_$s"),
-      assign(s"a1_$s", s"tsrc_$s", s"c1_$s"),
+      assign(s"a1_$s", train, s"c1_$s"),
       centroids(s"c2_$s", s"a1_$s"),
-      assign(s"a2_$s", s"tsrc_$s", s"c2_$s"),
+      assign(s"a2_$s", train, s"c2_$s"),
       centroids(s"c3_$s", s"a2_$s"),
       s"""af_$s AS (SELECT vec_id, cell, sim FROM (
          |  SELECT e.vec_id, c.cell,
@@ -683,7 +691,7 @@ object SparkEntry {
          |      list_dot_product(e.emb::DOUBLE[], c.centroid)
          |        - 0.5 * list_dot_product(c.centroid, c.centroid) DESC, c.cell) AS rk
          |  FROM src_$s e CROSS JOIN c3_$s c) WHERE rk = 1)""".stripMargin
-    ).mkString(",\n")
+    )).mkString(",\n")
   }
 
   /** v9: 4 independent subspace quantizers + the subspace-additive
@@ -986,10 +994,15 @@ object SparkEntry {
     * pass ran ~15 min at sf0.01, ~40 s materialized). Recursive CTEs
     * cannot take the keyword, so those oracles pass through untouched. */
   private def materializeCtes(sql: String): String =
-    if (sql.contains("RECURSIVE")) sql
-    // the `(\s*SELECT` guard keeps named-window clauses (`WINDOW fr AS
-    // (PARTITION BY ...)`) untouched — only CTE bodies open with SELECT
-    else sql.replaceAll("(\\w+) AS \\((\\s*SELECT)", "$1 AS MATERIALIZED ($2")
+    // The `(\s*SELECT` guard keeps named-window clauses (`WINDOW fr AS
+    // (PARTITION BY ...)`) untouched — only CTE bodies open with SELECT.
+    // RECURSIVE members cannot take the keyword, so every one of them is
+    // authored with a COLUMN LIST (`reach(src, dst) AS`, `walk(doc_id,
+    // len, c) AS`, `r(event_type, …) AS`), which the regex cannot match
+    // — the non-recursive members of a WITH RECURSIVE (the heavy
+    // shingle/self-join CTEs of the x7 cluster family included) get the
+    // fence like everyone else.
+    sql.replaceAll("(\\w+) AS \\((\\s*SELECT)", "$1 AS MATERIALIZED ($2")
 
   def oracleSql: Map[String, String] =
     oracleSqlPlain.map { case (k, v) => (k, materializeCtes(v)) }
@@ -1030,7 +1043,7 @@ object SparkEntry {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_fire
         |  FROM pos
         |),
-        |walk AS (
+        |walk(doc_id, len, c) AS (
         |  SELECT doc_id, len, CAST(0 AS BIGINT) AS c FROM d WHERE len > 256
         |  UNION ALL
         |  SELECT w.doc_id, w.len,
@@ -2669,7 +2682,7 @@ object SparkEntry {
         |    CASE WHEN d.event_type = 'purchase' AND d.day >= 19743 THEN 2 ELSE 0 END AS inj,
         |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
         |  FROM d JOIN tot USING (event_type)),
-        |r AS (
+        |r(event_type, day, xl, n, s, rn, t) AS (
         |  SELECT event_type, day, xl, n, s, rn,
         |    greatest(4 * n * xl - 5 * s + inj * s, 0) AS t FROM o WHERE rn = 1
         |  UNION ALL

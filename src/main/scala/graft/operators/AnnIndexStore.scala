@@ -108,6 +108,13 @@ object AnnIndexStore {
   private[operators] def codedSegmentCount(spark: SparkSession, root: String): Int =
     table(spark, root, "coded", codedSchema).segmentCount
 
+  /** Fold the coded table's commit chain into one segment (the
+    * maintenance step after many increments — VersionedTable.compact's
+    * atomic rewrite). Serving is manifest-driven, so compaction cannot
+    * change an answer; the lifecycle spec asserts exactly that. */
+  private[operators] def compactCoded(spark: SparkSession, root: String): Unit =
+    table(spark, root, "coded", codedSchema).compact()
+
   /** v12's exact read path served ENTIRELY from the persisted index: the
     * quantizer halves load driver-side, the coded table streams from its
     * versioned segments, and only the probe queries' raw vectors touch
@@ -186,7 +193,15 @@ object AnnIndexStore {
   private val rootMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def clearMemo(): Unit = rootMemo.clear()
+  private[graft] def clearMemo(): Unit = {
+    // delete the superseded roots NOW, not at JVM exit: the bench's
+    // warm→timed cycle re-persists after a clear, and a corpus-sized
+    // coded table held twice doubles the suite's disk footprint at sf1
+    rootMemo.values().forEach(r =>
+      try graft.core.FsUtil.deleteRecursively(java.nio.file.Paths.get(r))
+      catch { case _: Throwable => () })
+    rootMemo.clear()
+  }
 
   /** v21: the full index-maintenance lifecycle as a driver query —
     * train-on-standing-corpus → persist → the increment arrives and is

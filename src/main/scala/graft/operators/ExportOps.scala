@@ -68,7 +68,15 @@ object ExportOps {
   private val exportMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def clearMemo(): Unit = exportMemo.clear()
+  private[graft] def clearMemo(): Unit = {
+    // delete superseded exports now (bench warm→timed re-exports; a
+    // second full shard tree until JVM exit is pure disk-footprint tax)
+    exportMemo.values().forEach(r =>
+      try graft.core.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(r).getParent)
+      catch { case _: Throwable => () })
+    exportMemo.clear()
+  }
 
   /** Write the sharded export (idempotent per session) and return its
     * root: `<root>/shard_id=<n>/part-*.parquet`. */

@@ -226,10 +226,22 @@ object MultimodalOps {
     * (MultimodalOpsSpec runs it on ImageIoCodec over synthetic PNGs). */
   def frameStatsOf(media: Dataset[(Long, Array[Byte])], frames: Int,
       codec: MediaCodec): DataFrame =
-    extractFeaturesOf(media, frames, codec).toDF()
-      .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
-        explode(col("feature")).as("x"))
-      .groupBy("doc_id", "frame_idx")
+    frameRollup(
+      extractFeaturesOf(media, frames, codec).toDF()
+        .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+          col("feature")),
+      "doc_id", "frame_idx")
+
+  /** The ONE copy of the byte-recovery rollup (n_pos: x > 0 ⇔ source
+    * byte ≥ 128; byte_sum: rint((x+1)/2·255) recovers it exactly) —
+    * load-bearing for BOTH the m2 (stub) and m7 (real-codec) oracles, so
+    * it must not exist twice: a rounding-mode drift in one copy would
+    * silently break the other's hash. Input: long-form rows with a
+    * `feature` float-array column plus the grouping keys. */
+  private def frameRollup(longForm: DataFrame, keys: String*): DataFrame =
+    longForm
+      .select(keys.map(col) :+ explode(col("feature")).as("x"): _*)
+      .groupBy(keys.map(col): _*)
       .agg(sum(when(col("x") > 0f, 1L).otherwise(0L)).as("n_pos"),
         sum(round((col("x") + lit(1.0d)) / 2.0d * 255.0d).cast("long")).as("byte_sum"))
       .orderBy("doc_id", "frame_idx")
@@ -471,18 +483,23 @@ object MultimodalOps {
     * (doc_id, 5 longs) feature rollup moves, the m-family discipline. */
   def m7RealDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def media: Dataset[(Long, Array[Byte])] =
-      Tables.t(spark, dir, "documents")
-        .filter(col("doc_id") % 3 === 0).select("doc_id").as[Long]
-        .mapPartitions { it =>
-          // encoder init (ImageIO SPI lookup) amortizes here, per partition
-          it.map(id => (id, syntheticPng(id)))
+    // ONE source pass: each payload is generated once and its metadata +
+    // frame features extracted in the same task from the same bytes (a
+    // first cut ran separate meta and feature lanes over two generations
+    // of the corpus plus a join — at decode-bound scale that doubles the
+    // dominant cost for zero benefit). Emits the long-form rows the m2
+    // rollup shape consumes, geometry carried alongside.
+    Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        // encoder init (ImageIO SPI lookup) amortizes here, per partition
+        it.flatMap { id =>
+          val png = syntheticPng(id)
+          val m = ImageIoCodec.decode(id, png)
+          ImageIoCodec.features(id, png, 3).map(f =>
+            (id, m.width, m.height, f.frameIdx, f.feature))
         }
-    val meta = decodeMetaOf(media, ImageIoCodec).toDF()
-      .select(col("docId").as("doc_id"), col("width"), col("height"))
-    val stats = frameStatsOf(media, 3, ImageIoCodec)
-    meta.join(stats, "doc_id")
-      .select("doc_id", "width", "height", "frame_idx", "n_pos", "byte_sum")
-      .orderBy("doc_id", "frame_idx")
+      }.toDF("doc_id", "width", "height", "frame_idx", "feature")
+      .transform(frameRollup(_, "doc_id", "width", "height", "frame_idx"))
   }
 }

@@ -694,7 +694,7 @@ object EventStreamOps {
     * state stores instead of the session's 32 — per-micro-batch state-store
     * checkpoint churn is pure harness overhead at replay scale, and every
     * aggregate here is partition-count-invariant (decimal accumulate). */
-  private[streaming] def replaySession(rootSpark: SparkSession): SparkSession = {
+  private def replaySession(rootSpark: SparkSession): SparkSession = {
     val spark = rootSpark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -70,7 +70,15 @@ object LateDataAudit {
   private val stageMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[java.nio.file.Path]]()
 
-  private[graft] def clearMemo(): Unit = stageMemo.clear()
+  private[graft] def clearMemo(): Unit = {
+    // delete superseded staged slices now (they include a coalesced full
+    // copy of events.parquet — see AnnIndexStore.clearMemo's rationale)
+    stageMemo.values().forEach(ps =>
+      try ps.headOption.foreach(p =>
+        graft.core.FsUtil.deleteRecursively(p.getParent))
+      catch { case _: Throwable => () })
+    stageMemo.clear()
+  }
 
   /** Prepare the three slice part-files (main, late, flush) ONCE per
     * (session, corpus). They are NOT placed in the watched dir here —
@@ -126,6 +134,15 @@ object LateDataAudit {
     val spark = rootSpark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // PIN the one-split-per-file invariant the __dropped__ oracle rests
+    // on: the meter counts post-partial-agg rows, which equal distinct
+    // expired windows only while each replay file is ONE input split —
+    // coalesce(1) makes one FILE, but the file source would still split
+    // it at maxPartitionBytes (default 128 MB), and a window straddling
+    // two splits would double-count in the meter at exactly the scales
+    // where the slice outgrows the default. Session-local; the audit
+    // semantics must not depend on a tuning default.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024g")
     import spark.implicits._
     val name = s"st15_${System.nanoTime()}"
     // fresh watched dir per run: a reused one would replay every file in

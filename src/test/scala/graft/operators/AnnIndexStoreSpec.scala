@@ -75,6 +75,12 @@ class AnnIndexStoreSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(coded.collect().map(_.toSeq).toSet == expectedCodes,
       "storage-encoded rows equal memo-encoded rows bitwise")
-    assert(v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root)).nonEmpty)
+    val served = v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root))
+    assert(served.nonEmpty)
+    // maintenance tail: compaction folds the commit chain into one
+    // segment and the served answer is unchanged (manifest-driven reads)
+    AnnIndexStore.compactCoded(spark, root)
+    assert(AnnIndexStore.codedSegmentCount(spark, root) == 1)
+    assert(v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root)) == served)
   }
 }
