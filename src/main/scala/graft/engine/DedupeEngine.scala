@@ -140,6 +140,22 @@ final class DedupeEngine(
   def objmap: Dataset[MapRow] = objmapT.read().as[MapRow]
   def payloads: Dataset[PayloadRow] = store.read().as[PayloadRow]
 
+  /** ONE payload exemplar per NEW chunkKey — the dedupe-on-write pipeline
+    * shared verbatim by `ingest` and `writeStream` (it used to exist
+    * twice; the dedupe and sort contracts here are load-bearing, so a fix
+    * applied to one copy and not the other would silently diverge the two
+    * ingest paths). First occurrence wins (payloads for one key are
+    * byte-identical — SHA-256 content key); the left-anti drops keys the
+    * store already holds; the final sort is FREE (already hash-partitioned
+    * by chunkKey from the dropDuplicates shuffle) and makes each parquet
+    * row-group cover a narrow key range so point lookups prune via footer
+    * stats. */
+  private def newPayloadRows(chunkRows: DataFrame): DataFrame =
+    chunkRows.select($"chunkKey", $"data")
+      .dropDuplicates("chunkKey")
+      .join(payloads.select($"chunkKey"), Seq("chunkKey"), "left_anti")
+      .sortWithinPartitions("chunkKey")
+
   /** Derived chunk table: metadata + refcount from the map edges
     * (replaces reference's mutable dedupechunk rows, DedupeChunk.cs:11-36). */
   def chunks: Dataset[ChunkInfo] = objmap
@@ -223,17 +239,7 @@ final class DedupeEngine(
       $"chunkPosition", $"chunkAddress")
     objmapT.append(newMap)
 
-    // one payload exemplar per new chunkKey (first occurrence wins; payloads
-    // for the same key are identical by construction — SHA-256 content key)
-    val newPayloads = chunked
-      .select($"chunkKey", $"data")
-      .dropDuplicates("chunkKey")
-      .join(payloads.select($"chunkKey"), Seq("chunkKey"), "left_anti")
-      // free local sort (already hash-partitioned by chunkKey from the
-      // dropDuplicates shuffle): each parquet row-group covers a narrow key
-      // range, so chunkKey point lookups prune row-groups via footer stats
-      .sortWithinPartitions("chunkKey")
-    store.append(newPayloads)
+    store.append(newPayloadRows(chunked))
 
     val now = new Timestamp(System.currentTimeMillis())
     val newObjects = chunked.groupBy($"objectKey").agg(
@@ -294,10 +300,7 @@ final class DedupeEngine(
       val staged = spark.read.parquet(stage)
       objmapT.append(staged.select($"objectKey", $"chunkKey", $"chunkLength",
         $"chunkPosition", $"chunkAddress"))
-      store.append(staged.select($"chunkKey", $"data")
-        .dropDuplicates("chunkKey")
-        .join(payloads.select($"chunkKey"), Seq("chunkKey"), "left_anti")
-        .sortWithinPartitions("chunkKey"))
+      store.append(newPayloadRows(staged))
       val now = new Timestamp(System.currentTimeMillis())
       objectsT.append(spark.createDataset(Seq(
         ObjectRow(key, totalLen, totalLen, totalChunks, now))).toDF())
@@ -498,14 +501,33 @@ final class DedupeEngine(
     * Spark job per chunk — a 100-chunk object would launch 100 query
     * executions); objects are at most a few thousand chunks by construction,
     * so the prefetch is the same memory envelope as `get`. */
-  def getStream(key: String): Option[Iterator[Array[Byte]]] = {
-    val m = objmap.filter($"objectKey" === key)
-      .orderBy($"chunkAddress").select($"chunkKey").as[String].collect()
-    if (m.isEmpty) None
-    else {
-      val prefetched = store.fetch(m.distinct.toSeq) // ONE pass for all chunks
-      Some(m.iterator.map(prefetched(_)))
+  def getStream(key: String): Option[Iterator[Array[Byte]]] =
+    committedMap(key).filter(_.nonEmpty).map { ms =>
+      val m = ms.sortBy(_.chunkAddress).map(_.chunkKey)
+      val prefetched = store.fetch(m.distinct) // ONE pass for all chunks
+      m.iterator.map(prefetched(_))
     }
+
+  /** The object's map rows IFF its objects-table row is committed — ONE
+    * union scan (getMetadata's shape), preserving the point-read job
+    * budget. This is the crash-debris guard the contract doc promises:
+    * a writeStream that died between its objmap and objects commits must
+    * be invisible to EVERY read path, and an objmap-only read here would
+    * instead return Some(...) for a key where exists=false/get=None —
+    * worse, its iterator would throw when the never-committed payloads
+    * are missing from the prefetch. */
+  private def committedMap(key: String): Option[Seq[MapRow]] = {
+    val rows = objects.filter($"objectKey" === key)
+      .select(lit("o").as("kind"), lit(null).cast(StringType).as("chunkKey"),
+        lit(0).as("chunkLength"), lit(0).as("chunkPosition"),
+        lit(0L).as("chunkAddress"))
+      .unionByName(objmap.filter($"objectKey" === key)
+        .select(lit("m").as("kind"), $"chunkKey", $"chunkLength",
+          $"chunkPosition", $"chunkAddress"))
+      .collect()
+    if (!rows.exists(_.getString(0) == "o")) None
+    else Some(rows.toSeq.filter(_.getString(0) == "m").map(r =>
+      MapRow(key, r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))))
   }
 
   /** Seekable java.io.InputStream over a deduped object (the reference's
@@ -518,24 +540,29 @@ final class DedupeEngine(
     * position in [0, length] is allowed (DedupeStream.cs:125 rejects
     * offset == Length).
     */
-  def openStream(key: String): Option[DedupeObjectStream] = {
-    val m = objmap.filter($"objectKey" === key).collect().toSeq
-    if (m.isEmpty) None
-    else {
+  def openStream(key: String): Option[DedupeObjectStream] =
+    committedMap(key).filter(_.nonEmpty).map { m =>
       val length = m.iterator.map(r => r.chunkAddress + r.chunkLength).max
       val prefetched = store.fetch(m.map(_.chunkKey).distinct)
-      Some(new DedupeObjectStream(length, m.sortBy(_.chunkAddress),
-        ck => prefetched.getOrElse(ck, store.fetch(Seq(ck))(ck))))
+      new DedupeObjectStream(length, m.sortBy(_.chunkAddress),
+        ck => prefetched.getOrElse(ck, store.fetch(Seq(ck))(ck)))
     }
-  }
 
   /** Distributed bulk reconstruction — every object (or a filtered set)
     * rebuilt in one job via the ordered binary-concat aggregator: map rows
     * join payloads on chunkKey, group by object, concat by address. No
     * driver loop, no per-object query; the 100 TB path. */
   def reconstructAll(keys: Option[Seq[String]] = None): Dataset[(String, Array[Byte])] = {
-    val m = keys.fold(objmap.toDF())(ks =>
-      objmap.join(spark.createDataset(ks).toDF("objectKey"), Seq("objectKey"), "left_semi"))
+    // debris guard: only map rows whose OBJECT row committed participate —
+    // a writeStream that died between its objmap and objects commits (or a
+    // delete that died between objects and objmap) must not surface as a
+    // phantom/truncated/resurrected object in a bulk export. The semi-join
+    // build side is the objects table (object-count rows, far below the
+    // map's chunk-count rows) — AQE broadcasts it in the common case.
+    val committed = objmap.toDF()
+      .join(objects.select($"objectKey"), Seq("objectKey"), "left_semi")
+    val m = keys.fold(committed)(ks =>
+      committed.join(spark.createDataset(ks).toDF("objectKey"), Seq("objectKey"), "left_semi"))
     // exemplar view: concurrent-ingest races can duplicate a chunkKey across
     // payload versions; deduping the payload side BEFORE the join costs no
     // extra shuffle — the dedupe's exchange+sort on chunkKey is exactly the

@@ -171,7 +171,21 @@ final class FlatFilePayloadStore(spark: SparkSession, dir: String)
       .as[(String, Array[Byte])]
       .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
         it.foreach { case (key, bytes) =>
-          Files.write(Paths.get(d, key), bytes)
+          // write-to-temp + ATOMIC_MOVE: a crash mid-write must never
+          // leave a TORN chunks/<key> — the ingest retry's left-anti
+          // dedupe is key-existence-only, so a truncated file would be
+          // skipped on rewrite and poison every later read of this chunk.
+          // The dot-prefixed temp name keeps Spark's binaryFile reader
+          // (read(), which skips hidden files) blind to in-flight writes.
+          val tmp = Files.createTempFile(Paths.get(d), s".$key.", ".tmp")
+          try {
+            Files.write(tmp, bytes)
+            Files.move(tmp, Paths.get(d, key),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } catch {
+            case e: Throwable => Files.deleteIfExists(tmp); throw e
+          }
         }
       }
   }

@@ -45,6 +45,20 @@ import org.apache.spark.sql.types._
  *     4096 chars fails the append loudly on this backend (parquet has no
  *     such bound). Path-like keys fit comfortably; callers minting longer
  *     keys should hash them first.
+ *   - NO commit-conflict detection: `append` is a plain JDBC insert, so
+ *     the parquet backend's multi-writer guard (VersionedTable's link(2)
+ *     CAS → CommitConflictException → `retryOnConflict`) DOES NOT EXIST
+ *     here — two concurrent same-key ingests both pass their exists/dup
+ *     checks against the same DB state and both land. Serialize writers
+ *     externally on this backend (one ingest job per index — the embedded
+ *     single-JVM deployment shape below makes that natural), or add a
+ *     database-side uniqueness constraint on (objectKey) if a server
+ *     deployment must tolerate racing writers.
+ *   - EMBEDDED Derby is a SINGLE-JVM backend: executor tasks open their
+ *     own connections, so local-mode (everything in one JVM) works, and a
+ *     multi-JVM cluster fails loudly on Derby's single-boot lock (the
+ *     factory forces an absolute path so it cannot fail silently
+ *     instead). Cluster deployments use a client-server URL.
  */
 final class JdbcTableStore(
     spark: SparkSession, url: String, table: String,
@@ -221,6 +235,17 @@ object JdbcTableStore {
   def factory(spark: SparkSession, dbDir: String): (String, StructType) => TableStore =
     (path, schema) => {
       val table = path.substring(path.lastIndexOf('/') + 1)
-      new JdbcTableStore(spark, s"jdbc:derby:$dbDir;create=true", table, schema)
+      // ABSOLUTE path, always: append/read run executor-side, and a
+      // relative derby path would resolve against EACH executor JVM's
+      // user.dir — on a multi-JVM cluster `create=true` then silently
+      // builds a fresh empty database per executor and the ingest's rows
+      // vanish. An absolute path makes the multi-JVM case fail LOUDLY
+      // instead (Derby's XSDB6 single-boot error), which is the correct
+      // behavior for an embedded database: it is a single-JVM backend by
+      // nature — a cluster deployment points the URL at a database
+      // SERVER (jdbc:derby://host, jdbc:postgresql://…), where the same
+      // executor-parallel writes are the intended path.
+      val abs = java.nio.file.Paths.get(dbDir).toAbsolutePath.toString
+      new JdbcTableStore(spark, s"jdbc:derby:$abs;create=true", table, schema)
     }
 }

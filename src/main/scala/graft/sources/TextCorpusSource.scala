@@ -42,8 +42,11 @@ object TextCorpusSource {
     StructField("_corrupt_record", StringType)))
 
   /** A quarantined JSONL load: `good` is the typed corpus slice, `corrupt`
-    * the raw unparseable/null-key lines for the reprocess queue. */
-  final case class JsonlCorpus(good: DataFrame, corrupt: DataFrame)
+    * the raw unparseable/null-key lines for the reprocess queue.
+    * `release()` drops the shared-scan cache (no-op on uncached loads) —
+    * call it once both frames are materialized. */
+  final case class JsonlCorpus(good: DataFrame, corrupt: DataFrame,
+      release: () => Unit = () => ())
 
   /** Read a JSONL documents corpus with the explicit schema and the
     * permissive quarantine split. One pass; no inference scan.
@@ -57,11 +60,22 @@ object TextCorpusSource {
     * silently dropped (the r8 ADVICE finding). Keeping the raw `value`
     * column alongside the parsed struct preserves the ORIGINAL line for
     * every quarantined row, whatever the reason it quarantined. */
-  def readDocumentsJsonl(spark: SparkSession, path: String): JsonlCorpus = {
-    val parsed = spark.read.text(path)
+  def readDocumentsJsonl(spark: SparkSession, path: String,
+      cacheForSplit: Boolean = false): JsonlCorpus = {
+    val raw = spark.read.text(path)
       .withColumn("p", from_json(col("value"), documentsSchema,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")))
+    // Both returned frames derive from the same lazy scan: a caller that
+    // materializes both (the standard quarantine workflow — land good,
+    // file corrupt for reprocessing) would read AND Jackson-parse the
+    // whole corpus twice. cacheForSplit=true persists the parsed scan
+    // DISK_ONLY for exactly that workflow; call release() after both
+    // actions. Default off: a good-only consumer must not pay a cache.
+    val parsed =
+      if (cacheForSplit)
+        raw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else raw
     // p is null only for blank/whitespace lines (the json source silently
     // skips those; a text read surfaces them — quarantine, don't drop)
     val bad = col("p").isNull || col("p._corrupt_record").isNotNull ||
@@ -69,7 +83,9 @@ object TextCorpusSource {
     JsonlCorpus(
       good = parsed.filter(!bad)
         .select("p.doc_id", "p.text", "p.lang", "p.source", "p.n_chars"),
-      corrupt = parsed.filter(bad).select(col("value").as("raw_line")))
+      corrupt = parsed.filter(bad).select(col("value").as("raw_line")),
+      release = () =>
+        if (cacheForSplit) { parsed.unpersist(blocking = false); () })
   }
 
   /** Export a documents frame as JSONL (one object per line, canonical

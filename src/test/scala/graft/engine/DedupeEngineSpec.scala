@@ -408,6 +408,16 @@ class DedupeEngineSpec extends SparkSpec {
     assert(e.get("doomed").isEmpty)
     assert(e.objmap.filter(_.objectKey == "doomed").count() > 0,
       "this test must actually produce the narrow-window debris")
+    // the debris must be invisible to EVERY read path, not just exists/get:
+    // the stream paths consult the objects table (committedMap), and the
+    // bulk reconstruction semi-joins against it — an objmap-only read here
+    // would surface a phantom (and, for the stream paths, throw when the
+    // never-committed payloads miss the prefetch)
+    assert(e.getStream("doomed").isEmpty, "getStream must not serve debris")
+    assert(e.openStream("doomed").isEmpty, "openStream must not serve debris")
+    assert(e.reconstructAll().filter(_._1 == "doomed").isEmpty,
+      "bulk reconstruction must not emit a phantom object")
+    assert(e.reconstructAll().count() == 1L, "the survivor still exports")
     // path 1: a plain retry purges the debris itself and round-trips
     e.writeStream("doomed", new java.io.ByteArrayInputStream(data), batchBytes = 4096L)
     assert(java.util.Arrays.equals(e.get("doomed").get, data))
