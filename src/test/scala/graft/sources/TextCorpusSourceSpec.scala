@@ -57,4 +57,34 @@ class TextCorpusSourceSpec extends SparkSpec {
     assert(corrupt.toSet == Set(lines(2), lines(3), lines(4), lines(5)),
       "every quarantined row is its exact input line")
   }
+
+  test("cacheForSplit caches the shared scan, release() drops it, results identical") {
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("jsonlc").toString
+    TextCorpusSource.writeDocumentsJsonl(src, s"$dir/docs")
+    // plan-shape probes target OUR temp-dir scan only, so a concurrently
+    // running suite's cache entries can never flip these assertions
+    def usesCache(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("InMemoryRelation")
+    // default path, probed before any cache entry for this dir exists
+    val plain = TextCorpusSource.readDocumentsJsonl(spark, s"$dir/docs")
+    assert(!usesCache(plain.good), "the default load must not pay a cache")
+    val plainHash = sortedHash(plain.good)
+    val cached = TextCorpusSource.readDocumentsJsonl(spark, s"$dir/docs",
+      cacheForSplit = true)
+    // the quarantine workflow: materialize BOTH splits off the one scan
+    assert(cached.good.count() == plain.good.count())
+    assert(cached.corrupt.count() == 0)
+    assert(usesCache(cached.good) && usesCache(cached.corrupt),
+      "both splits must read the one cached parsed scan")
+    assert(sortedHash(cached.good) == plainHash,
+      "the cache is plan-only: same rows either way")
+    cached.release()
+    val again = TextCorpusSource.readDocumentsJsonl(spark, s"$dir/docs")
+    assert(!usesCache(again.good),
+      "release() must drop the shared-scan cache entry")
+    assert(sortedHash(again.good) == plainHash)
+    again.release() // no-op on the uncached path, by contract
+  }
 }
