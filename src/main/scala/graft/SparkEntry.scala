@@ -214,6 +214,9 @@ object SparkEntry {
     "y20_freq_spectrum" -> (TextQueries.y20FreqSpectrum _),
     // y15: per-doc TF-IDF top terms with rational idf (log-free ranking)
     "y15_tfidf_terms" -> (TextQueries.y15TfIdfTerms _),
+    // y21: incoming-batch vocabulary drift vs the standing corpus — the
+    // ingest-gate distribution check; top-30 per-token probability shifts
+    "y21_corpus_drift" -> (TextQueries.y21CorpusDrift _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // z4: md5-keyed 80/10/10 split, stratification audited per source
     "z4_stratified_split" -> (TextQueries.z4StratifiedSplit _),
@@ -2357,6 +2360,30 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, term, tf, df, round(score, 4) AS tfidf, rank
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // y21: both sides aggregate exact integer counts per token, then the
+    // p-shift is two single IEEE divides + one subtract in the same
+    // evaluation order as the Spark expression — bit-identical DOUBLEs;
+    // the top-30 cut breaks (post-round) ties on the unique token. The
+    // totals mirror the Spark plan's length-arithmetic pass (tokens per
+    // doc = spaces + 1 = string_split cardinality, empties included).
+    "y21_corpus_drift" ->
+      """WITH tok AS (SELECT (doc_id % 7 = 0) AS is_new,
+        |    unnest(string_split(text, ' ')) AS tk FROM documents),
+        |cf AS (SELECT tk,
+        |  CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS cf_old,
+        |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS cf_new
+        |  FROM tok GROUP BY 1),
+        |tt AS (SELECT
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE
+        |    length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS t_old,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN
+        |    length(text) - length(replace(text, ' ', '')) + 1 ELSE 0 END) AS BIGINT) AS t_new
+        |  FROM documents)
+        |SELECT tk, cf_old, cf_new,
+        |  round(abs(CAST(cf_new AS DOUBLE) / t_new -
+        |    CAST(cf_old AS DOUBLE) / t_old) * 1e6, 4) AS drift_ppm
+        |FROM cf CROSS JOIN tt
+        |ORDER BY drift_ppm DESC, tk LIMIT 30""".stripMargin,
     "y1_token_stats" ->
       """WITH d AS (SELECT lang, n_chars,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)

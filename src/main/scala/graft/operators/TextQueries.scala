@@ -693,6 +693,49 @@ object TextQueries {
     * changed-doc counts and char deltas are exact. One codegen'd corpus
     * pass (the isNormalized fast path skips allocation on clean rows);
     * only the per-lang rollup exchanges. */
+  /** y21: corpus-version VOCABULARY DRIFT — the ingest-gate distribution
+    * check a production pipeline runs before admitting a new crawl batch:
+    * is the arriving slice (x11's `doc_id % 7 == 0` "new crawl"
+    * convention) distributed like the standing corpus, and which tokens
+    * moved most? Output: the 30 largest per-token probability shifts, as
+    * exact occurrence counts on each side plus the shift in
+    * parts-per-million. Log-free (the y14 rationale — no libm in the
+    * oracle path): the p-shift is two single IEEE divisions of exact
+    * longs and one subtraction, evaluation-ordered identically in the
+    * oracle SQL, so the DOUBLE is bit-identical; ranking ties (possible
+    * only after rounding) break on the unique token. Scale: the corpus
+    * is TOKENIZED once (deriving the totals from the token aggregation
+    * would recompute the whole explode+shuffle subtree — measured in the
+    * first cut's plan); the totals side instead re-derives each side's
+    * exact token count with [[tokenCount]]'s length arithmetic (tokens
+    * per doc = spaces + 1 = `split` cardinality, trailing empties
+    * included on both engines) — a second read of the text bytes but no
+    * explode, no allocation, and a 1-row no-exchange aggregate. One
+    * vocabulary-keyed exchange with map-side partial aggregation, a
+    * 1-row totals broadcast (PlanLint's whitelisted shape), and the
+    * top-30 plans as TakeOrderedAndProject — no global sort, no
+    * unpartitioned window. Vocabulary-sized rows shuffle; document text
+    * never does. */
+  def y21CorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("is_new", col("doc_id") % 7 === 0)
+    val cf = docs
+      .select(col("is_new"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("tk").agg(
+        sum(when(col("is_new"), 0L).otherwise(1L)).as("cf_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("cf_new"))
+    val totals = docs.select(col("is_new"), tokenCount(col("text")).as("n"))
+      .agg(sum(when(!col("is_new"), col("n")).otherwise(0L)).as("t_old"),
+        sum(when(col("is_new"), col("n")).otherwise(0L)).as("t_new"))
+    cf.join(broadcast(totals))
+      .withColumn("drift_ppm",
+        round(abs(col("cf_new").cast("double") / col("t_new") -
+          col("cf_old").cast("double") / col("t_old")) * 1e6, 4))
+      .select("tk", "cf_old", "cf_new", "drift_ppm")
+      .orderBy(desc("drift_ppm"), asc("tk"))
+      .limit(30)
+  }
+
   def y16NfcClean(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NfcNormalize.nfcNormalize
     val aug = t(spark, dir, "documents")

@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkSpec {
     "y14_unigram_typicality" -> "1-row corpus-mean scalar broadcast onto per-doc scores",
     "y19_bigram_typicality" -> "1-row corpus-mean scalar broadcast onto per-doc bigram scores",
     "y15_tfidf_terms" -> "1-row corpus doc-count broadcast into every idf term",
+    "y21_corpus_drift" -> "1-row per-side token totals broadcast onto the vocabulary table",
     "y18_bm25" -> "1-row corpus stats (N, Σdl, 3 dfs) broadcast onto per-doc scores",
     "w10_assoc_rules" -> "1-row basket total joined onto the 20-row rule list",
     "n2_hits" -> "1-row L1 mass joined back per normalization half-step",
