@@ -432,6 +432,40 @@ class QueryPropertiesSpec extends SparkSpec {
       assert(got(src) === exp, s"$src (n_new_docs, admitted_docs, admitted_tokens)")
   }
 
+  test("y21 drift rows re-derive exactly from independent token counts") {
+    // independent recomputation: per-side totals from the corpus, per-token
+    // counts for the returned tokens, then the same two-divide arithmetic —
+    // every output cell must reproduce, and the top-30 must really be the
+    // global maximum drift (no row outside the cut may exceed the cut's min)
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select((col("doc_id") % 7 === 0).as("is_new"),
+        explode(split(col("text"), " ")).as("tk"))
+      .groupBy("tk").agg(
+        sum(when(col("is_new"), 0L).otherwise(1L)).as("o"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val tOld = docs.valuesIterator.map(_._1).sum
+    val tNew = docs.valuesIterator.map(_._2).sum
+    def ppm(cf: (Long, Long)): Double = BigDecimal(
+      math.abs(cf._2.toDouble / tNew - cf._1.toDouble / tOld) * 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextQueries.y21CorpusDrift(spark, sfDir).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val (o, n) = docs(r.getString(0))
+      assert(r.getLong(1) == o && r.getLong(2) == n,
+        s"token '${r.getString(0)}' counts diverge")
+      assert(r.getDouble(3) == ppm((o, n)),
+        s"token '${r.getString(0)}' drift_ppm diverges")
+    }
+    val cutMin = out.map(_.getDouble(3)).min
+    val returned = out.map(_.getString(0)).toSet
+    val excludedMax = docs.iterator.filterNot(kv => returned(kv._1))
+      .map(kv => ppm(kv._2)).max
+    assert(excludedMax <= cutMin,
+      s"a token outside the top-30 drifts more ($excludedMax > $cutMin)")
+  }
+
   test("v4 IVF probes exactly one cell per query and never returns self") {
     // (this corpus' embeddings are near-random — within-label cosine ~0.004
     // vs ~-0.001 across — so recall vs brute force is a data property, not
