@@ -217,6 +217,11 @@ object SparkEntry {
     // y21: incoming-batch vocabulary drift vs the standing corpus — the
     // ingest-gate distribution check; top-30 per-token probability shifts
     "y21_corpus_drift" -> (TextQueries.y21CorpusDrift _),
+    // st16: y21's drift table maintained ON the ingest stream (Complete-
+    // mode vocab aggregation); counting is associative, so the streamed
+    // result hash-matches the batch oracle verbatim
+    "st16_stream_drift" ->
+      (graft.streaming.CorpusStreamDrift.st16StreamDrift _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // z4: md5-keyed 80/10/10 split, stratification audited per source
     "z4_stratified_split" -> (TextQueries.z4StratifiedSplit _),
@@ -833,6 +838,28 @@ object SparkEntry {
       |FROM xr x LEFT JOIN appr a
       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
       |GROUP BY 1, 2""".stripMargin
+
+  /** y21 + st16 (the streamed form is carving-independent, so one SQL
+    * serves both): exact integer token counts per side, length-arithmetic
+    * totals, two-divide ppm shift, top-30 with token tie-break. */
+  private val corpusDriftOracle: String =
+    """WITH tok AS (SELECT (doc_id % 7 = 0) AS is_new,
+      |    unnest(string_split(text, ' ')) AS tk FROM documents),
+      |cf AS (SELECT tk,
+      |  CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS cf_old,
+      |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS cf_new
+      |  FROM tok GROUP BY 1),
+      |tt AS (SELECT
+      |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE
+      |    length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS t_old,
+      |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN
+      |    length(text) - length(replace(text, ' ', '')) + 1 ELSE 0 END) AS BIGINT) AS t_new
+      |  FROM documents)
+      |SELECT tk, cf_old, cf_new,
+      |  round(abs(CAST(cf_new AS DOUBLE) / t_new -
+      |    CAST(cf_old AS DOUBLE) / t_old) * 1e6, 4) AS drift_ppm
+      |FROM cf CROSS JOIN tt
+      |ORDER BY drift_ppm DESC, tk LIMIT 30""".stripMargin
 
   private val recallAuditOracle: String =
     s"""SELECT * FROM (
@@ -2366,24 +2393,10 @@ object SparkEntry {
     // the top-30 cut breaks (post-round) ties on the unique token. The
     // totals mirror the Spark plan's length-arithmetic pass (tokens per
     // doc = spaces + 1 = string_split cardinality, empties included).
-    "y21_corpus_drift" ->
-      """WITH tok AS (SELECT (doc_id % 7 = 0) AS is_new,
-        |    unnest(string_split(text, ' ')) AS tk FROM documents),
-        |cf AS (SELECT tk,
-        |  CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS cf_old,
-        |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS cf_new
-        |  FROM tok GROUP BY 1),
-        |tt AS (SELECT
-        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE
-        |    length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS t_old,
-        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN
-        |    length(text) - length(replace(text, ' ', '')) + 1 ELSE 0 END) AS BIGINT) AS t_new
-        |  FROM documents)
-        |SELECT tk, cf_old, cf_new,
-        |  round(abs(CAST(cf_new AS DOUBLE) / t_new -
-        |    CAST(cf_old AS DOUBLE) / t_old) * 1e6, 4) AS drift_ppm
-        |FROM cf CROSS JOIN tt
-        |ORDER BY drift_ppm DESC, tk LIMIT 30""".stripMargin,
+    "y21_corpus_drift" -> corpusDriftOracle,
+    // st16: counting is associative, so the streamed drift table equals
+    // the batch rebuild exactly — the oracle is y21's, verbatim
+    "st16_stream_drift" -> corpusDriftOracle,
     "y1_token_stats" ->
       """WITH d AS (SELECT lang, n_chars,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)

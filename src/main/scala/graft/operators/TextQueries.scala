@@ -20,8 +20,9 @@ object TextQueries {
       length(replace(concat(lit(" "), text, lit(" ")), lit(s" $word "), lit(" ")))) /
       (word.length + 1)).cast("long")
 
-  /** Whitespace token count without split(): spaces + 1. */
-  private[operators] def tokenCount(text: Column): Column =
+  /** Whitespace token count without split(): spaces + 1.
+    * (private[graft]: st16's static totals reuse it cross-package.) */
+  private[graft] def tokenCount(text: Column): Column =
     (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
 
   /** EXACT standalone-token occurrence count. [[wordCount]]'s single-pad
@@ -727,6 +728,16 @@ object TextQueries {
     val totals = docs.select(col("is_new"), tokenCount(col("text")).as("n"))
       .agg(sum(when(!col("is_new"), col("n")).otherwise(0L)).as("t_old"),
         sum(when(col("is_new"), col("n")).otherwise(0L)).as("t_new"))
+    driftTop30(cf, totals)
+  }
+
+  /** y21's final assembly, shared verbatim by the batch form and its
+    * streaming twin (st16) so the two can never diverge arithmetically:
+    * `cf` is (tk, cf_old, cf_new), `totals` a 1-row (t_old, t_new). The
+    * p-shift's two divides + subtract stay in this exact evaluation
+    * order (the oracle mirrors it); (post-round) ranking ties break on
+    * the unique token; the top-30 plans as TakeOrderedAndProject. */
+  private[graft] def driftTop30(cf: DataFrame, totals: DataFrame): DataFrame =
     cf.join(broadcast(totals))
       .withColumn("drift_ppm",
         round(abs(col("cf_new").cast("double") / col("t_new") -
@@ -734,7 +745,6 @@ object TextQueries {
       .select("tk", "cf_old", "cf_new", "drift_ppm")
       .orderBy(desc("drift_ppm"), asc("tk"))
       .limit(30)
-  }
 
   def y16NfcClean(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NfcNormalize.nfcNormalize

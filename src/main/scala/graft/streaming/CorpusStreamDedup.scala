@@ -41,7 +41,7 @@ import org.apache.spark.sql.types._
  */
 object CorpusStreamDedup {
 
-  private val newDocsSchema: StructType = StructType(Seq(
+  private[streaming] val newDocsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   private val stageMemo =
@@ -52,7 +52,7 @@ object CorpusStreamDedup {
   /** Stage the NEW slice (doc_id % 7 = 0 — x11's increment) as 4 parquet
     * part files so maxFilesPerTrigger=1 yields several REAL micro-batches;
     * memoized per (session, corpus). */
-  private def stagedNewDocs(spark: SparkSession, dir: String): String =
+  private[streaming] def stagedNewDocs(spark: SparkSession, dir: String): String =
     stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-st14")
       graft.core.FsUtil.deleteOnExitRecursively(d)

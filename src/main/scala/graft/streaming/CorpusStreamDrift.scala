@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * st16: corpus-version VOCABULARY DRIFT maintained ON the ingest stream —
+ * y21's monitoring table computed incrementally as the new crawl arrives,
+ * instead of re-tokenizing the admitted slice after the fact. The drift
+ * dashboard is an OPERATIONAL concern: production pipelines watch it while
+ * a crawl lands, so the natural home for the new-side token counts is the
+ * stream's own aggregation state, not a nightly batch rebuild.
+ *
+ * Dataflow: the staged new slice (x11's `doc_id % 7 == 0` increment,
+ * [[CorpusStreamDedup.stagedNewDocs]]'s deterministic range-partitioned
+ * staging, one file per micro-batch) streams through explode(split) →
+ * a REAL streaming aggregation `groupBy(tk).count()` in Complete mode;
+ * each trigger lands the full running vocabulary via foreachBatch
+ * overwrite. After the replay drains, the FINAL streamed counts join the
+ * static old-side counts (full outer, zero-filled — y21 keeps old-only
+ * tokens) and the shared [[graft.operators.TextQueries.driftTop30]]
+ * assembly produces the output — the same code as the batch form, so the
+ * two cannot diverge arithmetically.
+ *
+ * Stream == batch bridge: counting is associative and the final state is
+ * the sum over all micro-batches, so the result is micro-batch-carving
+ * independent and hash-matches y21's DuckDB oracle VERBATIM (totals in
+ * y21 are length-arithmetic token counts, which equal the summed split
+ * cardinalities exactly — trailing empties included on both engines).
+ *
+ * Scale: streaming-agg state and each Complete-mode rewrite are
+ * VOCABULARY-sized (tokens + two longs — bounded and tiny next to the
+ * corpus), the x11/st14 contract that per-batch work scales with the
+ * batch; document text never enters state. The old side is one static
+ * batch tokenize of the standing corpus — at 100 TB that side is the
+ * persisted count table a production deployment maintains, not a
+ * per-query rebuild.
+ */
+object CorpusStreamDrift {
+
+  /** The streamed counts sink's schema — needed to read an EMPTY sink
+    * (no-increment corpus: no trigger ever fires) without inference. */
+  private val countsSchema: StructType = StructType(Seq(
+    StructField("tk", StringType), StructField("cf_new", LongType)))
+
+  def st16StreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Tables, TextQueries}
+    val sink = EventStreamOps.replaySinkDir("st16")
+    val stream = spark.readStream
+      .schema(CorpusStreamDedup.newDocsSchema)
+      .option("maxFilesPerTrigger", "1") // several real micro-batches
+      .parquet(CorpusStreamDedup.stagedNewDocs(spark, dir))
+    val counts = stream
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("cf_new"))
+    val q = counts.writeStream
+      .outputMode("complete")
+      // Complete mode re-emits the full running vocabulary each trigger —
+      // foreachBatch OVERWRITES the sink so it always holds the latest
+      // snapshot (the dashboard read shape); the final overwrite after the
+      // replay drains is the admitted slice's exact token counts
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(sink.toString)
+      }
+      .option("checkpointLocation", EventStreamOps.replayCheckpointDir("st16"))
+      .queryName("st16").start()
+    try q.processAllAvailable() finally q.stop()
+    val newCf = spark.read.schema(countsSchema).parquet(sink.toString)
+    // static sides: the standing corpus' token counts and BOTH exact token
+    // totals (y21's length-arithmetic form — no second explode; t_new from
+    // the stream state would be the same long, but taking both totals from
+    // one static pass keeps this a single narrow scan)
+    val docs = Tables.t(spark, dir, "documents")
+      .withColumn("is_new", col("doc_id") % 7 === 0)
+    val oldCf = docs.filter(!col("is_new"))
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("cf_old"))
+    val totals = docs
+      .select(col("is_new"), TextQueries.tokenCount(col("text")).as("n"))
+      .agg(sum(when(!col("is_new"), col("n")).otherwise(0L)).as("t_old"),
+        sum(when(col("is_new"), col("n")).otherwise(0L)).as("t_new"))
+    val cf = oldCf.join(newCf, Seq("tk"), "full_outer")
+      .select(col("tk"),
+        coalesce(col("cf_old"), lit(0L)).as("cf_old"),
+        coalesce(col("cf_new"), lit(0L)).as("cf_new"))
+    TextQueries.driftTop30(cf, totals)
+  }
+}
