@@ -170,24 +170,35 @@ final class FlatFilePayloadStore(spark: SparkSession, dir: String)
     payloads.select(col("chunkKey"), col("data"))
       .as[(String, Array[Byte])]
       .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        // write-to-temp + fsync + ATOMIC_MOVE (see writeAtomic): a crash
+        // mid-write or mid-host-failure must never leave a TORN
+        // chunks/<key> — the ingest retry's left-anti dedupe is
+        // key-existence-only, so a truncated file would be skipped on
+        // rewrite and poison every later read of this chunk. The
+        // dot-prefixed temp name keeps Spark's binaryFile reader (read(),
+        // which skips hidden files) blind to in-flight writes.
+        var wrote = false
         it.foreach { case (key, bytes) =>
-          // write-to-temp + ATOMIC_MOVE: a crash mid-write must never
-          // leave a TORN chunks/<key> — the ingest retry's left-anti
-          // dedupe is key-existence-only, so a truncated file would be
-          // skipped on rewrite and poison every later read of this chunk.
-          // The dot-prefixed temp name keeps Spark's binaryFile reader
-          // (read(), which skips hidden files) blind to in-flight writes.
-          val tmp = Files.createTempFile(Paths.get(d), s".$key.", ".tmp")
-          try {
-            Files.write(tmp, bytes)
-            Files.move(tmp, Paths.get(d, key),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          } catch {
-            case e: Throwable => Files.deleteIfExists(tmp); throw e
-          }
+          FlatFilePayloadStore.writeAtomic(d, key, bytes)
+          wrote = true
         }
+        // once per task, not per file: make the RENAMES durable too
+        if (wrote) FlatFilePayloadStore.fsyncDir(d)
       }
+  }
+
+  /** Sweep crashed writers' hidden temp files — the trait's vacuum
+    * contract (no writer in flight means every hidden .tmp is debris from
+    * a hard-killed executor whose catch-block cleanup never ran). read()
+    * skips hidden files, so the debris never affects correctness; this
+    * reclaims the space so a long-lived store under occasional task
+    * failures doesn't accumulate temp files without bound. */
+  override def vacuum(): Unit = {
+    val s = Files.list(Paths.get(dir))
+    try s.iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(".") && n.endsWith(".tmp")) Files.deleteIfExists(p)
+    } finally s.close()
   }
 
   override def delete(keys: Seq[String]): Unit =
@@ -201,4 +212,64 @@ final class FlatFilePayloadStore(spark: SparkSession, dir: String)
   /** One file per key: duplicates are structurally impossible — skip even
     * the detection scan (read() here materializes payload bytes). */
   override def healDuplicates(): Seq[String] = Nil
+}
+
+/** Executor-side file primitives (object, not class, so the
+  * foreachPartition closures capture nothing but the dir string). */
+private object FlatFilePayloadStore {
+
+  /** umask-style world-readable perms, matching what a plain
+    * `Files.write` used to create: `createTempFile` hands back 0600, and
+    * the rename would PRESERVE that — silently locking cross-user readers
+    * (backup/export services on a shared cluster FS) out of every chunk
+    * written after the temp-file switch. Best-effort on non-POSIX. */
+  private val filePerms =
+    java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--")
+
+  /** Durable atomic publish of one chunk file:
+    *  - the data is fsynced BEFORE the rename (`force(true)`) — on a
+    *    journaling FS with delayed allocation a crash can otherwise
+    *    commit the rename without the bytes, leaving exactly the torn
+    *    target the temp+rename dance exists to prevent;
+    *  - an existing target surviving a failed move is SUCCESS, not an
+    *    error: payloads for one chunkKey are byte-identical by
+    *    construction (SHA-256 content key), and `REPLACE_EXISTING` is
+    *    only advisory under `ATOMIC_MOVE` (per Files.move, a provider
+    *    may refuse to replace) — the racing-duplicate-append the trait
+    *    contract tolerates must not fail the whole ingest job. */
+  def writeAtomic(d: String, key: String, bytes: Array[Byte]): Unit = {
+    val target = Paths.get(d, key)
+    val tmp = Files.createTempFile(Paths.get(d), s".$key.", ".tmp")
+    try {
+      try Files.setPosixFilePermissions(tmp, filePerms)
+      catch { case _: UnsupportedOperationException => () }
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+      finally ch.close()
+      try Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          if (Files.exists(target)) { Files.deleteIfExists(tmp); () }
+          else throw e
+      }
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
+  }
+
+  /** fsync the chunks DIRECTORY so the renames themselves are durable —
+    * once per written partition, not per file. Best-effort: providers
+    * that refuse a directory channel (non-POSIX) just skip it. */
+  def fsyncDir(d: String): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(d),
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch {
+      case _: java.io.IOException | _: UnsupportedOperationException => ()
+    }
 }

@@ -694,6 +694,23 @@ object TextQueries {
     * changed-doc counts and char deltas are exact. One codegen'd corpus
     * pass (the isNormalized fast path skips allocation on clean rows);
     * only the per-lang rollup exchanges. */
+  def y16NfcClean(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfcNormalize
+    val aug = t(spark, dir, "documents")
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301"))
+          .when(col("doc_id") % 3 === 1, lit(" caf\u00e9"))
+          .otherwise(lit(""))))
+      .withColumn("nrm", nfcNormalize(col("aug")))
+    aug.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nrm") =!= col("aug"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("aug")).cast("long")).as("chars_raw"),
+        sum(length(col("nrm")).cast("long")).as("chars_nfc"))
+      .orderBy("lang")
+  }
+
   /** y21: corpus-version VOCABULARY DRIFT — the ingest-gate distribution
     * check a production pipeline runs before admitting a new crawl batch:
     * is the arriving slice (x11's `doc_id % 7 == 0` "new crawl"
@@ -745,21 +762,4 @@ object TextQueries {
       .select("tk", "cf_old", "cf_new", "drift_ppm")
       .orderBy(desc("drift_ppm"), asc("tk"))
       .limit(30)
-
-  def y16NfcClean(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.NfcNormalize.nfcNormalize
-    val aug = t(spark, dir, "documents")
-      .withColumn("aug", concat(col("text"),
-        when(col("doc_id") % 3 === 0, lit(" cafe\u0301"))
-          .when(col("doc_id") % 3 === 1, lit(" caf\u00e9"))
-          .otherwise(lit(""))))
-      .withColumn("nrm", nfcNormalize(col("aug")))
-    aug.groupBy("lang")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("nrm") =!= col("aug"), 1L).otherwise(0L)).as("n_changed"),
-        sum(length(col("aug")).cast("long")).as("chars_raw"),
-        sum(length(col("nrm")).cast("long")).as("chars_nfc"))
-      .orderBy("lang")
-  }
 }

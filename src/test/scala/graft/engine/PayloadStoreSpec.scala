@@ -166,4 +166,35 @@ class PayloadStoreSpec extends SparkSpec {
     assert(!Files.exists(out.getParent.resolve("escape.bin")),
       "no file may be written outside the export root")
   }
+
+  test("flat-file store: duplicate-key append succeeds, perms are world-readable, vacuum sweeps tmp debris") {
+    val d = Files.createTempDirectory("graft-ff-dur").toString
+    val store = new FlatFilePayloadStore(spark, d)
+    val bytes = randomBytes(4096, 31)
+    import spark.implicits._
+    val df = Seq(("k1", bytes)).toDF("chunkKey", "data")
+    store.append(df)
+    // duplicate-key append (the racing-writers case the trait contract
+    // tolerates): payloads for one key are byte-identical, so a second
+    // append of the same key must SUCCEED whatever Files.move decides
+    // about replace-under-ATOMIC_MOVE on this provider
+    store.append(df)
+    assert(java.util.Arrays.equals(store.fetch(Seq("k1"))("k1"), bytes))
+    // the published chunk must be world-readable (the old Files.write
+    // behavior) — createTempFile's 0600 must not leak through the rename
+    // and lock out cross-user readers on a shared cluster FS
+    val perms = Files.getPosixFilePermissions(
+      java.nio.file.Paths.get(d, "k1"))
+    assert(perms.contains(java.nio.file.attribute.PosixFilePermission.OTHERS_READ),
+      s"chunk perms $perms must include others-read")
+    // vacuum sweeps a hard-killed writer's hidden temp debris and leaves
+    // the live chunk; read() was already blind to it (hidden file)
+    val debris = java.nio.file.Paths.get(d, ".k2.12345.tmp")
+    Files.write(debris, randomBytes(100, 32))
+    assert(store.read().count() == 1, "hidden tmp must be invisible to read()")
+    store.vacuum()
+    assert(!Files.exists(debris), "vacuum must delete tmp debris")
+    assert(java.util.Arrays.equals(store.fetch(Seq("k1"))("k1"), bytes),
+      "vacuum must not touch live chunks")
+  }
 }
