@@ -710,7 +710,11 @@ object SimilarityQueries {
   def v12IvfAdc(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("s").desc, col("neighbor_id"))
-    ivfAdcScored(spark, dir)
+    // through the size dispatcher: the 10-query driver sample sits below
+    // InlineQueryLimit, so this IS the historical inline plan — but a
+    // caller with a production probe set gets the join dataflow without
+    // touching the API (the two are bitwise-identical, AdcJoinSpec)
+    ivfAdcScoredAuto(spark, dir)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"),
@@ -775,16 +779,43 @@ object SimilarityQueries {
   }
 
   private[operators] def ivfAdcScored(spark: SparkSession, dir: String,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      queriesPred: Column = col("vec_id") < 10): DataFrame = {
     import spark.implicits._
     val cents = pqCodebooks(spark, dir)
     val coarse = trainedCentroids(spark, dir, "full", 10, 3)
     val assigned = kmeansAssigned(spark, dir, 10, 3)
     val coded = codedVectors(spark, dir)
-    val queries = assigned.filter(col("vec_id") < 10)
+    val queries = assigned.filter(queriesPred)
       .select(col("vec_id"), col("cell"), col("embedding"))
       .as[(Long, Int, Array[Float])].collect().sortBy(_._1).toSeq
     ivfAdcServe(coarse, cents, coded, queries, nprobe)
+  }
+
+  /** The inline CASE-literal ADC form is the right plan only while the
+    * probe set is SMALL: its expression tree grows O(|Q|·M·k') and the
+    * whole probe set rides the driver's plan. At M=4 subspaces and
+    * k'=4 codes, 64 queries is ~1k CASE branches — comfortably inside
+    * whole-stage codegen's 64KB method budget with an order of magnitude
+    * of headroom, and plan-build time still milliseconds. Past it, the
+    * join-dataflow form's O(1) expression size wins (its |Q|-scaled
+    * tables live in the data plane, AQE-gated). */
+  private[operators] val InlineQueryLimit = 64L
+
+  /** The serving entry point: dispatch between the two bitwise-identical
+    * ADC implementations on probe-set size (the r9 review's scale note —
+    * closed). The count is one row-group-pruned scan of the predicate;
+    * at or below [[InlineQueryLimit]] the inline path runs (v12's
+    * historical plan, oracle-stable), above it the join dataflow.
+    * AdcJoinSpec proves the outputs identical on both sides of the
+    * threshold AND that the switch really changes the plan. */
+  private[operators] def ivfAdcScoredAuto(spark: SparkSession, dir: String,
+      nprobe: Int = 1,
+      queriesPred: Column = col("vec_id") < 10,
+      inlineQueryLimit: Long = InlineQueryLimit): DataFrame = {
+    val nQ = t(spark, dir, "embeddings").filter(queriesPred).count()
+    if (nQ <= inlineQueryLimit) ivfAdcScored(spark, dir, nprobe, queriesPred)
+    else ivfAdcScoredJoined(spark, dir, nprobe, queriesPred)
   }
 
   /** The IVFADC scoring core over EXPLICIT index parts — the serve-time
@@ -903,14 +934,15 @@ object SimilarityQueries {
     * left-assoc order — AdcJoinSpec asserts stream equality and the v20
     * driver row shares v12's oracle verbatim. */
   private[operators] def ivfAdcScoredJoined(spark: SparkSession, dir: String,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      queriesPred: Column = col("vec_id") < 10): DataFrame = {
     import spark.implicits._
     val (m, subDim) = (PqM, PqSubDim)
     val coarseDf = trainedCentroids(spark, dir, "full", 10, 3)
       .toDF("cell", "centroid")
     val books = pqCodebooks(spark, dir)
     val coded = codedVectors(spark, dir)
-    val q = t(spark, dir, "embeddings").filter(col("vec_id") < 10)
+    val q = t(spark, dir, "embeddings").filter(queriesPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val wq = Window.partitionBy("query_id").orderBy(col("obj").desc, col("cell"))
     val probes = q.join(broadcast(coarseDf))

@@ -25,4 +25,26 @@ class AdcJoinSpec extends SparkSpec {
     assert(rows(SimilarityQueries.v20AdcJoinServe(spark, sfDir))
       == rows(SimilarityQueries.v12IvfAdc(spark, sfDir)))
   }
+
+  test("the size dispatcher switches plans at InlineQueryLimit, outputs identical") {
+    import org.apache.spark.sql.functions.col
+    def stream(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the inline form's signature: per-query CASE-literal distance tables
+    def isInlinePlan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("CASE WHEN (code_0")
+    // below the threshold: the dispatcher IS the historical inline plan
+    val small = SimilarityQueries.ivfAdcScoredAuto(spark, sfDir)
+    assert(isInlinePlan(small), "10 queries must take the inline path")
+    assert(stream(small) == stream(SimilarityQueries.ivfAdcScored(spark, sfDir)))
+    // above it: a 100-query probe set flips to the join dataflow, and the
+    // two implementations still agree bitwise at that size
+    val pred = col("vec_id") < 100
+    val auto = SimilarityQueries.ivfAdcScoredAuto(spark, sfDir, queriesPred = pred)
+    assert(!isInlinePlan(auto), "100 queries must take the join dataflow")
+    val inline100 = stream(
+      SimilarityQueries.ivfAdcScored(spark, sfDir, queriesPred = pred))
+    assert(stream(auto) == inline100 && inline100.nonEmpty,
+      "both paths bitwise-identical on the wide probe set too")
+  }
 }
