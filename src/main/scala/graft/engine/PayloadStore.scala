@@ -192,12 +192,22 @@ final class FlatFilePayloadStore(spark: SparkSession, dir: String)
     * a hard-killed executor whose catch-block cleanup never ran). read()
     * skips hidden files, so the debris never affects correctness; this
     * reclaims the space so a long-lived store under occasional task
-    * failures doesn't accumulate temp files without bound. */
+    * failures doesn't accumulate temp files without bound.
+    *
+    * Only temp files older than [[FlatFilePayloadStore.vacuumGraceMs]] are
+    * swept: the no-writer-in-flight precondition is documented, not
+    * enforced, and an accidental concurrent vacuum that deleted a LIVE
+    * writer's temp file would fail that ingest task with a confusing
+    * NoSuchFileException at its fsync/rename. Real debris is hours old by
+    * the time a maintenance vacuum runs; a grace window loses nothing. */
   override def vacuum(): Unit = {
+    val cutoff = System.currentTimeMillis() - FlatFilePayloadStore.vacuumGraceMs
     val s = Files.list(Paths.get(dir))
     try s.iterator().forEachRemaining { p =>
       val n = p.getFileName.toString
-      if (n.startsWith(".") && n.endsWith(".tmp")) Files.deleteIfExists(p)
+      if (n.startsWith(".") && n.endsWith(".tmp") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        Files.deleteIfExists(p)
     } finally s.close()
   }
 
@@ -216,7 +226,16 @@ final class FlatFilePayloadStore(spark: SparkSession, dir: String)
 
 /** Executor-side file primitives (object, not class, so the
   * foreachPartition closures capture nothing but the dir string). */
-private object FlatFilePayloadStore {
+private[engine] object FlatFilePayloadStore {
+
+  /** Minimum temp-file age before vacuum() may reclaim it (5 min). No live
+    * write holds a temp file anywhere near this long — a chunk write is
+    * one buffer + fsync + rename — so the window makes a
+    * concurrent-by-accident vacuum harmless while still reclaiming every
+    * crashed writer's debris on the next maintenance pass (real debris is
+    * hours old by then). The spec exercises both sides by back-dating a
+    * debris file's mtime, not by shrinking this. */
+  val vacuumGraceMs: Long = 5L * 60 * 1000
 
   /** umask-style world-readable perms, matching what a plain
     * `Files.write` used to create: `createTempFile` hands back 0600, and
@@ -236,7 +255,12 @@ private object FlatFilePayloadStore {
     *    construction (SHA-256 content key), and `REPLACE_EXISTING` is
     *    only advisory under `ATOMIC_MOVE` (per Files.move, a provider
     *    may refuse to replace) — the racing-duplicate-append the trait
-    *    contract tolerates must not fail the whole ingest job. */
+    *    contract tolerates must not fail the whole ingest job;
+    *  - a provider with NO atomic-move support at all
+    *    (AtomicMoveNotSupportedException with no pre-existing target)
+    *    falls back to a plain REPLACE_EXISTING move: crash-atomicity is
+    *    degraded to what the provider can give, but fresh ingests on such
+    *    filesystems keep working (a plain Files.write used to). */
   def writeAtomic(d: String, key: String, bytes: Array[Byte]): Unit = {
     val target = Paths.get(d, key)
     val tmp = Files.createTempFile(Paths.get(d), s".$key.", ".tmp")
@@ -252,6 +276,10 @@ private object FlatFilePayloadStore {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException
+            if !Files.exists(target) =>
+          Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         case e: java.nio.file.FileSystemException =>
           if (Files.exists(target)) { Files.deleteIfExists(tmp); () }
           else throw e

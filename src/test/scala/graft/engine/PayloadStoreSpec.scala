@@ -192,8 +192,16 @@ class PayloadStoreSpec extends SparkSpec {
     val debris = java.nio.file.Paths.get(d, ".k2.12345.tmp")
     Files.write(debris, randomBytes(100, 32))
     assert(store.read().count() == 1, "hidden tmp must be invisible to read()")
+    // fresh temp files are inside the grace window — an accidental vacuum
+    // racing a live writer must NOT delete its in-flight temp file
     store.vacuum()
-    assert(!Files.exists(debris), "vacuum must delete tmp debris")
+    assert(Files.exists(debris),
+      "vacuum must spare temp files younger than the grace window")
+    // back-date past the grace window: now it's genuine crash debris
+    Files.setLastModifiedTime(debris, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - FlatFilePayloadStore.vacuumGraceMs - 60000))
+    store.vacuum()
+    assert(!Files.exists(debris), "vacuum must delete aged tmp debris")
     assert(java.util.Arrays.equals(store.fetch(Seq("k1"))("k1"), bytes),
       "vacuum must not touch live chunks")
   }
