@@ -229,6 +229,9 @@ object SparkEntry {
     // z7: zone-map skip audit — one predicate vs three layouts (z-order /
     // day-sorted / qty-sorted): zones scanned, rows read, true matches
     "z7_zone_skip" -> (LayoutOps.z7ZoneSkip _),
+    // z9: Hilbert curve vs z-order head-to-head — per (layout, rectangle)
+    // zone-map pruning audit on the shared 8-bit quantization grid
+    "z9_hilbert_layout" -> (LayoutOps.z9HilbertLayout _),
     // z8: the composed export — x10 survivors → z3 packing → fixed-token
     // shards LANDED as partitioned parquet; manifest read back from disk
     "z8_shard_export" -> (ExportOps.z8ShardExport _),
@@ -2227,6 +2230,7 @@ object SparkEntry {
         |FROM s GROUP BY 1 ORDER BY source""".stripMargin,
     "z5_zorder_layout" -> LayoutOps.z5OracleSql,
     "z7_zone_skip" -> LayoutOps.z7OracleSql,
+    "z9_hilbert_layout" -> LayoutOps.z9OracleSql,
     // y13: y2's exact stop-hit arithmetic + row_number over the same
     // deterministic (score desc, doc_id) order; integer-only rollup
     "y13_source_cap" ->

@@ -73,6 +73,192 @@ object LayoutOps {
       .orderBy("zbucket")
   }
 
+  // ---------------------------------------------------------------- Hilbert
+
+  /** One fold step of the order-8 Hilbert index (the textbook xy2d
+    * iteration): at bit level b, quadrant bits (rx, ry) contribute
+    * 4^b·((3·rx) XOR ry) to the index — rendered as the xor-free
+    * arithmetic identity 3·rx + ry − 2·rx·ry so both engines run pure
+    * +/−/× — and the frame then rotates/reflects for the next level
+    * (ry=0 ∧ rx=1: (x,y) ← (255−y, 255−x); ry=0 ∧ rx=0: swap; ry=1:
+    * unchanged — the complement form over the full 8-bit frame).
+    * Returned as (x', y', dterm) Columns. [[hilbertStepSql]] is the same
+    * step rendered as SQL text for the DuckDB oracle; the two renderings
+    * are pinned together by the spec (Column chain ≡ an independent
+    * imperative reference on all 65,536 cells) plus the oracle
+    * hash-match (SQL chain ≡ Column chain on real data). */
+  private def hilbertStep(b: Int, x: Column, y: Column): (Column, Column, Column) = {
+    val rx = shiftright(x, b).bitwiseAND(lit(1L))
+    val ry = shiftright(y, b).bitwiseAND(lit(1L))
+    val dterm = lit(1L << (2 * b)) * (lit(3L) * rx + ry - lit(2L) * rx * ry)
+    val xN = when(ry === 0, when(rx === 1, lit(255L) - y).otherwise(y)).otherwise(x)
+    val yN = when(ry === 0, when(rx === 1, lit(255L) - x).otherwise(x)).otherwise(y)
+    (xN, yN, dterm)
+  }
+
+  /** The same step as SQL text over column names `x`, `y` (DuckDB oracle
+    * twin of [[hilbertStep]]). */
+  private def hilbertStepSql(b: Int, x: String, y: String): (String, String, String) = {
+    val rx = s"(($x >> $b) & 1)"
+    val ry = s"(($y >> $b) & 1)"
+    val dterm = s"(${1L << (2 * b)} * (3 * $rx + $ry - 2 * $rx * $ry))"
+    val xN = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN 255 - $y ELSE $y END) ELSE $x END)"
+    val yN = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN 255 - $x ELSE $x END) ELSE $y END)"
+    (xN, yN, dterm)
+  }
+
+  /** Append `out` = the order-8 Hilbert index (0..65535) of the 8-bit
+    * cell (`x`, `y`) — 8 chained projections, one per bit level, kept as
+    * SEPARATE withColumns so Catalyst's CollapseProject keeps each level's
+    * CASE expressions single-copy instead of inlining the whole chain into
+    * one exponentially-duplicated tree. Pure integer column arithmetic:
+    * codegen-friendly, no UDF, nothing shuffles. */
+  private[operators] def withHilbertIndex(df: DataFrame, x: Column, y: Column,
+      out: String): DataFrame = {
+    val seed = df.withColumn("_hx", x.cast("long")).withColumn("_hy", y.cast("long"))
+      .withColumn(out, lit(0L))
+    val chained = (7 to 0 by -1).foldLeft(seed) { (cur, b) =>
+      val (xN, yN, dterm) = hilbertStep(b, col("_hx"), col("_hy"))
+      cur.withColumn(out, col(out) + dterm)
+        .withColumn("_hx2", xN).withColumn("_hy2", yN)
+        .drop("_hx", "_hy")
+        .withColumnRenamed("_hx2", "_hx").withColumnRenamed("_hy2", "_hy")
+    }
+    chained.drop("_hx", "_hy")
+  }
+
+  /** The Hilbert chain as DuckDB CTE steps: `SELECT` bodies (so the
+    * materialize fence engages on every level), threading (hx, hy, hd)
+    * through `steps` levels from seed columns `x0`, `y0`. Returns the CTE
+    * list text `h0 AS (…), …, h8 AS (…)`; the final level's `hd` is the
+    * index. `carry` names the pass-through columns. */
+  private def hilbertCtesSql(from: String, x0: String, y0: String,
+      carry: Seq[String]): String = {
+    val keep = carry.mkString(", ")
+    val seed = s"h0 AS (SELECT $keep, $x0 AS hx, $y0 AS hy, 0 AS hd FROM $from)"
+    val steps = (7 to 0 by -1).zipWithIndex.map { case (b, i) =>
+      val (xN, yN, dterm) = hilbertStepSql(b, "hx", "hy")
+      s"h${i + 1} AS (SELECT $keep, $xN AS hx, $yN AS hy, hd + $dterm AS hd FROM h$i)"
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
+  /** The query rectangles z9 audits — constants shared by both renderings
+    * (a single rectangle can flatter one curve; four shapes — the z7
+    * rectangle, a qty-slice, a day-slice, and a point probe — make the
+    * comparison honest). Bounds are in RAW (qty 1..50, day-bucket 0..249)
+    * coordinates like z7's. */
+  private[operators] final case class Rect(name: String, qlo: Long, qhi: Long,
+      dlo: Long, dhi: Long)
+  // lazy: QtyLo..DayHi are declared later in this object — a strict val
+  // here would capture their pre-init zeros
+  private[operators] lazy val Z9Rects = Seq(
+    Rect("mid_square", QtyLo, QtyHi, DayLo, DayHi),
+    Rect("narrow_qty", 10, 12, 0, 249),
+    Rect("narrow_day", 1, 50, 200, 219),
+    Rect("point_probe", 42, 42, 50, 59))
+
+  /** Zone size (curve cells per zone) for z9 — deliberately NOT a power
+    * of four: a writer cutting fixed-budget files along the sort key lands
+    * file boundaries mid-curve, and with quadrant-ALIGNED zones (e.g.
+    * index >> 8) both curves' zones collapse to the same 16×16 grid
+    * blocks, merely visited in different order — measured: the two audits
+    * coincide row-for-row at sf0.01. At 192 the misaligned cut exposes the
+    * real difference: every Hilbert run of 192 cells is spatially compact
+    * (unit-step adjacency), while Morton runs straddle quadrant seams with
+    * long jumps — measured overhang 4,579 vs 7,463 rows at sf0.01. */
+  private[operators] val Z9ZoneCells = 192L
+
+  /** z9: HILBERT-curve clustering vs z-order, audited head-to-head — the
+    * layout decision a 100 TB lake actually faces: Morton interleaving is
+    * cheap but every bit-level seam makes long jumps, while the Hilbert
+    * curve's rotations keep EVERY consecutive pair of cells adjacent, so
+    * its zones tile query rectangles with less overhang. Same quantization
+    * and ×5 qty scaling as z5/z7; zones are runs of [[Z9ZoneCells]]
+    * consecutive curve cells (the fixed-file-budget cut a real writer
+    * makes — see the constant's scaladoc for why NOT quadrant-aligned);
+    * for each (layout, rectangle) the audit reports zone count, zones/rows
+    * a min-max-pruned scan must touch, and true matches — rows_scanned −
+    * rows_matched is exactly the read amplification the curve choice
+    * costs. One scan, one 2-way explode, ≤684-group rollup with map-side
+    * partials, then an 8-row result: the z7 scale discipline with the
+    * curve swapped in. Integer-exact end to end. */
+  def z9HilbertLayout(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val base = t(spark, dir, "lineitem")
+      .withColumn("qx", col("l_quantity").cast("long"))
+      .withColumn("qy", least(lit(255L), greatest(lit(0L), expr(
+        s"(unix_micros(cast(l_shipdate as timestamp)) div $dayUs - $DayBase) div 10"))))
+      .withColumn("kx", col("qx") * 5)
+    val marked = withHilbertIndex(base, col("kx"), col("qy"), "hd")
+      .withColumn("hbucket", expr(s"hd div $Z9ZoneCells"))
+      .withColumn("zv", zInterleave(col("kx"), col("qy")))
+      .withColumn("zbucket", expr(s"zv div $Z9ZoneCells"))
+    val exploded = marked.select(col("qx"), col("qy"), explode(array(
+      struct(lit("hilbert").as("layout"), col("hbucket").as("shard")),
+      struct(lit("zorder").as("layout"), col("zbucket").as("shard")))).as("m"))
+      .select(col("m.layout").as("layout"), col("m.shard").as("shard"),
+        col("qx"), col("qy"))
+    val matchCols = Z9Rects.zipWithIndex.map { case (r, i) =>
+      sum(when(col("qx").between(r.qlo, r.qhi) && col("qy").between(r.dlo, r.dhi),
+        1L).otherwise(0L)).as(s"m$i")
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      min("qx").as("qlo"), max("qx").as("qhi"),
+      min("qy").as("dlo"), max("qy").as("dhi")) ++ matchCols
+    val zones = exploded.groupBy("layout", "shard").agg(aggs.head, aggs.tail: _*)
+    val rectRows = zones.select(col("layout") +: col("n") +:
+      Seq("qlo", "qhi", "dlo", "dhi").map(col) :+
+      explode(array(Z9Rects.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rect"),
+          lit(r.qlo).as("rqlo"), lit(r.qhi).as("rqhi"),
+          lit(r.dlo).as("rdlo"), lit(r.dhi).as("rdhi"),
+          col(s"m$i").as("matched"))
+      }: _*)).as("r"): _*)
+    val scanned = col("qhi") >= col("r.rqlo") && col("qlo") <= col("r.rqhi") &&
+      col("dhi") >= col("r.rdlo") && col("dlo") <= col("r.rdhi")
+    rectRows.groupBy(col("layout"), col("r.rect").as("rect"))
+      .agg(count(lit(1)).as("zones_total"),
+        sum(when(scanned, 1L).otherwise(0L)).as("zones_scanned"),
+        sum(when(scanned, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("r.matched")).as("rows_matched"))
+      .orderBy("layout", "rect")
+  }
+
+  /** The z9 oracle: the Hilbert chain as 9 fenced CTE levels (same step
+    * text generator), z-interleave twin, and the same zone→rect audit —
+    * rect constants rendered from the SAME [[Z9Rects]] list. */
+  def z9OracleSql: String = {
+    val matchSums = Z9Rects.zipWithIndex.map { case (r, i) =>
+      s"sum(CASE WHEN qx BETWEEN ${r.qlo} AND ${r.qhi} AND qy BETWEEN ${r.dlo} AND ${r.dhi} THEN 1 ELSE 0 END) AS m$i"
+    }.mkString(",\n    ")
+    val rectSelects = Z9Rects.zipWithIndex.map { case (r, i) =>
+      s"SELECT layout, '${r.name}' AS rect, n, qlo, qhi, dlo, dhi, ${r.qlo} AS rqlo, ${r.qhi} AS rqhi, ${r.dlo} AS rdlo, ${r.dhi} AS rdhi, m$i AS matched FROM zn"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qx,
+       |    least(255, greatest(0, (epoch_us(l_shipdate) // 86400000000 - $DayBase) // 10)) AS qy,
+       |    CAST(l_quantity AS BIGINT) * 5 AS kx
+       |  FROM lineitem),
+       |${hilbertCtesSql("b", "kx", "qy", Seq("qx", "qy", "kx"))},
+       |z AS (SELECT qx, qy, hd // $Z9ZoneCells AS hb,
+       |    (${zInterleaveSql("kx", "qy")}) // $Z9ZoneCells AS zb
+       |  FROM h8),
+       |u AS (SELECT 'hilbert' AS layout, hb AS shard, qx, qy FROM z
+       |  UNION ALL SELECT 'zorder' AS layout, zb AS shard, qx, qy FROM z),
+       |zn AS (SELECT layout, shard, count(*) AS n,
+       |    min(qx) AS qlo, max(qx) AS qhi, min(qy) AS dlo, max(qy) AS dhi,
+       |    $matchSums
+       |  FROM u GROUP BY 1, 2),
+       |rr AS ($rectSelects)
+       |SELECT layout, rect, count(*) AS zones_total,
+       |  CAST(sum(CASE WHEN qhi >= rqlo AND qlo <= rqhi AND dhi >= rdlo AND dlo <= rdhi
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+       |  CAST(sum(CASE WHEN qhi >= rqlo AND qlo <= rqhi AND dhi >= rdlo AND dlo <= rdhi
+       |    THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(matched) AS BIGINT) AS rows_matched
+       |FROM rr GROUP BY 1, 2 ORDER BY layout, rect""".stripMargin
+  }
+
   /** Target shard payload for z6's bin-pack plan (chars per output shard). */
   private[operators] val ShardChars = 50000L
 

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: the Hilbert layout audit (z9). The Hilbert column
+  * chain is pinned three ways: against an INDEPENDENT imperative
+  * implementation of the textbook xy2d loop on every one of the 65,536
+  * grid cells, by the two curve-defining properties (bijectivity and
+  * unit-step adjacency — together they force a Hamiltonian grid path,
+  * which no interleave or accidental variant satisfies), and by the z9
+  * driver oracle (the SQL rendering) at the gate. */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: the textbook iterative xy2d (kept imperative
+    * on purpose — shares NO code with the Column/SQL renderings). */
+  private def xy2dRef(n: Int, x0: Int, y0: Int): Int = {
+    var (x, y, d) = (x0, y0, 0)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  private lazy val sparkCurve: Map[(Int, Int), Long] = {
+    val cells = spark.range(0, 65536L).toDF("i")
+      .withColumn("x", (col("i") % 256).cast("long"))
+      .withColumn("y", (col("i") / 256).cast("long"))
+    LayoutOps.withHilbertIndex(cells, col("x"), col("y"), "hd")
+      .select("x", "y", "hd").as[(Long, Long, Long)].collect()
+      .map { case (x, y, d) => (x.toInt, y.toInt) -> d }.toMap
+  }
+
+  test("z9: the Hilbert column chain equals the textbook xy2d on all 65,536 cells") {
+    assert(sparkCurve.size == 65536)
+    val bad = sparkCurve.collect {
+      case ((x, y), d) if d != xy2dRef(256, x, y) => (x, y, d, xy2dRef(256, x, y))
+    }
+    assert(bad.isEmpty, s"first mismatches: ${bad.take(5)}")
+  }
+
+  test("z9: the curve is bijective and every consecutive index step is a grid neighbor") {
+    val inv = new Array[(Int, Int)](65536)
+    sparkCurve.foreach { case ((x, y), d) =>
+      assert(0 <= d && d < 65536, s"index $d out of range at ($x,$y)")
+      assert(inv(d.toInt) == null, s"index $d hit twice")
+      inv(d.toInt) = (x, y)
+    }
+    var d = 0
+    while (d < 65535) {
+      val (x0, y0) = inv(d); val (x1, y1) = inv(d + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1,
+        s"indices $d->${d + 1} jump from ($x0,$y0) to ($x1,$y1)")
+      d += 1
+    }
+  }
+
+  test("z9: audit shape and the locality dividend on the gate corpus") {
+    val out = LayoutOps.z9HilbertLayout(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.length == 8, s"2 layouts x 4 rects expected, got ${out.length}")
+    val byKey = out.map(r => (r._1, r._2) -> r).toMap
+    for (((_, _), (_, _, zonesTotal, zonesScanned, rowsScanned, rowsMatched)) <- byKey) {
+      assert(zonesScanned <= zonesTotal)
+      assert(rowsMatched <= rowsScanned, "pruning must never lose a match")
+    }
+    // zone budget: ceil(65536 / Z9ZoneCells) = 342 index ranges; only
+    // populated zones appear, and both layouts index the same row set
+    val maxZones = (65536L + LayoutOps.Z9ZoneCells - 1) / LayoutOps.Z9ZoneCells
+    for ((_, (_, _, zonesTotal, _, _, _)) <- byKey)
+      assert(zonesTotal > 0 && zonesTotal <= maxZones)
+    // the layout decision the query exists to inform: across the 4-shape
+    // audit set, Hilbert's total read amplification (scanned - matched)
+    // must be strictly lower than z-order's — the measured locality
+    // dividend of unit-step adjacency under misaligned file cuts
+    val amp = out.groupBy(_._1).view.mapValues(_.map(r => r._5 - r._6).sum).toMap
+    assert(amp("hilbert") < amp("zorder"),
+      s"hilbert overhang ${amp("hilbert")} vs zorder ${amp("zorder")}")
+  }
+}
