@@ -294,6 +294,9 @@ object SparkEntry {
     // pixels are integer functions of doc_id, so the oracle re-derives
     // true decoded geometry + per-band luma features in SQL
     "m7_real_decode" -> (MultimodalOps.m7RealDecode _),
+    // m8: perceptual (dHash) near-dup images over real decoded pixels —
+    // banded Hamming join, never all-pairs
+    "m8_phash_near_dup" -> (MultimodalOps.m8PhashNearDup _),
     // --- streaming engine driven end-to-end, ORACLED: the streaming aggs
     //     accumulate in decimal (order-independent), so the finalized
     //     Append-mode output is bit-identical to the batch/DuckDB answer.
@@ -2518,6 +2521,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN luma >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(sum(luma) AS BIGINT) AS byte_sum
         |FROM l GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_idx""".stripMargin,
+    "m8_phash_near_dup" -> MultimodalOps.m8OracleSql,
     "y6_bpe_tokens" ->
       """WITH d AS (SELECT lang,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,

@@ -94,7 +94,7 @@ object MultimodalOps {
     * are not thread-safe to share); the mapPartitions batching still
     * amortizes classloading/SPI lookup per partition. */
   object ImageIoCodec extends MediaCodec {
-    private def read(docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    private[operators] def read(docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, s"payload of doc $docId is not a decodable image")
       img
@@ -108,7 +108,7 @@ object MultimodalOps {
     }
     /** Integer mean luma of the pixel box [x0,x1)×[y0,y1); 0 for an
       * empty box (degenerate band on a tiny image). */
-    private def meanLuma(img: java.awt.image.BufferedImage,
+    private[operators] def meanLuma(img: java.awt.image.BufferedImage,
         x0: Int, x1: Int, y0: Int, y1: Int): Int = {
       var sum = 0L; var n = 0L
       var y = y0
@@ -501,5 +501,177 @@ object MultimodalOps {
         }
       }.toDF("doc_id", "width", "height", "frame_idx", "feature")
       .transform(frameRollup(_, "doc_id", "width", "height", "frame_idx"))
+  }
+
+  // ------------------------------------------------------- m8: image pHash
+
+  /** m8's perturbation sites: the two grid blocks the odd twin recolors.
+    * Chosen inside grid rows 0–1, whose dHash comparison bits all have
+    * index < 14 — i.e. inside BAND 0 of the 4×14-bit banding — so a
+    * designed near-dup pair is byte-identical on bands 1–3 and its
+    * candidate recall is GUARANTEED by construction, not probabilistic. */
+  private val M8Perturbed = Seq((2, 0), (5, 1))
+
+  /** m8's block color: the first three bytes of `md5("b:c:r")` — PROPER
+    * hash mixing, not an affine formula. An affine color ramp was tried
+    * first and measured broken two ways: gradients between adjacent
+    * columns were base-independent (every doc shared much of its dHash
+    * comparison pattern), and every base coefficient times 256 vanishes
+    * mod 256, so docs 256 apart rendered byte-identical images — a
+    * near-pair set growing QUADRATICALLY with the corpus. md5 mixing
+    * makes distinct bases independent 56-bit hashes (cross-pair
+    * P[hamming ≤ 6] ≈ 5·10⁻¹⁰), and DuckDB re-derives it verbatim
+    * (`('0x' || substr(md5(…), k, 2))::INT` — the x6/v2 oracle idiom). */
+  private[operators] def m8BlockColor(b: Long, c: Int, r: Int): (Int, Int, Int) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$b:$c:$r".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (Integer.parseInt(hex.substring(0, 2), 16),
+      Integer.parseInt(hex.substring(2, 4), 16),
+      Integer.parseInt(hex.substring(4, 6), 16))
+  }
+
+  /** m8's synthetic payload: a real PNG of 9×7 solid-color blocks whose
+    * colors are [[m8BlockColor]] of the doc's PAIR BASE `b = docId −
+    * (docId % 2)` — consecutive (even, odd) docs render the same image
+    * except that the odd twin shifts the red channel of the two
+    * [[M8Perturbed]] blocks by +128: a visually-near duplicate with a
+    * pixel-level delta, the shape a perceptual dedupe exists to catch.
+    * Width is a multiple of 9 and height of 7, so [[dHash56]]'s grid
+    * cells land exactly on the solid blocks and the decoded cell lumas
+    * are SQL-rederivable from doc_id alone (PNG is lossless over
+    * TYPE_INT_RGB). */
+  private[operators] def m8SyntheticPng(docId: Long): Array[Byte] = {
+    val b = docId - (docId % 2)
+    val odd = docId % 2 == 1
+    val w = 9 * (2 + (b % 5)).toInt // 18..54, always /9
+    val h = 7 * (2 + (b % 3)).toInt // 14..28, always /7
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var c = 0
+    while (c < 9) {
+      var r = 0
+      while (r < 7) {
+        val bump = if (odd && M8Perturbed.contains((c, r))) 128 else 0
+        val (r0, gCh, bCh) = m8BlockColor(b, c, r)
+        val rCh = (r0 + bump) % 256
+        val rgb = (rCh << 16) | (gCh << 8) | bCh
+        val (x0, x1) = (w * c / 9, w * (c + 1) / 9)
+        val (y0, y1) = (h * r / 7, h * (r + 1) / 7)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        r += 1
+      }
+      c += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 56-bit difference hash over a decoded raster: integer mean luma of a
+    * 9-wide × 7-tall cell grid (floor boundaries — exact on block-aligned
+    * images), bit y·8+x set iff cell (x+1, y) is strictly brighter than
+    * cell (x, y). 56 bits (not the classical 64) keeps the top byte clear
+    * so the hash lives in non-negative BIGINT range on both engines — no
+    * two's-complement edge in the oracle's sum-of-shifted-bits rebuild. */
+  private[operators] def dHash56(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = Array.ofDim[Int](9, 7)
+    var c = 0
+    while (c < 9) {
+      var r = 0
+      while (r < 7) {
+        lum(c)(r) = ImageIoCodec.meanLuma(img,
+          w * c / 9, w * (c + 1) / 9, h * r / 7, h * (r + 1) / 7)
+        r += 1
+      }
+      c += 1
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 7) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x + 1)(y) > lum(x)(y)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** m8: perceptual near-duplicate images over REAL decoded pixels — the
+    * x4 (MinHash-LSH) verb on the VISION side: every doc renders its
+    * [[m8SyntheticPng]] payload executor-side, `javax.imageio` decodes it
+    * back, [[dHash56]] fingerprints the raster, and near-dups surface via
+    * 4×14-bit band buckets + exact Hamming verification (≤ 6 bits) on the
+    * candidates — never an all-pairs compare. The emitted pair set is
+    * hash-complete for the designed twins (perturbed bits confined to
+    * band 0, see [[M8Perturbed]]); the DuckDB oracle re-derives the cell
+    * lumas, the dHash, the banding, and the verify from doc_id
+    * arithmetic, so a hash-match certifies the real decode→fingerprint→
+    * band→verify pipeline end to end. Scale: payloads are generated,
+    * decoded, and hashed in-partition and never move — the shuffle
+    * carries (doc_id, 8-byte hash) rows; band buckets bound the join the
+    * way x4's bands do; the verify is one codegen'd bit_count(xor). */
+  def m8PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.t(spark, dir, "documents")
+      .select("doc_id").as[Long]
+      .mapPartitions { it =>
+        // ImageIO SPI lookup amortizes here, once per partition
+        it.map { id =>
+          (id, dHash56(ImageIoCodec.read(id, m8SyntheticPng(id))))
+        }
+      }.toDF("doc_id", "hash")
+    val bands = hashes.select(col("doc_id"), col("hash"),
+        explode(array((0 until 4).map(b => lit(b)): _*)).as("band"))
+      .withColumn("bkey", expr("shiftright(hash, 14 * band) & 16383"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The m8 oracle: cell lumas from the generator arithmetic (lossless
+    * PNG + block-aligned grid make decode exact), the same 56-bit hash as
+    * a sum of shifted comparison bits, the same 4×14 banding, the same
+    * Hamming verify. */
+  def m8OracleSql: String = {
+    val perturb = M8Perturbed.map { case (c, r) => s"(c = $c AND r = $r)" }
+      .mkString(" OR ")
+    s"""WITH d AS (SELECT doc_id, doc_id - (doc_id % 2) AS b, doc_id % 2 AS odd
+       |  FROM documents),
+       |g AS (SELECT doc_id, b, odd, cc.c, rr.r
+       |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS c) cc
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS r) rr),
+       |lum AS (SELECT doc_id, c, r,
+       |    (299 * (((('0x' || substr(md5(b || ':' || c || ':' || r), 1, 2))::INT)
+       |        + CASE WHEN odd = 1 AND ($perturb) THEN 128 ELSE 0 END) % 256)
+       |     + 587 * (('0x' || substr(md5(b || ':' || c || ':' || r), 3, 2))::INT)
+       |     + 114 * (('0x' || substr(md5(b || ':' || c || ':' || r), 5, 2))::INT)) // 1000 AS luma
+       |  FROM g),
+       |h AS (SELECT a.doc_id,
+       |    CAST(sum(CASE WHEN n.luma > a.luma
+       |      THEN (1::BIGINT << (a.r * 8 + a.c)) ELSE 0 END) AS BIGINT) AS hash
+       |  FROM lum a JOIN lum n ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+       |  WHERE a.c < 8 GROUP BY 1),
+       |bands AS (SELECT doc_id, hash, p.band, (hash >> (14 * p.band)) & 16383 AS bkey
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) p),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.hash, bb.hash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands bb
+       |    ON a.band = bb.band AND a.bkey = bb.bkey AND a.doc_id < bb.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
   }
 }

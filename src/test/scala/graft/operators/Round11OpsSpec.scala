@@ -86,4 +86,52 @@ class Round11OpsSpec extends SparkSpec {
     assert(amp("hilbert") < amp("zorder"),
       s"hilbert overhang ${amp("hilbert")} vs zorder ${amp("zorder")}")
   }
+
+  // ------------------------------------------------------------------- m8
+
+  test("m8: banded near-dup pairs equal the brute-force all-pairs truth on real decodes") {
+    import graft.SparkEntry
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    // client-side truth: decode every payload through the SAME ImageIO
+    // path and compare ALL pairs exactly — no banding anywhere
+    val hashes = ids.map(id => id ->
+      MultimodalOps.dHash56(MultimodalOps.ImageIoCodec.read(
+        id, MultimodalOps.m8SyntheticPng(id)))).toMap
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      ham = java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j)))
+      if ham <= 6
+    } yield (ids(i), ids(j), ham.toLong)).toSet
+    val got = SparkEntry.queries("m8_phash_near_dup")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    // banding may only MISS far pairs, never invent or distort one — and
+    // on the designed corpus it must miss nothing (twin deltas live in
+    // band 0, so bands 1-3 guarantee every true pair surfaces)
+    assert(got == expected,
+      s"missed=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+    // the corpus design delivers: every (even, odd) twin is a found pair
+    // with a REAL pixel delta (perturbation visible in the hash)
+    val twins = ids.filter(_ % 2 == 0).flatMap { e =>
+      if (ids.contains(e + 1)) Some((e, e + 1)) else None
+    }
+    assert(twins.nonEmpty)
+    twins.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      // a twin whose bump flips NO luma ordering is a hamming-0 pair —
+      // legitimate dHash behavior (the change is imperceptible to the
+      // fingerprint), and still a found pair; the design only bounds the
+      // delta to band 0, i.e. hamming <= 6
+      assert(ham <= 6, s"twin ($a,$b) hamming $ham out of design range")
+      assert(got.contains((a, b, ham.toLong)), s"twin ($a,$b) missing from output")
+    }
+    // ...but the perturbation must be VISIBLE across the population, or
+    // m8 would be testing exact dedupe in disguise
+    val visible = twins.count { case (a, b) =>
+      java.lang.Long.bitCount(hashes(a) ^ hashes(b)) >= 1
+    }
+    assert(visible * 2 >= twins.length,
+      s"only $visible of ${twins.length} twins have a visible hash delta")
+  }
 }
