@@ -297,6 +297,9 @@ object SparkEntry {
     // m8: perceptual (dHash) near-dup images over real decoded pixels —
     // banded Hamming join, never all-pairs
     "m8_phash_near_dup" -> (MultimodalOps.m8PhashNearDup _),
+    // m9: the audio lane — real s16le PCM decode, per-window
+    // loudness/peak/zero-crossing features, integer-exact
+    "m9_audio_pcm" -> (MultimodalOps.m9AudioPcmFeatures _),
     // --- streaming engine driven end-to-end, ORACLED: the streaming aggs
     //     accumulate in decimal (order-independent), so the finalized
     //     Append-mode output is bit-identical to the batch/DuckDB answer.
@@ -2522,6 +2525,7 @@ object SparkEntry {
         |  CAST(sum(luma) AS BIGINT) AS byte_sum
         |FROM l GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_idx""".stripMargin,
     "m8_phash_near_dup" -> MultimodalOps.m8OracleSql,
+    "m9_audio_pcm" -> MultimodalOps.m9OracleSql,
     "y6_bpe_tokens" ->
       """WITH d AS (SELECT lang,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,

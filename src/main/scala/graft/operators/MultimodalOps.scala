@@ -674,4 +674,97 @@ object MultimodalOps {
        |SELECT doc_a, doc_b, hamming FROM pairs
        |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------------- m9: audio PCM
+
+  /** m9's per-window sample budget. */
+  private[operators] val M9Window = 256
+
+  /** m9's synthetic payload: raw signed-16-bit little-endian PCM (the
+    * layout inside a WAV data chunk) of a square wave whose parameters
+    * are integer functions of doc_id — length 1024+256·(id%5) samples,
+    * half-period 32+8·(id%4), and a per-half-period amplitude
+    * 500+31·(id%7)+113·(k%5) with alternating sign. Every windowed
+    * statistic of the DECODED samples is therefore exact integer
+    * arithmetic on doc_id — the m7/m8 oracle move, audio edition. */
+  private[operators] def m9SyntheticPcm(docId: Long): Array[Byte] = {
+    val n = (1024 + 256 * (docId % 5)).toInt
+    val half = (32 + 8 * (docId % 4)).toInt
+    val buf = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var t = 0
+    while (t < n) {
+      val k = t / half
+      val amp = (500 + 31 * (docId % 7) + 113 * (k % 5)).toInt
+      buf.putShort((if (k % 2 == 0) amp else -amp).toShort)
+      t += 1
+    }
+    buf.array()
+  }
+
+  /** REAL PCM decode: s16le bytes → samples. This is the genuine decoder
+    * for the raw-PCM payload format (what a WAV reader does after the
+    * 44-byte header) — endianness and sign handling here are exactly what
+    * the m9 oracle's hash-match certifies. */
+  private[operators] def decodePcmS16LE(bytes: Array[Byte]): Array[Short] = {
+    val sb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val out = new Array[Short](sb.remaining())
+    sb.get(out)
+    out
+  }
+
+  /** m9: the AUDIO lane of the multimodal family — real byte-level
+    * decode, no stub anywhere: each doc's [[m9SyntheticPcm]] payload is
+    * generated executor-side, decoded back through the little-endian
+    * int16 path, and reduced to the per-window loudness/peak/crossing
+    * table a speech-curation pipeline gates on (window = [[M9Window]]
+    * samples): sum of |sample|, peak |sample|, and sign-change count
+    * (zero crossings, window-interior only). The DuckDB oracle re-derives
+    * all three from doc_id arithmetic, so a hash-match proves the decode
+    * (a byte-order or sign slip shifts every sum). Scale: payloads are
+    * generated, decoded, and reduced in-partition — only (doc_id, window,
+    * 3 longs) rows ever move, never audio bytes; decoder init amortizes
+    * per partition like every m-family pass. */
+  def m9AudioPcmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val samples = decodePcmS16LE(m9SyntheticPcm(id))
+          samples.indices.grouped(M9Window).zipWithIndex.map { case (win, w) =>
+            var sumAbs = 0L; var peak = 0L; var crossings = 0L
+            win.foreach { t =>
+              val v = math.abs(samples(t).toLong)
+              sumAbs += v
+              if (v > peak) peak = v
+              if (t % M9Window != 0 &&
+                  math.signum(samples(t).toInt) != math.signum(samples(t - 1).toInt))
+                crossings += 1
+            }
+            (id, w.toLong, sumAbs, peak, crossings)
+          }
+        }
+      }.toDF("doc_id", "win", "sum_abs", "peak", "crossings")
+      .orderBy("doc_id", "win")
+  }
+
+  /** The m9 oracle: unnest the sample clock per doc and fold the same
+    * three window statistics from the generator arithmetic (|sample| =
+    * the half-period amplitude; a sign change happens exactly at interior
+    * half-period boundaries). */
+  def m9OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 1024 + 256 * (doc_id % 5) AS n,
+       |    32 + 8 * (doc_id % 4) AS half
+       |  FROM documents),
+       |s AS (SELECT doc_id, half, unnest(generate_series(0, n - 1)) AS t FROM d),
+       |v AS (SELECT doc_id, t // $M9Window AS w,
+       |    500 + 31 * (doc_id % 7) + 113 * ((t // half) % 5) AS amp,
+       |    CASE WHEN t % $M9Window <> 0 AND t % half = 0 THEN 1 ELSE 0 END AS crossing
+       |  FROM s)
+       |SELECT doc_id, CAST(w AS BIGINT) AS win,
+       |  CAST(sum(amp) AS BIGINT) AS sum_abs,
+       |  CAST(max(amp) AS BIGINT) AS peak,
+       |  CAST(sum(crossing) AS BIGINT) AS crossings
+       |FROM v GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin
 }

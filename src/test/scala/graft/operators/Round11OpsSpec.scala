@@ -134,4 +134,36 @@ class Round11OpsSpec extends SparkSpec {
     assert(visible * 2 >= twins.length,
       s"only $visible of ${twins.length} twins have a visible hash delta")
   }
+
+  // ------------------------------------------------------------------- m9
+
+  test("m9: s16le decode is byte-exact on the sign and endian edges") {
+    val bytes = Array[Byte](0x34, 0x12, // 0x1234 little-endian
+      0xff.toByte, 0xff.toByte, // -1
+      0x00, 0x80.toByte, // Short.MinValue
+      0xff.toByte, 0x7f.toByte) // Short.MaxValue
+    assert(MultimodalOps.decodePcmS16LE(bytes).toSeq ==
+      Seq[Short](0x1234, -1, Short.MinValue, Short.MaxValue))
+  }
+
+  test("m9: windowed features from DECODED bytes equal the generator formula") {
+    import graft.SparkEntry
+    val got = SparkEntry.queries("m9_audio_pcm")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // independent recompute straight from the FORMULA — never touching
+    // the byte path the query goes through
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    val expected = ids.flatMap { id =>
+      val n = (1024 + 256 * (id % 5)).toInt
+      val half = (32 + 8 * (id % 4)).toInt
+      def amp(t: Int): Long = 500 + 31 * (id % 7) + 113 * ((t / half) % 5)
+      (0 until n / 256).map { w =>
+        val ts = (w * 256) until ((w + 1) * 256)
+        (id, w.toLong, ts.map(amp).sum, ts.map(amp).max,
+          ts.count(t => t % 256 != 0 && t % half == 0).toLong)
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expected)
+  }
 }
