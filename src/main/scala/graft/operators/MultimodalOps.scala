@@ -680,18 +680,35 @@ object MultimodalOps {
   /** m9's per-window sample budget. */
   private[operators] val M9Window = 256
 
-  /** m9's synthetic payload: raw signed-16-bit little-endian PCM (the
-    * layout inside a WAV data chunk) of a square wave whose parameters
-    * are integer functions of doc_id — length 1024+256·(id%5) samples,
-    * half-period 32+8·(id%4), and a per-half-period amplitude
-    * 500+31·(id%7)+113·(k%5) with alternating sign. Every windowed
-    * statistic of the DECODED samples is therefore exact integer
-    * arithmetic on doc_id — the m7/m8 oracle move, audio edition. */
-  private[operators] def m9SyntheticPcm(docId: Long): Array[Byte] = {
+  /** m9's synthetic payload: a COMPLETE WAV (RIFF) file — 12-byte RIFF
+    * header, `fmt ` chunk (PCM, mono, 16-bit, 16 kHz), a deliberately
+    * ODD-sized `note` chunk (exercising RIFF's word-alignment padding
+    * rule on the parser), then the `data` chunk: signed-16-bit
+    * little-endian samples of a square wave whose parameters are integer
+    * functions of doc_id — length 1024+256·(id%5) samples, half-period
+    * 32+8·(id%4), per-half-period amplitude 500+31·(id%7)+113·(k%5) with
+    * alternating sign. Every windowed statistic of the DECODED samples is
+    * exact integer arithmetic on doc_id — the m7/m8 oracle move, audio
+    * edition, with a real container around it. */
+  private[operators] def m9SyntheticWav(docId: Long): Array[Byte] = {
     val n = (1024 + 256 * (docId % 5)).toInt
     val half = (32 + 8 * (docId % 4)).toInt
-    val buf = java.nio.ByteBuffer.allocate(n * 2)
+    val note = s"doc $docId".getBytes("US-ASCII") // odd/even length varies
+    val notePad = note.length % 2 // RIFF chunks are word-aligned
+    val dataBytes = n * 2
+    val riffLen = 4 + (8 + 16) + (8 + note.length + notePad) + (8 + dataBytes)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    // fmt : PCM(1), mono, 16 kHz, 16-bit
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(16000 * 2)
+      .putShort(2).putShort(16)
+    // a non-audio chunk a correct parser must SKIP (with padding)
+    buf.put("note".getBytes("US-ASCII")).putInt(note.length).put(note)
+    if (notePad == 1) buf.put(0.toByte)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     var t = 0
     while (t < n) {
       val k = t / half
@@ -702,27 +719,66 @@ object MultimodalOps {
     buf.array()
   }
 
-  /** REAL PCM decode: s16le bytes → samples. This is the genuine decoder
-    * for the raw-PCM payload format (what a WAV reader does after the
-    * 44-byte header) — endianness and sign handling here are exactly what
+  /** Decoded WAV: the format fields a pipeline routes on + the samples. */
+  private[operators] final case class WavAudio(
+      channels: Int, sampleRate: Int, bitsPerSample: Int, samples: Array[Short])
+
+  /** REAL WAV decode: walk the RIFF chunk list (honoring the word-
+    * alignment padding rule), read the `fmt ` fields, and decode the
+    * `data` chunk's s16le payload — the genuine parser for the container,
+    * not a fixed-44-byte-offset shortcut (the synthetic payloads carry an
+    * extra odd-sized chunk precisely so a shortcut would break loudly).
+    * Endianness, sign handling, and chunk walking here are exactly what
     * the m9 oracle's hash-match certifies. */
-  private[operators] def decodePcmS16LE(bytes: Array[Byte]): Array[Short] = {
-    val sb = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
-    val out = new Array[Short](sb.remaining())
-    sb.get(out)
-    out
+  private[operators] def decodeWav(bytes: Array[Byte]): WavAudio = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF file")
+    buf.getInt // riff length
+    require(tag() == "WAVE", "not a WAVE form")
+    var channels = 0; var sampleRate = 0; var bits = 0
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && samples == null) {
+      val id = tag()
+      val len = buf.getInt
+      id match {
+        case "fmt " =>
+          val fmtEnd = buf.position() + len
+          val codec = buf.getShort
+          require(codec == 1, s"not PCM (fmt $codec)")
+          channels = buf.getShort.toInt
+          sampleRate = buf.getInt
+          buf.getInt // byte rate
+          buf.getShort // block align
+          bits = buf.getShort.toInt
+          require(bits == 16, s"not 16-bit ($bits)")
+          buf.position(fmtEnd + (len % 2))
+        case "data" =>
+          val out = new Array[Short](len / 2)
+          buf.asShortBuffer().get(out)
+          samples = out
+        case _ => // skip unknown chunks, padded to word boundary
+          buf.position(buf.position() + len + (len % 2))
+      }
+    }
+    require(samples != null, "no data chunk")
+    WavAudio(channels, sampleRate, bits, samples)
   }
 
-  /** m9: the AUDIO lane of the multimodal family — real byte-level
-    * decode, no stub anywhere: each doc's [[m9SyntheticPcm]] payload is
-    * generated executor-side, decoded back through the little-endian
-    * int16 path, and reduced to the per-window loudness/peak/crossing
-    * table a speech-curation pipeline gates on (window = [[M9Window]]
-    * samples): sum of |sample|, peak |sample|, and sign-change count
-    * (zero crossings, window-interior only). The DuckDB oracle re-derives
-    * all three from doc_id arithmetic, so a hash-match proves the decode
-    * (a byte-order or sign slip shifts every sum). Scale: payloads are
+  /** m9: the AUDIO lane of the multimodal family — real container +
+    * byte-level decode, no stub anywhere: each doc's [[m9SyntheticWav]]
+    * payload (a complete RIFF/WAV file with an extra chunk a correct
+    * parser must skip) is generated executor-side, decoded back through
+    * the real chunk-walking parser ([[decodeWav]]), and reduced to the
+    * per-window loudness/peak/crossing table a speech-curation pipeline
+    * gates on (window = [[M9Window]] samples): sum of |sample|, peak
+    * |sample|, and sign-change count (zero crossings, window-interior
+    * only). The DuckDB oracle re-derives all three from doc_id
+    * arithmetic, so a hash-match proves the decode (a byte-order, sign,
+    * or chunk-offset slip shifts every sum). Scale: payloads are
     * generated, decoded, and reduced in-partition — only (doc_id, window,
     * 3 longs) rows ever move, never audio bytes; decoder init amortizes
     * per partition like every m-family pass. */
@@ -731,7 +787,7 @@ object MultimodalOps {
     Tables.t(spark, dir, "documents").select("doc_id").as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
-          val samples = decodePcmS16LE(m9SyntheticPcm(id))
+          val samples = decodeWav(m9SyntheticWav(id)).samples
           samples.indices.grouped(M9Window).zipWithIndex.map { case (win, w) =>
             var sumAbs = 0L; var peak = 0L; var crossings = 0L
             win.foreach { t =>

@@ -137,13 +137,29 @@ class Round11OpsSpec extends SparkSpec {
 
   // ------------------------------------------------------------------- m9
 
-  test("m9: s16le decode is byte-exact on the sign and endian edges") {
-    val bytes = Array[Byte](0x34, 0x12, // 0x1234 little-endian
+  test("m9: WAV decode walks real RIFF chunks and is byte-exact on sign/endian edges") {
+    // hand-build a WAV with a 3-byte (odd => padded) extra chunk BEFORE
+    // data, carrying the four sign/endian edge samples
+    val pcm = Array[Byte](0x34, 0x12, // 0x1234 little-endian
       0xff.toByte, 0xff.toByte, // -1
       0x00, 0x80.toByte, // Short.MinValue
       0xff.toByte, 0x7f.toByte) // Short.MaxValue
-    assert(MultimodalOps.decodePcmS16LE(bytes).toSeq ==
-      Seq[Short](0x1234, -1, Short.MinValue, Short.MaxValue))
+    val buf = java.nio.ByteBuffer.allocate(200)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(4 + 24 + 12 + 8 + pcm.length)
+      .put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+      .put("junk".getBytes).putInt(3).put(Array[Byte](1, 2, 3)).put(0.toByte)
+      .put("data".getBytes).putInt(pcm.length).put(pcm)
+    val wav = java.util.Arrays.copyOf(buf.array(), buf.position())
+    val a = MultimodalOps.decodeWav(wav)
+    assert(a.channels == 2 && a.sampleRate == 44100 && a.bitsPerSample == 16)
+    assert(a.samples.toSeq == Seq[Short](0x1234, -1, Short.MinValue, Short.MaxValue))
+    // the generator's own container round-trips with the right format
+    val g = MultimodalOps.decodeWav(MultimodalOps.m9SyntheticWav(7L))
+    assert(g.channels == 1 && g.sampleRate == 16000 && g.bitsPerSample == 16)
+    assert(g.samples.length == 1024 + 256 * (7 % 5))
   }
 
   test("m9: windowed features from DECODED bytes equal the generator formula") {
