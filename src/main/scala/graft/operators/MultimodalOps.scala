@@ -522,13 +522,17 @@ object MultimodalOps {
     * makes distinct bases independent 56-bit hashes (cross-pair
     * P[hamming ≤ 6] ≈ 5·10⁻¹⁰), and DuckDB re-derives it verbatim
     * (`('0x' || substr(md5(…), k, 2))::INT` — the x6/v2 oracle idiom). */
-  private[operators] def m8BlockColor(b: Long, c: Int, r: Int): (Int, Int, Int) = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$b:$c:$r".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    (Integer.parseInt(hex.substring(0, 2), 16),
-      Integer.parseInt(hex.substring(2, 4), 16),
-      Integer.parseInt(hex.substring(4, 6), 16))
+  private[operators] def m8BlockColor(b: Long, c: Int, r: Int): (Int, Int, Int) =
+    m8BlockColor(java.security.MessageDigest.getInstance("MD5"), b, c, r)
+
+  /** Digest-reusing form: one MessageDigest serves all 63 blocks of an
+    * image (the 5-arg getInstance-per-block form measured as avoidable
+    * allocation churn in the 10k-images-per-partition bench shape). */
+  private def m8BlockColor(md: java.security.MessageDigest,
+      b: Long, c: Int, r: Int): (Int, Int, Int) = {
+    md.reset()
+    val h = md.digest(s"$b:$c:$r".getBytes("UTF-8"))
+    (h(0) & 0xff, h(1) & 0xff, h(2) & 0xff)
   }
 
   /** m8's synthetic payload: a real PNG of 9×7 solid-color blocks whose
@@ -548,12 +552,13 @@ object MultimodalOps {
     val h = 7 * (2 + (b % 3)).toInt // 14..28, always /7
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val md = java.security.MessageDigest.getInstance("MD5")
     var c = 0
     while (c < 9) {
       var r = 0
       while (r < 7) {
         val bump = if (odd && M8Perturbed.contains((c, r))) 128 else 0
-        val (r0, gCh, bCh) = m8BlockColor(b, c, r)
+        val (r0, gCh, bCh) = m8BlockColor(md, b, c, r)
         val rCh = (r0 + bump) % 256
         val rgb = (rCh << 16) | (gCh << 8) | bCh
         val (x0, x1) = (w * c / 9, w * (c + 1) / 9)
@@ -621,6 +626,12 @@ object MultimodalOps {
     * way x4's bands do; the verify is one codegen'd bit_count(xor). */
   def m8PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint: the band self-join references this frame on BOTH
+    // sides, and without the cut each side re-runs the whole
+    // generate→encode→decode→hash pass (measured: the decode dominates
+    // m8's bench time 2x). The checkpointed frame is (doc_id, 8-byte
+    // hash) — KBs per thousand docs; at 100 TB this is the persisted
+    // fingerprint table a production run lands anyway.
     val hashes = Tables.t(spark, dir, "documents")
       .select("doc_id").as[Long]
       .mapPartitions { it =>
@@ -628,7 +639,7 @@ object MultimodalOps {
         it.map { id =>
           (id, dHash56(ImageIoCodec.read(id, m8SyntheticPng(id))))
         }
-      }.toDF("doc_id", "hash")
+      }.toDF("doc_id", "hash").localCheckpoint()
     val bands = hashes.select(col("doc_id"), col("hash"),
         explode(array((0 until 4).map(b => lit(b)): _*)).as("band"))
       .withColumn("bkey", expr("shiftright(hash, 14 * band) & 16383"))
