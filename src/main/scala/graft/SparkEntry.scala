@@ -222,6 +222,11 @@ object SparkEntry {
     // result hash-matches the batch oracle verbatim
     "st16_stream_drift" ->
       (graft.streaming.CorpusStreamDrift.st16StreamDrift _),
+    // st17: st14's ingest-time rejection on the VISION side — incoming
+    // images fingerprinted (real decode + dHash) and admitted/dropped
+    // against the standing corpus' band index per micro-batch
+    "st17_stream_phash_admit" ->
+      (graft.streaming.MediaStreamDedup.st17StreamPhashAdmit _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // z4: md5-keyed 80/10/10 split, stratification audited per source
     "z4_stratified_split" -> (TextQueries.z4StratifiedSplit _),
@@ -2407,6 +2412,7 @@ object SparkEntry {
     // st16: counting is associative, so the streamed drift table equals
     // the batch rebuild exactly — the oracle is y21's, verbatim
     "st16_stream_drift" -> corpusDriftOracle,
+    "st17_stream_phash_admit" -> graft.streaming.MediaStreamDedup.st17OracleSql,
     "y1_token_stats" ->
       """WITH d AS (SELECT lang, n_chars,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)

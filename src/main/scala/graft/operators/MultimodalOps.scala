@@ -94,7 +94,7 @@ object MultimodalOps {
     * are not thread-safe to share); the mapPartitions batching still
     * amortizes classloading/SPI lookup per partition. */
   object ImageIoCodec extends MediaCodec {
-    private[operators] def read(docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    private[graft] def read(docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, s"payload of doc $docId is not a decodable image")
       img
@@ -545,7 +545,7 @@ object MultimodalOps {
     * cells land exactly on the solid blocks and the decoded cell lumas
     * are SQL-rederivable from doc_id alone (PNG is lossless over
     * TYPE_INT_RGB). */
-  private[operators] def m8SyntheticPng(docId: Long): Array[Byte] = {
+  private[graft] def m8SyntheticPng(docId: Long): Array[Byte] = {
     val b = docId - (docId % 2)
     val odd = docId % 2 == 1
     val w = 9 * (2 + (b % 5)).toInt // 18..54, always /9
@@ -584,7 +584,7 @@ object MultimodalOps {
     * cell (x, y). 56 bits (not the classical 64) keeps the top byte clear
     * so the hash lives in non-negative BIGINT range on both engines — no
     * two's-complement edge in the oracle's sum-of-shifted-bits rebuild. */
-  private[operators] def dHash56(img: java.awt.image.BufferedImage): Long = {
+  private[graft] def dHash56(img: java.awt.image.BufferedImage): Long = {
     val (w, h) = (img.getWidth, img.getHeight)
     val lum = Array.ofDim[Int](9, 7)
     var c = 0
