@@ -305,6 +305,9 @@ object SparkEntry {
     // m9: the audio lane — real s16le PCM decode, per-window
     // loudness/peak/zero-crossing features, integer-exact
     "m9_audio_pcm" -> (MultimodalOps.m9AudioPcmFeatures _),
+    // m10: the video lane — container walk (magic + length-prefixed
+    // frames) + per-frame real decode, per-(doc, frame) brightness table
+    "m10_video_frames" -> (MultimodalOps.m10VideoFrames _),
     // --- streaming engine driven end-to-end, ORACLED: the streaming aggs
     //     accumulate in decimal (order-independent), so the finalized
     //     Append-mode output is bit-identical to the batch/DuckDB answer.
@@ -2532,6 +2535,7 @@ object SparkEntry {
         |FROM l GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_idx""".stripMargin,
     "m8_phash_near_dup" -> MultimodalOps.m8OracleSql,
     "m9_audio_pcm" -> MultimodalOps.m9OracleSql,
+    "m10_video_frames" -> MultimodalOps.m10OracleSql,
     "y6_bpe_tokens" ->
       """WITH d AS (SELECT lang,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,

@@ -816,6 +816,134 @@ object MultimodalOps {
       .orderBy("doc_id", "win")
   }
 
+  // ------------------------------------------------------ m10: video lane
+
+  /** m10's per-frame payload: an 8-strip × 3-band solid-block PNG (m7's
+    * block-aligned geometry, so decoded block means are exact), colors =
+    * the first three bytes of md5("v:doc:frame:band:strip") — frame index
+    * mixed into the hash, so frames differ. */
+  private def m10FramePng(docId: Long, f: Int): Array[Byte] = {
+    val w = 8 * (2 + (docId % 5)).toInt // 16..48, /8
+    val h = 3 * (2 + (docId % 4)).toInt // 6..15,  /3
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var b = 0
+    while (b < 3) {
+      var s = 0
+      while (s < 8) {
+        md.reset()
+        val hx = md.digest(s"v:$docId:$f:$b:$s".getBytes("UTF-8"))
+        val rgb = ((hx(0) & 0xff) << 16) | ((hx(1) & 0xff) << 8) | (hx(2) & 0xff)
+        val (x0, x1) = (w * s / 8, w * (s + 1) / 8)
+        val (y0, y1) = (h * b / 3, h * (b + 1) / 3)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        s += 1
+      }
+      b += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** m10's synthetic payload: a VIDEO-shaped container — 4-byte magic
+    * `GVID`, int32-LE frame count, then each frame as int32-LE length +
+    * PNG bytes (the MJPEG idiom: a real container walk over real encoded
+    * frames; the JDK ships no mp4/h264 demuxer, so the container is ours
+    * while the per-frame codec is the real `javax.imageio` path). Frame
+    * count 2+id%3. */
+  private[graft] def m10SyntheticVideo(docId: Long): Array[Byte] = {
+    val frames = (2 + docId % 3).toInt
+    val pngs = (0 until frames).map(f => m10FramePng(docId, f))
+    val buf = java.nio.ByteBuffer.allocate(8 + pngs.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GVID".getBytes("US-ASCII")).putInt(frames)
+    pngs.foreach { p => buf.putInt(p.length); buf.put(p) }
+    buf.array()
+  }
+
+  /** REAL video-container decode: verify the magic, walk the
+    * length-prefixed frame records, decode each through `javax.imageio`.
+    * A length-arithmetic slip reads a frame boundary wrong and the PNG
+    * decode fails loudly — the container walk is what m10's hash-match
+    * certifies on top of the per-frame decode. */
+  private[graft] def decodeVideo(docId: Long,
+      bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "not a GVID container")
+    val frames = buf.getInt
+    (0 until frames).map { _ =>
+      val len = buf.getInt
+      val png = new Array[Byte](len)
+      buf.get(png)
+      ImageIoCodec.read(docId, png)
+    }
+  }
+
+  /** m10: the VIDEO lane — the container walk + per-frame real decode
+    * that completes the image (m7/m8) / audio (m9) / video trio: each
+    * doc's [[m10SyntheticVideo]] payload is generated executor-side,
+    * demuxed frame by frame, each frame ImageIO-decoded, and reduced to
+    * the per-(doc, frame) brightness table (bright-block count and total
+    * block luma over the 3×8 grid) a sampling/quality pass gates on. The
+    * block grid is solid-color-aligned, so the DuckDB oracle re-derives
+    * every block luma from md5 arithmetic — a hash-match certifies the
+    * container walk AND the per-frame decode. Scale: generate + demux +
+    * decode + fold all in-partition; only (doc_id, frame, 2 longs) rows
+    * move, never frames. */
+  def m10VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          decodeVideo(id, m10SyntheticVideo(id)).zipWithIndex.map { case (img, f) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var bright = 0L; var lumaSum = 0L
+            var b = 0
+            while (b < 3) {
+              var s = 0
+              while (s < 8) {
+                val l = ImageIoCodec.meanLuma(img,
+                  w * s / 8, w * (s + 1) / 8, h * b / 3, h * (b + 1) / 3)
+                if (l >= 128) bright += 1
+                lumaSum += l
+                s += 1
+              }
+              b += 1
+            }
+            (id, f.toLong, bright, lumaSum)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "n_bright", "luma_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** The m10 oracle: unnest (frame, band, strip) per doc and fold the
+    * same block-luma statistics from the md5 arithmetic. */
+  def m10OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS frames FROM documents),
+       |fr AS (SELECT doc_id, unnest(generate_series(0, frames - 1)) AS f FROM d),
+       |g AS (SELECT doc_id, f, bb.b, ss.s
+       |  FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS b) bb
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) ss),
+       |lum AS (SELECT doc_id, f,
+       |    (299 * (('0x' || substr(md5('v:' || doc_id || ':' || f || ':' || b || ':' || s), 1, 2))::INT)
+       |     + 587 * (('0x' || substr(md5('v:' || doc_id || ':' || f || ':' || b || ':' || s), 3, 2))::INT)
+       |     + 114 * (('0x' || substr(md5('v:' || doc_id || ':' || f || ':' || b || ':' || s), 5, 2))::INT)) // 1000 AS luma
+       |  FROM g)
+       |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       |  CAST(sum(CASE WHEN luma >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
+       |  CAST(sum(luma) AS BIGINT) AS luma_sum
+       |FROM lum GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin
+
   /** The m9 oracle: unnest the sample clock per doc and fold the same
     * three window statistics from the generator arithmetic (|sample| =
     * the half-period amplitude; a sign change happens exactly at interior

@@ -182,4 +182,40 @@ class Round11OpsSpec extends SparkSpec {
     }.sortBy(r => (r._1, r._2)).toSeq
     assert(got == expected)
   }
+
+  // ------------------------------------------------------------------ m10
+
+  test("m10: the container demux walks frame records exactly and rejects a bad magic") {
+    val frames = MultimodalOps.decodeVideo(9L, MultimodalOps.m10SyntheticVideo(9L))
+    assert(frames.length == (2 + 9 % 3)) // doc 9 -> 2 frames
+    frames.foreach { img =>
+      assert(img.getWidth == 8 * (2 + 9 % 5) && img.getHeight == 3 * (2 + 9 % 4))
+    }
+    val corrupt = MultimodalOps.m10SyntheticVideo(9L).clone()
+    corrupt(0) = 'X'.toByte
+    val e = intercept[IllegalArgumentException](
+      MultimodalOps.decodeVideo(9L, corrupt))
+    assert(e.getMessage.contains("GVID"))
+  }
+
+  test("m10: per-frame brightness from DECODED frames equals the md5 formula") {
+    import graft.SparkEntry
+    val got = SparkEntry.queries("m10_video_frames")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def luma(id: Long, f: Int, b: Int, s: Int): Long = {
+      md.reset()
+      val h = md.digest(s"v:$id:$f:$b:$s".getBytes("UTF-8"))
+      (299L * (h(0) & 0xff) + 587L * (h(1) & 0xff) + 114L * (h(2) & 0xff)) / 1000L
+    }
+    val expected = ids.flatMap { id =>
+      (0 until (2 + id % 3).toInt).map { f =>
+        val ls = for (b <- 0 until 3; s <- 0 until 8) yield luma(id, f, b, s)
+        (id, f.toLong, ls.count(_ >= 128).toLong, ls.sum)
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expected)
+  }
 }
