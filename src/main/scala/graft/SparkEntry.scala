@@ -99,6 +99,9 @@ object SparkEntry {
     // p5: exact heavy hitters through a wide-CMS prefilter — the sketch
     // prunes the exact agg's exchange, never the answer
     "p5_heavy_hitters" -> (AnalyticsQueries.p5HeavyHitters _),
+    // p6: KMV (bottom-k) cross-corpus shingle-overlap estimation with
+    // exact audit lanes — deterministic given the md5 hash, so exact-MATCH
+    "p6_kmv_overlap" -> (DedupQueries.p6KmvOverlap _),
     "r5_unpivot" -> (AnalyticsQueries.r5Unpivot _),
     "t2_sessionize" -> (AnalyticsQueries.t2Sessionize _),
     // k1: salted join + two-phase agg over a synthesized heavy hitter —
@@ -1627,6 +1630,7 @@ object SparkEntry {
         |SELECT source, CAST(k AS BIGINT) AS k, count(*) AS n_types,
         |  CAST(sum(f) AS BIGINT) AS n_occurrences
         |FROM c GROUP BY 1, 2 ORDER BY source, k""".stripMargin,
+    "p6_kmv_overlap" -> DedupQueries.p6OracleSql,
     // p5: the oracle is the PLAIN exact query — the sketch prefilter is
     // a plan optimization whose correctness claim is precisely that it
     // cannot change this answer (CMS never undercounts)

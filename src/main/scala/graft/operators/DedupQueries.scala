@@ -903,4 +903,104 @@ object DedupQueries {
       .filter(col("hamming") <= 12)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---------------------------------------------------- p6: KMV overlap
+
+  /** KMV sketch size for p6. */
+  private[operators] val KmvK = 256
+
+  /** The portable 3-gram shingle hash both engines compute verbatim:
+    * whitespace tokens → 3-gram strings (x3's oracle idiom) → the first
+    * 15 hex digits of md5 as a 60-bit non-negative BIGINT (the v2/x6
+    * cross-engine hash idiom). Rendered as one SQL expression text used
+    * by expr() on the Spark side and inlined in the DuckDB oracle —
+    * different list-comprehension spellings, identical values. */
+  private val ShingleHashSparkSql =
+    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+      |  i -> cast(conv(substr(md5(concat_ws(' ', slice(split(text, ' '), i, 3))), 1, 15), 16, 10) as bigint))""".stripMargin
+
+  /** p6: CROSS-CORPUS overlap estimation by KMV (bottom-k) sketch — the
+    * question a training-data owner asks two corpora ("how much does
+    * crawl B duplicate crawl A?") answered WITHOUT the exact
+    * distinct-set join: each side keeps only its k smallest 60-bit
+    * shingle hashes (k = 256 — KBs per corpus, mergeable, the classic
+    * KMV/bottom-k summary), the merged bottom-k estimates the union
+    * cardinality from its k-th smallest value ((k−1)·2⁶⁰ / kth — order
+    * statistics of uniform hashes) and the Jaccard from the fraction of
+    * merged survivors present in BOTH sketches. The estimator is
+    * DETERMINISTIC given the hash, so unlike p2/q6 the oracle is an
+    * exact hash MATCH: DuckDB re-derives the same shingles, the same
+    * md5-60-bit values, the same bottom-k, the same arithmetic. Exact
+    * union/intersection columns ride along as the AUDIT lanes (v17's
+    * measure-against-truth move) — a 100 TB run drops them and keeps
+    * the sketch path: one map-side-combinable (side, hash) distinct,
+    * two TakeOrderedAndProject bottom-k passes (map-side k-capped, no
+    * global sort), then k-row broadcast merges. */
+  def p6KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = KmvK
+    val docs = Tables.t(spark, dir, "documents")
+      .withColumn("side",
+        when(expr("cast(substring(source, 4, 10) as int) < 10"), "a").otherwise("b"))
+    val hashes = docs
+      .select(col("side"), explode(expr(ShingleHashSparkSql)).as("h"))
+      .distinct()
+      .localCheckpoint() // five consumers (2 sketches, 2 exact lanes, union)
+    val skA = hashes.filter(col("side") === "a").select("h").orderBy("h").limit(k)
+    val skB = hashes.filter(col("side") === "b").select("h").orderBy("h").limit(k)
+    val merged = skA.union(skB).distinct().orderBy("h").limit(k)
+      .localCheckpoint() // k rows; read by the kth and matches lanes
+    val kth = merged.agg(max("h").as("kth_union"))
+    val matches = merged
+      .join(skA, Seq("h"), "left_semi")
+      .join(skB, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("matches"))
+    val aSet = hashes.filter(col("side") === "a").select("h")
+    val bSet = hashes.filter(col("side") === "b").select("h")
+    val exactU = aSet.union(bSet).distinct().agg(count(lit(1)).as("exact_union"))
+    val exactI = aSet.intersect(bSet).agg(count(lit(1)).as("exact_inter"))
+    kth.crossJoin(matches).crossJoin(exactU).crossJoin(exactI)
+      .withColumn("k", lit(k.toLong))
+      .withColumn("union_est", expr(
+        s"round(cast(${k - 1} as double) * cast(1152921504606846976 as double) / cast(kth_union as double), 2)"))
+      .withColumn("inter_est", expr(
+        s"round(cast(matches as double) / $k.0 * (cast(${k - 1} as double) * cast(1152921504606846976 as double) / cast(kth_union as double)), 2)"))
+      .withColumn("jaccard_est", expr(s"round(cast(matches as double) / $k.0, 4)"))
+      .withColumn("jaccard_exact", expr(
+        "round(cast(exact_inter as double) / exact_union, 4)"))
+      .select("k", "exact_union", "exact_inter", "kth_union", "matches",
+        "union_est", "inter_est", "jaccard_est", "jaccard_exact")
+  }
+
+  /** The p6 oracle: the same shingle hash (x3's tokenization + the
+    * md5-60-bit idiom), the same bottom-k order statistics, the same
+    * estimator arithmetic in the same evaluation order. */
+  def p6OracleSql: String = {
+    val k = KmvK
+    s"""WITH t AS (SELECT CASE WHEN substr(source, 4)::INT < 10 THEN 'a' ELSE 'b' END AS side,
+       |    string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT side, unnest([array_to_string(toks[i:i+2], ' ')
+       |  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS g FROM t),
+       |hs AS (SELECT DISTINCT side, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM sh),
+       |ska AS (SELECT h FROM hs WHERE side = 'a' ORDER BY h LIMIT $k),
+       |skb AS (SELECT h FROM hs WHERE side = 'b' ORDER BY h LIMIT $k),
+       |merged AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+       |  ORDER BY h LIMIT $k),
+       |kth AS (SELECT max(h) AS kth_union FROM merged),
+       |mt AS (SELECT count(*) AS matches FROM merged
+       |  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+       |eu AS (SELECT count(DISTINCT h) AS exact_union FROM hs),
+       |ei AS (SELECT count(*) AS exact_inter FROM
+       |  (SELECT DISTINCT a.h FROM hs a JOIN hs b ON a.h = b.h
+       |    AND a.side = 'a' AND b.side = 'b'))
+       |SELECT CAST($k AS BIGINT) AS k,
+       |  CAST(exact_union AS BIGINT) AS exact_union,
+       |  CAST(exact_inter AS BIGINT) AS exact_inter,
+       |  CAST(kth_union AS BIGINT) AS kth_union,
+       |  CAST(matches AS BIGINT) AS matches,
+       |  round(CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(kth_union AS DOUBLE), 2) AS union_est,
+       |  round(CAST(matches AS DOUBLE) / $k.0 * (CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(kth_union AS DOUBLE)), 2) AS inter_est,
+       |  round(CAST(matches AS DOUBLE) / $k.0, 4) AS jaccard_est,
+       |  round(CAST(exact_inter AS DOUBLE) / exact_union, 4) AS jaccard_exact
+       |FROM kth CROSS JOIN mt CROSS JOIN eu CROSS JOIN ei""".stripMargin
+  }
 }

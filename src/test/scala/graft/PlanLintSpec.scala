@@ -36,7 +36,9 @@ class PlanLintSpec extends SparkSpec {
     "w10_assoc_rules" -> "1-row basket total joined onto the 20-row rule list",
     "n2_hits" -> "1-row L1 mass joined back per normalization half-step",
     "v20_adc_join_serve" ->
-      "quantizer tables (k=10-row coarse, k'=4-row codebooks) cross the query set — O(k) sides by construction, the ADC distance-table build"
+      "quantizer tables (k=10-row coarse, k'=4-row codebooks) cross the query set — O(k) sides by construction, the ADC distance-table build",
+    "p6_kmv_overlap" ->
+      "four 1-row aggregate legs (kth, matches, exact union, exact inter) zipped into the single output row"
   )
 
   // one analysis pass per query: optimizedPlan only (no execution)

@@ -218,4 +218,30 @@ class Round11OpsSpec extends SparkSpec {
     }.sortBy(r => (r._1, r._2)).toSeq
     assert(got == expected)
   }
+
+  // ------------------------------------------------------------------- p6
+
+  test("p6: the KMV estimate lands near the exact audit lanes on the gate corpus") {
+    import graft.SparkEntry
+    val rows = SparkEntry.queries("p6_kmv_overlap")(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val k = r.getAs[Long]("k")
+    val exactUnion = r.getAs[Long]("exact_union").toDouble
+    val exactInter = r.getAs[Long]("exact_inter").toDouble
+    val matches = r.getAs[Long]("matches")
+    val unionEst = r.getAs[Double]("union_est")
+    val interEst = r.getAs[Double]("inter_est")
+    val jEst = r.getAs[Double]("jaccard_est")
+    val jExact = r.getAs[Double]("jaccard_exact")
+    assert(k == 256 && matches >= 0 && matches <= k)
+    assert(exactInter > 0, "the corpus sides must genuinely overlap or the query tests nothing")
+    // KMV quality at k=256: union std err ~ 1/sqrt(k) ~ 6%; pin at 20%
+    assert(math.abs(unionEst - exactUnion) / exactUnion < 0.20,
+      s"union_est $unionEst vs exact $exactUnion")
+    // Jaccard std err ~ sqrt(J(1-J)/k) ~ 0.03 at J~0.2; pin at 0.12
+    assert(math.abs(jEst - jExact) < 0.12, s"jaccard_est $jEst vs exact $jExact")
+    assert(math.abs(interEst - exactInter) / math.max(exactInter, 1.0) < 0.35,
+      s"inter_est $interEst vs exact $exactInter")
+  }
 }
