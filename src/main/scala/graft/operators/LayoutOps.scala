@@ -115,6 +115,10 @@ object LayoutOps {
     * codegen-friendly, no UDF, nothing shuffles. */
   private[operators] def withHilbertIndex(df: DataFrame, x: Column, y: Column,
       out: String): DataFrame = {
+    // the fold threads state through fixed working names; a caller column
+    // with the same name would be silently consumed as fold state
+    require(!df.columns.exists(Set("_hx", "_hy", "_hx2", "_hy2")),
+      "withHilbertIndex: input columns _hx/_hy/_hx2/_hy2 are reserved")
     val seed = df.withColumn("_hx", x.cast("long")).withColumn("_hy", y.cast("long"))
       .withColumn(out, lit(0L))
     val chained = (7 to 0 by -1).foldLeft(seed) { (cur, b) =>

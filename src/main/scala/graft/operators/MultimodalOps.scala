@@ -880,8 +880,12 @@ object MultimodalOps {
     val magic = new Array[Byte](4); buf.get(magic)
     require(new String(magic, "US-ASCII") == "GVID", "not a GVID container")
     val frames = buf.getInt
-    (0 until frames).map { _ =>
+    require(frames >= 0, s"negative frame count $frames")
+    (0 until frames).map { f =>
+      require(buf.remaining() >= 4, s"truncated container at frame $f")
       val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining(),
+        s"frame $f length $len exceeds remaining ${buf.remaining()} bytes")
       val png = new Array[Byte](len)
       buf.get(png)
       ImageIoCodec.read(docId, png)
