@@ -230,6 +230,10 @@ object SparkEntry {
     // against the standing corpus' band index per micro-batch
     "st17_stream_phash_admit" ->
       (graft.streaming.MediaStreamDedup.st17StreamPhashAdmit _),
+    // st18: p6's KMV sketch maintained ON the ingest stream — a running
+    // mergeable bottom-k per micro-batch; mergeability makes the streamed
+    // sketch equal the batch one, so it shares p6's oracle verbatim
+    "st18_stream_kmv" -> (graft.streaming.CorpusStreamKmv.st18StreamKmv _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // z4: md5-keyed 80/10/10 split, stratification audited per source
     "z4_stratified_split" -> (TextQueries.z4StratifiedSplit _),
@@ -1631,6 +1635,7 @@ object SparkEntry {
         |  CAST(sum(f) AS BIGINT) AS n_occurrences
         |FROM c GROUP BY 1, 2 ORDER BY source, k""".stripMargin,
     "p6_kmv_overlap" -> DedupQueries.p6OracleSql,
+    "st18_stream_kmv" -> DedupQueries.p6OracleSql,
     // p5: the oracle is the PLAIN exact query — the sketch prefilter is
     // a plan optimization whose correctness claim is precisely that it
     // cannot change this answer (CMS never undercounts)

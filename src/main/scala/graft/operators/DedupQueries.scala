@@ -907,7 +907,7 @@ object DedupQueries {
   // ---------------------------------------------------- p6: KMV overlap
 
   /** KMV sketch size for p6. */
-  private[operators] val KmvK = 256
+  private[graft] val KmvK = 256
 
   /** The portable 3-gram shingle hash both engines compute verbatim:
     * whitespace tokens → 3-gram strings (x3's oracle idiom) → the first
@@ -915,9 +915,12 @@ object DedupQueries {
     * cross-engine hash idiom). Rendered as one SQL expression text used
     * by expr() on the Spark side and inlined in the DuckDB oracle —
     * different list-comprehension spellings, identical values. */
-  private val ShingleHashSparkSql =
+  private[graft] val ShingleHashSparkSql =
     """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
       |  i -> cast(conv(substr(md5(concat_ws(' ', slice(split(text, ' '), i, 3))), 1, 15), 16, 10) as bigint))""".stripMargin
+
+  /** The p6 side split, one rendering for Spark and the staging path. */
+  private[graft] val KmvSideASql = "cast(substring(source, 4, 10) as int) < 10"
 
   /** p6: CROSS-CORPUS overlap estimation by KMV (bottom-k) sketch — the
     * question a training-data owner asks two corpora ("how much does
@@ -937,15 +940,32 @@ object DedupQueries {
     * two TakeOrderedAndProject bottom-k passes (map-side k-capped, no
     * global sort), then k-row broadcast merges. */
   def p6KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val k = KmvK
-    val docs = Tables.t(spark, dir, "documents")
-      .withColumn("side",
-        when(expr("cast(substring(source, 4, 10) as int) < 10"), "a").otherwise("b"))
-    val hashes = docs
+    val hashes = kmvSideHashes(spark, dir)
+    val skA = hashes.filter(col("side") === "a").select("h")
+      .orderBy("h").limit(KmvK)
+    kmvAssemble(spark, dir, skA)
+  }
+
+  /** The distinct (side, h) shingle-hash table both p6 lanes read. */
+  private def kmvSideHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .withColumn("side", when(expr(KmvSideASql), "a").otherwise("b"))
       .select(col("side"), explode(expr(ShingleHashSparkSql)).as("h"))
       .distinct()
       .localCheckpoint() // five consumers (2 sketches, 2 exact lanes, union)
-    val skA = hashes.filter(col("side") === "a").select("h").orderBy("h").limit(k)
+
+  /** Everything downstream of side A's sketch: side B's sketch, the
+    * merged bottom-k, the estimator row, and the exact audit lanes.
+    * Parameterized on `skA` so the STREAMED sketch (st18 — the running
+    * bottom-k maintained per micro-batch) assembles through the
+    * identical arithmetic and shares p6's oracle verbatim: if the
+    * streamed sketch differed from the batch bottom-k in any element,
+    * kth/matches/union_est would shift and the hash compare would
+    * break. */
+  private[graft] def kmvAssemble(spark: SparkSession, dir: String,
+      skA: DataFrame): DataFrame = {
+    val k = KmvK
+    val hashes = kmvSideHashes(spark, dir)
     val skB = hashes.filter(col("side") === "b").select("h").orderBy("h").limit(k)
     val merged = skA.union(skB).distinct().orderBy("h").limit(k)
       .localCheckpoint() // k rows; read by the kth and matches lanes
