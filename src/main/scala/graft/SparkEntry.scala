@@ -252,6 +252,9 @@ object SparkEntry {
     "v2_ann_lsh" -> (SimilarityQueries.v2AnnLsh _),
     "v3_label_centroids" -> (SimilarityQueries.v3LabelCentroids _),
     "v4_ivf_search" -> (SimilarityQueries.v4IvfSearch _),
+    // v22: filtered vector search — metadata-constrained top-k with the
+    // probe list widened to 2 cells to recover filter-thinned recall
+    "v22_filtered_ann" -> (SimilarityQueries.v22FilteredAnn _),
     "v5_ivf_kmeans" -> (SimilarityQueries.v5IvfKmeans _),
     "v6_knn_join" -> (SimilarityQueries.v6KnnJoin _),
     // v7: v6's kNN self-join cell-bounded by the k-means quantizer instead
@@ -2590,6 +2593,7 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank FROM cand)
         |SELECT query_id, neighbor_id, cell, round(s, 6) AS sim, rank FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    "v22_filtered_ann" -> SimilarityQueries.v22OracleSql,
     // Lloyd's iterations unrolled (3 passes, matching the Spark
     // broadcast-loop exactly): init = k lowest vec_ids, assignment =
     // argmax dot - ||c||^2/2 with (score DESC, cell) ties, centroid =

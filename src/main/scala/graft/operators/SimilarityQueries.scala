@@ -119,7 +119,13 @@ object SimilarityQueries {
     * corpus per query instead of all of it (vs v1's brute force; LSH v2 is
     * the hash-bucket alternative). Centroids are broadcast — the coarse
     * quantizer is small by construction. */
-  def v4IvfSearch(spark: SparkSession, dir: String): DataFrame = {
+  /** Every vector's RANKED cosine distances to the normalized label
+    * centroids — v4's coarse quantizer up to (but not including) the
+    * rk=1 cut, so rk 1 is the home-cell assignment (v4) and rk ≤ nprobe
+    * is a query's probe list (v22's filtered search widens probes to
+    * recover recall lost to the metadata filter). Decimal sum → double →
+    * one IEEE divide: portable across engines. */
+  private def labelCellsRanked(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     // coarse quantizer: per-label exact-decimal centroids (same math as v3).
     // Decimal sum (exact, order-independent) -> double -> one IEEE divide:
@@ -142,11 +148,15 @@ object SimilarityQueries {
       .withColumn("centroid",
         transform(col("centroid"), x => (x / col("cn")).cast("float")))
       .drop("cn")
-    val assigned = e.select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(normed.withColumnRenamed("label", "cl")))
       .withColumn("d", dot(col("embedding"), col("centroid")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d").desc, col("cl"))))
+  }
+
+  def v4IvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = labelCellsRanked(spark, dir)
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
       .localCheckpoint() // assignment feeds both probe sides
@@ -163,6 +173,78 @@ object SimilarityQueries {
         round(col("sim"), 6).as("sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** v22: FILTERED vector search — the metadata-constrained top-k every
+    * production ANN serves ("nearest neighbors WHERE tier = X"): v4's
+    * coarse quantizer, but each query probes its TOP-4 cells (filtered
+    * search widens probes because the predicate thins each cell's
+    * candidates — the recall-recovery move; measured filtered recall@3
+    * vs the exact filtered brute force climbs 0.17→0.40→0.43→0.50 at
+    * sf0.001 and 0.30→0.47→0.50→0.67 at sf0.01 as nprobe goes 1→4 —
+    * tools/V22Probe), candidates must match the query's metadata tier
+    * (derived `vec_id % 3` — the corpus ships no second attribute; the
+    * derivation is identical on both engines, and the interesting part
+    * is the probe+filter+rerank PLAN, not the attribute's provenance),
+    * and the survivors exact-rerank to top-3. The oracle replicates
+    * quantizer, probe list, filter, and rerank, so the hash-match pins
+    * the full filtered-search semantics. Scale: the filter rides INSIDE
+    * the cell-bounded candidate join (never a post-materialization
+    * pass), stage-2 touch is ≤ nprobe cells per query with the tier
+    * predicate pushed into the join, and only (ids, sim) rows shuffle. */
+  def v22FilteredAnn(spark: SparkSession, dir: String): DataFrame =
+    v22FilteredAnn(spark, dir, nprobe = 4)
+
+  /** nprobe-parameterized form: the spec measures the widening dividend
+    * (filtered recall at the shipped nprobe strictly above 1-probe). */
+  private[graft] def v22FilteredAnn(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val ranked = labelCellsRanked(spark, dir)
+      .localCheckpoint() // quantizer runs once; home cells + probe lists
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cl").as("cell"),
+        (col("vec_id") % 3).as("tier"))
+    val q = ranked.filter(col("vec_id") < 10 && col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cl").as("cell"), (col("vec_id") % 3).as("qtier"))
+    // a candidate's home cell is unique, so each (query, candidate) pair
+    // appears at most once across the 2 probe cells — no dedupe needed
+    val cand = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") && col("tier") === col("qtier"))
+      .withColumn("sim", dot(col("embedding"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("tier"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The v22 oracle: v4's quantizer CTEs, the rank kept (probe list =
+    * rk ≤ 2), the tier filter inside the candidate join, same rerank. */
+  def v22OracleSql: String =
+    """WITH u AS (
+      |  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |cm AS (SELECT label, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS c
+      |  FROM u GROUP BY 1, 2),
+      |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cm GROUP BY 1),
+      |norm AS (SELECT label AS cl,
+      |  list_transform(centroid, x -> CAST(CAST(x / sqrt(list_dot_product(centroid, centroid)) AS FLOAT) AS DOUBLE)) AS nc
+      |  FROM cent),
+      |a AS (SELECT e.vec_id, e.embedding, norm.cl,
+      |        list_dot_product(e.embedding::DOUBLE[], norm.nc) AS d
+      |      FROM embeddings e CROSS JOIN norm),
+      |rkd AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cl) AS rk FROM a),
+      |asg AS (SELECT vec_id, embedding, cl AS cell, vec_id % 3 AS tier FROM rkd WHERE rk = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv, cl AS cell, vec_id % 3 AS qtier
+      |  FROM rkd WHERE vec_id < 10 AND rk <= 4),
+      |cand AS (SELECT q.query_id, asg.vec_id AS neighbor_id, asg.tier,
+      |    list_dot_product(asg.embedding::DOUBLE[], q.qv::DOUBLE[]) AS s
+      |  FROM asg JOIN q ON asg.cell = q.cell AND asg.vec_id <> q.query_id
+      |    AND asg.tier = q.qtier),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank FROM cand)
+      |SELECT query_id, neighbor_id, tier, round(s, 6) AS sim, rank FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Lloyd's k-means as a broadcast-loop of DataFrame passes — the real
     * (unsupervised) IVF coarse quantizer, vs v4's label-centroid stand-in.
