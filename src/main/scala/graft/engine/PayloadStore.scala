@@ -205,9 +205,14 @@ final class FlatFilePayloadStore(spark: SparkSession, dir: String)
     val s = Files.list(Paths.get(dir))
     try s.iterator().forEachRemaining { p =>
       val n = p.getFileName.toString
-      if (n.startsWith(".") && n.endsWith(".tmp") &&
-          Files.getLastModifiedTime(p).toMillis < cutoff)
-        Files.deleteIfExists(p)
+      // A racing second vacuum (or a finishing writer's rename) can remove
+      // the file between list and stat — skip it rather than abort the
+      // whole maintenance pass on NoSuchFileException.
+      if (n.startsWith(".") && n.endsWith(".tmp"))
+        try {
+          if (Files.getLastModifiedTime(p).toMillis < cutoff)
+            Files.deleteIfExists(p)
+        } catch { case _: java.nio.file.NoSuchFileException => () }
     } finally s.close()
   }
 

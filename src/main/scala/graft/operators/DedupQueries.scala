@@ -946,13 +946,19 @@ object DedupQueries {
     kmvAssemble(spark, dir, skA)
   }
 
-  /** The distinct (side, h) shingle-hash table both p6 lanes read. */
+  /** The distinct (side, h) shingle-hash table both p6 lanes read.
+    * Memoized (not just checkpointed) so p6KmvOverlap's skA build and
+    * kmvAssemble share ONE checkpointed pass — before r12 each call
+    * checkpointed the identical lineage separately, running p6's
+    * dominant scan twice per invocation. */
   private def kmvSideHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.t(spark, dir, "documents")
-      .withColumn("side", when(expr(KmvSideASql), "a").otherwise("b"))
-      .select(col("side"), explode(expr(ShingleHashSparkSql)).as("h"))
-      .distinct()
-      .localCheckpoint() // five consumers (2 sketches, 2 exact lanes, union)
+    memoized(spark, dir, "kmvSideHashes") {
+      Tables.t(spark, dir, "documents")
+        .withColumn("side", when(expr(KmvSideASql), "a").otherwise("b"))
+        .select(col("side"), explode(expr(ShingleHashSparkSql)).as("h"))
+        .distinct()
+        .localCheckpoint() // five consumers (2 sketches, 2 exact lanes, union)
+    }
 
   /** Everything downstream of side A's sketch: side B's sketch, the
     * merged bottom-k, the estimator row, and the exact audit lanes.

@@ -207,7 +207,8 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("cl").as("cell"), (col("vec_id") % 3).as("qtier"))
     // a candidate's home cell is unique, so each (query, candidate) pair
-    // appears at most once across the 2 probe cells — no dedupe needed
+    // appears at most once across the nprobe probe cells — no dedupe
+    // needed at any probe width
     val cand = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id") && col("tier") === col("qtier"))
       .withColumn("sim", dot(col("embedding"), col("qv")))
@@ -220,7 +221,8 @@ object SimilarityQueries {
   }
 
   /** The v22 oracle: v4's quantizer CTEs, the rank kept (probe list =
-    * rk ≤ 2), the tier filter inside the candidate join, same rerank. */
+    * rk ≤ 4, the shipped nprobe), the tier filter inside the candidate
+    * join, same rerank. */
   def v22OracleSql: String =
     """WITH u AS (
       |  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
