@@ -73,7 +73,16 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, outcome)
     }
-    val (line, full) = renderJson(results, sfDir)
+    // Contention stamp: before appending this run to the history, compare
+    // the scan-bound sentinels against their history medians. A contended
+    // snapshot must never read as a regression (r11's committed
+    // BENCH_FULL.json held a 326.7 s contended run vs the 185.9 s quiet
+    // truth) — the flag rides in both the compact line and the full JSON,
+    // and the close ritual refuses to leave a flagged BENCH_FULL.json.
+    val priorRuns = readHistorySentinels(sfDir)
+    val curQ = results.collect { case (k, v, Right(_)) => k -> v }.toMap
+    val contended = contendedFlag(curQ, priorRuns)
+    val (line, full) = renderJson(results, sfDir, contended)
     // The driver captures only the last ~2000 chars of output and parses
     // the JSON line out of that tail. The complete per-query report (all
     // timings at full precision + row counts) goes to a file instead; the
@@ -105,6 +114,70 @@ object Bench {
     * ~4 KB line and every BENCH_r{N}.json came back `parsed: null`). */
   private[graft] val MaxLineChars = 1600
 
+  /** Scan-bound sentinel queries for the contention stamp: cheap plans
+    * whose cost is parquet scan + one shuffle, so same-code inflation on
+    * them is host noise, never an engine change. q1 (decimal agg) rides
+    * along as the CPU-bound control — in the observed contended runs it
+    * inflates least, which is why the rule is a 2-of-3 majority, not
+    * all-3 (the 326.7 s contended run had q1 at 0.97x its median). */
+  private[graft] val Sentinels =
+    Seq("q1_pricing_summary", "b2_point_lookup", "g2_ranged_read")
+
+  /** Sentinel inflation threshold vs the history median (1.5x) and the
+    * majority needed to flag (2 of 3). Simulated over all 28 historical
+    * sf0.1 runs: flags exactly the two contended runs (252.7/326.7 s,
+    * sentinels at 1.6-2.4x) and zero quiet ones (quiet max 1.27x). */
+  private[graft] val SentinelInflation = 1.5
+  private[graft] val SentinelMajority = 2
+  private[graft] val MinHistoryRuns = 5
+
+  /** None when fewer than [[MinHistoryRuns]] comparable history runs
+    * exist (a new sf has no baseline to compare against); otherwise
+    * Some(true) when >= [[SentinelMajority]] sentinels run above
+    * [[SentinelInflation]] x their history median. Pure so the spec can
+    * prove the flag fires on a synthetically inflated run. */
+  private[graft] def contendedFlag(current: Map[String, Double],
+      priorRuns: Seq[Map[String, Double]]): Option[Boolean] = {
+    if (priorRuns.length < MinHistoryRuns) return None
+    val inflated = Sentinels.count { s =>
+      val prior = priorRuns.flatMap(_.get(s)).sorted
+      val cur = current.get(s)
+      if (prior.isEmpty || cur.isEmpty) false
+      else {
+        val med =
+          if (prior.length % 2 == 1) prior(prior.length / 2)
+          else (prior(prior.length / 2 - 1) + prior(prior.length / 2)) / 2.0
+        cur.get > SentinelInflation * med
+      }
+    }
+    Some(inflated >= SentinelMajority)
+  }
+
+  /** Parses BENCH_HISTORY.jsonl (the append-only per-run log) and returns
+    * the sentinel timings of every clean same-sf run. Jackson is the JSON
+    * reader Spark already bundles; a missing or malformed history yields
+    * Nil (flag stays unknown). */
+  private def readHistorySentinels(sfDir: String): Seq[Map[String, Double]] = {
+    val p = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+    if (!java.nio.file.Files.exists(p)) return Nil
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala.toSeq.flatMap { ln =>
+        try {
+          val n = om.readTree(ln)
+          val sameSf = Option(n.get("sf")).exists(_.asText() == sfDir)
+          val clean = Option(n.get("errors")).forall(e => !e.fieldNames().hasNext)
+          val qs = Option(n.get("queries"))
+          if (sameSf && clean && qs.isDefined)
+            Some(Sentinels.flatMap(s => Option(qs.get.get(s))
+              .filter(_.isNumber).map(v => s -> v.asDouble())).toMap)
+          else None
+        } catch { case _: Throwable => None }
+      }
+    } catch { case _: Throwable => Nil }
+  }
+
   /** Renders (compactLine, fullJson). The compact line keeps the driver
     * contract — {"metric","value","unit","queries":{name:sec},"sf"} — but
     * includes per-query entries LARGEST-FIRST only while the line stays
@@ -116,7 +189,8 @@ object Bench {
     * query at full precision + row counts) is for the BENCH_FULL.json
     * evidence file. */
   private[graft] def renderJson(
-      results: Seq[(String, Double, Either[String, Long])], sfDir: String): (String, String) = {
+      results: Seq[(String, Double, Either[String, Long])], sfDir: String,
+      contended: Option[Boolean] = None): (String, String) = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("\\p{Cntrl}", " ") + "\""
     def sec(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -124,10 +198,14 @@ object Bench {
     val errs = results.collect { case (k, _, Left(e)) => s"${jstr(k)}:${jstr(e.take(80))}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // "contended" is emitted only when known (>= MinHistoryRuns comparable
+    // history runs): absent = no baseline, false = quiet, true = sentinel
+    // majority inflated — a flagged snapshot must not close a round.
+    val cf = contended.map(b => s""","contended":$b""").getOrElse("")
     val full = {
       val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val rows = ok.map { case (k, _, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$cf,"queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
     }
     // largest-first, name tie-break: the entries that matter vs BASELINE
     // always make the line; sub-millisecond noise is what gets summarized
@@ -138,7 +216,7 @@ object Bench {
       val omittedSec = total - kept.map(_._2).sum
       val om = if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_sec":${sec(omittedSec)},"full":"BENCH_FULL.json""""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$om,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec"$cf,"queries":$qs$om,"errors":$errs,"sf":"$sfDir"}"""
     }
     var keep = desc.length
     while (keep > 0 && line(desc.take(keep)).length > MaxLineChars) keep -= 1
