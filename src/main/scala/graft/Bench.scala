@@ -53,6 +53,8 @@ object Bench {
     graft.operators.AnnIndexStore.clearMemo()
     // and the z8 export root (the timed pass pays the real shard write)
     graft.operators.ExportOps.clearMemo()
+    // and z10's hilbert-sharded export root (same rule)
+    graft.operators.LayoutOps.clearMemo()
     // and st15's staged replay (the timed pass pays the staging write)
     graft.streaming.LateDataAudit.clearMemo()
     // Drain warmup-pass debris NOW: dropping the memo released two

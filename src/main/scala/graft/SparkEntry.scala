@@ -75,9 +75,13 @@ object SparkEntry {
     // w6: strict-sequence funnel via stacked running-min windows
     "w6_funnel" -> (AnalyticsQueries.w6Funnel _),
     "p1_percentiles" -> (AnalyticsQueries.p1Percentiles _),
-    // p2: approx_percentile sketch (Spark-only — DuckDB's approx_quantile is
-    // a different sketch family; QueryPropertiesSpec bounds the error vs p1)
-    "p2_approx_percentiles" -> (AnalyticsQueries.p2ApproxPercentiles _),
+    // p2b replaces the r1-11 p2_approx_percentiles row (retired r12): the
+    // KLL sketch's rank-envelope contract — previously a bounded-pass only
+    // the LOCAL gate could see (driver recorded `no_oracle` forever) — is
+    // now computed in-query and emitted as a 0/1 verdict column, so the
+    // driver hash-matches it like any other row. The raw sketch API keeps
+    // its own coverage in QueryPropertiesSpec.
+    "p2b_percentile_audit" -> (AnalyticsQueries.p2bPercentileAudit _),
     "s2_exact_stats" -> (AnalyticsQueries.s2ExactStats _),
     "s1_set_ops" -> (AnalyticsQueries.s1SetOps _),
     "j1_asof_join" -> (JoinQueries.j1AsofJoin _),
@@ -244,6 +248,9 @@ object SparkEntry {
     // z9: Hilbert curve vs z-order head-to-head — per (layout, rectangle)
     // zone-map pruning audit on the shared 8-bit quantization grid
     "z9_hilbert_layout" -> (LayoutOps.z9HilbertLayout _),
+    // z10 ships z9's measured winner: a real sharded parquet writer cutting
+    // files along the Hilbert curve, audited by reading the landed files
+    "z10_hilbert_export" -> (LayoutOps.z10HilbertExport _),
     // z8: the composed export — x10 survivors → z3 packing → fixed-token
     // shards LANDED as partitioned parquet; manifest read back from disk
     "z8_shard_export" -> (ExportOps.z8ShardExport _),
@@ -299,7 +306,12 @@ object SparkEntry {
     // persisted, the increment encoded FROM STORAGE and appended (an
     // O(new) VersionedTable commit), then served over old+new
     "v21_index_append" -> (operators.AnnIndexStore.v21IndexAppend _),
-    "q6_approx_distinct" -> (AnalyticsQueries.q6ApproxDistinct _),
+    // v23: the DELETE verb on the vector index — tombstone-masked serve
+    // (the mask anti-joins INSIDE the candidate path, never post-rank)
+    "v23_index_delete" -> (operators.AnnIndexStore.v23IndexDelete _),
+    // q6b replaces the r1-11 q6_approx_distinct row (retired r12) — same
+    // move as p2b: the HLL++ 3*rsd error contract emitted as data.
+    "q6b_distinct_audit" -> (AnalyticsQueries.q6bDistinctAudit _),
     // --- multimodal binary plumbing (north_star; decode step is a
     //     deterministic stub, so the oracle re-derives its sha256 math)
     "m1_media_summary" -> (MultimodalOps.mm1MediaSummary _),
@@ -1459,6 +1471,25 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.75), 4) AS q75,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_median
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // The audit twins (p2b/q6b): the oracle re-derives the EXACT lanes and
+    // asserts the verdict columns literally — the Spark side computed the
+    // sketch's error contract in-query, so a sketch drifting past its bound
+    // flips the verdict to 0 and breaks the hash.
+    "p2b_percentile_audit" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS exact_q25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS exact_q50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS exact_q75,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_price_median,
+        |  CAST(1 AS BIGINT) AS within_envelope
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q6b_distinct_audit" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  CAST(1 AS BIGINT) AS parts_within_bound,
+        |  CAST(1 AS BIGINT) AS orders_within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "s2_exact_stats" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
@@ -2257,6 +2288,7 @@ object SparkEntry {
     "z5_zorder_layout" -> LayoutOps.z5OracleSql,
     "z7_zone_skip" -> LayoutOps.z7OracleSql,
     "z9_hilbert_layout" -> LayoutOps.z9OracleSql,
+    "z10_hilbert_export" -> LayoutOps.z10OracleSql,
     // y13: y2's exact stop-hit arithmetic + row_number over the same
     // deterministic (score desc, doc_id) order; integer-only rollup
     "y13_source_cap" ->
@@ -2696,6 +2728,19 @@ object SparkEntry {
     // v19 serves v12's query from the persisted index: the oracle is
     // v12's VERBATIM — any loss in persist→reopen→serve breaks the hash
     "v19_persisted_serve" -> ivfAdcOracle,
+    // v23: v12's chain minus the deleted slice (AnnIndexStore.V23DeleteSql,
+    // vec_id % 11 = 3) on BOTH sides of the candidate join — neighbors and
+    // stored probes — re-ranked over the survivors: the answer an index
+    // built WITHOUT those vectors gives, which is exactly what the
+    // tombstone mask must reproduce.
+    "v23_index_delete" -> (ivfAdcScoredCtes + """,
+      |live AS (SELECT query_id, neighbor_id, s FROM scored
+      |  WHERE neighbor_id % 11 <> 3 AND query_id % 11 <> 3),
+      |r AS (SELECT query_id, neighbor_id, s,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+      |  FROM live)
+      |SELECT query_id, neighbor_id, round(s, 6) AS adc_sim, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     // v20's join dataflow must reproduce the inline path bit for bit
     "v20_adc_join_serve" -> ivfAdcOracle,
     "v21_index_append" -> indexAppendOracle,

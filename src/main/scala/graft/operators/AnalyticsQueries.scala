@@ -532,6 +532,93 @@ object AnalyticsQueries {
         col("exact_q50"), col("approx_price_median"))
       .orderBy("l_returnflag")
 
+  /** q6's AUDIT TWIN (r12): the HLL++ sketch and the exact distinct count
+    * computed in ONE aggregation pass, with the sketch's published error
+    * contract (|approx − exact| / exact ≤ 3·rsd = 0.06 at rsd = 0.02)
+    * emitted AS DATA — per-group 0/1 verdict columns the DuckDB oracle
+    * re-derives trivially (exact counts + literal 1). This turns the
+    * previously driver-invisible bounded-pass contract (it lived only in
+    * tools/check_oracle.py, so the driver artifact recorded `no_oracle`
+    * forever) into an ordinary hash-MATCH row: if the sketch ever drifts
+    * past its bound, the verdict flips to 0 and the hash breaks. The
+    * approx values themselves stay OUT of the output (engine-specific
+    * estimates have no cross-engine bridge — DuckDB's HLL is its own).
+    * Scale: identical plan to q6 — one map-side-combinable agg where the
+    * HLL state is O(1) per group; the exact countDistinct rides along as
+    * the audit lane a 100 TB run drops (q6's scaladoc trade, unchanged). */
+  def q6bDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
+    val rel = (a: Column, e: Column) =>
+      abs(a.cast("double") - e.cast("double")) / e.cast("double")
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (rel(col("ap"), col("exact_parts")) <= 0.06).cast("long").as("parts_within_bound"),
+        (rel(col("ao"), col("exact_orders")) <= 0.06).cast("long").as("orders_within_bound"))
+      .orderBy("l_returnflag")
+  }
+
+  /** p2's AUDIT TWIN (r12), the quantile face of q6b: the KLL-family
+    * sketch (approx_percentile, accuracy = 1000) checked against its rank
+    * envelope IN-QUERY and emitted as a 0/1 verdict column. The contract
+    * (same arithmetic as tools/check_oracle.py's bounded check): each
+    * returned quantile is a real data value whose integer rank interval
+    * [count(< v), count(≤ v)] must intersect q·n ± (n/accuracy + 1) — the
+    * +1 row absorbs the sketch's 1-based rank convention and integer
+    * rounding, sub-row conventions rather than sketch error. Exact
+    * quantiles (percentile ≡ DuckDB quantile_cont, rounded) ride along as
+    * the oracle-matched columns. Two passes over the group: the agg that
+    * builds sketch + exact, then ONE conditional-count pass against the
+    * 3-row agg broadcast back to lineitem for the rank intervals — at
+    * 100 TB both are map-side-combinable scans; the exact `percentile`
+    * lane is the audit a production run drops, leaving sketch + rank
+    * probe (the probe only counts comparisons against 4 broadcast
+    * scalars per group, no extra shuffle of values). */
+  def p2bPercentileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0 / 1000
+    val l = t(spark, dir, "lineitem")
+    val agg = l.groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)").as("aq"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apm"),
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("exact_q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("exact_q50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("exact_q75"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_price_median"))
+      .select(col("l_returnflag").as("g"), col("aq"), col("apm"), col("n"),
+        col("exact_q25"), col("exact_q50"), col("exact_q75"),
+        col("exact_price_median"))
+    // rank intervals for the 4 sketch values in one conditional-count pass
+    val probe = l.join(broadcast(agg), col("l_returnflag") === col("g"))
+    def lohi(v: Column, x: Column, tag: String) = Seq(
+      count(when(x < v, 1)).as(s"lo_$tag"), count(when(x <= v, 1)).as(s"hi_$tag"))
+    val ranks = probe.groupBy("l_returnflag")
+      .agg(first(col("n")).as("n2"),
+        (lohi(element_at(col("aq"), 1), col("l_quantity"), "q25") ++
+         lohi(element_at(col("aq"), 2), col("l_quantity"), "q50") ++
+         lohi(element_at(col("aq"), 3), col("l_quantity"), "q75") ++
+         lohi(col("apm"), col("l_extendedprice"), "pm")): _*)
+    def ok(tag: String, q: Double) = {
+      val target = lit(q) * col("n2").cast("double")
+      val bound = lit(eps) * col("n2").cast("double") + lit(1.0)
+      (col(s"lo_$tag").cast("double") <= target + bound) &&
+        (col(s"hi_$tag").cast("double") >= target - bound)
+    }
+    agg.join(ranks, col("g") === ranks("l_returnflag"))
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("exact_q25"), col("exact_q50"), col("exact_q75"),
+        col("exact_price_median"),
+        (ok("q25", 0.25) && ok("q50", 0.5) && ok("q75", 0.75) &&
+          ok("pm", 0.5)).cast("long").as("within_envelope"))
+      .orderBy("l_returnflag")
+  }
+
   /** Moment statistics (mean/variance/correlation) from EXACT decimal sums:
     * raw-double `avg`/`var_pop`/`corr` are partition-order-dependent, so
     * instead each moment is a decimal sum (exact, order-independent) cast

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions: the sketch audit twins (p2b/q6b — the error
+  * contracts that lived only in the local gate, now emitted as data) and
+  * the Hilbert sharded writer (z10 — z9's measured winner shipped as a
+  * real partitioned parquet export).
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  test("q6b: verdicts hold, and the exact lanes equal a direct countDistinct") {
+    val out = AnalyticsQueries.q6bDistinctAudit(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("parts_within_bound") === 1L,
+        s"HLL parts estimate out of its 3*rsd bound for ${r.get(0)}")
+      assert(r.getAs[Long]("orders_within_bound") === 1L)
+    }
+    val truth = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      val (p, o) = truth(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Long]("exact_parts") === p)
+      assert(r.getAs[Long]("exact_orders") === o)
+    }
+  }
+
+  test("p2b: rank envelope holds and exact lanes match p1's definitions") {
+    val out = AnalyticsQueries.p2bPercentileAudit(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("within_envelope") === 1L,
+      s"approx_percentile outside its rank envelope for ${r.get(0)}"))
+    // the exact quantile lanes re-derive p1's oracle-matched definitions
+    val p1 = AnalyticsQueries.p1Percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    out.foreach { r =>
+      val (q25, q50, q75) = p1(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Double]("exact_q25") === q25)
+      assert(r.getAs[Double]("exact_q50") === q50)
+      assert(r.getAs[Double]("exact_q75") === q75)
+    }
+  }
+
+  test("p2b: the envelope verdict FLIPS when the bound is made impossible") {
+    // guard against a vacuously-true verdict: the same rank-interval
+    // arithmetic applied to a deliberately wrong "sketch value" (the
+    // group's maximum posing as the q25 quantile) must fail the envelope
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(max("l_quantity").cast("double").as("fake_q25"), count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < col("l_quantity"), 1L)).as("dummy"))
+    val probe = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(broadcast(li), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(first("n").as("n"),
+        count(when(col("l_quantity").cast("double") < col("fake_q25"), 1)).as("lo"))
+      .select(col("l_returnflag"),
+        (col("lo").cast("double") <= lit(0.25) * col("n") + lit(0.001) * col("n") + 1.0)
+          .as("ok"))
+      .as[(String, Boolean)].collect()
+    assert(probe.forall(!_._2), "max-as-q25 should violate the rank envelope")
+  }
+
+  test("z10: the landed shard tree IS the Hilbert cut — z9's hilbert audit, from disk") {
+    val root = LayoutOps.hilbertExportRoot(spark, sfDir)
+    val landed = spark.read.parquet(root)
+    // nothing lost in the write: row identity count matches the source
+    val n = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(landed.count() === n)
+    // the directory key equals the curve cut recomputed from the landed hd
+    assert(landed.filter(
+      col("hshard").cast("long") =!= expr(s"hd div ${LayoutOps.Z9ZoneCells}")
+    ).count() === 0L)
+    // the from-disk audit equals z9's in-memory hilbert half, column names aside
+    val fromDisk = LayoutOps.z10HilbertExport(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val inMem = LayoutOps.z9HilbertLayout(spark, sfDir)
+      .filter(col("layout") === "hilbert")
+      .select("rect", "zones_total", "zones_scanned", "rows_scanned", "rows_matched")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(fromDisk.sortBy(_._1).toSeq === inMem.sortBy(_._1).toSeq)
+  }
+}
