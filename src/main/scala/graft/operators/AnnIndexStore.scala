@@ -56,6 +56,8 @@ object AnnIndexStore {
   private[operators] val bandSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("band", IntegerType),
     StructField("band_key", StringType)))
+  private[operators] val tombSchema = StructType(Seq(
+    StructField("neighbor_id", LongType)))
 
   private def table(spark: SparkSession, root: String, name: String,
       schema: StructType): VersionedTable =
@@ -103,6 +105,50 @@ object AnnIndexStore {
   def openCoded(spark: SparkSession, root: String): DataFrame =
     table(spark, root, "coded", codedSchema).read()
 
+  // ----------------------------------------------------- deletes (F1, vectors)
+
+  /** The DELETE verb on the vector side (the engine's F1 applied to the
+    * index lifecycle): deletions land as TOMBSTONES — an O(deleted)
+    * append to a side table, never a touch of the corpus-sized coded
+    * body. Serving is tombstone-aware ([[servedStream]] anti-joins them
+    * INSIDE the candidate path), so a delete is visible at the very next
+    * serve; [[compactDeletes]] is the deferred physical rewrite. */
+  def deleteIds(spark: SparkSession, root: String, ids: DataFrame): Unit =
+    table(spark, root, "tombstones", tombSchema)
+      .append(ids.select(col("neighbor_id").cast("long").as("neighbor_id")))
+
+  /** The live tombstone set (empty-with-schema before any delete). */
+  def openTombstones(spark: SparkSession, root: String): DataFrame =
+    table(spark, root, "tombstones", tombSchema).read()
+
+  /** Replace the coded body wholesale (spec scaffolding for the rebuilt-
+    * index identity; materializes first in case `df` reads this table). */
+  private[operators] def republishCoded(spark: SparkSession, root: String,
+      df: DataFrame): Unit =
+    table(spark, root, "coded", codedSchema).publish(df.localCheckpoint())
+
+  /** Physically apply accumulated tombstones: republish the coded table
+    * without the deleted rows, then clear the tombstone table — both
+    * atomic version flips, so a concurrent reader serves either the
+    * (tombstone-masked) old version or the compacted new one, identical
+    * answers by construction (the spec asserts the identity). At 100 TB
+    * the coded table is partitioned by cell and this rewrite touches only
+    * the cells holding tombstoned rows; the VersionedTable layout here
+    * republishes the body in one commit — same contract, single-segment
+    * granularity. Serving never waits for compaction: run it when the
+    * tombstone mask's anti-join cost (a broadcast of the deleted-id set)
+    * outgrows the rewrite amortization. */
+  def compactDeletes(spark: SparkSession, root: String): Unit = {
+    val codedT = table(spark, root, "coded", codedSchema)
+    val tombsT = table(spark, root, "tombstones", tombSchema)
+    val survivors = codedT.read()
+      .join(tombsT.read(), Seq("neighbor_id"), "left_anti")
+      .localCheckpoint() // materialize BEFORE the republish swaps manifests
+    codedT.publish(survivors)
+    tombsT.publish(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema))
+  }
+
   /** Segment count of the coded table — the append-cost witness the
     * lifecycle spec asserts (base publish + one O(new) append = 2). */
   private[operators] def codedSegmentCount(spark: SparkSession, root: String): Int =
@@ -139,7 +185,15 @@ object AnnIndexStore {
       root: String, nprobe: Int = 1): DataFrame = {
     import spark.implicits._
     val (coarse, cents) = openQuantizer(spark, root)
+    // Tombstones mask INSIDE the candidate path — the anti-join lands on
+    // the coded table before any scoring or ranking, so a deleted vector
+    // can never occupy a shortlist slot that post-filtering would then
+    // leave empty (the top-k stays a true top-k over live vectors). The
+    // tombstone table is empty-with-schema on an index that never saw a
+    // delete: the anti-join broadcasts zero rows and the serve plan is
+    // v19's unchanged.
     val coded = table(spark, root, "coded", codedSchema).read()
+      .join(openTombstones(spark, root), Seq("neighbor_id"), "left_anti")
     val queries = Tables.t(spark, dir, "embeddings")
       .filter(col("vec_id") < 10)
       .join(coded.select(col("neighbor_id").as("vec_id"), col("cell")), "vec_id")
@@ -224,6 +278,40 @@ object AnnIndexStore {
       })
     serveTopK(spark, dir, root)
   }
+
+  /** v23: the index-DELETE lifecycle as a driver query — persist the
+    * full-trained index, delete a deterministic corpus slice
+    * (`vec_id % 11 = 3`) as tombstones (an O(deleted) commit), then
+    * serve. Deleted vectors vanish from BOTH sides of the candidate
+    * join: never a neighbor, and a deleted stored query loses its coded
+    * row (production queries arrive raw; stored-probe rows are index
+    * rows like any other). The oracle is v12's chain with the same
+    * predicate excluding deleted ids from neighbors and the stored
+    * probe set — a hash match proves tombstone-masked serve ≡ the
+    * answer an index built WITHOUT those vectors gives (the spec proves
+    * the same identity against an actually-rebuilt index, plus the
+    * compaction no-op). Scale: the delete writes |deleted| longs; the
+    * serve adds one broadcast anti-join on an id set — the index body
+    * is never rewritten until [[compactDeletes]] chooses to. */
+  def v23IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|del", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-annidx-del")
+        graft.core.FsUtil.deleteOnExitRecursively(d)
+        persist(spark, dir, d.toString)
+        deleteIds(spark, dir, d.toString)
+        d.toString
+      })
+    serveTopK(spark, dir, root)
+  }
+
+  /** The v23 delete set, in one place for the query, the oracle predicate
+    * and the spec: every 11th vector starting at 3. */
+  private[operators] val V23DeleteSql = "vec_id % 11 = 3"
+
+  private def deleteIds(spark: SparkSession, dir: String, root: String): Unit =
+    deleteIds(spark, root, Tables.t(spark, dir, "embeddings")
+      .filter(expr(V23DeleteSql)).select(col("vec_id").as("neighbor_id")))
 
   /** v19: the persisted-index serve as a driver query — persist on first
     * touch (memoized), then answer v12's query from STORAGE. The oracle

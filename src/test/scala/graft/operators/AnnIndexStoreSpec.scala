@@ -83,4 +83,36 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(AnnIndexStore.codedSegmentCount(spark, root) == 1)
     assert(v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root)) == served)
   }
+
+  test("v23 lifecycle: tombstone serve == rebuilt-index serve; compaction is a no-op") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = java.nio.file.Files.createTempDirectory("annidx-del").toString
+    AnnIndexStore.persist(spark, sfDir, root)
+    val del = Tables.t(spark, sfDir, "embeddings")
+      .filter(expr(AnnIndexStore.V23DeleteSql))
+      .select(col("vec_id").as("neighbor_id"))
+    AnnIndexStore.deleteIds(spark, root, del)
+    val masked = v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root))
+    assert(masked.nonEmpty)
+    // no deleted id survives as a neighbor
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    assert(masked.forall { case (q, n, _, _) => !delIds(n) && !delIds(q) })
+    // the gold identity: an index PERSISTED WITHOUT the deleted vectors
+    // (same full-trained quantizer, coded body = survivors only) serves
+    // the identical answer — tombstones are invisible semantics
+    val rebuilt = java.nio.file.Files.createTempDirectory("annidx-rebuilt").toString
+    AnnIndexStore.persist(spark, sfDir, rebuilt)
+    val survivorsOnly = AnnIndexStore.openCoded(spark, rebuilt)
+      .join(del, Seq("neighbor_id"), "left_anti")
+    AnnIndexStore.republishCoded(spark, rebuilt, survivorsOnly)
+    assert(v12Rows(AnnIndexStore.serveTopK(spark, sfDir, rebuilt)) == masked)
+    // physical compaction applies the mask and clears it; the answer —
+    // and the serve's view of the index — are unchanged
+    AnnIndexStore.compactDeletes(spark, root)
+    assert(AnnIndexStore.openTombstones(spark, root).count() == 0L)
+    assert(AnnIndexStore.openCoded(spark, root)
+      .join(del, Seq("neighbor_id"), "left_semi").count() == 0L,
+      "compaction physically removed the tombstoned rows")
+    assert(v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root)) == masked)
+  }
 }
