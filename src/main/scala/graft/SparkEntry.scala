@@ -238,6 +238,11 @@ object SparkEntry {
     // mergeable bottom-k per micro-batch; mergeability makes the streamed
     // sketch equal the batch one, so it shares p6's oracle verbatim
     "st18_stream_kmv" -> (graft.streaming.CorpusStreamKmv.st18StreamKmv _),
+    // st19: st17's AUDIO twin — arriving clips decoded through the real
+    // WAV parser and gated at ingest (clipping ceiling, loudness floor,
+    // content-fingerprint dedupe vs the curated standing store)
+    "st19_stream_audio_admit" ->
+      (graft.streaming.CorpusStreamAudio.st19StreamAudioAdmit _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // z4: md5-keyed 80/10/10 split, stratification audited per source
     "z4_stratified_split" -> (TextQueries.z4StratifiedSplit _),
@@ -2460,6 +2465,7 @@ object SparkEntry {
     // the batch rebuild exactly — the oracle is y21's, verbatim
     "st16_stream_drift" -> corpusDriftOracle,
     "st17_stream_phash_admit" -> graft.streaming.MediaStreamDedup.st17OracleSql,
+    "st19_stream_audio_admit" -> graft.streaming.CorpusStreamAudio.st19OracleSql,
     "y1_token_stats" ->
       """WITH d AS (SELECT lang, n_chars,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens FROM documents)

@@ -701,7 +701,7 @@ object MultimodalOps {
     * alternating sign. Every windowed statistic of the DECODED samples is
     * exact integer arithmetic on doc_id — the m7/m8 oracle move, audio
     * edition, with a real container around it. */
-  private[operators] def m9SyntheticWav(docId: Long): Array[Byte] = {
+  private[graft] def m9SyntheticWav(docId: Long): Array[Byte] = {
     val n = (1024 + 256 * (docId % 5)).toInt
     val half = (32 + 8 * (docId % 4)).toInt
     val note = s"doc $docId".getBytes("US-ASCII") // odd/even length varies
@@ -731,7 +731,7 @@ object MultimodalOps {
   }
 
   /** Decoded WAV: the format fields a pipeline routes on + the samples. */
-  private[operators] final case class WavAudio(
+  private[graft] final case class WavAudio(
       channels: Int, sampleRate: Int, bitsPerSample: Int, samples: Array[Short])
 
   /** REAL WAV decode: walk the RIFF chunk list (honoring the word-
@@ -741,7 +741,7 @@ object MultimodalOps {
     * extra odd-sized chunk precisely so a shortcut would break loudly).
     * Endianness, sign handling, and chunk walking here are exactly what
     * the m9 oracle's hash-match certifies. */
-  private[operators] def decodeWav(bytes: Array[Byte]): WavAudio = {
+  private[graft] def decodeWav(bytes: Array[Byte]): WavAudio = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {

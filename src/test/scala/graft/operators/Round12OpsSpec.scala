@@ -68,6 +68,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(probe.forall(!_._2), "max-as-q25 should violate the rank envelope")
   }
 
+  test("st19: streamed audio admission equals the one-batch run, all verdicts bite") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    val streamed = rows(graft.streaming.CorpusStreamAudio
+      .st19StreamAudioAdmit(spark, sfDir))
+    val batch = rows(graft.streaming.CorpusStreamAudio
+      .batchAudioAdmit(spark, sfDir))
+    assert(streamed.nonEmpty && streamed === batch,
+      "admission is stateless per batch — carving must not change a verdict")
+    // every verdict class actually fires on the gate corpus
+    val byVerdict = streamed.groupBy(_._5).view.mapValues(_.size).toMap
+    Seq("clipped", "quiet", "dup", "keep").foreach(v =>
+      assert(byVerdict.getOrElse(v, 0) > 0, s"verdict '$v' never fired"))
+    // dup evidence is real: the standing twin's decoded samples are
+    // byte-identical to the dropped clip's
+    streamed.filter(_._5 == "dup").take(5).foreach { case (id, _, _, _, _, twin) =>
+      val a = MultimodalOps.decodeWav(MultimodalOps.m9SyntheticWav(id)).samples
+      val b = MultimodalOps.decodeWav(MultimodalOps.m9SyntheticWav(twin)).samples
+      assert(a.toSeq == b.toSeq, s"dup $id vs twin $twin: samples differ")
+    }
+    // non-dup verdicts never carry evidence
+    assert(streamed.filter(r => r._5 != "dup").forall(_._6 == -1L))
+  }
+
   test("z10: the landed shard tree IS the Hilbert cut — z9's hilbert audit, from disk") {
     val root = LayoutOps.hilbertExportRoot(spark, sfDir)
     val landed = spark.read.parquet(root)
