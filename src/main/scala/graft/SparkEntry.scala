@@ -166,6 +166,11 @@ object SparkEntry {
     "n4_sssp" -> (GraphOps.n4Sssp _),
     // n5: degree-oriented triangle counting (√(2m)-bounded wedge fan-out)
     "n5_triangles" -> (GraphOps.n5Triangles _),
+    // n7: exact local triangle counts on a capped deterministic vertex
+    // sample — the n-family row whose oracle cost stays FLAT with corpus
+    // scale (sample-bounded neighbor-pair probes, not wedge enumeration),
+    // built to re-gate the graph lanes at sf1/sf3
+    "n7_local_triangles" -> (GraphOps.n7LocalTriangles _),
     // n6: synchronous label-propagation communities (deterministic
     // (mass desc, label asc) tie order), top-20 community sizes
     "n6_label_prop" -> (GraphOps.n6LabelProp _),
@@ -3065,6 +3070,27 @@ object SparkEntry {
         |  ) GROUP BY 1)
         |SELECT part, triangles FROM cnt
         |ORDER BY triangles DESC, part LIMIT 20""".stripMargin,
+    // n7: local counts for the capped sample — the neighbor-pair probe
+    // replaces wedge enumeration, so this oracle stays minutes-cheap at
+    // 30x where n5's is hours (the sample is GraphOps.N7SampleSql/Cap)
+    "n7_local_triangles" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst FROM e
+        |  JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+        |  WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
+        |sm AS (SELECT CAST(p_partkey AS BIGINT) AS p FROM part
+        |  WHERE p_partkey % 13 = 7 ORDER BY p_partkey LIMIT 25),
+        |np AS (SELECT sm.p, ed.dst AS nbr FROM ed JOIN sm ON ed.src = sm.p
+        |  UNION ALL SELECT sm.p, ed.src AS nbr FROM ed JOIN sm ON ed.dst = sm.p),
+        |tr AS (SELECT a.p AS part, count(*) AS t
+        |  FROM np a JOIN ed ON ed.src = a.nbr
+        |  JOIN np b ON b.p = a.p AND b.nbr = ed.dst
+        |  GROUP BY 1)
+        |SELECT sm.p AS part, CAST(coalesce(tr.t, 0) AS BIGINT) AS triangles
+        |FROM sm LEFT JOIN tr ON tr.part = sm.p ORDER BY part""".stripMargin,
     // n6: two unrolled synchronous LPA rounds; the row_number
     // (mass desc, label asc) tie-break is the same total order as the
     // Spark side's max(struct(mass, -label)) fold — exact integers only

@@ -360,24 +360,17 @@ object GraphOps {
     * 82M wedges). All-integer set algebra — no numeric contract; the
     * oracle unrolls the same orientation (its row counts are DuckDB's
     * problem, and the canonical-wedge join is fine at oracle SFs). */
-  def n5Triangles(spark: SparkSession, dir: String): DataFrame = {
-    // Memoized + persisted at DISK_ONLY: r8 shipped `ed` unmaterialized
-    // after its localCheckpoint OOM'd the sf1 full-suite heap, but that
-    // left the two consumers (adj build :N, edge probe :N) racing to
-    // recompute it under whatever memory pressure the suite had
-    // accumulated — BENCH_HISTORY shows 2.8 s vs 17.4 s on identical
-    // code/scale back-to-back (the r8 `weak`). DISK_ONLY is the point on
-    // the trade-off the r8 fix missed: zero heap cost (the thing the OOM
-    // fix was protecting) AND zero recompute (the thing the fix gave up).
-    // The memo bounds it to one materialization per (session, dir), like
-    // the co-purchase edge set it derives from.
-    // Materialize the BASE memo entry BEFORE entering computeIfAbsent:
-    // ConcurrentHashMap forbids the mapping function mutating the map, and
-    // coPurchaseEdges is itself a computeIfAbsent on edgeMemo — nesting the
-    // two only worked while the keys landed in different hash bins (a
-    // same-bin collision throws "Recursive update").
+  /** The degree-oriented edge DAG, memoized + DISK_ONLY (shared by n5 and
+    * n7): every undirected co-purchase edge oriented from its
+    * (degree, id)-smaller endpoint, so each triangle appears exactly once
+    * and oriented out-degrees stay ≤ √(2m) however skewed the raw graph.
+    * Materializes the BASE memo entry before entering computeIfAbsent —
+    * coPurchaseEdges is itself a computeIfAbsent on edgeMemo, and nesting
+    * the two only worked while the keys landed in different hash bins
+    * (a same-bin collision throws "Recursive update"). */
+  private[operators] def orientedEdges(spark: SparkSession, dir: String): DataFrame = {
     val base = coPurchaseEdges(spark, dir)
-    val ed = edgeMemo.computeIfAbsent(
+    edgeMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir|oriented", _ => {
         val e = base.select("src", "dst")
         val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -392,6 +385,17 @@ object GraphOps {
         oriented.count()
         oriented
       })
+  }
+
+  def n5Triangles(spark: SparkSession, dir: String): DataFrame = {
+    // Memoized + persisted at DISK_ONLY (see orientedEdges): r8 shipped
+    // `ed` unmaterialized after its localCheckpoint OOM'd the sf1
+    // full-suite heap, but that left the two consumers (adj build, edge
+    // probe) racing to recompute it under whatever memory pressure the
+    // suite had accumulated — BENCH_HISTORY shows 2.8 s vs 17.4 s on
+    // identical code/scale back-to-back (the r8 `weak`). DISK_ONLY is the
+    // point the r8 fix missed: zero heap cost AND zero recompute.
+    val ed = orientedEdges(spark, dir)
     val adj = ed.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     // inner joins prune edges whose dst has no out-neighbors — they
@@ -411,6 +415,54 @@ object GraphOps {
     credits.groupBy("part").agg(count(lit(1)).as("triangles"))
       .orderBy(col("triangles").desc, col("part"))
       .limit(20)
+  }
+
+  /** n7's deterministic vertex sample: the [[N7SampleCap]] lowest
+    * partkeys in the residue class `p_partkey % 13 = 7` — fixed SIZE at
+    * every corpus scale, which is the whole point (see n7's scaladoc). */
+  private[operators] val N7SampleSql = "p_partkey % 13 = 7"
+  private[operators] val N7SampleCap = 25
+
+  /** n7: EXACT local triangle counts for a fixed deterministic vertex
+    * sample — the n-family's affordable scale gate (the r11 gap: n5's
+    * oracle is intrinsic wedge enumeration, ~9 min of DuckDB at sf1, so
+    * no n-row could join the 30× gate). The operator itself is the
+    * standard production audit: you never enumerate every triangle to
+    * check clustering around 25 vertices of interest — each sampled
+    * vertex p's incident triangles are exactly the ORIENTED edges between
+    * its undirected neighbors (the degree-oriented DAG holds each
+    * undirected edge once, so triangle {p,a,b} is counted once by the
+    * a→b orientation). Spark side: the sample broadcasts into the shared
+    * oriented-edge memo ([[orientedEdges]], n5's DISK_ONLY table) twice —
+    * neighbor harvest, then the neighbor-pair probe — all broadcast hash
+    * joins against edge scans, nothing corpus-sized shuffles. Oracle
+    * side: the same algebra costs |sample|·deg·√(2m) join lookups instead
+    * of Σdeg² wedges, FLAT in corpus scale because the sample is capped —
+    * n7 re-gates at sf1/sf3 for minutes, not hours. Isolated sampled
+    * vertices surface as triangles = 0 (a left join keeps them honest). */
+  def n7LocalTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val ed = orientedEdges(spark, dir)
+    val sample = Tables.t(spark, dir, "part")
+      .filter(expr(N7SampleSql))
+      .select(col("p_partkey").cast("long").as("p"))
+      .orderBy("p").limit(N7SampleCap)
+      .localCheckpoint() // 25 rows, four consumers
+    // undirected neighbors of sampled vertices (the DAG holds each
+    // undirected edge once, in one direction — read both)
+    val np = ed.join(broadcast(sample), col("src") === col("p"))
+      .select(col("p"), col("dst").as("nbr"))
+      .union(ed.join(broadcast(sample), col("dst") === col("p"))
+        .select(col("p"), col("src").as("nbr")))
+      .localCheckpoint() // sample-bounded: ≤ 25 × deg rows
+    val tri = np.as("a")
+      .join(ed, col("a.nbr") === col("src"))
+      .join(broadcast(np.as("b")),
+        col("b.p") === col("a.p") && col("b.nbr") === col("dst"))
+      .groupBy(col("a.p").as("part"))
+      .agg(count(lit(1)).as("t"))
+    sample.join(tri, col("p") === col("part"), "left")
+      .select(col("p").as("part"), coalesce(col("t"), lit(0L)).as("triangles"))
+      .orderBy("part")
   }
 
   /** n6: community detection by synchronous label propagation over the

@@ -68,6 +68,30 @@ class Round12OpsSpec extends SparkSpec {
     assert(probe.forall(!_._2), "max-as-q25 should violate the rank envelope")
   }
 
+  test("n7: sampled local counts equal a brute-force over the undirected graph") {
+    val out = GraphOps.n7LocalTriangles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out.values.sum > 0L, "sample found no triangles at all")
+    // independent truth: collect the undirected co-purchase edge set and
+    // count, per sampled vertex, the neighbor pairs that are edges
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+    val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = pairs.map { case (s, d) => if (s < d) (s, d) else (d, s) }.toSet
+    val nbrs = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (p, t) =>
+      val n = nbrs.getOrElse(p, Set.empty).toSeq
+      val truth = (for {
+        i <- n.indices.iterator; j <- (i + 1 until n.size).iterator
+        if und(if (n(i) < n(j)) (n(i), n(j)) else (n(j), n(i)))
+      } yield 1).size.toLong
+      assert(t === truth, s"vertex $p: n7 says $t, brute force says $truth")
+    }
+  }
+
   test("st19: streamed audio admission equals the one-batch run, all verdicts bite") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
