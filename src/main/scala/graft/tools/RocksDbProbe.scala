@@ -47,7 +47,7 @@ object RocksDbProbe {
         // checksum over all columns so the two providers are proven to
         // produce identical OUTPUT, not just identical row counts
         val chk = out.selectExpr(
-          "sum(xxhash64(struct(*))) AS c", "count(*) AS n").collect()(0)
+          "bit_xor(xxhash64(struct(*))) AS c", "count(*) AS n").collect()(0)
         val secs = (System.nanoTime() - t0) / 1e9
         val st = ops.lastStateOperators.map { case (op, rows, bytes) =>
           s"$op rows=$rows bytes=$bytes"
