@@ -68,6 +68,49 @@ class Round12OpsSpec extends SparkSpec {
     assert(probe.forall(!_._2), "max-as-q25 should violate the rank envelope")
   }
 
+  test("z10: a manifest-driven pruned read touches fewer files, same answer") {
+    // the execution-side proof that z10's audit numbers are not
+    // hypothetical: build the per-shard min/max manifest from the landed
+    // tree (what a production writer persists alongside the files),
+    // whitelist the shards intersecting the mid_square rectangle, and
+    // read back with an hshard filter — Spark prunes the partition
+    // directories at file listing, and the matched rows are unchanged
+    val root = LayoutOps.hilbertExportRoot(spark, sfDir)
+    val all = spark.read.parquet(root)
+    val manifest = all.groupBy(col("hshard").cast("long").as("shard"))
+      .agg(min("qx").as("qlo"), max("qx").as("qhi"),
+        min("qy").as("dlo"), max("qy").as("dhi"))
+      .collect()
+    val r = LayoutOps.Z9Rects.find(_.name == "mid_square").get
+    val want = manifest.filter(m =>
+      m.getLong(2) >= r.qlo && m.getLong(1) <= r.qhi &&
+        m.getLong(4) >= r.dlo && m.getLong(3) <= r.dhi)
+      .map(_.getLong(0))
+    assert(want.nonEmpty && want.length < manifest.length,
+      "the rectangle must qualify a strict subset of shards")
+    val pred = col("qx").between(r.qlo, r.qhi) && col("qy").between(r.dlo, r.dhi)
+    val pruned = all.filter(col("hshard").cast("long").isin(want: _*))
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.toRdd.count() // drive THIS execution so its scan metrics populate
+      qe.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(sys.error("no file scan in plan"))
+    }
+    val prunedFiles = filesRead(pruned)
+    val allFiles = filesRead(all)
+    assert(prunedFiles < allFiles,
+      s"pruning read $prunedFiles of $allFiles files — no pruning happened")
+    // same matches as the unpruned scan: the manifest whitelist loses nothing
+    assert(pruned.filter(pred).count() === all.filter(pred).count())
+    // and the pruned I/O equals the audit's claim for this rectangle
+    val audited = LayoutOps.z10HilbertExport(spark, sfDir)
+      .filter(col("rect") === "mid_square").collect()(0)
+    assert(pruned.count() === audited.getAs[Long]("rows_scanned"))
+    assert(want.length.toLong === audited.getAs[Long]("files_scanned"))
+  }
+
   test("n7: sampled local counts equal a brute-force over the undirected graph") {
     val out = GraphOps.n7LocalTriangles(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
