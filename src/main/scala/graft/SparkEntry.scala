@@ -194,6 +194,11 @@ object SparkEntry {
     // near-dup-checked against the EXISTING remainder via the same banding;
     // keep/drop verdict per new doc with the best verified old match
     "x11_incremental_dedup" -> (DedupQueries.x11IncrementalDedup _),
+    // x16: x11 after a standing-corpus RETRACTION (opt-out/takedown) —
+    // the dedupe-index F1 verb, masked inside the band join (v23's
+    // never-post-verdict rule: second-best evidence must be re-verified,
+    // not patched in)
+    "x16_index_retract" -> (DedupQueries.x16IndexRetract _),
     // z2: the increment of z1 — today's batch gated by quality + repetition
     // + x11's dedupe-against-the-index verdict, rolled up per source
     "z2_incremental_curation" -> (DedupQueries.z2IncrementalCuration _),
@@ -599,11 +604,13 @@ object SparkEntry {
     * computation run micro-batch by micro-batch against the static old
     * index, and per-doc verdict independence makes the batch answer the
     * exact streaming contract. */
-  private val incrementalDedupOracle: String =
-    minhashBandCte + """,
+  /** x11's oracle parameterized on the LIVE standing side (x16 masks the
+    * retracted slice out of the band join, exactly like the Spark side). */
+  private def incrementalDedupOracleFor(oldExtra: String): String =
+    minhashBandCte + s""",
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
-      |    AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+      |    AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0$oldExtra),""".stripMargin + """
       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
       |  FROM cand c JOIN e a ON a.doc_id = c.doc_a
       |  JOIN e b ON b.doc_id = c.doc_b AND b.g = a.g
@@ -621,6 +628,8 @@ object SparkEntry {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
       |LEFT JOIN best ON best.doc_a = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  private val incrementalDedupOracle: String = incrementalDedupOracleFor("")
 
   private val dupClusterCte: String =
     """WITH RECURSIVE
@@ -2114,6 +2123,9 @@ object SparkEntry {
     // x11: same r8 banding migration as x4 — candidates come from the
     // shared md5-affine band CTE (new x old only), then exact verify
     "x11_incremental_dedup" -> incrementalDedupOracle,
+    // x16: the same chain with the retracted slice masked out of the
+    // band join's standing side (DedupQueries.X16RetractSql)
+    "x16_index_retract" -> incrementalDedupOracleFor(" AND b.doc_id % 5 <> 2"),
     // st14: the streamed admission table must hash-match x11's BATCH
     // oracle verbatim — verdicts are independent per new doc (static
     // index side), so micro-batch boundaries provably cannot change them

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -787,12 +787,44 @@ object DedupQueries {
     * (DedupSweepSpec pins band recall = total on this corpus' near-identical
     * clusters), and the emitted columns are the exact-Jaccard-verified
     * values, so the DuckDB oracle reproduces them hash-exactly. */
-  def x11IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+  def x11IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupAgainst(spark, dir, col("doc_id") % 7 =!= 0)
+
+  /** The x16 retraction slice — standing docs withdrawn from the corpus
+    * (opt-out/right-to-erasure): one rendering for Spark, oracle, spec. */
+  private[graft] val X16RetractSql = "doc_id % 5 = 2"
+
+  /** x16: dedupe-index RETRACTION — the F1 verb on the DEDUPE side,
+    * completing the lifecycle symmetry v23 gave the vector index: when
+    * standing documents are withdrawn (opt-out, takedown, expiry), the
+    * admission index must stop blocking new documents on their account —
+    * a new doc whose only near-dup was retracted is now a KEEP, and one
+    * whose best match was retracted re-matches to its next-best LIVE
+    * twin. The mask applies INSIDE the band join (the retracted side
+    * never produces candidates — v23's never-post-verdict argument: a
+    * post-hoc fixup of x11's output could not re-match to second-best
+    * evidence, because that evidence was never verified). Scale: the
+    * retraction is an anti-join/filter of the persisted band index
+    * (4 longs per doc) against a broadcast retracted-id set — O(index
+    * scan), no signature recompute, and candidate volume still scales
+    * with the new batch. Spec proves the three-way contract: unaffected
+    * verdicts identical to x11, no retracted id ever surfaces as
+    * evidence, and the affected rows actually change. */
+  def x16IndexRetract(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupAgainst(spark, dir,
+      col("doc_id") % 7 =!= 0 && !expr(X16RetractSql))
+
+  /** x11's engine parameterized on the standing (old) side — the LIVE
+    * index membership predicate. Both lanes of the pair (band join side
+    * b AND the verification set reads) see only the predicate's docs,
+    * since cands can only reference ids the filtered band rows produced. */
+  private def incrementalDedupAgainst(spark: SparkSession, dir: String,
+      oldPred: Column): DataFrame = {
     val sets = docSets(spark, dir)
     val banded = minhashBands(spark, dir)
     val isNew = col("doc_id") % 7 === 0
     val cands = banded.filter(isNew).as("a")
-      .join(banded.filter(!isNew).as("b"),
+      .join(banded.filter(oldPred).as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")

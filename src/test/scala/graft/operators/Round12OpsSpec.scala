@@ -111,6 +111,32 @@ class Round12OpsSpec extends SparkSpec {
     assert(want.length.toLong === audited.getAs[Long]("files_scanned"))
   }
 
+  test("x16: retraction rescues or re-matches exactly the affected verdicts") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    val before = rows(DedupQueries.x11IncrementalDedup(spark, sfDir))
+    val after = rows(DedupQueries.x16IndexRetract(spark, sfDir)).map(r => r._1 -> r).toMap
+    val retracted = (id: Long) => id % 5 == 2
+    assert(before.size === after.size, "every new doc still gets a verdict row")
+    var changed = 0
+    before.foreach { case b @ (id, keep, dupOf, _) =>
+      val a = after(id)
+      // no retracted id ever surfaces as evidence post-retraction
+      assert(a._3 == -1L || !retracted(a._3), s"doc $id evidences retracted ${a._3}")
+      if (keep == 1L || (dupOf != -1L && !retracted(dupOf))) {
+        // unaffected verdicts are bitwise identical to x11's
+        assert(a === b, s"doc $id changed without cause: $b -> $a")
+      } else {
+        // best match was retracted: the doc is rescued (keep) or
+        // re-matched to live second-best evidence — either way it changed
+        assert(a !== b); changed += 1
+      }
+    }
+    assert(changed > 0, "the retraction slice must actually affect a verdict")
+  }
+
   test("n7: sampled local counts equal a brute-force over the undirected graph") {
     val out = GraphOps.n7LocalTriangles(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
