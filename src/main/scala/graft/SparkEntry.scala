@@ -324,6 +324,9 @@ object SparkEntry {
     // v23: the DELETE verb on the vector index — tombstone-masked serve
     // (the mask anti-joins INSIDE the candidate path, never post-rank)
     "v23_index_delete" -> (operators.AnnIndexStore.v23IndexDelete _),
+    // v24: time-travel reads over the index lifecycle — each retained
+    // manifest version reads back as exactly the row set it published
+    "v24_time_travel" -> (operators.AnnIndexStore.v24TimeTravel _),
     // q6b replaces the r1-11 q6_approx_distinct row (retired r12) — same
     // move as p2b: the HLL++ 3*rsd error contract emitted as data.
     "q6b_distinct_audit" -> (AnalyticsQueries.q6bDistinctAudit _),
@@ -2751,6 +2754,21 @@ object SparkEntry {
     // v19 serves v12's query from the persisted index: the oracle is
     // v12's VERBATIM — any loss in persist→reopen→serve breaks the hash
     "v19_persisted_serve" -> ivfAdcOracle,
+    // v24: per-version totals + slice splits of the coded table — version
+    // 0 is the standing (vec_id % 7 <> 0) encode, version 1 the full
+    // corpus; the oracle re-derives both row sets from embeddings
+    "v24_time_travel" ->
+      """WITH s AS (SELECT count(*) FILTER (WHERE vec_id % 7 <> 0) AS old_n,
+        |    count(*) FILTER (WHERE vec_id % 7 = 0) AS new_n
+        |  FROM embeddings)
+        |SELECT CAST(0 AS BIGINT) AS version, CAST(old_n AS BIGINT) AS n_rows,
+        |  CAST(old_n AS BIGINT) AS n_standing, CAST(0 AS BIGINT) AS n_increment
+        |FROM s
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(old_n + new_n AS BIGINT),
+        |  CAST(old_n AS BIGINT), CAST(new_n AS BIGINT)
+        |FROM s
+        |ORDER BY version""".stripMargin,
     // v23: v12's chain minus the deleted slice (AnnIndexStore.V23DeleteSql,
     // vec_id % 11 = 3) on BOTH sides of the candidate join — neighbors and
     // stored probes — re-ranked over the survivors: the answer an index

@@ -313,6 +313,39 @@ object AnnIndexStore {
     deleteIds(spark, root, Tables.t(spark, dir, "embeddings")
       .filter(expr(V23DeleteSql)).select(col("vec_id").as("neighbor_id")))
 
+  /** v24: TIME-TRAVEL over the index lifecycle — the manifest IS the
+    * snapshot, so each retained version of the coded table reads back as
+    * the exact row set its commit published (segments are immutable;
+    * newer commits only add manifests). The row replays v21's lifecycle
+    * (old-trained persist → increment append) and reads the coded table
+    * AS OF each retained version: version 0 must hold ONLY the standing
+    * slice, version 1 the full corpus — per-version totals and slice
+    * splits the oracle re-derives from the embeddings table, so a
+    * time-travel read that leaked post-append rows into version 0 (or
+    * lost the increment from version 1) breaks the hash. Scale: an AS-OF
+    * read costs exactly a current read (resolve one manifest, scan its
+    * segments); the retention horizon is the commit loop's grace-window
+    * constant, widened by policy on a production lake. */
+  def v24TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir|tt", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-annidx-tt")
+        graft.core.FsUtil.deleteOnExitRecursively(d)
+        persistOldTrained(spark, dir, d.toString)
+        appendIncrement(spark, dir, d.toString, col("vec_id") % 7 === 0)
+        d.toString
+      })
+    val codedT = table(spark, root, "coded", codedSchema)
+    codedT.retainedVersions.map { v =>
+      codedT.readVersion(v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("neighbor_id") % 7 =!= 0, 1L).otherwise(0L)).as("n_standing"),
+          sum(when(col("neighbor_id") % 7 === 0, 1L).otherwise(0L)).as("n_increment"))
+        .select(lit(v).as("version"), col("n_rows"), col("n_standing"),
+          col("n_increment"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
   /** v19: the persisted-index serve as a driver query — persist on first
     * touch (memoized), then answer v12's query from STORAGE. The oracle
     * is v12's SQL verbatim: a hash-match proves the whole

@@ -150,6 +150,31 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
   /** Number of segments in the current version (compaction signal). */
   def segmentCount: Int = currentSnapshot()._2.size
 
+  /** Versions whose manifests are currently retained, ascending. The
+    * commit protocol keeps a one-version grace window (current and
+    * current−1 — see [[commit]]'s retirement note), so this is the AS-OF
+    * read horizon; a production lake widens the window by retention
+    * policy (Delta/Iceberg keep N days of snapshots), which here is the
+    * one constant in the retirement loop. */
+  def retainedVersions: Seq[Long] =
+    if (!Files.isDirectory(dir)) Nil
+    else listDir(dir).map(_.getFileName.toString)
+      .collect { case ManifestName(n) => n.toLong }.sorted
+
+  /** TIME-TRAVEL read: the table AS OF a retained version — the manifest
+    * is the snapshot, so reading an old version is just resolving its
+    * segment list (segments are immutable; retirement only unlinks).
+    * Throws for versions outside [[retainedVersions]]. */
+  def readVersion(v: Long): DataFrame = {
+    if (!Files.exists(manifestPath(v)))
+      throw new IllegalArgumentException(
+        s"version $v of $path is not retained (have: ${retainedVersions.mkString(",")})")
+    val segs = segments(v)
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(segs.map(s => dir.resolve(s.name).toString): _*)
+  }
+
   /** Append-only commit: write `df` as one new segment, manifest = old + new.
     * Cost is proportional to the NEW rows only. When the commit chain
     * exceeds `compactThreshold`, the append folds the SMALLEST half of the

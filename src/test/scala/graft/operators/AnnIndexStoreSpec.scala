@@ -84,6 +84,28 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root)) == served)
   }
 
+  test("v24 time travel: each retained version reads back as its committed row set") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("annidx-tt").toString
+    AnnIndexStore.persistOldTrained(spark, sfDir, root)
+    // snapshot the pre-append content through the CURRENT read
+    val v0Expected = AnnIndexStore.openCoded(spark, root)
+      .collect().map(_.toSeq).toSet
+    AnnIndexStore.appendIncrement(spark, sfDir, root, col("vec_id") % 7 === 0)
+    val t = new graft.sources.VersionedTable(spark, s"$root/coded",
+      AnnIndexStore.codedSchema)
+    assert(t.retainedVersions === Seq(0L, 1L))
+    // AS OF 0 is bitwise the pre-append snapshot; AS OF 1 is the current read
+    assert(t.readVersion(0).collect().map(_.toSeq).toSet === v0Expected)
+    assert(t.readVersion(1).collect().map(_.toSeq).toSet ===
+      AnnIndexStore.openCoded(spark, root).collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](t.readVersion(2))
+    // compaction publishes version 2 and retires version 0 (grace window)
+    AnnIndexStore.compactCoded(spark, root)
+    assert(t.retainedVersions === Seq(1L, 2L))
+    intercept[IllegalArgumentException](t.readVersion(0))
+  }
+
   test("v23 lifecycle: tombstone serve == rebuilt-index serve; compaction is a no-op") {
     import org.apache.spark.sql.functions.{col, expr}
     val root = java.nio.file.Files.createTempDirectory("annidx-del").toString
