@@ -57,6 +57,9 @@ object Bench {
     graft.operators.LayoutOps.clearMemo()
     // and st15's staged replay (the timed pass pays the staging write)
     graft.streaming.LateDataAudit.clearMemo()
+    // and st20's streamed lake (the timed pass pays the real streamed
+    // write, staging included — the st15 precedent)
+    graft.streaming.LakeStreamWriter.clearMemo()
     // Drain warmup-pass debris NOW: dropping the memo released two
     // localCheckpointed RDDs, and the untimed pass left shuffle/broadcast
     // refs that ContextCleaner reclaims on GC. Forcing the GC here runs

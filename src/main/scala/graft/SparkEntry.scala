@@ -253,6 +253,12 @@ object SparkEntry {
     // content-fingerprint dedupe vs the curated standing store)
     "st19_stream_audio_admit" ->
       (graft.streaming.CorpusStreamAudio.st19StreamAudioAdmit _),
+    // st20: the streaming LAKEHOUSE WRITER — micro-batch ingest appending
+    // each batch along the Hilbert curve into z10's shard layout; a row's
+    // shard is a pure function of the row, so the landed lake is
+    // carving-independent and the row shares z10's oracle verbatim
+    "st20_stream_hilbert_sink" ->
+      (graft.streaming.LakeStreamWriter.st20StreamHilbertSink _),
     "z3_sequence_pack" -> (TextQueries.z3SequencePack _),
     // z4: md5-keyed 80/10/10 split, stratification audited per source
     "z4_stratified_split" -> (TextQueries.z4StratifiedSplit _),
@@ -2314,6 +2320,9 @@ object SparkEntry {
     "z7_zone_skip" -> LayoutOps.z7OracleSql,
     "z9_hilbert_layout" -> LayoutOps.z9OracleSql,
     "z10_hilbert_export" -> LayoutOps.z10OracleSql,
+    // st20 shares z10's oracle verbatim (the st14/st18 pattern): the
+    // streamed lake must hold exactly the batch writer's cut
+    "st20_stream_hilbert_sink" -> LayoutOps.z10OracleSql,
     // y13: y2's exact stop-hit arithmetic + row_number over the same
     // deterministic (score desc, doc_id) order; integer-only rollup
     "y13_source_cap" ->

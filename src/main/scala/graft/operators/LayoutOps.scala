@@ -113,7 +113,7 @@ object LayoutOps {
     * CASE expressions single-copy instead of inlining the whole chain into
     * one exponentially-duplicated tree. Pure integer column arithmetic:
     * codegen-friendly, no UDF, nothing shuffles. */
-  private[operators] def withHilbertIndex(df: DataFrame, x: Column, y: Column,
+  private[graft] def withHilbertIndex(df: DataFrame, x: Column, y: Column,
       out: String): DataFrame = {
     // the fold threads state through fixed working names; a caller column
     // with the same name would be silently consumed as fold state
@@ -171,7 +171,7 @@ object LayoutOps {
     * real difference: every Hilbert run of 192 cells is spatially compact
     * (unit-step adjacency), while Morton runs straddle quadrant seams with
     * long jumps — measured overhang 4,579 vs 7,463 rows at sf0.01. */
-  private[operators] val Z9ZoneCells = 192L
+  private[graft] val Z9ZoneCells = 192L
 
   /** z9: HILBERT-curve clustering vs z-order, audited head-to-head — the
     * layout decision a 100 TB lake actually faces: Morton interleaving is
@@ -402,23 +402,38 @@ object LayoutOps {
     * plus the quantized dims (4 longs/row, never wide payloads: the z8
     * manifest discipline). One range-repartition shuffle clusters rows by
     * shard so each write task lands a handful of shard directories. */
+  /** The quantized (l_orderkey, qx, qy, kx) projection of lineitem — the
+    * z5/z7/z9/z10 key math in one place, shared with the streamed writer's
+    * staging so both writers cut the identical key. */
+  private[graft] def quantizedLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    t(spark, dir, "lineitem")
+      .withColumn("qx", col("l_quantity").cast("long"))
+      .withColumn("qy", least(lit(255L), greatest(lit(0L), expr(
+        s"(unix_micros(cast(l_shipdate as timestamp)) div $dayUs - $DayBase) div 10"))))
+      .withColumn("kx", col("qx") * 5)
+      .select("l_orderkey", "qx", "qy", "kx")
+  }
+
+  /** One frame of quantized rows → Hilbert-sharded parquet appended under
+    * `out` — the per-batch body of the streamed writer and the whole-corpus
+    * body of the batch writer (same fold, same shard key, same landed
+    * columns). */
+  private[graft] def landHilbertShards(rows: DataFrame, out: String,
+      mode: String): Unit =
+    withHilbertIndex(rows, col("kx"), col("qy"), "hd")
+      .withColumn("hshard", expr(s"hd div $Z9ZoneCells"))
+      .select("hshard", "l_orderkey", "qx", "qy", "hd")
+      .repartitionByRange(col("hshard"))
+      .write.partitionBy("hshard").mode(mode).parquet(out)
+
   private[operators] def hilbertExportRoot(spark: SparkSession, dir: String): String =
     hilbertExportMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir", _ => {
         val d = java.nio.file.Files.createTempDirectory("graft-z10-export")
         graft.core.FsUtil.deleteOnExitRecursively(d)
         val out = d.resolve("shards").toString
-        val dayUs = 86400L * 1000000L
-        val base = t(spark, dir, "lineitem")
-          .withColumn("qx", col("l_quantity").cast("long"))
-          .withColumn("qy", least(lit(255L), greatest(lit(0L), expr(
-            s"(unix_micros(cast(l_shipdate as timestamp)) div $dayUs - $DayBase) div 10"))))
-          .withColumn("kx", col("qx") * 5)
-        withHilbertIndex(base, col("kx"), col("qy"), "hd")
-          .withColumn("hshard", expr(s"hd div $Z9ZoneCells"))
-          .select("hshard", "l_orderkey", "qx", "qy", "hd")
-          .repartitionByRange(col("hshard"))
-          .write.partitionBy("hshard").mode("overwrite").parquet(out)
+        landHilbertShards(quantizedLineitem(spark, dir), out, "overwrite")
         out
       })
 
@@ -439,8 +454,17 @@ object LayoutOps {
     * any corpus size — a 100 TB run subdivides shards by file budget, the
     * z8 SeqsPerShard move); the audit is one scan of the landed files
     * with a ≤342-group map-side rollup. */
-  def z10HilbertExport(spark: SparkSession, dir: String): DataFrame = {
-    val landed = spark.read.parquet(hilbertExportRoot(spark, dir))
+  def z10HilbertExport(spark: SparkSession, dir: String): DataFrame =
+    hilbertTreeAudit(spark, hilbertExportRoot(spark, dir))
+
+  /** The from-disk zone-skip audit over ANY Hilbert-sharded tree rooted at
+    * `root` — z10's read side, shared with the STREAMED writer (st20):
+    * whoever landed the files, the audit derives every number from what is
+    * actually on disk, and the z10 oracle re-derives it from the base
+    * table — so batch and streamed writers are held to the identical
+    * contract. */
+  private[graft] def hilbertTreeAudit(spark: SparkSession, root: String): DataFrame = {
+    val landed = spark.read.parquet(root)
       // partition-directory values read back via type inference (INT for
       // these magnitudes); the audit keys on the landed LONG
       .withColumn("shard", col("hshard").cast("long"))

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.operators.LayoutOps
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * st20: the STREAMING lakehouse writer — z10's Hilbert-sharded layout
+ * maintained by micro-batch ingest instead of a one-shot batch export:
+ * each arriving batch of rows is cut along the order-8 Hilbert curve
+ * (the shared [[LayoutOps.landHilbertShards]] body — same fold, same
+ * 192-cell shard key, same landed columns as the batch writer) and
+ * APPENDED into the shared shard directories. A row's shard is a pure
+ * function of the row, so the landed LAKE is carving-independent by
+ * construction — however ingest slices the corpus into micro-batches,
+ * the directory tree holds exactly the rows the batch writer lands —
+ * and the driver row is z10's from-disk zone-skip audit replayed over
+ * the STREAMED tree, sharing z10's DuckDB oracle verbatim (the
+ * st14/st18 shared-oracle pattern: if the streamed lake differed from
+ * the batch cut in any row or shard, the audit numbers shift and the
+ * hash breaks).
+ *
+ * Scale: the per-batch cost is the batch's own curve fold + one
+ * range-shuffle of the batch + an O(batch) partitioned append — the
+ * shape a continuous 100 TB ingest actually runs (land along the
+ * cluster key at write time; never re-sort the lake later). Appends
+ * create one file per (task, shard) per batch; a real deployment
+ * compacts small files per shard on a maintenance schedule (the z8/
+ * VersionedTable fold discipline) — read-side correctness never
+ * depends on it, as the audit over the fragmented tree proves.
+ */
+object LakeStreamWriter {
+
+  private[streaming] val rowSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("qx", LongType),
+    StructField("qy", LongType), StructField("kx", LongType)))
+
+  private val stageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lakeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def clearMemo(): Unit = {
+    lakeMemo.values().forEach(r =>
+      try graft.core.FsUtil.deleteRecursively(
+        java.nio.file.Paths.get(r).getParent)
+      catch { case _: Throwable => () })
+    lakeMemo.clear()
+    stageMemo.clear()
+  }
+
+  /** Stage the quantized corpus as 4 range-partitioned files (the st14
+    * discipline: pinned batch contents, several real micro-batches). The
+    * quantization is [[LayoutOps.quantizedLineitem]] — the identical key
+    * math both writers cut. */
+  private[streaming] def stagedRows(spark: SparkSession, dir: String): String =
+    stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-st20")
+      graft.core.FsUtil.deleteOnExitRecursively(d)
+      val out = d.resolve("rows").toString
+      LayoutOps.quantizedLineitem(spark, dir)
+        .repartitionByRange(4, col("l_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Run the streamed writer to completion (idempotent per session) and
+    * return the landed lake root. */
+  private[graft] def streamedLakeRoot(spark: SparkSession, dir: String): String =
+    lakeMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-st20-lake")
+      graft.core.FsUtil.deleteOnExitRecursively(d)
+      val out = d.resolve("shards").toString
+      val stream = spark.readStream
+        .schema(rowSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedRows(spark, dir))
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          LayoutOps.landHilbertShards(batch.toDF(), out, "append")
+        }
+        .option("checkpointLocation", EventStreamOps.replayCheckpointDir("st20"))
+        .queryName("st20").start()
+      try q.processAllAvailable() finally q.stop()
+      out
+    })
+
+  /** The driver row: z10's from-disk zone-skip audit over the lake the
+    * STREAM landed — z10's oracle verbatim. */
+  def st20StreamHilbertSink(spark: SparkSession, dir: String): DataFrame =
+    LayoutOps.hilbertTreeAudit(spark, streamedLakeRoot(spark, dir))
+}

@@ -111,6 +111,25 @@ class Round12OpsSpec extends SparkSpec {
     assert(want.length.toLong === audited.getAs[Long]("files_scanned"))
   }
 
+  test("st20: the streamed lake is row-identical to the batch writer's cut") {
+    val streamedRoot = graft.streaming.LakeStreamWriter.streamedLakeRoot(spark, sfDir)
+    val batchRoot = LayoutOps.hilbertExportRoot(spark, sfDir)
+    def tree(root: String) = spark.read.parquet(root)
+      .select(col("hshard").cast("long"), col("l_orderkey"), col("qx"),
+        col("qy"), col("hd"))
+      .collect().map(_.toSeq)
+    val s = tree(streamedRoot); val b = tree(batchRoot)
+    assert(s.length === b.length && s.toSet === b.toSet,
+      "micro-batch carving must not change a single landed row or shard")
+    // the streamed tree is genuinely fragmented (several appends per
+    // shard), yet the audit over it still hash-matches z10's oracle —
+    // read correctness never depends on compaction
+    val audit = graft.streaming.LakeStreamWriter
+      .st20StreamHilbertSink(spark, sfDir).collect()
+    val batchAudit = LayoutOps.z10HilbertExport(spark, sfDir).collect()
+    assert(audit.map(_.toSeq).toSeq === batchAudit.map(_.toSeq).toSeq)
+  }
+
   test("x16: retraction rescues or re-matches exactly the affected verdicts") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map(r =>
       (r.getLong(0), r.getLong(1),
