@@ -16,9 +16,17 @@ object QTime {
     spark.sparkContext.setLogLevel("WARN")
     val qs = names.map(n => n -> graft.SparkEntry.queries(n))
     qs.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    // mirror Bench's warm→clear→time protocol EXACTLY — a clear list that
+    // lags Bench's reports a cache lookup as a query's cost (st20 timed
+    // 1.6 s here vs its honest 17.5 s bench row before this parity fix)
     graft.operators.DedupQueries.clearMemo()
     graft.operators.SimilarityQueries.clearMemo()
     graft.operators.GraphOps.clearMemo()
+    graft.operators.AnnIndexStore.clearMemo()
+    graft.operators.ExportOps.clearMemo()
+    graft.operators.LayoutOps.clearMemo()
+    graft.streaming.LateDataAudit.clearMemo()
+    graft.streaming.LakeStreamWriter.clearMemo()
     System.gc(); Thread.sleep(500)
     qs.foreach { case (name, fn) =>
       val t0 = System.nanoTime(); val n = fn(spark, sfDir).count()
