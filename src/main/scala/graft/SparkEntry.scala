@@ -333,6 +333,11 @@ object SparkEntry {
     // v24: time-travel reads over the index lifecycle — each retained
     // manifest version reads back as exactly the row set it published
     "v24_time_travel" -> (operators.AnnIndexStore.v24TimeTravel _),
+    // st21: v23's deletions arriving ON A STREAM — each micro-batch lands
+    // as a durable tombstone commit (VersionedTable append); the final
+    // serve shares v23's oracle (set union is carving-independent)
+    "st21_stream_index_delete" ->
+      (graft.streaming.IndexStreamMaintenance.st21StreamIndexDelete _),
     // q6b replaces the r1-11 q6_approx_distinct row (retired r12) — same
     // move as p2b: the HLL++ 3*rsd error contract emitted as data.
     "q6b_distinct_audit" -> (AnalyticsQueries.q6bDistinctAudit _),
@@ -940,6 +945,23 @@ object SparkEntry {
       |r AS (SELECT query_id, neighbor_id, s,
       |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
       |  FROM scored)
+      |SELECT query_id, neighbor_id, round(s, 6) AS adc_sim, rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** v23/st21: v12's chain minus the deleted slice
+    * (AnnIndexStore.V23DeleteSql, vec_id % 11 = 3) on BOTH sides of the
+    * candidate join — neighbors and stored probes — re-ranked over the
+    * survivors: the answer an index built WITHOUT those vectors gives,
+    * which is exactly what the tombstone mask must reproduce (batch
+    * delete in v23; the same set arriving as streamed per-batch
+    * tombstone commits in st21). */
+  private val indexDeleteOracle: String =
+    ivfAdcScoredCtes + """,
+      |live AS (SELECT query_id, neighbor_id, s FROM scored
+      |  WHERE neighbor_id % 11 <> 3 AND query_id % 11 <> 3),
+      |r AS (SELECT query_id, neighbor_id, s,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+      |  FROM live)
       |SELECT query_id, neighbor_id, round(s, 6) AS adc_sim, rank
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
@@ -2783,14 +2805,11 @@ object SparkEntry {
     // stored probes — re-ranked over the survivors: the answer an index
     // built WITHOUT those vectors gives, which is exactly what the
     // tombstone mask must reproduce.
-    "v23_index_delete" -> (ivfAdcScoredCtes + """,
-      |live AS (SELECT query_id, neighbor_id, s FROM scored
-      |  WHERE neighbor_id % 11 <> 3 AND query_id % 11 <> 3),
-      |r AS (SELECT query_id, neighbor_id, s,
-      |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
-      |  FROM live)
-      |SELECT query_id, neighbor_id, round(s, 6) AS adc_sim, rank
-      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "v23_index_delete" -> indexDeleteOracle,
+    // st21 shares v23's oracle verbatim: the final tombstone set is the
+    // UNION of the streamed batches however the retraction queue is
+    // carved, and the serve is a pure function of (index, tombstones)
+    "st21_stream_index_delete" -> indexDeleteOracle,
     // v20's join dataflow must reproduce the inline path bit for bit
     "v20_adc_join_serve" -> ivfAdcOracle,
     "v21_index_append" -> indexAppendOracle,

@@ -307,7 +307,7 @@ object AnnIndexStore {
 
   /** The v23 delete set, in one place for the query, the oracle predicate
     * and the spec: every 11th vector starting at 3. */
-  private[operators] val V23DeleteSql = "vec_id % 11 = 3"
+  private[graft] val V23DeleteSql = "vec_id % 11 = 3"
 
   private def deleteIds(spark: SparkSession, dir: String, root: String): Unit =
     deleteIds(spark, root, Tables.t(spark, dir, "embeddings")

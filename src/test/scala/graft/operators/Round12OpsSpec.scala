@@ -130,6 +130,29 @@ class Round12OpsSpec extends SparkSpec {
     assert(audit.map(_.toSeq).toSeq === batchAudit.map(_.toSeq).toSeq)
   }
 
+  test("st21: streamed tombstone commits serve identically to the batch delete") {
+    val root = graft.streaming.IndexStreamMaintenance.maintainedRoot(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val streamed = rows(graft.streaming.IndexStreamMaintenance
+      .st21StreamIndexDelete(spark, sfDir))
+    // identical to the batch-delete lifecycle (v23): same index training,
+    // same final tombstone set, same serve arithmetic
+    assert(streamed.nonEmpty &&
+      streamed === rows(AnnIndexStore.v23IndexDelete(spark, sfDir)))
+    // the streamed set landed as several durable per-batch commits, and
+    // the accumulated tombstones equal the delete slice exactly
+    val tombs = AnnIndexStore.openTombstones(spark, root)
+    val expected = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(expr(AnnIndexStore.V23DeleteSql))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(tombs.collect().map(_.getLong(0)).toSet === expected)
+    // compaction still closes the loop after streamed appends
+    AnnIndexStore.compactDeletes(spark, root)
+    assert(AnnIndexStore.openTombstones(spark, root).count() === 0L)
+    assert(rows(AnnIndexStore.serveTopK(spark, sfDir, root)) === streamed)
+  }
+
   test("x16: retraction rescues or re-matches exactly the affected verdicts") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map(r =>
       (r.getLong(0), r.getLong(1),
