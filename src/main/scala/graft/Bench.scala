@@ -36,30 +36,14 @@ object Bench {
     sorted.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    // The dedupe operators share one memoized candidate stage per session
-    // (docSets / verified pairs). Clear it so the TIMED pass pays that
-    // build exactly once, at the first query that needs it (x3), and later
-    // queries (x4/x7) show their real incremental cost — the sweep shape a
-    // real session runs. Without this, the warmup pass pre-fills the memo
-    // and the timed x3 would report a cache lookup as the build cost.
-    graft.operators.DedupQueries.clearMemo()
-    // same fairness rule for the k-means assignment memo (v5/v7 share it):
-    // the timed pass pays the Lloyd loop once, at the first consumer
-    graft.operators.SimilarityQueries.clearMemo()
-    // and for the co-purchase edge memo (n1/n3 share it)
-    graft.operators.GraphOps.clearMemo()
-    // and the persisted-ANN staging root (v19 re-persists in the timed
-    // pass, so the row reports real persist+reopen+serve cost)
-    graft.operators.AnnIndexStore.clearMemo()
-    // and the z8 export root (the timed pass pays the real shard write)
-    graft.operators.ExportOps.clearMemo()
-    // and z10's hilbert-sharded export root (same rule)
-    graft.operators.LayoutOps.clearMemo()
-    // and st15's staged replay (the timed pass pays the staging write)
-    graft.streaming.LateDataAudit.clearMemo()
-    // and st20's streamed lake (the timed pass pays the real streamed
-    // write, staging included — the st15 precedent)
-    graft.streaming.LakeStreamWriter.clearMemo()
+    // Clear EVERY session memo (the single registry both Bench and QTime
+    // share — see BenchMemos for the r13 uniform-rule rationale): the
+    // timed pass pays each family's build exactly once, at the first
+    // query that touches it, and the per-query memo_built markers below
+    // stamp which query that was. A pre-warmed memo would report a cache
+    // lookup as a query's cost (the r12 st21 finding: 0.85 s reported
+    // where the honest persist+delete+serve costs 1.8 s).
+    BenchMemos.clearAll()
     // Drain warmup-pass debris NOW: dropping the memo released two
     // localCheckpointed RDDs, and the untimed pass left shuffle/broadcast
     // refs that ContextCleaner reclaims on GC. Forcing the GC here runs
@@ -67,15 +51,22 @@ object Bench {
     // a random point inside a timed query.
     System.gc()
     Thread.sleep(1000)
+    val memoBuilt = scala.collection.mutable.Map[String, Seq[String]]()
     val results = sorted.map { case (name, fn) =>
       // A query that throws is reported as an err entry — NEVER as a fast
       // timing (a broken query must not read as a perf win).
+      val before = BenchMemos.sizes()
       val t0 = System.nanoTime()
       val outcome: Either[String, Long] =
         try Right(fn(spark, sfDir).count())
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
+      // Provenance stamp: which memo families THIS query's execution
+      // built (it paid their one-per-session cost for the whole sweep) —
+      // so an anomalous row self-adjudicates as rebuild vs host steal.
+      val built = BenchMemos.grownSince(before)
+      if (built.nonEmpty) memoBuilt(name) = built
       (name, (System.nanoTime() - t0) / 1e9, outcome)
     }
     // Contention stamp: before appending this run to the history, compare
@@ -84,10 +75,21 @@ object Bench {
     // BENCH_FULL.json held a 326.7 s contended run vs the 185.9 s quiet
     // truth) — the flag rides in both the compact line and the full JSON,
     // and the close ritual refuses to leave a flagged BENCH_FULL.json.
-    val priorRuns = readHistorySentinels(sfDir)
+    val priorRuns = readHistoryQueries(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), sfDir)
     val curQ = results.collect { case (k, v, Right(_)) => k -> v }.toMap
+    // Two independent contention detectors (r12's judge finding: the
+    // sentinel majority catches UNIFORM steal but not bursts that land
+    // between the sentinels in run order — the 18:01Z run was 3-4x
+    // inflated on n5/p3/t3/t4 yet all three sentinels sat quiet):
+    //   1. sentinel rule — 2 of 3 scan-bound sentinels above 1.5x median;
+    //   2. burst rule — >= BurstMinQueries queries above 2x their own
+    //      same-sf history medians (each needing >= BurstMinSamples).
+    val outliers = burstOutliers(curQ, priorRuns)
     val contended = contendedFlag(curQ, priorRuns)
-    val (line, full) = renderJson(results, sfDir, contended)
+      .map(_ || outliers.lengthCompare(BurstMinQueries) >= 0)
+    val (line, full) = renderJson(results, sfDir, contended, outliers,
+      memoBuilt.toMap)
     // The driver captures only the last ~2000 chars of output and parses
     // the JSON line out of that tail. The complete per-query report (all
     // timings at full precision + row counts) goes to a file instead; the
@@ -136,6 +138,40 @@ object Bench {
   private[graft] val SentinelMajority = 2
   private[graft] val MinHistoryRuns = 5
 
+  /** Burst-audit knobs: a query is an OUTLIER when its timing exceeds
+    * [[BurstInflation]] x its same-sf history median (needing >=
+    * [[BurstMinSamples]] samples and a median >= [[BurstMedianFloor]] —
+    * sub-50 ms rows are scheduler jitter, not signal); the run flags
+    * contended when >= [[BurstMinQueries]] queries are outliers at once.
+    * Calibrated by replaying all 46 historical runs: the 18:01Z burst
+    * run (n5 4.4x, t3 4.2x, p3 3.2x) shows 6 outliers, the 17:30Z quiet
+    * close shows 1, and every other quiet run shows 0-2 — while the
+    * historically contended runs (12:20Z 252.7 s, 12:59Z 326.7 s, the
+    * 207.7 s and 192.9 s afternoon runs) show 4-25. K=4 separates the
+    * two populations with a full step of margin on each side. */
+  private[graft] val BurstInflation = 2.0
+  private[graft] val BurstMinQueries = 4
+  private[graft] val BurstMinSamples = 5
+  private[graft] val BurstMedianFloor = 0.05
+
+  /** Per-query burst audit: every query running above [[BurstInflation]]
+    * x its own same-sf history median, worst first, with its ratio.
+    * Pure, so the spec replays the two adjudicating historical runs. */
+  private[graft] def burstOutliers(current: Map[String, Double],
+      priorRuns: Seq[Map[String, Double]]): Seq[(String, Double)] =
+    current.toSeq.flatMap { case (name, t) =>
+      val samples = priorRuns.flatMap(_.get(name)).sorted
+      if (samples.length < BurstMinSamples) None
+      else {
+        val med =
+          if (samples.length % 2 == 1) samples(samples.length / 2)
+          else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
+        if (med >= BurstMedianFloor && t > BurstInflation * med)
+          Some(name -> t / med)
+        else None
+      }
+    }.sortBy { case (n, r) => (-r, n) }
+
   /** None when fewer than [[MinHistoryRuns]] comparable history runs
     * exist (a new sf has no baseline to compare against); otherwise
     * Some(true) when >= [[SentinelMajority]] sentinels run above
@@ -159,11 +195,22 @@ object Bench {
   }
 
   /** Parses BENCH_HISTORY.jsonl (the append-only per-run log) and returns
-    * the sentinel timings of every clean same-sf run. Jackson is the JSON
+    * the FULL per-query timing map of every clean same-sf run — sentinel
+    * and burst audits both draw from it. Runs stamped `contended: true`
+    * are EXCLUDED (the r12 advisor fix: Bench appends every run to the
+    * history, and accumulated contended runs would inflate the medians
+    * and progressively desensitize both thresholds). Jackson is the JSON
     * reader Spark already bundles; a missing or malformed history yields
-    * Nil (flag stays unknown). */
-  private def readHistorySentinels(sfDir: String): Seq[Map[String, Double]] = {
-    val p = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+    * Nil (flag stays unknown). Path is a parameter so the spec replays
+    * the committed history's adjudicating runs. */
+  private[graft] def readHistoryQueries(p: java.nio.file.Path,
+      sfDir: String): Seq[Map[String, Double]] =
+    readHistoryRuns(p, sfDir).map(_._2)
+
+  /** [[readHistoryQueries]] with each run's `ts` stamp kept — the spec
+    * anchors the 17:30Z/18:01Z adjudication cases by timestamp. */
+  private[graft] def readHistoryRuns(p: java.nio.file.Path,
+      sfDir: String): Seq[(String, Map[String, Double])] = {
     if (!java.nio.file.Files.exists(p)) return Nil
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     try {
@@ -173,11 +220,14 @@ object Bench {
           val n = om.readTree(ln)
           val sameSf = Option(n.get("sf")).exists(_.asText() == sfDir)
           val clean = Option(n.get("errors")).forall(e => !e.fieldNames().hasNext)
+          val quiet = !Option(n.get("contended")).exists(_.asBoolean(false))
           val qs = Option(n.get("queries"))
-          if (sameSf && clean && qs.isDefined)
-            Some(Sentinels.flatMap(s => Option(qs.get.get(s))
-              .filter(_.isNumber).map(v => s -> v.asDouble())).toMap)
-          else None
+          if (sameSf && clean && quiet && qs.isDefined) {
+            val ts = Option(n.get("ts")).map(_.asText()).getOrElse("")
+            Some(ts -> qs.get.properties().asScala
+              .filter(_.getValue.isNumber)
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+          } else None
         } catch { case _: Throwable => None }
       }
     } catch { case _: Throwable => Nil }
@@ -192,10 +242,15 @@ object Bench {
     * "queries" and reported under "errors" with the exception text — a
     * broken query must never read as a fast timing. The full JSON (every
     * query at full precision + row counts) is for the BENCH_FULL.json
-    * evidence file. */
+    * evidence file, which also carries the burst-outlier list (every
+    * query above 2x its history median, with its ratio) and the
+    * memo-provenance markers (which queries paid which families'
+    * one-per-session builds). */
   private[graft] def renderJson(
       results: Seq[(String, Double, Either[String, Long])], sfDir: String,
-      contended: Option[Boolean] = None): (String, String) = {
+      contended: Option[Boolean] = None,
+      burst: Seq[(String, Double)] = Nil,
+      memoBuilt: Map[String, Seq[String]] = Map.empty): (String, String) = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("\\p{Cntrl}", " ") + "\""
     def sec(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -207,10 +262,21 @@ object Bench {
     // history runs): absent = no baseline, false = quiet, true = sentinel
     // majority inflated — a flagged snapshot must not close a round.
     val cf = contended.map(b => s""","contended":$b""").getOrElse("")
+    // burst outliers ride in BOTH renderings (the full file for the
+    // per-query ratios, the compact line as a count — so a driver-tail
+    // reader sees WHY a run flagged without opening the file)
+    val bfull = if (burst.isEmpty) "" else burst.map { case (k, r) =>
+      s"${jstr(k)}:${String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))}"
+    }.mkString(""","burst_outliers":{""", ",", "}")
+    val bline = if (burst.isEmpty) "" else s""","burst":${burst.length}"""
+    val mfull = if (memoBuilt.isEmpty) "" else memoBuilt.toSeq.sortBy(_._1)
+      .map { case (q, fams) =>
+        s"${jstr(q)}:${fams.map(jstr).mkString("[", ",", "]")}"
+      }.mkString(""","memo_built":{""", ",", "}")
     val full = {
       val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val rows = ok.map { case (k, _, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec"$cf,"queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$cf$bfull$mfull,"queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
     }
     // largest-first, name tie-break: the entries that matter vs BASELINE
     // always make the line; sub-millisecond noise is what gets summarized
@@ -221,7 +287,7 @@ object Bench {
       val omittedSec = total - kept.map(_._2).sum
       val om = if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_sec":${sec(omittedSec)},"full":"BENCH_FULL.json""""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec"$cf,"queries":$qs$om,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec"$cf$bline,"queries":$qs$om,"errors":$errs,"sf":"$sfDir"}"""
     }
     var keep = desc.length
     while (keep > 0 && line(desc.take(keep)).length > MaxLineChars) keep -= 1

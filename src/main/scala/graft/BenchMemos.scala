@@ -1,0 +1,76 @@
+package graft
+
+/** THE single registry of every session-memo family in the library —
+  * shared by [[Bench]] and [[graft.tools.QTime]] so the two timing
+  * protocols cannot diverge again (the r12 advisor finding: each carried
+  * a hand-copied clear list, st21's memo was added to neither, and its
+  * bench row reported a cache lookup — 0.85 s — where v23's honest
+  * persist+delete+serve costs 1.8 s).
+  *
+  * The clear rule, decided once and documented here (the r12 "decide
+  * explicitly" ask): EVERY memo is cleared between the warm and timed
+  * passes — memos holding a row's own landed output (z8/z10 exports,
+  * st20's streamed lake, v19/v21/v23's index roots, st21's maintained
+  * root), session-derived standing state (dedupe candidates, quantizers,
+  * graph edges, st17/st19's standing fingerprint stores), and staged
+  * replay inputs alike. One uniform rule beats a curated partition: the
+  * timed pass pays each family's build exactly once, at the first query
+  * that touches it, and the per-query `memo_built` markers in
+  * BENCH_FULL.json stamp WHICH query that was — so an n5-style timing
+  * anomaly self-adjudicates as "paid the rebuild" vs "host steal"
+  * without archaeology. (CorpusStreamAudio/MediaStreamDedup's standing
+  * stores could be argued persistent-in-production — but so is x11's
+  * band index, whose AnnIndexStore root has always been cleared; the
+  * markers make the attribution explicit either way.)
+  */
+object BenchMemos {
+
+  /** (family, memoSize, clearMemo) — memoSize counts memoized keys
+    * driver-side (cheap; sampled around every timed query). */
+  val families: Seq[(String, () => Int, () => Unit)] = Seq(
+    ("DedupQueries", () => operators.DedupQueries.memoSize,
+      () => operators.DedupQueries.clearMemo()),
+    ("SimilarityQueries", () => operators.SimilarityQueries.memoSize,
+      () => operators.SimilarityQueries.clearMemo()),
+    ("GraphOps", () => operators.GraphOps.memoSize,
+      () => operators.GraphOps.clearMemo()),
+    ("AnnIndexStore", () => operators.AnnIndexStore.memoSize,
+      () => operators.AnnIndexStore.clearMemo()),
+    ("ExportOps", () => operators.ExportOps.memoSize,
+      () => operators.ExportOps.clearMemo()),
+    ("LayoutOps", () => operators.LayoutOps.memoSize,
+      () => operators.LayoutOps.clearMemo()),
+    ("LateDataAudit", () => streaming.LateDataAudit.memoSize,
+      () => streaming.LateDataAudit.clearMemo()),
+    ("LakeStreamWriter", () => streaming.LakeStreamWriter.memoSize,
+      () => streaming.LakeStreamWriter.clearMemo()),
+    ("IndexStreamMaintenance", () => streaming.IndexStreamMaintenance.memoSize,
+      () => streaming.IndexStreamMaintenance.clearMemo()),
+    ("CorpusStreamAudio", () => streaming.CorpusStreamAudio.memoSize,
+      () => streaming.CorpusStreamAudio.clearMemo()),
+    ("MediaStreamDedup", () => streaming.MediaStreamDedup.memoSize,
+      () => streaming.MediaStreamDedup.clearMemo()),
+    ("CorpusStreamDedup", () => streaming.CorpusStreamDedup.memoSize,
+      () => streaming.CorpusStreamDedup.clearMemo()),
+    ("CorpusStreamIngest", () => streaming.CorpusStreamIngest.memoSize,
+      () => streaming.CorpusStreamIngest.clearMemo()),
+    ("CorpusStreamKmv", () => streaming.CorpusStreamKmv.memoSize,
+      () => streaming.CorpusStreamKmv.clearMemo()))
+
+  def clearAll(): Unit = families.foreach { case (_, _, clear) =>
+    try clear() catch { case _: Throwable => () }
+  }
+
+  /** Snapshot of every family's memoized-key count. */
+  def sizes(): Map[String, Int] =
+    families.map { case (n, size, _) =>
+      n -> (try size() catch { case _: Throwable => 0 })
+    }.toMap
+
+  /** Families whose memo grew since `before` — the provenance marker:
+    * the query just timed paid those families' builds. */
+  def grownSince(before: Map[String, Int]): Seq[String] =
+    sizes().collect {
+      case (n, s) if s > before.getOrElse(n, 0) => n
+    }.toSeq.sorted
+}

@@ -128,10 +128,13 @@ object AnnIndexStore {
     table(spark, root, "coded", codedSchema).publish(df.localCheckpoint())
 
   /** Physically apply accumulated tombstones: republish the coded table
-    * without the deleted rows, then clear the tombstone table — both
-    * atomic version flips, so a concurrent reader serves either the
-    * (tombstone-masked) old version or the compacted new one, identical
-    * answers by construction (the spec asserts the identity). At 100 TB
+    * without the deleted rows, then subtract EXACTLY the applied set from
+    * the tombstone table — both CAS-retried version flips (claim pinned
+    * to the version read; conflict → re-read and retry), so a concurrent
+    * reader serves either the (tombstone-masked) old version or the
+    * compacted new one, identical answers by construction (the spec
+    * asserts the identity), and concurrent deleteIds/appendIncrement
+    * commits landing mid-compaction are never lost. At 100 TB
     * the coded table is partitioned by cell and this rewrite touches only
     * the cells holding tombstoned rows; the VersionedTable layout here
     * republishes the body in one commit — same contract, single-segment
@@ -141,12 +144,37 @@ object AnnIndexStore {
   def compactDeletes(spark: SparkSession, root: String): Unit = {
     val codedT = table(spark, root, "coded", codedSchema)
     val tombsT = table(spark, root, "tombstones", tombSchema)
-    val survivors = codedT.read()
-      .join(tombsT.read(), Seq("neighbor_id"), "left_anti")
-      .localCheckpoint() // materialize BEFORE the republish swaps manifests
-    codedT.publish(survivors)
-    tombsT.publish(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema))
+    // Pin the tombstone set this compaction APPLIES: both writebacks
+    // below must see this exact set, not the live table.
+    val applied = tombsT.read().localCheckpoint()
+    // Writeback 1 — the coded body without the applied victims. CAS'd
+    // against concurrent appendIncrement commits: an unconditional
+    // publish re-reads the version at claim time with keepSegs = Nil,
+    // so an increment landing mid-compaction would be silently dropped.
+    var compacted = false
+    while (!compacted) {
+      val (cv, coded) = codedT.readWithVersion()
+      val survivors = coded.join(applied, Seq("neighbor_id"), "left_anti")
+        .localCheckpoint() // materialize BEFORE the republish swaps manifests
+      try { codedT.publishIfVersion(survivors, cv); compacted = true }
+      catch { case _: graft.sources.CommitConflictException => () }
+    }
+    // Writeback 2 — clear ONLY the applied set. Publishing an empty
+    // table here was the r12 lost-delete finding: a deleteIds commit
+    // landing between the snapshot and the clear would be erased,
+    // resurrecting a deleted vector (a lost right-to-erasure delete).
+    // Instead publish the anti-join of the CURRENT tombstones against
+    // the applied set, CAS'd on the exact version diffed — a concurrent
+    // delete that wins the claim re-enters the loop with its ids in the
+    // residual.
+    var cleared = false
+    while (!cleared) {
+      val (tv, cur) = tombsT.readWithVersion()
+      val residual = cur.join(applied, Seq("neighbor_id"), "left_anti")
+        .localCheckpoint()
+      try { tombsT.publishIfVersion(residual, tv); cleared = true }
+      catch { case _: graft.sources.CommitConflictException => () }
+    }
   }
 
   /** Segment count of the coded table — the append-cost witness the
@@ -256,6 +284,9 @@ object AnnIndexStore {
       catch { case _: Throwable => () })
     rootMemo.clear()
   }
+
+  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
+  private[graft] def memoSize: Int = rootMemo.size
 
   /** v21: the full index-maintenance lifecycle as a driver query —
     * train-on-standing-corpus → persist → the increment arrives and is

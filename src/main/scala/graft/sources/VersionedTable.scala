@@ -244,8 +244,45 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
   override def publish(df: DataFrame): Unit =
     commit(currentVersion, Nil, df)
 
-  /** Rewrite the current contents into a single segment (manifest GC). */
-  def compact(): Unit = publish(read())
+  /** Current snapshot WITH its version — for read-modify-write callers
+    * that must CAS their writeback against concurrent commits (pair with
+    * [[publishIfVersion]]; see AnnIndexStore.compactDeletes). */
+  def readWithVersion(): (Long, DataFrame) = {
+    val (v, segs) = currentSnapshot()
+    val df =
+      if (segs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(segs.map(s => dir.resolve(s.name).toString): _*)
+    (v, df)
+  }
+
+  /** Full-snapshot commit that claims exactly version `expected`+1 —
+    * throws [[CommitConflictException]] if ANY other writer committed
+    * after snapshot `expected` was read (the manifest hard-link claim is
+    * the CAS). This is what makes a read-modify-write sequence safe:
+    * `publish` alone re-reads the version at claim time, so a concurrent
+    * commit landing between the caller's read and its writeback would be
+    * silently discarded (keepSegs = Nil drops the interloper's segment —
+    * the r12 lost-delete finding). */
+  def publishIfVersion(df: DataFrame, expected: Long): Unit =
+    commit(expected, Nil, df)
+
+  /** Rewrite the current contents into a single segment (manifest GC).
+    * CAS-retried internally: compaction is pure read-modify-write, so an
+    * unconditional publish would erase any commit that landed between
+    * the read and the writeback — instead each attempt pins (version,
+    * rows) and claims version+1, re-reading on conflict. Answer-neutral
+    * by construction either way; the retry makes it LOSSLESS under
+    * concurrent writers too. */
+  def compact(): Unit = {
+    var done = false
+    while (!done) {
+      val (v, df) = readWithVersion()
+      val pinned = df.localCheckpoint()
+      try { publishIfVersion(pinned, v); done = true }
+      catch { case _: CommitConflictException => () }
+    }
+  }
 
   /** Remove rows whose `keyCol` is in `keys`, rewriting ONLY segments whose
     * key-range stats can contain a victim — O(touched segments), not

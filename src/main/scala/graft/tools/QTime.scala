@@ -16,21 +16,20 @@ object QTime {
     spark.sparkContext.setLogLevel("WARN")
     val qs = names.map(n => n -> graft.SparkEntry.queries(n))
     qs.foreach { case (_, fn) => fn(spark, sfDir).count() }
-    // mirror Bench's warm→clear→time protocol EXACTLY — a clear list that
-    // lags Bench's reports a cache lookup as a query's cost (st20 timed
-    // 1.6 s here vs its honest 17.5 s bench row before this parity fix)
-    graft.operators.DedupQueries.clearMemo()
-    graft.operators.SimilarityQueries.clearMemo()
-    graft.operators.GraphOps.clearMemo()
-    graft.operators.AnnIndexStore.clearMemo()
-    graft.operators.ExportOps.clearMemo()
-    graft.operators.LayoutOps.clearMemo()
-    graft.streaming.LateDataAudit.clearMemo()
-    graft.streaming.LakeStreamWriter.clearMemo()
+    // mirror Bench's warm→clear→time protocol EXACTLY via the ONE shared
+    // registry — the r12 advisor found the two hand-copied lists had
+    // diverged again (st21 in neither), reporting a cache lookup as a
+    // query's cost (st20 timed 1.6 s here vs its honest 17.5 s bench row
+    // before the first parity fix)
+    graft.BenchMemos.clearAll()
     System.gc(); Thread.sleep(500)
     qs.foreach { case (name, fn) =>
+      val before = graft.BenchMemos.sizes()
       val t0 = System.nanoTime(); val n = fn(spark, sfDir).count()
-      println(f"[qtime] $name: rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val built = graft.BenchMemos.grownSince(before)
+      val tag = if (built.isEmpty) "" else built.mkString(" memo_built=[", ",", "]")
+      println(f"[qtime] $name: rows=$n time=$dt%.2f s$tag")
     }
     spark.stop()
   }
