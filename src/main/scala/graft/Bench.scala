@@ -55,7 +55,7 @@ object Bench {
     val results = sorted.map { case (name, fn) =>
       // A query that throws is reported as an err entry — NEVER as a fast
       // timing (a broken query must not read as a perf win).
-      val before = BenchMemos.sizes()
+      val before = BenchMemos.buildSnapshot()
       val t0 = System.nanoTime()
       val outcome: Either[String, Long] =
         try Right(fn(spark, sfDir).count())
@@ -65,7 +65,7 @@ object Bench {
       // Provenance stamp: which memo families THIS query's execution
       // built (it paid their one-per-session cost for the whole sweep) —
       // so an anomalous row self-adjudicates as rebuild vs host steal.
-      val built = BenchMemos.grownSince(before)
+      val built = BenchMemos.builtSince(before)
       if (built.nonEmpty) memoBuilt(name) = built
       (name, (System.nanoTime() - t0) / 1e9, outcome)
     }
@@ -75,8 +75,9 @@ object Bench {
     // BENCH_FULL.json held a 326.7 s contended run vs the 185.9 s quiet
     // truth) — the flag rides in both the compact line and the full JSON,
     // and the close ritual refuses to leave a flagged BENCH_FULL.json.
-    val priorRuns = readHistoryQueries(
+    val priorRuns = readHistoryRuns(
       java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), sfDir)
+      .map { case (_, qs, built) => (qs, built) }
     val curQ = results.collect { case (k, v, Right(_)) => k -> v }.toMap
     // Two independent contention detectors (r12's judge finding: the
     // sentinel majority catches UNIFORM steal but not bursts that land
@@ -84,9 +85,10 @@ object Bench {
     // inflated on n5/p3/t3/t4 yet all three sentinels sat quiet):
     //   1. sentinel rule — 2 of 3 scan-bound sentinels above 1.5x median;
     //   2. burst rule — >= BurstMinQueries queries above 2x their own
-    //      same-sf history medians (each needing >= BurstMinSamples).
-    val outliers = burstOutliers(curQ, priorRuns)
-    val contended = contendedFlag(curQ, priorRuns)
+    //      same-sf LIKE-WITH-LIKE history medians (each needing >=
+    //      BurstMinSamples; see burstOutliers for the memo_built match).
+    val outliers = burstOutliers(curQ, priorRuns, memoBuilt.keySet.toSet)
+    val contended = contendedFlag(curQ, priorRuns.map(_._1))
       .map(_ || outliers.lengthCompare(BurstMinQueries) >= 0)
     val (line, full) = renderJson(results, sfDir, contended, outliers,
       memoBuilt.toMap)
@@ -154,13 +156,40 @@ object Bench {
   private[graft] val BurstMinSamples = 5
   private[graft] val BurstMedianFloor = 0.05
 
+  /** Timing-protocol version stamped into every run's JSON, for human
+    * diffing of BENCH_HISTORY across protocol changes: 1 = the pre-r13
+    * curated clear list (six streaming memo families exempt — their rows
+    * timed cache lookups); 2 = the r13 uniform clear + memo_built
+    * provenance markers + exact build counters. The MEDIANS need no
+    * protocol filter: [[burstOutliers]] matches samples on each query's
+    * memo_built status, which is what actually changes across protocols. */
+  private[graft] val Protocol = 2
+
   /** Per-query burst audit: every query running above [[BurstInflation]]
     * x its own same-sf history median, worst first, with its ratio.
-    * Pure, so the spec replays the two adjudicating historical runs. */
+    * Pure, so the spec replays the two adjudicating historical runs.
+    *
+    * Medians are LIKE-WITH-LIKE on memo provenance (the r13 advisor
+    * finding): a query's first-touch timing — the run where it paid a
+    * family's one-per-session build, stamped `memo_built` — and its
+    * warm timings belong to different distributions, so a sample from a
+    * prior run counts toward `name`'s median only when that run's
+    * memo_built status for `name` matches the CURRENT run's. This also
+    * retires the clear-protocol hazard: pre-r13 runs never stamped
+    * memo_built, so a query that pays a build under the uniform-clear
+    * protocol (st13/st14/st17/st19/st21) is never compared against its
+    * old cache-lookup timings — it simply sits out the audit until
+    * [[BurstMinSamples]] same-status runs accumulate, instead of
+    * permanently false-flagging. (Sentinels never build memos, so
+    * [[contendedFlag]] needs no matching.) */
   private[graft] def burstOutliers(current: Map[String, Double],
-      priorRuns: Seq[Map[String, Double]]): Seq[(String, Double)] =
+      priorRuns: Seq[(Map[String, Double], Set[String])],
+      currentBuilt: Set[String] = Set.empty): Seq[(String, Double)] =
     current.toSeq.flatMap { case (name, t) =>
-      val samples = priorRuns.flatMap(_.get(name)).sorted
+      val samples = priorRuns.collect {
+        case (qs, built) if qs.contains(name) &&
+          built.contains(name) == currentBuilt.contains(name) => qs(name)
+      }.sorted
       if (samples.length < BurstMinSamples) None
       else {
         val med =
@@ -203,14 +232,13 @@ object Bench {
     * reader Spark already bundles; a missing or malformed history yields
     * Nil (flag stays unknown). Path is a parameter so the spec replays
     * the committed history's adjudicating runs. */
-  private[graft] def readHistoryQueries(p: java.nio.file.Path,
-      sfDir: String): Seq[Map[String, Double]] =
-    readHistoryRuns(p, sfDir).map(_._2)
-
-  /** [[readHistoryQueries]] with each run's `ts` stamp kept — the spec
-    * anchors the 17:30Z/18:01Z adjudication cases by timestamp. */
+  /** Each clean same-sf history run with its `ts` stamp and its
+    * `memo_built` query set kept (empty for pre-r13 lines that predate
+    * the markers) — the spec anchors the 17:30Z/18:01Z adjudication
+    * cases by timestamp, and [[burstOutliers]] matches samples on the
+    * built set. */
   private[graft] def readHistoryRuns(p: java.nio.file.Path,
-      sfDir: String): Seq[(String, Map[String, Double])] = {
+      sfDir: String): Seq[(String, Map[String, Double], Set[String])] = {
     if (!java.nio.file.Files.exists(p)) return Nil
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     try {
@@ -224,9 +252,12 @@ object Bench {
           val qs = Option(n.get("queries"))
           if (sameSf && clean && quiet && qs.isDefined) {
             val ts = Option(n.get("ts")).map(_.asText()).getOrElse("")
-            Some(ts -> qs.get.properties().asScala
+            val built = Option(n.get("memo_built"))
+              .map(_.properties().asScala.map(_.getKey).toSet)
+              .getOrElse(Set.empty[String])
+            Some((ts, qs.get.properties().asScala
               .filter(_.getValue.isNumber)
-              .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap, built))
           } else None
         } catch { case _: Throwable => None }
       }
@@ -276,7 +307,7 @@ object Bench {
     val full = {
       val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val rows = ok.map { case (k, _, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec"$cf$bfull$mfull,"queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":$Protocol$cf$bfull$mfull,"queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
     }
     // largest-first, name tie-break: the entries that matter vs BASELINE
     // always make the line; sub-millisecond noise is what gets summarized

@@ -25,8 +25,41 @@ package graft
   */
 object BenchMemos {
 
+  /** Monotonic per-family BUILD counters, incremented at the one choke
+    * point every memoized build passes through ([[CountedMemo]] /
+    * DedupQueries' `memoized` miss branch). The r13 advisor finding:
+    * inferring builds from memo-SIZE deltas under-reports — a family
+    * cleared and rebuilt at equal size, or a same-key recompute, shows
+    * no growth, and a shrinking family can mask concurrent growth in
+    * the same snapshot window. Counters move iff a build lambda RAN,
+    * and [[clearAll]] never resets them (a reset would alias "cleared
+    * then rebuilt" with "untouched"). */
+  private val builds = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+
+  private[graft] def recordBuild(family: String): Unit =
+    builds.computeIfAbsent(family,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+
+  /** A ConcurrentHashMap whose computeIfAbsent counts the builds it
+    * actually runs (mapping-function invocations) against `family`.
+    * Every registered family's memo maps are declared as this type, so
+    * build provenance needs no per-call-site wiring — the declaration
+    * names the family once and the 30-odd computeIfAbsent call sites
+    * are unchanged. */
+  final class CountedMemo[K, V](family: String)
+      extends java.util.concurrent.ConcurrentHashMap[K, V] {
+    override def computeIfAbsent(key: K,
+        fn: java.util.function.Function[_ >: K, _ <: V]): V =
+      super.computeIfAbsent(key, new java.util.function.Function[K, V] {
+        def apply(k: K): V = { recordBuild(family); fn.apply(k) }
+      })
+  }
+
   /** (family, memoSize, clearMemo) — memoSize counts memoized keys
-    * driver-side (cheap; sampled around every timed query). */
+    * driver-side (cheap; kept alongside the build counters because the
+    * two answer different questions: "how many keys does the family
+    * hold" vs "did a build run"). */
   val families: Seq[(String, () => Int, () => Unit)] = Seq(
     ("DedupQueries", () => operators.DedupQueries.memoSize,
       () => operators.DedupQueries.clearMemo()),
@@ -67,10 +100,19 @@ object BenchMemos {
       n -> (try size() catch { case _: Throwable => 0 })
     }.toMap
 
-  /** Families whose memo grew since `before` — the provenance marker:
-    * the query just timed paid those families' builds. */
-  def grownSince(before: Map[String, Int]): Seq[String] =
-    sizes().collect {
-      case (n, s) if s > before.getOrElse(n, 0) => n
+  /** Snapshot of every family's monotonic build counter (0 = no build
+    * recorded this session). */
+  def buildSnapshot(): Map[String, Long] =
+    families.map { case (n, _, _) =>
+      n -> Option(builds.get(n)).map(_.get()).getOrElse(0L)
+    }.toMap
+
+  /** Families that BUILT since `before` (a [[buildSnapshot]]) — the
+    * provenance marker: the query just timed paid those families'
+    * builds. Exact, unlike the size-delta inference it replaced: the
+    * counter moved iff a memoized build lambda ran. */
+  def builtSince(before: Map[String, Long]): Seq[String] =
+    buildSnapshot().collect {
+      case (n, c) if c > before.getOrElse(n, 0L) => n
     }.toSeq.sorted
 }

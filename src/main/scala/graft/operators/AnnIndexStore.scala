@@ -145,36 +145,67 @@ object AnnIndexStore {
     val codedT = table(spark, root, "coded", codedSchema)
     val tombsT = table(spark, root, "tombstones", tombSchema)
     // Pin the tombstone set this compaction APPLIES: both writebacks
-    // below must see this exact set, not the live table.
-    val applied = tombsT.read().localCheckpoint()
-    // Writeback 1 — the coded body without the applied victims. CAS'd
-    // against concurrent appendIncrement commits: an unconditional
-    // publish re-reads the version at claim time with keepSegs = Nil,
-    // so an increment landing mid-compaction would be silently dropped.
-    var compacted = false
-    while (!compacted) {
-      val (cv, coded) = codedT.readWithVersion()
-      val survivors = coded.join(applied, Seq("neighbor_id"), "left_anti")
-        .localCheckpoint() // materialize BEFORE the republish swaps manifests
-      try { codedT.publishIfVersion(survivors, cv); compacted = true }
+    // below must see this exact set, not the live table. The pin itself
+    // races concurrent deleteIds folds (asConflict, retried like a CAS).
+    val applied = retryConflicts {
+      tombsT.asConflict("tombstone pin")(tombsT.read().localCheckpoint())
+    }
+    try {
+      // Writeback 1 — the coded body without the applied victims. CAS'd
+      // against concurrent appendIncrement commits: an unconditional
+      // publish re-reads the version at claim time with keepSegs = Nil,
+      // so an increment landing mid-compaction would be silently dropped.
+      casPublish(codedT, "coded compaction") { coded =>
+        coded.join(applied, Seq("neighbor_id"), "left_anti") }
+      // Writeback 2 — clear ONLY the applied set. Publishing an empty
+      // table here was the r12 lost-delete finding: a deleteIds commit
+      // landing between the snapshot and the clear would be erased,
+      // resurrecting a deleted vector (a lost right-to-erasure delete).
+      // Instead publish the anti-join of the CURRENT tombstones against
+      // the applied set, CAS'd on the exact version diffed — a concurrent
+      // delete that wins the claim re-enters the loop with its ids in the
+      // residual.
+      casPublish(tombsT, "tombstone clear") { cur =>
+        cur.join(applied, Seq("neighbor_id"), "left_anti") }
+    } finally {
+      try applied.unpersist() catch { case _: Throwable => () }
+    }
+  }
+
+  /** One CAS-retried read-modify-write round: read (version, snapshot),
+    * transform, materialize, publish pinned to version+1; a lost claim
+    * OR a mid-read segment retirement (the r13 advisor race: the lazy
+    * snapshot's files can vanish before localCheckpoint materializes
+    * them — asConflict folds that into the same conflict) re-enters with
+    * a fresh read. Each attempt's checkpointed blocks are unpersisted
+    * win or lose, so conflict storms don't pin executor storage. */
+  private def casPublish(t: VersionedTable, op: String)
+      (transform: DataFrame => DataFrame): Unit = {
+    var done = false
+    while (!done) {
+      var pinned: Option[DataFrame] = None
+      try {
+        val (v, out) = t.asConflict(s"$op read") {
+          val (v0, snap) = t.readWithVersion()
+          // materialize BEFORE the publish swaps manifests
+          (v0, transform(snap).localCheckpoint())
+        }
+        pinned = Some(out)
+        t.publishIfVersion(out, v)
+        done = true
+      } catch { case _: graft.sources.CommitConflictException => () }
+      finally pinned.foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+    }
+  }
+
+  private def retryConflicts[T](body: => T): T = {
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
       catch { case _: graft.sources.CommitConflictException => () }
     }
-    // Writeback 2 — clear ONLY the applied set. Publishing an empty
-    // table here was the r12 lost-delete finding: a deleteIds commit
-    // landing between the snapshot and the clear would be erased,
-    // resurrecting a deleted vector (a lost right-to-erasure delete).
-    // Instead publish the anti-join of the CURRENT tombstones against
-    // the applied set, CAS'd on the exact version diffed — a concurrent
-    // delete that wins the claim re-enters the loop with its ids in the
-    // residual.
-    var cleared = false
-    while (!cleared) {
-      val (tv, cur) = tombsT.readWithVersion()
-      val residual = cur.join(applied, Seq("neighbor_id"), "left_anti")
-        .localCheckpoint()
-      try { tombsT.publishIfVersion(residual, tv); cleared = true }
-      catch { case _: graft.sources.CommitConflictException => () }
-    }
+    out.get
   }
 
   /** Segment count of the coded table — the append-cost witness the
@@ -206,12 +237,28 @@ object AnnIndexStore {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard ceiling on [[servedStream]]'s driver-side probe collect: the
+    * probe set (id, cell, raw vector) is the ONE driver-resident piece of
+    * the serve path, so its size must be bounded by contract, not by an
+    * inline literal a refactor could silently widen (the r12 advisor
+    * finding). 1024 probes × a few-KB vector ≈ single-digit MB — far
+    * under any driver heap; a batch-serve wanting more probes should
+    * carve them into capped waves. */
+  private[operators] val MaxProbeVectors = 1024
+
   /** The candidate stream from the persisted index (what [[serveTopK]]
     * ranks) — exposed so the TWO-STAGE read path can also run from
-    * storage: [[serveRerank]] feeds it into the shared exact re-rank. */
+    * storage: [[serveRerank]] feeds it into the shared exact re-rank.
+    * `probeLimit` (the v12-shape default: stored probes `vec_id < 10`)
+    * bounds the probe collect BOTH ways: validated against
+    * [[MaxProbeVectors]] and enforced with a plan-level limit, so the
+    * collect stays O(probeLimit) even if the id predicate were wrong. */
   private[operators] def servedStream(spark: SparkSession, dir: String,
-      root: String, nprobe: Int = 1): DataFrame = {
+      root: String, nprobe: Int = 1, probeLimit: Int = 10): DataFrame = {
     import spark.implicits._
+    require(probeLimit > 0 && probeLimit <= MaxProbeVectors,
+      s"probeLimit must be in [1, $MaxProbeVectors], got $probeLimit — " +
+        "the probe set is collected to the driver")
     val (coarse, cents) = openQuantizer(spark, root)
     // Tombstones mask INSIDE the candidate path — the anti-join lands on
     // the coded table before any scoring or ranking, so a deleted vector
@@ -220,12 +267,26 @@ object AnnIndexStore {
     // tombstone table is empty-with-schema on an index that never saw a
     // delete: the anti-join broadcasts zero rows and the serve plan is
     // v19's unchanged.
+    //
+    // ORDERING MATTERS under a concurrent compactDeletes: the two tables'
+    // manifests resolve at read() time, not action time, and compaction
+    // writes coded-without-victims FIRST, then clears the tombstones. Of
+    // the four (coded, tombstones) version pairings a non-atomic two-table
+    // read can observe, the only ILLEGAL one is coded-old (victims still
+    // present) + tombstones-new (already cleared) — a deleted vector would
+    // serve. Resolving TOMBSTONES BEFORE CODED makes that pairing
+    // unobservable: a tombstone set missing an applied victim implies the
+    // coded table resolved afterwards no longer holds it (and nothing
+    // re-adds a deleted id). The race drill in AnnIndexStoreSpec hammers
+    // exactly this window.
+    val tombstones = openTombstones(spark, root)
     val coded = table(spark, root, "coded", codedSchema).read()
-      .join(openTombstones(spark, root), Seq("neighbor_id"), "left_anti")
+      .join(tombstones, Seq("neighbor_id"), "left_anti")
     val queries = Tables.t(spark, dir, "embeddings")
-      .filter(col("vec_id") < 10)
+      .filter(col("vec_id") < probeLimit)
       .join(coded.select(col("neighbor_id").as("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"))
+      .limit(probeLimit)
       .as[(Long, Int, Array[Float])].collect().sortBy(_._1).toSeq
     SimilarityQueries.ivfAdcServe(coarse, cents, coded, queries, nprobe)
   }
@@ -273,7 +334,7 @@ object AnnIndexStore {
   /** Staging root memo for the v19/v21 driver rows: one persist per
     * (session, corpus, variant), after which every serve is storage-only. */
   private val rootMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("AnnIndexStore")
 
   private[graft] def clearMemo(): Unit = {
     // delete the superseded roots NOW, not at JVM exit: the bench's

@@ -124,6 +124,9 @@ object DedupQueries {
     val hit = memo.get(key)
     if (hit != null) hit
     else {
+      // build provenance for the bench's memo_built markers — this is the
+      // family's one choke point, the LinkedHashMap twin of CountedMemo
+      graft.BenchMemos.recordBuild("DedupQueries")
       val df = build
       memo.put(key, df)
       if (memo.size > 16) { val it = memo.keySet.iterator; it.next(); it.remove() }

@@ -66,7 +66,7 @@ object ExportOps {
   /** Export root memo — one write per (session, corpus); the manifest
     * query and the round-trip spec both read the same landed files. */
   private val exportMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("ExportOps")
 
   private[graft] def clearMemo(): Unit = {
     // delete superseded exports now (bench warm→timed re-exports; a

@@ -23,7 +23,7 @@ object GraphOps {
     * Memoized frame is localCheckpointed: every iteration of every
     * consumer re-reads it materialized, never re-running the build. */
   private val edgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new graft.BenchMemos.CountedMemo[String, DataFrame]("GraphOps")
 
   /** Frames persisted by coPartitionedCheckpoint — NOT memoized (each
     * gated run builds its own), so without tracking they would outlive
@@ -67,7 +67,7 @@ object GraphOps {
   /** Repartition by `key` and materialize WITH the partitioning preserved.
     * Under AQE the physical plan a localCheckpoint captures is an
     * AdaptiveSparkPlan whose outputPartitioning is Unknown(0) (measured —
-    * tools/R8Probe), so a checkpoint would forget the co-partitioning and
+    * tools/R8Probe, retired to git history), so a checkpoint would forget the co-partitioning and
     * every later iteration join would re-exchange the edge set: exactly
     * the cost this path exists to avoid. The r8 build toggled
     * `spark.sql.adaptive.enabled` off around the checkpoint — correct but
@@ -76,7 +76,7 @@ object GraphOps {
     * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` defaults
     * to false, so an InMemoryRelation over the repartition keeps
     * HashPartitioning(key) and EnsureRequirements honors it in every
-    * downstream join — tools/R9Probe shows the final SMJ plan reading
+    * downstream join — tools/R9Probe (retired to git history) showed the final SMJ plan reading
     * TableCacheQueryStage with a partition-local Sort and ZERO exchanges
     * on the cached side, AQE on throughout (GraphScaleSpec asserts the
     * same on the shipped plans, plus conf-untouched under concurrency).

@@ -385,7 +385,7 @@ object LayoutOps {
   /** Export root memo for z10 — one write per (session, corpus), the z8
     * discipline: the driver row reads back what is actually on disk. */
   private val hilbertExportMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("LayoutOps")
 
   private[graft] def clearMemo(): Unit = {
     hilbertExportMemo.values().forEach(r =>

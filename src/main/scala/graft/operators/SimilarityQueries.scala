@@ -181,7 +181,7 @@ object SimilarityQueries {
     * candidates — the recall-recovery move; measured filtered recall@3
     * vs the exact filtered brute force climbs 0.17→0.40→0.43→0.50 at
     * sf0.001 and 0.30→0.47→0.50→0.67 at sf0.01 as nprobe goes 1→4 —
-    * tools/V22Probe), candidates must match the query's metadata tier
+    * tools/V22Probe, retired to git history), candidates must match the query's metadata tier
     * (derived `vec_id % 3` — the corpus ships no second attribute; the
     * derivation is identical on both engines, and the interesting part
     * is the probe+filter+rerank PLAN, not the attribute's provenance),
@@ -373,7 +373,7 @@ object SimilarityQueries {
     * plus per-iteration driver collects — a sweep must pay it once. The
     * memoized frame is localCheckpointed (materialized, lineage-free);
     * corpus dirs are immutable within a session (the testdata contract). */
-  private val assignMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val assignMemo = new graft.BenchMemos.CountedMemo[String, DataFrame]("SimilarityQueries")
 
   /** Session memo for the trained CENTROIDS themselves (k×dim driver-side
     * Seqs): the Lloyd loop is the expensive part, and FOUR consumer
@@ -383,7 +383,7 @@ object SimilarityQueries {
     * Keyed by an explicit slice tag because the training frame's identity
     * can't key a map. */
   private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+    new graft.BenchMemos.CountedMemo[String, Seq[(Int, Seq[Double])]]("SimilarityQueries")
 
   private[graft] def clearMemo(): Unit =
     { assignMemo.clear(); pqMemo.clear(); centroidMemo.clear() }
@@ -605,7 +605,7 @@ object SimilarityQueries {
     * of k×dim doubles; a sweep that encodes (v9) AND searches (v10) the
     * same corpus must pay it once. */
   private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Seq[(Int, Seq[Double])]]]()
+    new graft.BenchMemos.CountedMemo[String, IndexedSeq[Seq[(Int, Seq[Double])]]]("SimilarityQueries")
 
   private[operators] def pqCodebooks(spark: SparkSession, dir: String,
       sliceTag: String = "full"): IndexedSeq[Seq[(Int, Seq[Double])]] = pqMemo.computeIfAbsent(

@@ -210,8 +210,14 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     * writer retired mid-operation into the clean retryable conflict the
     * multi-writer contract promises. Walks the CAUSE CHAIN: an executor-side
     * FileNotFoundException surfaces driver-side wrapped in SparkException,
-    * and a bare type match would leak it as a non-retryable error. */
-  private def asConflict[T](op: String)(body: => T): T =
+    * and a bare type match would leak it as a non-retryable error.
+    * Exposed ([[private[graft]]]) so read-modify-write callers — e.g.
+    * AnnIndexStore.compactDeletes — can wrap their read+transform+
+    * materialize bodies too: [[readWithVersion]] returns a LAZY frame
+    * whose segment files a concurrent writer can retire before the
+    * caller's localCheckpoint materializes them, and without this
+    * conversion that race escapes their CAS retry loops as a crash. */
+  private[graft] def asConflict[T](op: String)(body: => T): T =
     try body
     catch {
       case e: Throwable if causeChain(e).exists(isMissingFile) =>
@@ -277,10 +283,24 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
   def compact(): Unit = {
     var done = false
     while (!done) {
-      val (v, df) = readWithVersion()
-      val pinned = df.localCheckpoint()
-      try { publishIfVersion(pinned, v); done = true }
-      catch { case _: CommitConflictException => () }
+      var pinned: Option[DataFrame] = None
+      try {
+        // the read + eager checkpoint can itself race a faster writer's
+        // segment retirement — asConflict folds that missing-file failure
+        // into the same retryable conflict as a lost manifest claim
+        val (v, df) = asConflict("compaction read") {
+          val (v0, d0) = readWithVersion()
+          (v0, d0.localCheckpoint())
+        }
+        pinned = Some(df)
+        publishIfVersion(df, v)
+        done = true
+      } catch { case _: CommitConflictException => () }
+      // release the attempt's pinned RDD blocks win or lose (a winner's
+      // rows are on disk in the new segment; a loser's would otherwise
+      // accumulate in executor storage across conflict retries)
+      finally pinned.foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
     }
   }
 

@@ -65,9 +65,9 @@ object CorpusStreamAudio {
     "(doc_id % 140) % 5 = 0 OR doc_id % 3 = 0"
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new graft.BenchMemos.CountedMemo[String, DataFrame]("CorpusStreamAudio")
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("CorpusStreamAudio")
 
   private[graft] def clearMemo(): Unit = { memo.clear(); stageMemo.clear() }
 

@@ -45,7 +45,7 @@ object CorpusStreamDedup {
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("CorpusStreamDedup")
 
   private[graft] def clearMemo(): Unit = stageMemo.clear()
 

@@ -32,7 +32,7 @@ object CorpusStreamIngest {
   val CorruptBucket = "__corrupt__"
 
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    new graft.BenchMemos.CountedMemo[String, java.nio.file.Path]("CorpusStreamIngest")
 
   private[graft] def clearMemo(): Unit = stageMemo.clear()
 

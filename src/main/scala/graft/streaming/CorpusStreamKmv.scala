@@ -37,7 +37,7 @@ object CorpusStreamKmv {
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("CorpusStreamKmv")
 
   private[graft] def clearMemo(): Unit = stageMemo.clear()
 

@@ -34,9 +34,9 @@ object IndexStreamMaintenance {
     StructField("neighbor_id", LongType)))
 
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("IndexStreamMaintenance")
   private val rootMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("IndexStreamMaintenance")
 
   private[graft] def clearMemo(): Unit = {
     rootMemo.values().forEach(r =>

@@ -37,9 +37,9 @@ object LakeStreamWriter {
     StructField("qy", LongType), StructField("kx", LongType)))
 
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("LakeStreamWriter")
   private val lakeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("LakeStreamWriter")
 
   private[graft] def clearMemo(): Unit = {
     lakeMemo.values().forEach(r =>
@@ -93,4 +93,52 @@ object LakeStreamWriter {
     * STREAM landed — z10's oracle verbatim. */
   def st20StreamHilbertSink(spark: SparkSession, dir: String): DataFrame =
     LayoutOps.hilbertTreeAudit(spark, streamedLakeRoot(spark, dir))
+
+  /** Maintenance verb for the streamed lake's small-files debt: appends
+    * land one file per (task, shard) per micro-batch, so a long-running
+    * ingest accumulates per-shard file counts linear in batches. Fold
+    * every shard directory down to one file, swapping directories whole:
+    *   1. ONE job re-lands the entire tree into a dot-prefixed staging
+    *      dir beside the root (same filesystem, so the swaps below are
+    *      renames) — `repartitionByRange(hshard)` clusters each shard
+    *      wholly into one task, so each shard dir gets exactly one file;
+    *   2. per shard, retire the old dir to a dot-prefixed name and
+    *      rename the staged dir into place (the VersionedTable.compact
+    *      discipline at directory granularity: dot-prefixed names are
+    *      invisible to parquet partition discovery, so a reader listing
+    *      mid-swap never sees a half-written shard — at worst it misses
+    *      a shard mid-rename, which is why this is a maintenance verb:
+    *      run while no reader or writer is in flight, the vacuum rule).
+    * Rows, schema, shard keys and directory names are bit-identical by
+    * construction (the job only re-groups landed rows); the spec proves
+    * [[LayoutOps.hilbertTreeAudit]] is unchanged while the file count
+    * drops to one per shard. At 100 TB the same verb runs per-shard
+    * incrementally (each swap is independent); here one job suffices. */
+  def compactShards(spark: SparkSession, root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val rootP = Paths.get(root)
+    val staged = Files.createTempDirectory(rootP.getParent, ".graft-compact")
+    spark.read.parquet(root)
+      .withColumn("hshard", col("hshard").cast("long"))
+      .repartitionByRange(col("hshard"))
+      .write.partitionBy("hshard").mode("overwrite").parquet(staged.toString)
+    val shardDirs = {
+      val s = Files.list(staged)
+      try {
+        val it = s.iterator()
+        val out = Seq.newBuilder[java.nio.file.Path]
+        while (it.hasNext) { val p = it.next(); if (p.getFileName.toString.startsWith("hshard=")) out += p }
+        out.result()
+      } finally s.close()
+    }
+    shardDirs.foreach { newDir =>
+      val name = newDir.getFileName.toString
+      val dest = rootP.resolve(name)
+      val retired = rootP.resolve(s".retired-$name")
+      if (Files.exists(dest)) Files.move(dest, retired)
+      Files.move(newDir, dest)
+      graft.core.FsUtil.deleteRecursively(retired)
+    }
+    graft.core.FsUtil.deleteRecursively(staged)
+  }
 }

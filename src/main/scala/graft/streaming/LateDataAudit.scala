@@ -68,7 +68,7 @@ object LateDataAudit {
   @volatile private[graft] var lastProgressDump: Seq[String] = Nil
 
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[java.nio.file.Path]]()
+    new graft.BenchMemos.CountedMemo[String, Seq[java.nio.file.Path]]("LateDataAudit")
 
   private[graft] def clearMemo(): Unit = {
     // delete superseded staged slices now (they include a coalesced full
@@ -128,7 +128,8 @@ object LateDataAudit {
     * batch N is COMMITTED for batch N+1's late-row filter by the no-data
     * batch that follows N — with back-to-back file batches (or no-data
     * batches disabled) the late slice is filtered against the PREVIOUS
-    * watermark and nothing drops (WmProbe/WmProbe2 pin both regimes).
+    * watermark and nothing drops (WmProbe/WmProbe2 pinned both regimes;
+    * retired to git history — LateDataAuditSpec holds the live proof).
     * That is faithful to production: a late burst arrives in a later
     * trigger than the data that advanced the watermark, not fused into
     * the same one. */

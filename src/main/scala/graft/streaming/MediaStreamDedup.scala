@@ -52,9 +52,9 @@ object MediaStreamDedup {
     "(doc_id // 2) % 3 = 0 OR (doc_id % 2 = 1 AND (doc_id // 2) % 3 = 1)"
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new graft.BenchMemos.CountedMemo[String, DataFrame]("MediaStreamDedup")
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.BenchMemos.CountedMemo[String, String]("MediaStreamDedup")
 
   private[graft] def clearMemo(): Unit = { memo.clear(); stageMemo.clear() }
 

@@ -24,10 +24,10 @@ object QTime {
     graft.BenchMemos.clearAll()
     System.gc(); Thread.sleep(500)
     qs.foreach { case (name, fn) =>
-      val before = graft.BenchMemos.sizes()
+      val before = graft.BenchMemos.buildSnapshot()
       val t0 = System.nanoTime(); val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      val built = graft.BenchMemos.grownSince(before)
+      val built = graft.BenchMemos.builtSince(before)
       val tag = if (built.isEmpty) "" else built.mkString(" memo_built=[", ",", "]")
       println(f"[qtime] $name: rows=$n time=$dt%.2f s$tag")
     }

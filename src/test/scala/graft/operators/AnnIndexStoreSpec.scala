@@ -137,4 +137,87 @@ class AnnIndexStoreSpec extends SparkSpec {
       "compaction physically removed the tombstoned rows")
     assert(v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root)) == masked)
   }
+
+  test("probe collect is parameter-guarded: out-of-cap probeLimit is rejected") {
+    val root = java.nio.file.Files.createTempDirectory("annidx-cap").toString
+    // validation fires before any table read, so an unpersisted root is fine
+    intercept[IllegalArgumentException](
+      AnnIndexStore.servedStream(spark, sfDir, root, probeLimit = 0))
+    intercept[IllegalArgumentException](
+      AnnIndexStore.servedStream(spark, sfDir, root,
+        probeLimit = AnnIndexStore.MaxProbeVectors + 1))
+  }
+
+  test("delete/compact/serve race drill: no tombstone lost, every observed view legal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("annidx-race").toString
+    def ids(r: Seq[Int]) = r.map(_.toLong).toDF("neighbor_id")
+    val codedT = new graft.sources.VersionedTable(spark, s"$root/coded",
+      AnnIndexStore.codedSchema)
+    codedT.publish(ids(0 until 120).select(col("neighbor_id"),
+      lit(0).as("cell"), lit(1).as("code_0"), lit(2).as("code_1"),
+      lit(3).as("code_2"), lit(4).as("code_3")))
+    // single-writer set of delete batches whose commits have RETURNED —
+    // the legality bar a concurrent reader is held to
+    @volatile var committed: Set[Long] = Set.empty
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def isMissingFile(e: Throwable): Boolean = {
+      var cur = e; var depth = 0
+      while (cur != null && depth < 16) {
+        cur match {
+          case _: java.io.FileNotFoundException
+             | _: java.nio.file.NoSuchFileException => return true
+          case t if t.getMessage != null &&
+            (t.getMessage.contains("Path does not exist") ||
+             t.getMessage.contains("PATH_NOT_FOUND")) => return true
+          case _ => ()
+        }
+        cur = cur.getCause; depth += 1
+      }
+      false
+    }
+    val deleter = new Thread(() => try {
+      (0 until 100).grouped(10).foreach { batch =>
+        AnnIndexStore.deleteIds(spark, root, ids(batch))
+        committed = committed ++ batch.map(_.toLong)
+      }
+    } catch { case e: Throwable => failures.add(e) })
+    val compactor = new Thread(() => try {
+      (0 until 6).foreach(_ => AnnIndexStore.compactDeletes(spark, root))
+    } catch { case e: Throwable => failures.add(e) })
+    val reader = new Thread(() => try {
+      while (deleter.isAlive || compactor.isAlive) {
+        val before = committed // snapshot BEFORE resolving the views
+        try {
+          // the serve path's resolution order: tombstones BEFORE coded
+          // (the only illegal two-table pairing is coded-old +
+          // tombstones-cleared, and this order makes it unobservable)
+          val tomb = AnnIndexStore.openTombstones(spark, root)
+          val live = AnnIndexStore.openCoded(spark, root)
+            .join(tomb, Seq("neighbor_id"), "left_anti")
+            .collect().map(_.getLong(0)).toSet
+          val resurrected = before.intersect(live)
+          if (resurrected.nonEmpty)
+            failures.add(new AssertionError(
+              s"committed deletes served mid-race: $resurrected"))
+        } catch {
+          // a reader that outruns the one-version grace window under this
+          // commit storm re-reads — the production retry contract
+          case e: Throwable if isMissingFile(e) => ()
+        }
+      }
+    } catch { case e: Throwable => failures.add(e) })
+    Seq(deleter, compactor, reader).foreach(_.start())
+    deleter.join(300000); compactor.join(300000); reader.join(300000)
+    assert(failures.isEmpty, s"race drill failures: ${failures}")
+    // drain: after one quiesced compaction, every delete is physically
+    // applied (none lost — the r12 resurrection bug) and the mask is clear
+    AnnIndexStore.compactDeletes(spark, root)
+    assert(AnnIndexStore.openTombstones(spark, root).count() === 0L)
+    val finalLive = AnnIndexStore.openCoded(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(finalLive === (100 until 120).map(_.toLong).toSet,
+      "exactly the undeleted ids survive — no tombstone lost, no survivor dropped")
+  }
 }

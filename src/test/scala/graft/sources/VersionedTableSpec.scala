@@ -318,4 +318,94 @@ class VersionedTableSpec extends SparkSpec {
     assert(fileFingerprints(dir) === before, "no file may change when no range intersects")
     assert(t.read().count() === 2)
   }
+
+  // --------------------------- read-modify-write CAS (r13 primitives' drill)
+
+  test("publishIfVersion rejects a stale writeback whole; the interloping commit survives") {
+    val (_, t) = fresh()
+    t.publish(df("base" -> 0L)) // v0
+    val (v, snap) = t.readWithVersion()
+    assert(v === 0L)
+    val pinned = snap.localCheckpoint()
+    // a concurrent commit lands between the read and the writeback — the
+    // r12 lost-delete shape: an unconditional publish would erase it
+    t.append(df("interloper" -> 1L)) // v1
+    intercept[CommitConflictException](t.publishIfVersion(pinned, v))
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq(("base", 0L), ("interloper", 1L)),
+      "the stale CAS must change nothing — interloper included")
+  }
+
+  test("racing publishIfVersion claims at one version: exactly one wins") {
+    val (dir, t) = fresh()
+    t.publish(df("seed" -> 0L))
+    val (v, _) = t.readWithVersion()
+    val wins = new java.util.concurrent.atomic.AtomicInteger()
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger()
+    val others = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() =>
+        try {
+          new VersionedTable(spark, dir, schema)
+            .publishIfVersion(df(s"w$i" -> i.toLong), v)
+          wins.incrementAndGet()
+        } catch {
+          case _: CommitConflictException => conflicts.incrementAndGet()
+          case e: Throwable => others.add(e)
+        })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(others.isEmpty, s"losers must fail ONLY with the clean conflict, got $others")
+    assert(wins.get === 1 && conflicts.get === 3,
+      s"single-claim semantics: wins=${wins.get} conflicts=${conflicts.get}")
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length === 1 && got.head._1.startsWith("w"),
+      "the table holds exactly the one winner's snapshot")
+  }
+
+  test("compact retries past a commit landing mid-compaction: nothing lost, one segment") {
+    val dir = Files.createTempDirectory("vt_compact_race").toString
+    val t = new VersionedTable(spark, dir, schema)
+    t.append(df("a" -> 1L))
+    t.append(df("b" -> 2L))
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // inject the interloper in the window between the compactor's segment
+    // write and its manifest claim — its CAS must lose, re-read, and fold
+    // the interloper's rows into the retried compaction
+    val compactor = new VersionedTable(spark, dir, schema) {
+      override protected def onBeforeManifestClaim(): Unit =
+        if (injected.compareAndSet(false, true))
+          new VersionedTable(spark, dir, schema).append(df("mid" -> 3L))
+    }
+    compactor.compact()
+    assert(injected.get, "the race was never exercised")
+    val got = t.read().collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq(("a", 1L), ("b", 2L), ("mid", 3L)),
+      "the mid-compaction commit must survive the retried rewrite")
+    assert(t.segmentCount === 1)
+  }
+
+  test("compact retries when its snapshot read hits retired segment files") {
+    val dir = Files.createTempDirectory("vt_compact_read_race").toString
+    val t = new VersionedTable(spark, dir, schema)
+    t.append(df("a" -> 1L))
+    t.append(df("b" -> 2L))
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // what a concurrent writer's segment retirement looks like from the
+    // driver: the executor-side FileNotFoundException arrives wrapped — the
+    // r13 advisor race that used to escape the retry loop as a crash
+    val flaky = new VersionedTable(spark, dir, schema) {
+      override def readWithVersion(): (Long, org.apache.spark.sql.DataFrame) = {
+        if (failedOnce.compareAndSet(false, true))
+          throw new org.apache.spark.SparkException("Job aborted due to stage failure",
+            new java.io.FileNotFoundException(s"$dir/seg-0-dead/part-00000.parquet"))
+        super.readWithVersion()
+      }
+    }
+    flaky.compact()
+    assert(failedOnce.get)
+    assert(t.read().count() === 2 && t.segmentCount === 1,
+      "the missing-file race must convert to a clean retry, not a crash")
+  }
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.LayoutOps
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The streamed lake's maintenance verb: [[LakeStreamWriter.compactShards]]
+  * must fold each shard directory's per-batch part files into one file
+  * while changing NOTHING a reader can observe — the zone-skip audit, the
+  * landed row multiset, and the shard directory set are all bit-identical
+  * before and after (read-side correctness never depended on compaction;
+  * this proves the compactor kept it that way). */
+class LakeCompactionSpec extends SparkSpec {
+
+  private def shardDirs(root: String): Seq[String] =
+    list(Paths.get(root)).map(_.getFileName.toString)
+      .filter(_.startsWith("hshard=")).sorted
+
+  private def dataFiles(root: String): Seq[String] = {
+    def walk(p: Path): Seq[Path] =
+      if (Files.isDirectory(p)) list(p).flatMap(walk) else Seq(p)
+    walk(Paths.get(root)).map(_.getFileName.toString)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet"))
+  }
+
+  private def list(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  test("compactShards: audit and rows bitwise unchanged, one file per shard") {
+    val out = Files.createTempDirectory("lake-compact").resolve("shards").toString
+    val rows = LayoutOps.quantizedLineitem(spark, sfDir)
+    // two appends carve the identical corpus the batch writer lands, so the
+    // tree is genuinely fragmented (>= 2 files in every touched shard) —
+    // the streamed writer's shape without running a stream
+    LayoutOps.landHilbertShards(rows.filter(col("l_orderkey") % 2 === 0), out, "append")
+    LayoutOps.landHilbertShards(rows.filter(col("l_orderkey") % 2 === 1), out, "append")
+    val dirsBefore = shardDirs(out)
+    val filesBefore = dataFiles(out).size
+    assert(filesBefore > dirsBefore.size, "precondition: the lake is fragmented")
+    def audit() = LayoutOps.hilbertTreeAudit(spark, out).collect().map(_.toSeq).toSeq
+    def landed() = spark.read.parquet(out)
+      .select(col("hshard").cast("long"), col("l_orderkey"), col("qx"),
+        col("qy"), col("hd"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val auditBefore = audit()
+    val rowsBefore = landed()
+
+    LakeStreamWriter.compactShards(spark, out)
+
+    assert(shardDirs(out) === dirsBefore, "the shard directory set is unchanged")
+    assert(dataFiles(out).size === dirsBefore.size,
+      s"exactly one file per shard after the fold (was $filesBefore)")
+    assert(audit() === auditBefore, "the zone-skip audit is bitwise unchanged")
+    assert(landed() === rowsBefore, "the landed row multiset is bitwise unchanged")
+    // no staging or retirement debris is left behind
+    assert(list(Paths.get(out)).forall(p =>
+      !p.getFileName.toString.startsWith(".retired-")))
+    assert(list(Paths.get(out).getParent).forall(p =>
+      !p.getFileName.toString.startsWith(".graft-compact")))
+  }
+}

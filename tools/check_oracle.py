@@ -26,73 +26,6 @@ def table_hash(cols, rows):
         h.update(b"\n")
     return h.hexdigest()
 
-def bounded_check(con, name, cols, rows):
-    """Tolerance oracle for the two Spark-only sketches (no hash bridge
-    exists: DuckDB's approx_quantile is t-digest, its HLL is its own) —
-    instead of a standing NO-ORACLE exemption, check the sketch's OWN
-    published error contract against exact DuckDB truth:
-      - q6 (HLL++, rsd=0.02): estimates within 3*rsd relative error of the
-        exact distinct counts; the exact_parts column must match exactly.
-      - p2 (KLL/GK, accuracy=1000): each returned quantile is a real data
-        value whose rank interval [count(<v), count(<=v)]/n must intersect
-        q +/- 1/accuracy; the exact_q50 column must match quantile_cont.
-    Returns a BOUNDED-PASS/BOUNDED-FAIL line, or None if the query has no
-    tolerance contract registered."""
-    ix = {c: i for i, c in enumerate(cols)}
-    if name == "q6_approx_distinct":
-        truth = {r[0]: (r[1], r[2]) for r in con.execute(
-            "SELECT l_returnflag, count(DISTINCT l_partkey),"
-            " count(DISTINCT l_orderkey) FROM lineitem GROUP BY 1").fetchall()}
-        if set(truth) != {r[ix["l_returnflag"]] for r in rows}:
-            return "BOUNDED-FAIL group keys diverge from exact truth"
-        worst = 0.0
-        for r in rows:
-            flag = r[ix["l_returnflag"]]
-            ep, eo = truth[flag]
-            if r[ix["exact_parts"]] != ep:
-                return f"BOUNDED-FAIL exact_parts {r[ix['exact_parts']]} != {ep} ({flag})"
-            for a, e in ((r[ix["approx_parts"]], ep), (r[ix["approx_orders"]], eo)):
-                rel = abs(a - e) / e
-                worst = max(worst, rel)
-                if rel > 3 * 0.02:
-                    return f"BOUNDED-FAIL rel err {rel:.4f} > 3*rsd=0.06 ({flag})"
-        return f"BOUNDED-PASS rows={len(rows)} max_rel_err={worst:.4f} (bound 3*rsd=0.06)"
-    if name == "p2_approx_percentiles":
-        eps = 1.0 / 1000  # Spark approx_percentile(accuracy=1000): rank err <= 1/accuracy
-        worst = 0.0
-        for r in rows:
-            flag = r[ix["l_returnflag"]]
-            dq50 = con.execute(
-                "SELECT round(quantile_cont(l_quantity, 0.5), 4) FROM lineitem"
-                " WHERE l_returnflag = ?", [flag]).fetchone()[0]
-            if float(r[ix["exact_q50"]]) != float(dq50):
-                return f"BOUNDED-FAIL exact_q50 {r[ix['exact_q50']]} != {dq50} ({flag})"
-            for cname, q, vcol in (
-                    ("approx_q25", 0.25, "l_quantity"),
-                    ("approx_q50", 0.50, "l_quantity"),
-                    ("approx_q75", 0.75, "l_quantity"),
-                    ("approx_price_median", 0.50, "l_extendedprice")):
-                v = r[ix[cname]]
-                n, lo, hi = con.execute(
-                    f"SELECT count(*), count(*) FILTER (WHERE {vcol} < ?),"
-                    f" count(*) FILTER (WHERE {vcol} <= ?) FROM lineitem"
-                    " WHERE l_returnflag = ?", [v, v, flag]).fetchone()
-                # the returned value's integer rank interval [lo, hi] must
-                # intersect the target window q*n +/- (eps*n + 1): the +1
-                # row absorbs the sketch's 1-based rank convention
-                # (target rank 1+(n-1)q, not n*q) plus integer rounding —
-                # sub-row conventions, not sketch error
-                target, bound = q * n, eps * n + 1
-                gap = max(lo - (target + bound), (target - bound) - hi, 0.0)
-                worst = max(worst, max(lo - target, target - hi, 0.0) / n)
-                if gap > 0:
-                    return (f"BOUNDED-FAIL {cname}@{flag}: rank interval"
-                            f" [{lo},{hi}] misses {target:.1f}+/-{bound:.1f} rows")
-        return (f"BOUNDED-PASS rows={len(rows)} max_rank_dev={worst:.4f}"
-                f" (bound {eps} + 1 row)")
-    return None
-
-
 def main(outdir, sfdir):
     con = duckdb.connect()
     # container task limits can fail DuckDB's default one-thread-per-core
@@ -116,11 +49,10 @@ def main(outdir, sfdir):
         spark_cols = tbl.column_names
         spark_rows = [tuple(r[c] for c in spark_cols) for r in tbl.to_pylist()]
         if name not in oracle:
-            try:
-                b = bounded_check(con, name, spark_cols, spark_rows)
-            except Exception as e:
-                b = f"BOUNDED-FAIL harness error: {str(e)[:120]}"
-            results[name] = b if b else f"NO-ORACLE rows={len(spark_rows)}"
+            # every driver query carries an oracle (p2/q6's tolerance checks
+            # were retired with the p2b/q6b audit-twin rows) — a NO-ORACLE
+            # line here means a queries/oracleSql entry mismatch to fix
+            results[name] = f"NO-ORACLE rows={len(spark_rows)}"
             continue
         t0 = time.time()
         try:
@@ -163,8 +95,7 @@ def main(outdir, sfdir):
             diff = next((i for i, (a, b) in enumerate(zip(ls, ld)) if a != b), -1)
             results[name] = (f"HASH-MISMATCH first-diff@{diff}:\n"
                              f"    spark: {ls[diff][:200]}\n    duck : {ld[diff][:200]}")
-    ok = sum(1 for v in results.values()
-             if v.startswith("MATCH") or v.startswith("BOUNDED-PASS"))
+    ok = sum(1 for v in results.values() if v.startswith("MATCH"))
     noor = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
     bad = len(results) - ok - noor
     for k, v in results.items():
