@@ -56,54 +56,33 @@ object BenchMemos {
       })
   }
 
-  /** (family, memoSize, clearMemo) — memoSize counts memoized keys
-    * driver-side (cheap; kept alongside the build counters because the
-    * two answer different questions: "how many keys does the family
-    * hold" vs "did a build run"). */
-  val families: Seq[(String, () => Int, () => Unit)] = Seq(
-    ("DedupQueries", () => operators.DedupQueries.memoSize,
-      () => operators.DedupQueries.clearMemo()),
-    ("SimilarityQueries", () => operators.SimilarityQueries.memoSize,
-      () => operators.SimilarityQueries.clearMemo()),
-    ("GraphOps", () => operators.GraphOps.memoSize,
-      () => operators.GraphOps.clearMemo()),
-    ("AnnIndexStore", () => operators.AnnIndexStore.memoSize,
-      () => operators.AnnIndexStore.clearMemo()),
-    ("ExportOps", () => operators.ExportOps.memoSize,
-      () => operators.ExportOps.clearMemo()),
-    ("LayoutOps", () => operators.LayoutOps.memoSize,
-      () => operators.LayoutOps.clearMemo()),
-    ("LateDataAudit", () => streaming.LateDataAudit.memoSize,
-      () => streaming.LateDataAudit.clearMemo()),
-    ("LakeStreamWriter", () => streaming.LakeStreamWriter.memoSize,
-      () => streaming.LakeStreamWriter.clearMemo()),
-    ("IndexStreamMaintenance", () => streaming.IndexStreamMaintenance.memoSize,
-      () => streaming.IndexStreamMaintenance.clearMemo()),
-    ("CorpusStreamAudio", () => streaming.CorpusStreamAudio.memoSize,
-      () => streaming.CorpusStreamAudio.clearMemo()),
-    ("MediaStreamDedup", () => streaming.MediaStreamDedup.memoSize,
-      () => streaming.MediaStreamDedup.clearMemo()),
-    ("CorpusStreamDedup", () => streaming.CorpusStreamDedup.memoSize,
-      () => streaming.CorpusStreamDedup.clearMemo()),
-    ("CorpusStreamIngest", () => streaming.CorpusStreamIngest.memoSize,
-      () => streaming.CorpusStreamIngest.clearMemo()),
-    ("CorpusStreamKmv", () => streaming.CorpusStreamKmv.memoSize,
-      () => streaming.CorpusStreamKmv.clearMemo()))
+  /** (family, clearMemo) — the clear registry; build provenance comes
+    * from the [[CountedMemo]] counters, never from memo sizes (the r13
+    * advisor finding: size deltas miss equal-size rebuilds). */
+  val families: Seq[(String, () => Unit)] = Seq(
+    ("DedupQueries", () => operators.DedupQueries.clearMemo()),
+    ("SimilarityQueries", () => operators.SimilarityQueries.clearMemo()),
+    ("GraphOps", () => operators.GraphOps.clearMemo()),
+    ("AnnIndexStore", () => operators.AnnIndexStore.clearMemo()),
+    ("ExportOps", () => operators.ExportOps.clearMemo()),
+    ("LayoutOps", () => operators.LayoutOps.clearMemo()),
+    ("LateDataAudit", () => streaming.LateDataAudit.clearMemo()),
+    ("LakeStreamWriter", () => streaming.LakeStreamWriter.clearMemo()),
+    ("IndexStreamMaintenance", () => streaming.IndexStreamMaintenance.clearMemo()),
+    ("CorpusStreamAudio", () => streaming.CorpusStreamAudio.clearMemo()),
+    ("MediaStreamDedup", () => streaming.MediaStreamDedup.clearMemo()),
+    ("CorpusStreamDedup", () => streaming.CorpusStreamDedup.clearMemo()),
+    ("CorpusStreamIngest", () => streaming.CorpusStreamIngest.clearMemo()),
+    ("CorpusStreamKmv", () => streaming.CorpusStreamKmv.clearMemo()))
 
-  def clearAll(): Unit = families.foreach { case (_, _, clear) =>
+  def clearAll(): Unit = families.foreach { case (_, clear) =>
     try clear() catch { case _: Throwable => () }
   }
-
-  /** Snapshot of every family's memoized-key count. */
-  def sizes(): Map[String, Int] =
-    families.map { case (n, size, _) =>
-      n -> (try size() catch { case _: Throwable => 0 })
-    }.toMap
 
   /** Snapshot of every family's monotonic build counter (0 = no build
     * recorded this session). */
   def buildSnapshot(): Map[String, Long] =
-    families.map { case (n, _, _) =>
+    families.map { case (n, _) =>
       n -> Option(builds.get(n)).map(_.get()).getOrElse(0L)
     }.toMap
 

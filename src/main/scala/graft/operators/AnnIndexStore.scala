@@ -346,8 +346,6 @@ object AnnIndexStore {
     rootMemo.clear()
   }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = rootMemo.size
 
   /** v21: the full index-maintenance lifecycle as a driver query —
     * train-on-standing-corpus → persist → the increment arrives and is

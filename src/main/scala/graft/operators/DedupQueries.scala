@@ -115,8 +115,6 @@ object DedupQueries {
     * pre-warmed memo would report a cache lookup as x3's cost. */
   private[graft] def clearMemo(): Unit = memo.synchronized(memo.clear())
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = memo.synchronized(memo.size)
 
   private def memoized(spark: SparkSession, dir: String, stage: String)(
       build: => DataFrame): DataFrame = memo.synchronized {

@@ -78,8 +78,6 @@ object ExportOps {
     exportMemo.clear()
   }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = exportMemo.size
 
   /** Write the sharded export (idempotent per session) and return its
     * root: `<root>/shard_id=<n>/part-*.parquet`. */

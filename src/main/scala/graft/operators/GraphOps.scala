@@ -45,8 +45,6 @@ object GraphOps {
     checkpointCache.clear()
   }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = edgeMemo.size + checkpointCache.size
 
   /** Size gate for the iterative joins' node-sized side (ranks/scores).
     * At or below this many node rows the side is forced-broadcast (a

@@ -395,8 +395,6 @@ object LayoutOps {
     hilbertExportMemo.clear()
   }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = hilbertExportMemo.size
 
   /** Write lineitem sharded along the HILBERT curve (idempotent per
     * session) and return the root: `<root>/hshard=<n>/part-*.parquet`.

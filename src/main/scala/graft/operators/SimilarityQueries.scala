@@ -388,9 +388,6 @@ object SimilarityQueries {
   private[graft] def clearMemo(): Unit =
     { assignMemo.clear(); pqMemo.clear(); centroidMemo.clear() }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int =
-    assignMemo.size + pqMemo.size + centroidMemo.size
 
   /** Memoized Lloyd training over a named slice of the embeddings table. */
   private[operators] def trainedCentroids(spark: SparkSession, dir: String,

@@ -71,8 +71,6 @@ object CorpusStreamAudio {
 
   private[graft] def clearMemo(): Unit = { memo.clear(); stageMemo.clear() }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = memo.size + stageMemo.size
 
   /** Decode a doc-id frame through the real WAV parser and reduce each
     * clip to (n_samples, sum_abs, peak, fingerprint) — the one pass both

@@ -49,8 +49,6 @@ object CorpusStreamDedup {
 
   private[graft] def clearMemo(): Unit = stageMemo.clear()
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = stageMemo.size
 
   /** Stage the NEW slice (doc_id % 7 = 0 — x11's increment) as 4 parquet
     * part files so maxFilesPerTrigger=1 yields several REAL micro-batches;

@@ -36,8 +36,6 @@ object CorpusStreamIngest {
 
   private[graft] def clearMemo(): Unit = stageMemo.clear()
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = stageMemo.size
 
   /** Stage `documents` as JSONL part files + one torn-lines file. */
   private def stagedJsonl(spark: SparkSession, dir: String): java.nio.file.Path =

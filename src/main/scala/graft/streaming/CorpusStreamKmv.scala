@@ -41,8 +41,6 @@ object CorpusStreamKmv {
 
   private[graft] def clearMemo(): Unit = stageMemo.clear()
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = stageMemo.size
 
   /** Stage side A (p6's source split) as 4 range-partitioned part files
     * so maxFilesPerTrigger=1 yields several REAL micro-batches. */

@@ -46,8 +46,6 @@ object IndexStreamMaintenance {
     stageMemo.clear()
   }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = rootMemo.size + stageMemo.size
 
   /** Stage the retraction queue (v23's delete slice) as 4 range files —
     * several real micro-batches with pinned contents. */

@@ -50,8 +50,6 @@ object LakeStreamWriter {
     stageMemo.clear()
   }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = lakeMemo.size + stageMemo.size
 
   /** Stage the quantized corpus as 4 range-partitioned files (the st14
     * discipline: pinned batch contents, several real micro-batches). The

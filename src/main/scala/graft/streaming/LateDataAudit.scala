@@ -80,8 +80,6 @@ object LateDataAudit {
     stageMemo.clear()
   }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = stageMemo.size
 
   /** Prepare the three slice part-files (main, late, flush) ONCE per
     * (session, corpus). They are NOT placed in the watched dir here —

@@ -58,8 +58,6 @@ object MediaStreamDedup {
 
   private[graft] def clearMemo(): Unit = { memo.clear(); stageMemo.clear() }
 
-  /** Memoized-key count for the bench's provenance markers ([[graft.BenchMemos]]). */
-  private[graft] def memoSize: Int = memo.size + stageMemo.size
 
   /** Fingerprints of a doc-id frame: generate payload, decode, dHash —
     * the m8 pass, shared verbatim by the static index and each batch. */

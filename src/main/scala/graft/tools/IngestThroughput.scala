@@ -13,11 +13,17 @@ import java.nio.file.{Files, Path}
   * and Spark job counts (the work-shape witness: bulk ingest must stay a
   * bounded number of jobs, not a job per file).
   *
-  * Corpus shape: `nFiles` files × 4 MiB, each file a run of 64 KiB blocks
-  * whose bytes derive deterministically from (fileIdx % 8, blockIdx) — so
-  * every block recurs in 1-of-8 files and the chunker sees genuine
-  * cross-object duplication (~8× logical/physical), not incompressible
-  * noise and not one degenerate repeated byte.
+  * Corpus shape: `nFiles` files × 4 MiB in 64 KiB blocks, alternating
+  * 512 KiB RUNS: even runs derive from the block index alone (shared
+  * across EVERY file), odd runs from (fileIdx, blockIdx) (unique to their
+  * file) — each object interleaves globally-duplicated passages with
+  * never-seen content, so the CDC chunker must dedupe at CHUNK
+  * granularity, resynchronizing inside each shared run (a whole-file-
+  * duplicate corpus would let a trivial object-hash dedupe score the
+  * same ratio; single-block sharing never gives the chunker room to
+  * realign). Upper bound ~2× logical/physical, less the straddle loss
+  * at run boundaries — the measured gap IS the chunker's realignment
+  * cost, worth recording.
   *
   * Usage: tools/jrun.sh graft.tools.IngestThroughput [nFiles=256]
   */
@@ -38,7 +44,8 @@ object IngestThroughput {
         Files.newOutputStream(root.resolve(f"obj-$f%05d.bin")), 1 << 20)
       try {
         for (b <- 0 until blocksPerFile) {
-          val rnd = new java.util.SplittableRandom(((f % 8).toLong << 32) | b.toLong)
+          val seed = if ((b / 8) % 2 == 0) b.toLong else (f.toLong << 32) | b.toLong
+          val rnd = new java.util.SplittableRandom(seed)
           val block = new Array[Byte](blockBytes)
           var i = 0
           while (i < blockBytes) {
