@@ -115,6 +115,11 @@ object LakeStreamWriter {
   def compactShards(spark: SparkSession, root: String): Unit = {
     import java.nio.file.{Files, Paths}
     val rootP = Paths.get(root)
+    // heal any interrupted prior run BEFORE reading: a crash between a
+    // shard's retire-rename and its replace-rename leaves the data in the
+    // (reader-invisible) dot-prefixed dir — reading the tree in that state
+    // would compact a lake that is silently missing a shard
+    repairShards(root)
     val staged = Files.createTempDirectory(rootP.getParent, ".graft-compact")
     spark.read.parquet(root)
       .withColumn("hshard", col("hshard").cast("long"))
@@ -138,5 +143,42 @@ object LakeStreamWriter {
       graft.core.FsUtil.deleteRecursively(retired)
     }
     graft.core.FsUtil.deleteRecursively(staged)
+  }
+
+  /** Crash recovery for [[compactShards]]'s per-directory swap — the
+    * VersionedTable discipline that a dead writer leaves only reclaimable
+    * debris, applied to the lake: for every `.retired-hshard=N` left by an
+    * interrupted run, if `hshard=N` is MISSING the crash landed between
+    * the retire- and replace-renames, so ROLL BACK (restore the retired
+    * dir — its data was the live shard); if `hshard=N` exists the swap
+    * completed and the retired copy is superseded debris — delete it.
+    * Stale `.graft-compact*` staging beside the root is swept either way
+    * (never referenced by anything). Idempotent; compactShards runs it
+    * first, so an interrupted compaction is healed by simply re-running. */
+  def repairShards(root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return
+    val Retired = "^\\.retired-(hshard=.+)$".r
+    def children(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try {
+        val out = Seq.newBuilder[java.nio.file.Path]
+        s.iterator().forEachRemaining(out += _)
+        out.result()
+      } finally s.close()
+    }
+    children(rootP).foreach { p =>
+      p.getFileName.toString match {
+        case Retired(shard) =>
+          val dest = rootP.resolve(shard)
+          if (!Files.exists(dest)) Files.move(p, dest) // rollback
+          else graft.core.FsUtil.deleteRecursively(p)  // completed swap debris
+        case _ => ()
+      }
+    }
+    Option(rootP.getParent).toSeq.flatMap(children)
+      .filter(_.getFileName.toString.startsWith(".graft-compact"))
+      .foreach(graft.core.FsUtil.deleteRecursively)
   }
 }

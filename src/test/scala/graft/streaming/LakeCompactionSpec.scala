@@ -62,4 +62,48 @@ class LakeCompactionSpec extends SparkSpec {
     assert(list(Paths.get(out).getParent).forall(p =>
       !p.getFileName.toString.startsWith(".graft-compact")))
   }
+
+  test("repairShards heals an interrupted swap: rollback, debris sweep, then compaction succeeds") {
+    val out = Files.createTempDirectory("lake-repair").resolve("shards").toString
+    LayoutOps.landHilbertShards(
+      LayoutOps.quantizedLineitem(spark, sfDir), out, "append")
+    def landed() = spark.read.parquet(out)
+      .select(col("hshard").cast("long"), col("l_orderkey"), col("qx"),
+        col("qy"), col("hd"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val rowsBefore = landed()
+    val dirs = shardDirs(out)
+    assert(dirs.size >= 2, "need two shards to stage both crash states")
+    val rootP = Paths.get(out)
+    // crash state A — between retire and replace: the shard dir sits at
+    // its dot-prefixed retire name, INVISIBLE to readers (the silent-loss
+    // window the repair exists for)
+    val victim = dirs.head
+    Files.move(rootP.resolve(victim), rootP.resolve(s".retired-$victim"))
+    assert(!landed().keySet.exists(_.head == victim.stripPrefix("hshard=").toLong),
+      "precondition: the un-repaired tree silently misses the shard")
+    // crash state B — after a completed swap: superseded retired debris
+    // beside a live shard
+    val other = dirs.last
+    val debris = rootP.resolve(s".retired-$other")
+    Files.createDirectories(debris)
+    Files.write(debris.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+    // plus an abandoned staging dir beside the root
+    val staleStage = Files.createDirectories(
+      rootP.getParent.resolve(".graft-compact-stale"))
+    Files.write(staleStage.resolve("junk"), Array[Byte](9))
+
+    LakeStreamWriter.repairShards(out)
+
+    assert(shardDirs(out) === dirs, "rollback restored the missing shard")
+    assert(landed() === rowsBefore, "healed tree reads bit-identically")
+    assert(list(rootP).forall(p => !p.getFileName.toString.startsWith(".retired-")),
+      "completed-swap debris was swept")
+    assert(!Files.exists(staleStage), "abandoned staging was swept")
+    // an interrupted compaction heals by simply re-running it
+    Files.move(rootP.resolve(victim), rootP.resolve(s".retired-$victim"))
+    LakeStreamWriter.compactShards(spark, out)
+    assert(landed() === rowsBefore)
+    assert(dataFiles(out).size === dirs.size)
+  }
 }
