@@ -97,9 +97,12 @@ object LakeStreamWriter {
     * ingest accumulates per-shard file counts linear in batches. Fold
     * every shard directory down to one file, swapping directories whole:
     *   1. ONE job re-lands the entire tree into a dot-prefixed staging
-    *      dir beside the root (same filesystem, so the swaps below are
-    *      renames) — `repartitionByRange(hshard)` clusters each shard
-    *      wholly into one task, so each shard dir gets exactly one file;
+    *      dir INSIDE the root (invisible to parquet partition discovery,
+    *      which skips dot-names; same filesystem by construction, so the
+    *      swaps below are renames; the source listing is pinned at read
+    *      time, so writing under the root mid-job is safe) —
+    *      `repartitionByRange(hshard)` clusters each shard wholly into
+    *      one task, so each shard dir gets exactly one file;
     *   2. per shard, retire the old dir to a dot-prefixed name and
     *      rename the staged dir into place (the VersionedTable.compact
     *      discipline at directory granularity: dot-prefixed names are
@@ -120,7 +123,7 @@ object LakeStreamWriter {
     // (reader-invisible) dot-prefixed dir — reading the tree in that state
     // would compact a lake that is silently missing a shard
     repairShards(root)
-    val staged = Files.createTempDirectory(rootP.getParent, ".graft-compact")
+    val staged = Files.createTempDirectory(rootP, ".graft-compact")
     spark.read.parquet(root)
       .withColumn("hshard", col("hshard").cast("long"))
       .repartitionByRange(col("hshard"))
@@ -152,9 +155,11 @@ object LakeStreamWriter {
     * the retire- and replace-renames, so ROLL BACK (restore the retired
     * dir — its data was the live shard); if `hshard=N` exists the swap
     * completed and the retired copy is superseded debris — delete it.
-    * Stale `.graft-compact*` staging beside the root is swept either way
-    * (never referenced by anything). Idempotent; compactShards runs it
-    * first, so an interrupted compaction is healed by simply re-running. */
+    * Stale `.graft-compact*` staging inside the root is swept either way
+    * (never referenced by anything). Everything this verb touches lives
+    * INSIDE the root, so repairing one lake can never disturb a sibling
+    * tree. Idempotent; compactShards runs it first, so an interrupted
+    * compaction is healed by simply re-running. */
   def repairShards(root: String): Unit = {
     import java.nio.file.{Files, Paths}
     val rootP = Paths.get(root)
@@ -177,7 +182,7 @@ object LakeStreamWriter {
         case _ => ()
       }
     }
-    Option(rootP.getParent).toSeq.flatMap(children)
+    children(rootP)
       .filter(_.getFileName.toString.startsWith(".graft-compact"))
       .foreach(graft.core.FsUtil.deleteRecursively)
   }

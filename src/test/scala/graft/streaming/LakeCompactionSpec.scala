@@ -56,11 +56,12 @@ class LakeCompactionSpec extends SparkSpec {
       s"exactly one file per shard after the fold (was $filesBefore)")
     assert(audit() === auditBefore, "the zone-skip audit is bitwise unchanged")
     assert(landed() === rowsBefore, "the landed row multiset is bitwise unchanged")
-    // no staging or retirement debris is left behind
-    assert(list(Paths.get(out)).forall(p =>
-      !p.getFileName.toString.startsWith(".retired-")))
-    assert(list(Paths.get(out).getParent).forall(p =>
-      !p.getFileName.toString.startsWith(".graft-compact")))
+    // no staging or retirement debris is left behind (both live inside
+    // the root — the verb never touches anything beside it)
+    assert(list(Paths.get(out)).forall { p =>
+      val n = p.getFileName.toString
+      !n.startsWith(".retired-") && !n.startsWith(".graft-compact")
+    })
   }
 
   test("repairShards heals an interrupted swap: rollback, debris sweep, then compaction succeeds") {
@@ -88,9 +89,9 @@ class LakeCompactionSpec extends SparkSpec {
     val debris = rootP.resolve(s".retired-$other")
     Files.createDirectories(debris)
     Files.write(debris.resolve("stale.parquet"), Array[Byte](1, 2, 3))
-    // plus an abandoned staging dir beside the root
+    // plus an abandoned staging dir inside the root
     val staleStage = Files.createDirectories(
-      rootP.getParent.resolve(".graft-compact-stale"))
+      rootP.resolve(".graft-compact-stale"))
     Files.write(staleStage.resolve("junk"), Array[Byte](9))
 
     LakeStreamWriter.repairShards(out)
