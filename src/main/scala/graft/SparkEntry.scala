@@ -3110,6 +3110,13 @@ object SparkEntry {
         |ORDER BY dist, part LIMIT 20""".stripMargin,
     // n5: the same degree-orientation in SQL — each triangle a≺b≺c
     // (≺ = (degree, id) order) counted once as a closed oriented wedge
+    // n5's oracle mirrors the Spark plan's EDGE-ITERATOR form (r14): per
+    // oriented edge (u,v) the closing vertices are the in-row
+    // list_intersect of the two endpoints' out-neighbor arrays — never a
+    // materialized wedge stream (the oriented wedge join was the oracle's
+    // sf1 price: ~9 min; this form gates in ~1 min). Per triangle the
+    // canonical edge credits u and v by |W| and each w once — the same
+    // multiset of credits the wedge-join oracle produced row by row.
     "n5_triangles" ->
       """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -3118,14 +3125,17 @@ object SparkEntry {
         |ed AS (SELECT e.src, e.dst FROM e
         |  JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
         |  WHERE ds.d < dd.d OR (ds.d = dd.d AND e.src < e.dst)),
-        |tri AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
-        |  FROM ed w1 JOIN ed w2 ON w2.src = w1.src AND w2.dst <> w1.dst
-        |  JOIN ed cl ON cl.src = w1.dst AND cl.dst = w2.dst),
-        |cnt AS (SELECT part, count(*) AS triangles FROM (
-        |    SELECT u AS part FROM tri
-        |    UNION ALL SELECT v FROM tri
-        |    UNION ALL SELECT w FROM tri
-        |  ) GROUP BY 1)
+        |adj AS (SELECT src, list(dst ORDER BY dst) AS nb FROM ed GROUP BY 1),
+        |tedge AS (SELECT ed.src AS u, ed.dst AS v,
+        |    list_intersect(au.nb, COALESCE(av.nb, [])) AS ws
+        |  FROM ed
+        |  JOIN adj au ON au.src = ed.src
+        |  LEFT JOIN adj av ON av.src = ed.dst),
+        |cnt AS (SELECT part, CAST(sum(c) AS BIGINT) AS triangles FROM (
+        |    SELECT u AS part, len(ws) AS c FROM tedge
+        |    UNION ALL SELECT v, len(ws) FROM tedge
+        |    UNION ALL SELECT unnest(ws), 1 FROM tedge
+        |  ) GROUP BY 1 HAVING sum(c) > 0)
         |SELECT part, triangles FROM cnt
         |ORDER BY triangles DESC, part LIMIT 20""".stripMargin,
     // n7: local counts for the capped sample — the neighbor-pair probe
