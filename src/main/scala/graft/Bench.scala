@@ -52,10 +52,12 @@ object Bench {
     System.gc()
     Thread.sleep(1000)
     val memoBuilt = scala.collection.mutable.Map[String, Seq[String]]()
+    val stealJ = scala.collection.mutable.Map[String, Long]()
     val results = sorted.map { case (name, fn) =>
       // A query that throws is reported as an err entry — NEVER as a fast
       // timing (a broken query must not read as a perf win).
       val before = BenchMemos.buildSnapshot()
+      val steal0 = readSteal()
       val t0 = System.nanoTime()
       val outcome: Either[String, Long] =
         try Right(fn(spark, sfDir).count())
@@ -67,6 +69,11 @@ object Bench {
       // so an anomalous row self-adjudicates as rebuild vs host steal.
       val built = BenchMemos.builtSince(before)
       if (built.nonEmpty) memoBuilt(name) = built
+      // Steal stamp (the r14 adjudication, promoted into the harness):
+      // host-wide steal jiffies absorbed during THIS row's window. A 3x
+      // row with steal ~0 is code; with steal >> 0 it's the neighbors.
+      for (s0 <- steal0; s1 <- readSteal(); d = s1 - s0 if d > 0)
+        stealJ(name) = d
       (name, (System.nanoTime() - t0) / 1e9, outcome)
     }
     // Contention stamp: before appending this run to the history, compare
@@ -91,7 +98,7 @@ object Bench {
     val contended = contendedFlag(curQ, priorRuns.map(_._1))
       .map(_ || outliers.lengthCompare(BurstMinQueries) >= 0)
     val (line, full) = renderJson(results, sfDir, contended, outliers,
-      memoBuilt.toMap)
+      memoBuilt.toMap, stealJ.toMap)
     // The driver captures only the last ~2000 chars of output and parses
     // the JSON line out of that tail. The complete per-query report (all
     // timings at full precision + row counts) goes to a file instead; the
@@ -264,6 +271,32 @@ object Bench {
     } catch { case _: Throwable => Nil }
   }
 
+  /** Steal jiffies from the aggregate "cpu " line of /proc/stat (field 8,
+    * 0-indexed; time this guest's vCPUs sat runnable while the hypervisor
+    * served other tenants). Pure parser so the spec replays the recorded
+    * r14 adjudication line verbatim. */
+  private[graft] def parseSteal(statLine: String): Option[Long] = {
+    val a = statLine.trim.split("\\s+")
+    if (a.length >= 9 && a(0) == "cpu")
+      try Some(a(8).toLong) catch { case _: NumberFormatException => None }
+    else None
+  }
+
+  /** Current host-wide steal counter, None off-Linux or on any read
+    * failure — absence of stamps, never a crash. Read around each timed
+    * row (~50 us): the stamp is advisory provenance like memo_built and
+    * feeds NO flag or median (protocol stays 2; the contended/burst
+    * semantics are unchanged). tools/steal_probe.py is the Spark-free
+    * form of the same measurement; BASELINE.md's r14 addendum records
+    * the adjudication that motivated it: 2-5x outlier rows whose windows
+    * absorbed 600-7,400 stolen jiffies on constant work. */
+  private[graft] def readSteal(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().nextOption().flatMap(parseSteal)
+      finally src.close()
+    } catch { case _: Throwable => None }
+
   /** Renders (compactLine, fullJson). The compact line keeps the driver
     * contract — {"metric","value","unit","queries":{name:sec},"sf"} — but
     * includes per-query entries LARGEST-FIRST only while the line stays
@@ -281,7 +314,8 @@ object Bench {
       results: Seq[(String, Double, Either[String, Long])], sfDir: String,
       contended: Option[Boolean] = None,
       burst: Seq[(String, Double)] = Nil,
-      memoBuilt: Map[String, Seq[String]] = Map.empty): (String, String) = {
+      memoBuilt: Map[String, Seq[String]] = Map.empty,
+      steal: Map[String, Long] = Map.empty): (String, String) = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("\\p{Cntrl}", " ") + "\""
     def sec(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -300,14 +334,24 @@ object Bench {
       s"${jstr(k)}:${String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))}"
     }.mkString(""","burst_outliers":{""", ",", "}")
     val bline = if (burst.isEmpty) "" else s""","burst":${burst.length}"""
+    // compact line carries just the run-total steal (the tail reader's
+    // one-glance adjudicator next to "burst"); per-row map is file-only
+    val sline = if (steal.isEmpty) "" else s""","steal_total":${steal.values.sum}"""
     val mfull = if (memoBuilt.isEmpty) "" else memoBuilt.toSeq.sortBy(_._1)
       .map { case (q, fams) =>
         s"${jstr(q)}:${fams.map(jstr).mkString("[", ",", "]")}"
       }.mkString(""","memo_built":{""", ",", "}")
+    // steal provenance: only rows whose window absorbed stolen jiffies
+    // appear (a zero row carries no signal), plus the run total — so a
+    // reader ranks a flagged run's outliers against its steal map without
+    // rerunning anything. Absent entirely off-Linux.
+    val sfull = if (steal.isEmpty) "" else steal.toSeq.sortBy(_._1)
+      .map { case (q, j) => s"${jstr(q)}:$j" }
+      .mkString(""","steal_jiffies":{""", ",", s"""},"steal_total":${steal.values.sum}""")
     val full = {
       val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val rows = ok.map { case (k, _, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":$Protocol$cf$bfull$mfull,"queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":$Protocol$cf$bfull$mfull$sfull,"queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}"""
     }
     // largest-first, name tie-break: the entries that matter vs BASELINE
     // always make the line; sub-millisecond noise is what gets summarized
@@ -318,7 +362,7 @@ object Bench {
       val omittedSec = total - kept.map(_._2).sum
       val om = if (omitted == 0) ""
         else s""","queries_omitted":$omitted,"omitted_sec":${sec(omittedSec)},"full":"BENCH_FULL.json""""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec"$cf$bline,"queries":$qs$om,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec"$cf$bline$sline,"queries":$qs$om,"errors":$errs,"sf":"$sfDir"}"""
     }
     var keep = desc.length
     while (keep > 0 && line(desc.take(keep)).length > MaxLineChars) keep -= 1

@@ -25,11 +25,16 @@ object QTime {
     System.gc(); Thread.sleep(500)
     qs.foreach { case (name, fn) =>
       val before = graft.BenchMemos.buildSnapshot()
+      val steal0 = graft.Bench.readSteal()
       val t0 = System.nanoTime(); val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       val built = graft.BenchMemos.builtSince(before)
       val tag = if (built.isEmpty) "" else built.mkString(" memo_built=[", ",", "]")
-      println(f"[qtime] $name: rows=$n time=$dt%.2f s$tag")
+      // same steal provenance Bench stamps per row — a slow local timing
+      // with steal >> 0 is the host, not the change under test
+      val st = (for (s0 <- steal0; s1 <- graft.Bench.readSteal(); d = s1 - s0 if d > 0)
+        yield s" steal=$d").getOrElse("")
+      println(f"[qtime] $name: rows=$n time=$dt%.2f s$tag$st")
     }
     spark.stop()
   }
