@@ -11,6 +11,33 @@ import scala.jdk.CollectionConverters._
   * changed nothing on disk — re-read the table and retry. */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+/** Advisory CAS-contention counters (r15): session-global, monotonic,
+  * consumed by tools/CasLiveness to PRICE multi-writer goodput — never
+  * by any engine decision (the safety story is the CAS itself; these
+  * only measure how much work it wastes under contention).
+  *   - `claim_lost`   — commits whose segment fully wrote but whose
+  *     manifest hard-link lost the race (the unit of wasted work);
+  *   - `read_conflict` — read-side missing-file failures folded to
+  *     conflicts by [[VersionedTable.asConflict]] (a racing writer
+  *     retired segments mid-read);
+  *   - `wasted_bytes` — on-disk size of losing segments at the moment
+  *     the loser deletes them (bytes written that no manifest will
+  *     ever reference). */
+object CasStats {
+  private val counters = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+
+  private[sources] def add(key: String, n: Long): Unit =
+    counters.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong()).addAndGet(n)
+
+  /** Monotonic snapshot (0 for a counter never touched). Diff two
+    * snapshots around a workload to attribute its contention cost. */
+  def snapshot(): Map[String, Long] =
+    Seq("claim_lost", "read_conflict", "wasted_bytes").map(k =>
+      k -> Option(counters.get(k)).map(_.get()).getOrElse(0L)).toMap
+}
+
 /** One immutable segment of a [[VersionedTable]] version, with optional
   * min/max stats over the table's key column (absent on pre-stats manifests
   * or key-less tables — treated as "may contain anything"). */
@@ -221,6 +248,7 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     try body
     catch {
       case e: Throwable if causeChain(e).exists(isMissingFile) =>
+        CasStats.add("read_conflict", 1)
         throw new CommitConflictException(
           s"$op on $path raced a concurrent writer's segment retirement; re-read and retry")
     }
@@ -396,6 +424,10 @@ class VersionedTable(spark: SparkSession, path: String, schema: StructType,
     catch {
       case _: FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
+        // price the loss before discarding it: these bytes were fully
+        // written and will never be referenced by any manifest
+        CasStats.add("claim_lost", 1)
+        CasStats.add("wasted_bytes", dirBytes(segPath))
         deleteRecursively(segPath) // our own never-referenced attempt
         throw new CommitConflictException(
           s"version $next of $path was claimed by a concurrent writer; re-read and retry")

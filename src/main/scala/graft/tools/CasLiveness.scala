@@ -1,0 +1,87 @@
+package graft.tools
+
+import graft.operators.AnnIndexStore
+import graft.sources.CasStats
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+
+/** CAS liveness probe (r15): the 3-thread race drill in AnnIndexStoreSpec
+  * proves the multi-writer protocol SAFE (no lost tombstone, legal views);
+  * this prices its GOODPUT — how much work the optimistic CAS wastes as N
+  * genuinely concurrent writers mix appendIncrement / deleteIds /
+  * compactDeletes through the retry loops on one persisted index root.
+  *
+  * Per N (default 1,2,4,8): persist a fresh index (untimed), then N
+  * writer threads each run the same fixed op sequence; every call
+  * returning = one committed operation (the retry loops never surface
+  * conflicts). Reported per N from the [[CasStats]] counter deltas:
+  *   - goodput      committed ops / wall second;
+  *   - claim_lost   commits that fully wrote a segment, then lost the
+  *                  manifest hard-link race (the unit of wasted work);
+  *   - read_conflict read+checkpoint attempts a racing writer's segment
+  *                  retirement invalidated;
+  *   - wasted_mb    bytes fully written that no manifest ever references.
+  *
+  * Usage: runMain graft.tools.CasLiveness [sfDir] [Ns] [opsPerWriter]
+  * The numbers land in BASELINE.md's r15 section — run in a quiet window
+  * (tools/steal_probe.py first) or the wall clock prices the host, not
+  * the CAS. */
+object CasLiveness {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ns = args.lift(1).getOrElse("1,2,4,8").split(',').toSeq.map(_.trim.toInt)
+    val ops = args.lift(2).map(_.toInt).getOrElse(6)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ns.foreach { n =>
+      val root = java.nio.file.Files.createTempDirectory(s"cas-live-$n").toString
+      graft.core.FsUtil.deleteOnExitRecursively(java.nio.file.Paths.get(root))
+      AnnIndexStore.persist(spark, sfDir, root) // untimed base state
+      val committed = new java.util.concurrent.atomic.AtomicLong()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val s0 = CasStats.snapshot()
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { w =>
+        new Thread(() => try {
+          // the writer mix the verdict asked priced: per op slot, cycle
+          // delete -> append -> delete -> compact -> ... with disjoint id
+          // slices per (writer, slot) so every commit changes real rows
+          (0 until ops).foreach { i =>
+            val slice = (w * ops + i) % 13
+            (i % 4) match {
+              case 0 | 2 =>
+                import spark.implicits._
+                val ids = (0 until 20)
+                  .map(j => (slice * 1000 + j).toLong).toDF("neighbor_id")
+                AnnIndexStore.deleteIds(spark, root, ids)
+              case 1 =>
+                AnnIndexStore.appendIncrement(spark, sfDir, root,
+                  col("vec_id") % 13 === lit(slice))
+              case 3 =>
+                AnnIndexStore.compactDeletes(spark, root)
+            }
+            committed.incrementAndGet()
+          }
+        } catch { case e: Throwable => failures.add(e) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = CasStats.snapshot()
+      if (!failures.isEmpty) {
+        println(s"[cas-liveness] N=$n FAILED: ${failures.peek()}")
+        failures.peek().printStackTrace()
+        sys.exit(1)
+      }
+      val lost = s1("claim_lost") - s0("claim_lost")
+      val rconf = s1("read_conflict") - s0("read_conflict")
+      val wasted = (s1("wasted_bytes") - s0("wasted_bytes")) / 1e6
+      println(f"[cas-liveness] N=$n%d ops=${committed.get()}%d wall=$wall%.1fs " +
+        f"goodput=${committed.get() / wall}%.2f ops/s claim_lost=$lost%d " +
+        f"read_conflict=$rconf%d wasted_mb=$wasted%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -14,10 +14,25 @@ object ExplainDump {
     // pre-checkpoint build instead (the plan that actually runs cold)
     val overrides = Map[String, SparkSession => org.apache.spark.sql.DataFrame](
       "x3_ngram_jaccard" -> (s => graft.operators.DedupQueries.x3Build(s, sf)))
-    graft.SparkEntry.queries.filter(q => names(q._1)).foreach { case (n, fn) =>
+    // pseudo-targets: plans worth auditing that are not registered driver
+    // queries — the streamed lake's compaction fold (the maintenance verb's
+    // one job: whole-tree scan -> range-cluster on hshard -> partitioned
+    // rewrite; dumped pre-write, the read+shuffle side that scales)
+    val pseudo = Map[String, SparkSession => org.apache.spark.sql.DataFrame](
+      "compact_shards_fold" -> { s =>
+        import org.apache.spark.sql.functions.col
+        val root = graft.streaming.LakeStreamWriter.streamedLakeRoot(s, sf)
+        s.read.parquet(root)
+          .withColumn("hshard", col("hshard").cast("long"))
+          .repartitionByRange(col("hshard"))
+      })
+    val targets: Seq[(String, SparkSession => org.apache.spark.sql.DataFrame)] =
+      graft.SparkEntry.queries.toSeq.collect { case (n, fn) if names(n) =>
+        n -> overrides.getOrElse(n, (s: SparkSession) => fn(s, sf))
+      } ++ pseudo.toSeq.filter(p => names(p._1))
+    targets.foreach { case (n, fn) =>
       println(s"\n########## $n")
-      val df = overrides.get(n).map(_(spark)).getOrElse(fn(spark, sf))
-      println(df.queryExecution.explainString(
+      println(fn(spark).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

@@ -25,15 +25,20 @@ object QTime {
     System.gc(); Thread.sleep(500)
     qs.foreach { case (name, fn) =>
       val before = graft.BenchMemos.buildSnapshot()
-      val steal0 = graft.Bench.readSteal()
+      val c0 = graft.Bench.cpuSample()
       val t0 = System.nanoTime(); val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       val built = graft.BenchMemos.builtSince(before)
       val tag = if (built.isEmpty) "" else built.mkString(" memo_built=[", ",", "]")
-      // same steal provenance Bench stamps per row — a slow local timing
-      // with steal >> 0 is the host, not the change under test
-      val st = (for (s0 <- steal0; s1 <- graft.Bench.readSteal(); d = s1 - s0 if d > 0)
-        yield s" steal=$d").getOrElse("")
+      // same contention provenance Bench stamps per row, via the ONE
+      // shared sampler (Bench.cpuSample/cpuDelta — the r14 advisor found
+      // the hand-copied steal-delta logic here drifting from Bench's).
+      // Printed affirmatively when measured: steal=0 foreign=0 means a
+      // verified-quiet window, so a slow timing is the change under test.
+      val st = (for (s0 <- c0; s1 <- graft.Bench.cpuSample()) yield {
+        val (sj, fb) = graft.Bench.cpuDelta(s0, s1)
+        s" steal=$sj foreign=$fb"
+      }).getOrElse("")
       println(f"[qtime] $name: rows=$n time=$dt%.2f s$tag$st")
     }
     spark.stop()

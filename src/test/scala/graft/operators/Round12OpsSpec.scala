@@ -128,6 +128,29 @@ class Round12OpsSpec extends SparkSpec {
       .st20StreamHilbertSink(spark, sfDir).collect()
     val batchAudit = LayoutOps.z10HilbertExport(spark, sfDir).collect()
     assert(audit.map(_.toSeq).toSeq === batchAudit.map(_.toSeq).toSeq)
+    // crashed-compaction debris heals at the next READ, not only the
+    // next compaction (r15): park a shard at its reader-invisible
+    // retired name — the memoized accessor's read-touch repair restores
+    // it before the tree is handed to anyone
+    val rootP = java.nio.file.Paths.get(streamedRoot)
+    val victim = {
+      val ls = java.nio.file.Files.list(rootP)
+      try {
+        val it = ls.iterator()
+        var v: String = null
+        while (it.hasNext && v == null) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("hshard=")) v = n
+        }
+        v
+      } finally ls.close()
+    }
+    java.nio.file.Files.move(rootP.resolve(victim), rootP.resolve(s".retired-$victim"))
+    val healed = graft.streaming.LakeStreamWriter.streamedLakeRoot(spark, sfDir)
+    assert(healed === streamedRoot)
+    assert(java.nio.file.Files.isDirectory(rootP.resolve(victim)),
+      "read-touch repair must restore the shard the crash parked")
+    assert(tree(healed).toSet === b.toSet)
   }
 
   test("st21: streamed tombstone commits serve identically to the batch delete") {

@@ -115,6 +115,7 @@ class VersionedTableSpec extends SparkSpec {
       }
     }
     @volatile var slowFailure: Option[Throwable] = None
+    val stats0 = CasStats.snapshot()
     val t = new Thread(() =>
       try slow.append(df("slow" -> 1L))
       catch { case e: Throwable => slowFailure = Some(e) })
@@ -125,6 +126,12 @@ class VersionedTableSpec extends SparkSpec {
     t.join(60000)
     assert(slowFailure.exists(_.isInstanceOf[CommitConflictException]),
       s"loser must throw CommitConflictException, got $slowFailure")
+    // the loss is priced: the advisory counters record one lost claim and
+    // the loser's fully-written, never-referenced segment bytes
+    val stats1 = CasStats.snapshot()
+    assert(stats1("claim_lost") === stats0("claim_lost") + 1)
+    assert(stats1("wasted_bytes") > stats0("wasted_bytes"),
+      "the losing segment's bytes must be accounted before deletion")
     val got = winner.read().collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === Seq(("fast", 2L)), "only the winner's rows are visible")
     // the conflict is retryable: a re-read + retry lands on the next version
