@@ -114,8 +114,16 @@ object AnnIndexStore {
     * INSIDE the candidate path), so a delete is visible at the very next
     * serve; [[compactDeletes]] is the deferred physical rewrite. */
   def deleteIds(spark: SparkSession, root: String, ids: DataFrame): Unit =
-    table(spark, root, "tombstones", tombSchema)
-      .append(ids.select(col("neighbor_id").cast("long").as("neighbor_id")))
+    // retried like every other public mutation verb: two deleters racing
+    // the same version surface a CommitConflictException from append,
+    // and a blind append re-run against the fresh snapshot is always
+    // lossless — found by the r15 CasLiveness probe (N=2 writers died
+    // here on their first contended commit; the r14 race drill never
+    // saw it because its deleter was a single thread)
+    retryConflicts {
+      table(spark, root, "tombstones", tombSchema)
+        .append(ids.select(col("neighbor_id").cast("long").as("neighbor_id")))
+    }
 
   /** The live tombstone set (empty-with-schema before any delete). */
   def openTombstones(spark: SparkSession, root: String): DataFrame =
@@ -327,8 +335,13 @@ object AnnIndexStore {
       pred: org.apache.spark.sql.Column): Unit = {
     val (coarse, cents) = openQuantizer(spark, root)
     val nw = Tables.t(spark, dir, "embeddings").filter(pred)
-    table(spark, root, "coded", codedSchema)
-      .append(SimilarityQueries.encodeWith(nw, coarse, cents))
+    // same multi-writer retry as deleteIds: the encode is deterministic
+    // and the append blind, so re-running against the fresh snapshot
+    // after a lost claim is lossless (r15 CasLiveness finding)
+    retryConflicts {
+      table(spark, root, "coded", codedSchema)
+        .append(SimilarityQueries.encodeWith(nw, coarse, cents))
+    }
   }
 
   /** Staging root memo for the v19/v21 driver rows: one persist per

@@ -220,4 +220,37 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(finalLive === (100 until 120).map(_.toLong).toSet,
       "exactly the undeleted ids survive — no tombstone lost, no survivor dropped")
   }
+
+  test("two deleters racing the same versions both land: deleteIds self-retries lost claims") {
+    // the r15 CasLiveness finding: the r14 drill's deleter was a single
+    // thread, so deleteIds was never exercised against ANOTHER deleter —
+    // two concurrent callers contending the same tombstone version
+    // surfaced raw CommitConflictExceptions from append. The verb now
+    // retries internally (a blind append re-run against the fresh
+    // snapshot is lossless), so N writers must all land with no
+    // conflict escaping and the union of their batches on disk.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("annidx-2del").toString
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val ts = (0 until 2).map { w =>
+      new Thread(() => try {
+        gate.await()
+        (0 until 5).foreach { i =>
+          val ids = (0 until 10).map(j => (w * 1000 + i * 10 + j).toLong)
+            .toDF("neighbor_id")
+          AnnIndexStore.deleteIds(spark, root, ids)
+        }
+      } catch { case e: Throwable => failures.add(e) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    assert(failures.isEmpty,
+      s"racing deleteIds must not surface conflicts: ${failures.peek()}")
+    val got = AnnIndexStore.openTombstones(spark, root)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    val want = (for (w <- 0 until 2; i <- 0 until 5; j <- 0 until 10)
+      yield (w * 1000 + i * 10 + j).toLong).toSet
+    assert(got === want, "every racing batch must land exactly once")
+  }
 }
