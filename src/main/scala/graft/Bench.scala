@@ -111,7 +111,7 @@ object Bench {
     // and the close ritual refuses to leave a flagged BENCH_FULL.json.
     val priorRuns = readHistoryRuns(
       java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), sfDir)
-      .map { case (_, qs, built) => (qs, built) }
+      .map { case (_, qs, built, steal) => (qs, built, steal) }
     val curQ = results.collect { case (k, v, Right(_)) => k -> v }.toMap
     // Two independent contention detectors (r12's judge finding: the
     // sentinel majority catches UNIFORM steal but not bursts that land
@@ -199,6 +199,21 @@ object Bench {
     * memo_built status, which is what actually changes across protocols. */
   private[graft] val Protocol = 2
 
+  /** Steal veto for history SAMPLES (r15, the judge's n5 finding): a
+    * row whose own window absorbed at least one core-equivalent of
+    * steal (> [[StealVetoPerSec]] jiffies per wall second, floored at
+    * [[StealVetoFloor]] so sub-second scheduler noise never vetoes) is
+    * NON-COMPARABLE — its timing is host-shaped, and letting it into a
+    * median skews every future adjudication against it (the landed sf1
+    * anchor's n5 row: 108.9 s carrying 28,667 stolen jiffies vs a
+    * 16-59 s quiet range). Applies ONLY to history samples: a stormed
+    * CURRENT row must still count toward flagging the run. */
+  private[graft] val StealVetoPerSec = 100L // one core's jiffies/sec
+  private[graft] val StealVetoFloor = 500L
+
+  private[graft] def stealVetoed(t: Double, stealJ: Option[Long]): Boolean =
+    stealJ.exists(j => j > math.max(StealVetoFloor, (StealVetoPerSec * t).toLong))
+
   /** Per-query burst audit: every query running above [[BurstInflation]]
     * x its own same-sf history median, worst first, with its ratio.
     * Pure, so the spec replays the two adjudicating historical runs.
@@ -215,14 +230,18 @@ object Bench {
     * old cache-lookup timings — it simply sits out the audit until
     * [[BurstMinSamples]] same-status runs accumulate, instead of
     * permanently false-flagging. (Sentinels never build memos, so
-    * [[contendedFlag]] needs no matching.) */
+    * [[contendedFlag]] needs no matching.) Samples are additionally
+    * steal-vetoed (see [[stealVetoed]]): a history row self-documented
+    * as steal-stormed never shapes a median, even inside an otherwise
+    * quiet run. */
   private[graft] def burstOutliers(current: Map[String, Double],
-      priorRuns: Seq[(Map[String, Double], Set[String])],
+      priorRuns: Seq[(Map[String, Double], Set[String], Map[String, Long])],
       currentBuilt: Set[String] = Set.empty): Seq[(String, Double)] =
     current.toSeq.flatMap { case (name, t) =>
       val samples = priorRuns.collect {
-        case (qs, built) if qs.contains(name) &&
-          built.contains(name) == currentBuilt.contains(name) => qs(name)
+        case (qs, built, steal) if qs.contains(name) &&
+          built.contains(name) == currentBuilt.contains(name) &&
+          !stealVetoed(qs(name), steal.get(name)) => qs(name)
       }.sorted
       if (samples.length < BurstMinSamples) None
       else {
@@ -266,13 +285,14 @@ object Bench {
     * reader Spark already bundles; a missing or malformed history yields
     * Nil (flag stays unknown). Path is a parameter so the spec replays
     * the committed history's adjudicating runs. */
-  /** Each clean same-sf history run with its `ts` stamp and its
-    * `memo_built` query set kept (empty for pre-r13 lines that predate
-    * the markers) — the spec anchors the 17:30Z/18:01Z adjudication
-    * cases by timestamp, and [[burstOutliers]] matches samples on the
-    * built set. */
-  private[graft] def readHistoryRuns(p: java.nio.file.Path,
-      sfDir: String): Seq[(String, Map[String, Double], Set[String])] = {
+  /** Each clean same-sf history run with its `ts` stamp, its
+    * `memo_built` query set (empty for pre-r13 lines that predate the
+    * markers) and its per-row `steal_jiffies` map (empty pre-r14) —
+    * the spec anchors the 17:30Z/18:01Z adjudication cases by
+    * timestamp, and [[burstOutliers]] matches samples on the built set
+    * and steal-vetoes stormed rows. */
+  private[graft] def readHistoryRuns(p: java.nio.file.Path, sfDir: String)
+      : Seq[(String, Map[String, Double], Set[String], Map[String, Long])] = {
     if (!java.nio.file.Files.exists(p)) return Nil
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     try {
@@ -289,9 +309,14 @@ object Bench {
             val built = Option(n.get("memo_built"))
               .map(_.properties().asScala.map(_.getKey).toSet)
               .getOrElse(Set.empty[String])
+            val steal = Option(n.get("steal_jiffies"))
+              .map(_.properties().asScala
+                .filter(_.getValue.isNumber)
+                .map(e => e.getKey -> e.getValue.asLong()).toMap)
+              .getOrElse(Map.empty[String, Long])
             Some((ts, qs.get.properties().asScala
               .filter(_.getValue.isNumber)
-              .map(e => e.getKey -> e.getValue.asDouble()).toMap, built))
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap, built, steal))
           } else None
         } catch { case _: Throwable => None }
       }
@@ -349,9 +374,10 @@ object Bench {
 
   /** Current host+self CPU sample, None off-Linux or on any read
     * failure — absence of stamps, never a crash. Read around each timed
-    * row (~100 us for both files): the stamps are advisory provenance
-    * like memo_built and feed NO flag or median (protocol stays 2; the
-    * contended/burst semantics are unchanged). tools/steal_probe.py is
+    * row (~100 us for both files): the stamps are provenance like
+    * memo_built — no flag consumes them directly (protocol stays 2),
+    * though [[stealVetoed]] uses a recorded row's steal stamp to mark
+    * it non-comparable as a future median SAMPLE. tools/steal_probe.py is
     * the Spark-free form of the same measurement; BASELINE.md's r14
     * addendum records the adjudication that motivated it: 2-5x outlier
     * rows whose windows absorbed 600-7,400 stolen jiffies on constant
