@@ -68,6 +68,23 @@ object Bench {
       val (st, fb) = cpuDelta(a, b)
       ((System.nanoTime() - preflightT0) / 1e9, st, fb)
     }
+    // Opt-in launch guard for anchor attempts (r15): when
+    // SPARK_GRAFT_MAX_PREFLIGHT_STEAL is set and the preflight window
+    // absorbed more stolen jiffies than it, abort BEFORE the timed pass
+    // — a suite launched into a steal storm spends ~10 min producing a
+    // flagged snapshot (sf1 attempts 1-4 and both r15 attempts did
+    // exactly that; run B's preflight already carried 52,607 jiffies).
+    // Unset = never abort, so driver-invoked runs are unaffected; the
+    // abort prints a parseable line and exits 2 without touching
+    // BENCH_FULL.json or the history.
+    for {
+      cap <- sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_STEAL").flatMap(_.toLongOption)
+      (sec0, st, _) <- preflight if st > cap
+    } {
+      try spark.stop() catch { case _: Throwable => () }
+      println(s"""{"metric":"aborted","reason":"preflight steal $st > cap $cap jiffies","preflight_sec":${"%.1f".format(sec0)},"sf":"$sfDir"}""")
+      sys.exit(2)
+    }
     val results = sorted.map { case (name, fn) =>
       // A query that throws is reported as an err entry — NEVER as a fast
       // timing (a broken query must not read as a perf win).
