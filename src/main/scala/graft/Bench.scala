@@ -70,20 +70,26 @@ object Bench {
     }
     // Opt-in launch guard for anchor attempts (r15): when
     // SPARK_GRAFT_MAX_PREFLIGHT_STEAL is set and the preflight window
-    // absorbed more stolen jiffies than it, abort BEFORE the timed pass
-    // — a suite launched into a steal storm spends ~10 min producing a
+    // absorbed more CONTENTION jiffies (steal + busy_foreign — either
+    // channel alone inflates wall time) than it, abort BEFORE the timed
+    // pass — a suite launched into a storm spends ~10 min producing a
     // flagged snapshot (sf1 attempts 1-4 and both r15 attempts did
     // exactly that; run B's preflight already carried 52,607 jiffies).
-    // Unset = never abort, so driver-invoked runs are unaffected; the
-    // abort prints a parseable line and exits 2 without touching
-    // BENCH_FULL.json or the history.
-    for {
-      cap <- sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_STEAL").flatMap(_.toLongOption)
-      (sec0, st, _) <- preflight if st > cap
-    } {
-      try spark.stop() catch { case _: Throwable => () }
-      println(s"""{"metric":"aborted","reason":"preflight steal $st > cap $cap jiffies","preflight_sec":${"%.1f".format(sec0)},"sf":"$sfDir"}""")
-      sys.exit(2)
+    // Unset = never abort, so driver-invoked runs are unaffected; a
+    // SET-but-unparseable cap fails fast (a silently disarmed guard is
+    // worse than a crash — the operator armed it on purpose). The abort
+    // prints a parseable line (Locale.ROOT decimals) and exits 2
+    // without touching BENCH_FULL.json or the history.
+    sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_STEAL").foreach { raw =>
+      val cap = raw.toLongOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_MAX_PREFLIGHT_STEAL is not a long: '$raw'"))
+      preflight.filter { case (_, st, fb) => st + fb > cap }.foreach {
+        case (sec0, st, fb) =>
+          try spark.stop() catch { case _: Throwable => () }
+          val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(sec0))
+          println(s"""{"metric":"aborted","reason":"preflight steal $st + foreign $fb > cap $cap jiffies","preflight_sec":$s,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+          sys.exit(2)
+      }
     }
     val results = sorted.map { case (name, fn) =>
       // A query that throws is reported as an err entry — NEVER as a fast
@@ -216,20 +222,23 @@ object Bench {
     * memo_built status, which is what actually changes across protocols. */
   private[graft] val Protocol = 2
 
-  /** Steal veto for history SAMPLES (r15, the judge's n5 finding): a
-    * row whose own window absorbed at least one core-equivalent of
-    * steal (> [[StealVetoPerSec]] jiffies per wall second, floored at
-    * [[StealVetoFloor]] so sub-second scheduler noise never vetoes) is
-    * NON-COMPARABLE — its timing is host-shaped, and letting it into a
-    * median skews every future adjudication against it (the landed sf1
-    * anchor's n5 row: 108.9 s carrying 28,667 stolen jiffies vs a
-    * 16-59 s quiet range). Applies ONLY to history samples: a stormed
-    * CURRENT row must still count toward flagging the run. */
+  /** Contention veto for history SAMPLES (r15, the judge's n5 finding):
+    * a row whose own window absorbed at least one core-equivalent of
+    * contention — steal PLUS busy_foreign, since either channel alone
+    * inflates wall time (> [[StealVetoPerSec]] jiffies per wall second,
+    * floored at [[StealVetoFloor]] so sub-second scheduler noise never
+    * vetoes) — is NON-COMPARABLE: its timing is host-shaped, and
+    * letting it into a median skews every future adjudication against
+    * it (the landed sf1 anchor's n5 row: 108.9 s carrying 28,667
+    * stolen jiffies vs a 16-59 s quiet range; a co-tenant-stormed row
+    * would show the same inflation with the jiffies in busy_foreign
+    * instead). Applies ONLY to history samples: a stormed CURRENT row
+    * must still count toward flagging the run. */
   private[graft] val StealVetoPerSec = 100L // one core's jiffies/sec
   private[graft] val StealVetoFloor = 500L
 
-  private[graft] def stealVetoed(t: Double, stealJ: Option[Long]): Boolean =
-    stealJ.exists(j => j > math.max(StealVetoFloor, (StealVetoPerSec * t).toLong))
+  private[graft] def stealVetoed(t: Double, contentionJ: Option[Long]): Boolean =
+    contentionJ.exists(j => j > math.max(StealVetoFloor, (StealVetoPerSec * t).toLong))
 
   /** Per-query burst audit: every query running above [[BurstInflation]]
     * x its own same-sf history median, worst first, with its ratio.
@@ -304,10 +313,11 @@ object Bench {
     * the committed history's adjudicating runs. */
   /** Each clean same-sf history run with its `ts` stamp, its
     * `memo_built` query set (empty for pre-r13 lines that predate the
-    * markers) and its per-row `steal_jiffies` map (empty pre-r14) —
-    * the spec anchors the 17:30Z/18:01Z adjudication cases by
-    * timestamp, and [[burstOutliers]] matches samples on the built set
-    * and steal-vetoes stormed rows. */
+    * markers) and its per-row CONTENTION map — `steal_jiffies` plus
+    * `busy_foreign`, summed per query (empty pre-r14) — the spec
+    * anchors the 17:30Z/18:01Z adjudication cases by timestamp, and
+    * [[burstOutliers]] matches samples on the built set and vetoes
+    * stormed rows. */
   private[graft] def readHistoryRuns(p: java.nio.file.Path, sfDir: String)
       : Seq[(String, Map[String, Double], Set[String], Map[String, Long])] = {
     if (!java.nio.file.Files.exists(p)) return Nil
@@ -326,14 +336,21 @@ object Bench {
             val built = Option(n.get("memo_built"))
               .map(_.properties().asScala.map(_.getKey).toSet)
               .getOrElse(Set.empty[String])
-            val steal = Option(n.get("steal_jiffies"))
-              .map(_.properties().asScala
-                .filter(_.getValue.isNumber)
-                .map(e => e.getKey -> e.getValue.asLong()).toMap)
-              .getOrElse(Map.empty[String, Long])
+            def longMap(field: String): Map[String, Long] =
+              Option(n.get(field))
+                .map(_.properties().asScala
+                  .filter(_.getValue.isNumber)
+                  .map(e => e.getKey -> e.getValue.asLong()).toMap)
+                .getOrElse(Map.empty[String, Long])
+            // the veto reads COMBINED contention: steal and busy_foreign
+            // inflate wall time the same way, just via different tenants
+            val steal = longMap("steal_jiffies")
+            val foreign = longMap("busy_foreign")
+            val contention = (steal.keySet ++ foreign.keySet).map(k =>
+              k -> (steal.getOrElse(k, 0L) + foreign.getOrElse(k, 0L))).toMap
             Some((ts, qs.get.properties().asScala
               .filter(_.getValue.isNumber)
-              .map(e => e.getKey -> e.getValue.asDouble()).toMap, built, steal))
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap, built, contention))
           } else None
         } catch { case _: Throwable => None }
       }

@@ -79,7 +79,12 @@ object LakeStreamWriter {
     * [[compactShards]] interrupted mid-swap leaves a shard parked at its
     * reader-invisible `.retired-` name, and without the read-touch heal
     * that silent-loss window lasted until the NEXT compaction (r14 judge
-    * nit) — now it lasts until the next read. */
+    * nit) — now it lasts until the next read. The read-touch repair
+    * SHARPENS the vacuum rule, it does not relax it: repairing assumes
+    * any compaction it finds evidence of is DEAD, so running
+    * compactShards concurrently with readers remains out of contract
+    * (a racing read-repair would sweep the live staging dir or roll
+    * back a swap the compactor is mid-way through). */
   private[graft] def streamedLakeRoot(spark: SparkSession, dir: String): String = {
     val out = streamedLakeRootNoRepair(spark, dir)
     repairShards(out)
