@@ -77,18 +77,27 @@ object Bench {
     // exactly that; run B's preflight already carried 52,607 jiffies).
     // Unset = never abort, so driver-invoked runs are unaffected; a
     // SET-but-unparseable cap fails fast (a silently disarmed guard is
-    // worse than a crash — the operator armed it on purpose). The abort
-    // prints a parseable line (Locale.ROOT decimals) and exits 2
-    // without touching BENCH_FULL.json or the history.
-    sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_STEAL").foreach { raw =>
+    // worse than a crash — the operator armed it on purpose), and by the
+    // same rule an armed guard that CANNOT measure (preflight None:
+    // off-Linux or a /proc read failure) aborts too instead of silently
+    // proceeding unguarded (r15 advisor finding). The abort prints a
+    // parseable line (Locale.ROOT decimals) and exits 2 without touching
+    // BENCH_FULL.json or the history. Both names are read:
+    // ..._CONTENTION is the accurate one (the cap compares steal PLUS
+    // busy_foreign — co-tenant storms trip it too), ..._STEAL is kept
+    // for the recorded r15 campaign invocations.
+    val guardCap = sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_CONTENTION")
+      .orElse(sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_STEAL"))
+    guardCap.foreach { raw =>
       val cap = raw.toLongOption.getOrElse(
-        sys.error(s"SPARK_GRAFT_MAX_PREFLIGHT_STEAL is not a long: '$raw'"))
-      preflight.filter { case (_, st, fb) => st + fb > cap }.foreach {
-        case (sec0, st, fb) =>
-          try spark.stop() catch { case _: Throwable => () }
-          val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(sec0))
-          println(s"""{"metric":"aborted","reason":"preflight steal $st + foreign $fb > cap $cap jiffies","preflight_sec":$s,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
-          sys.exit(2)
+        sys.error(s"SPARK_GRAFT_MAX_PREFLIGHT_{CONTENTION,STEAL} is not a long: '$raw'"))
+      guardAbortReason(cap, preflight).foreach { reason =>
+        try spark.stop() catch { case _: Throwable => () }
+        val sec0 = preflight.map(_._1)
+          .getOrElse((System.nanoTime() - preflightT0) / 1e9)
+        val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(sec0))
+        println(s"""{"metric":"aborted","reason":"$reason","preflight_sec":$s,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+        sys.exit(2)
       }
     }
     val results = sorted.map { case (name, fn) =>
@@ -145,10 +154,19 @@ object Bench {
     //      same-sf LIKE-WITH-LIKE history medians (each needing >=
     //      BurstMinSamples; see burstOutliers for the memo_built match).
     val outliers = burstOutliers(curQ, priorRuns, memoBuilt.keySet.toSet)
+    // Stamp (and say out loud) when the steal veto is what pushed a
+    // query's usable history below BurstMinSamples — a veto-disabled
+    // audit must be distinguishable from genuinely thin history.
+    val thinned = vetoThinned(curQ, priorRuns, memoBuilt.keySet.toSet)
+    if (thinned.nonEmpty)
+      Console.err.println(s"[bench] steal veto thinned ${thinned.length} " +
+        s"queries below BurstMinSamples=$BurstMinSamples (audit disabled " +
+        s"for them this run): ${thinned.mkString(", ")}")
     val contended = contendedFlag(curQ, priorRuns.map(_._1))
       .map(_ || outliers.lengthCompare(BurstMinQueries) >= 0)
     val (line, full) = renderJson(results, sfDir, contended, outliers,
-      memoBuilt.toMap, stealJ.toMap, foreignJ.toMap, runCpu, preflight)
+      memoBuilt.toMap, stealJ.toMap, foreignJ.toMap, runCpu, preflight,
+      thinned)
     // The driver captures only the last ~2000 chars of output and parses
     // the JSON line out of that tail. The complete per-query report (all
     // timings at full precision + row counts) goes to a file instead; the
@@ -240,6 +258,22 @@ object Bench {
   private[graft] def stealVetoed(t: Double, contentionJ: Option[Long]): Boolean =
     contentionJ.exists(j => j > math.max(StealVetoFloor, (StealVetoPerSec * t).toLong))
 
+  /** The armed preflight guard's abort decision, pure for the spec:
+    * Some(reason) aborts. An armed guard with NO measurement (preflight
+    * None — off-Linux or a /proc read failure) aborts rather than
+    * proceeding silently unguarded (r15 advisor finding: the operator
+    * armed it on purpose, same fail-fast rule as an unparseable cap);
+    * a measured window aborts when steal + foreign exceeds the cap. */
+  private[graft] def guardAbortReason(cap: Long,
+      preflight: Option[(Double, Long, Long)]): Option[String] =
+    preflight match {
+      case None =>
+        Some(s"preflight guard armed (cap $cap) but /proc sampling unavailable - refusing to run unguarded")
+      case Some((_, st, fb)) if st + fb > cap =>
+        Some(s"preflight steal $st + foreign $fb > cap $cap jiffies")
+      case _ => None
+    }
+
   /** Per-query burst audit: every query running above [[BurstInflation]]
     * x its own same-sf history median, worst first, with its ratio.
     * Pure, so the spec replays the two adjudicating historical runs.
@@ -279,6 +313,26 @@ object Bench {
         else None
       }
     }.sortBy { case (n, r) => (-r, n) }
+
+  /** Queries whose burst audit the steal veto DISABLED this run (r15
+    * advisor finding): the query has >= [[BurstMinSamples]] same-status
+    * history samples, but vetoing the stormed ones drops it below the
+    * floor — silently indistinguishable from genuinely thin history
+    * unless stamped. Rides in BENCH_FULL.json as `veto_thinned` so a
+    * reader knows the audit sat out because of recorded storms, not
+    * because the query is new. Pure, spec-replayed. */
+  private[graft] def vetoThinned(current: Map[String, Double],
+      priorRuns: Seq[(Map[String, Double], Set[String], Map[String, Long])],
+      currentBuilt: Set[String] = Set.empty): Seq[String] =
+    current.keys.toSeq.sorted.filter { name =>
+      val matching = priorRuns.filter { case (qs, built, _) =>
+        qs.contains(name) && built.contains(name) == currentBuilt.contains(name)
+      }
+      val kept = matching.count { case (qs, _, steal) =>
+        !stealVetoed(qs(name), steal.get(name))
+      }
+      matching.length >= BurstMinSamples && kept < BurstMinSamples
+    }
 
   /** None when fewer than [[MinHistoryRuns]] comparable history runs
     * exist (a new sf has no baseline to compare against); otherwise
@@ -466,7 +520,8 @@ object Bench {
       steal: Map[String, Long] = Map.empty,
       foreign: Map[String, Long] = Map.empty,
       runCpu: Option[(Long, Long)] = None,
-      preflight: Option[(Double, Long, Long)] = None): (String, String) = {
+      preflight: Option[(Double, Long, Long)] = None,
+      vetoThinned: Seq[String] = Nil): (String, String) = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("\\p{Cntrl}", " ") + "\""
     def sec(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -487,13 +542,16 @@ object Bench {
     val bline = if (burst.isEmpty) "" else s""","burst":${burst.length}"""
     // compact line carries the run-total stamps (the tail reader's
     // one-glance adjudicators next to "burst"); per-row maps are
-    // file-only. steal_run/foreign_run are preferred there when measured
-    // — they are affirmative (zero means measured-quiet) and cover the
-    // between-rows gaps the summed row stamps miss.
+    // file-only. steal_run/foreign_run are the affirmative pair (zero
+    // means measured-quiet, and they cover the between-rows gaps the
+    // summed row stamps miss); steal_total stays ALONGSIDE them when any
+    // row stamped (r15 advisor: dropping it when runCpu measures would
+    // silently starve a tail reader keyed on the r14-era field).
+    val stealTotLine =
+      if (steal.nonEmpty) s""","steal_total":${steal.values.sum}""" else ""
     val sline = runCpu match {
-      case Some((st, fb)) => s""","steal_run":$st,"foreign_run":$fb"""
-      case None if steal.nonEmpty => s""","steal_total":${steal.values.sum}"""
-      case None => ""
+      case Some((st, fb)) => s""","steal_run":$st,"foreign_run":$fb""" + stealTotLine
+      case None => stealTotLine
     }
     val mfull = if (memoBuilt.isEmpty) "" else memoBuilt.toSeq.sortBy(_._1)
       .map { case (q, fams) =>
@@ -514,7 +572,12 @@ object Bench {
       runCpu.map { case (st, fb) => s""","steal_run":$st,"foreign_run":$fb""" }.getOrElse("") +
       preflight.map { case (s, st, fb) =>
         s""","preflight":{"sec":${sec(s)},"steal":$st,"busy_foreign":$fb}"""
-      }.getOrElse("")
+      }.getOrElse("") +
+      // queries whose burst audit the steal veto disabled this run —
+      // thin-by-storm, not thin-by-newness (file-only; sorted, bounded
+      // by the query count)
+      (if (vetoThinned.isEmpty) ""
+       else vetoThinned.map(jstr).mkString(""","veto_thinned":[""", ",", "]"))
     val full = {
       val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val rows = ok.map { case (k, _, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")

@@ -120,7 +120,7 @@ object AnnIndexStore {
     // lossless — found by the r15 CasLiveness probe (N=2 writers died
     // here on their first contended commit; the r14 race drill never
     // saw it because its deleter was a single thread)
-    retryConflicts {
+    retryConflicts("deleteIds tombstone append") {
       table(spark, root, "tombstones", tombSchema)
         .append(ids.select(col("neighbor_id").cast("long").as("neighbor_id")))
     }
@@ -155,7 +155,7 @@ object AnnIndexStore {
     // Pin the tombstone set this compaction APPLIES: both writebacks
     // below must see this exact set, not the live table. The pin itself
     // races concurrent deleteIds folds (asConflict, retried like a CAS).
-    val applied = retryConflicts {
+    val applied = retryConflicts("compactDeletes tombstone pin") {
       tombsT.asConflict("tombstone pin")(tombsT.read().localCheckpoint())
     }
     try {
@@ -188,9 +188,8 @@ object AnnIndexStore {
     * a fresh read. Each attempt's checkpointed blocks are unpersisted
     * win or lose, so conflict storms don't pin executor storage. */
   private def casPublish(t: VersionedTable, op: String)
-      (transform: DataFrame => DataFrame): Unit = {
-    var done = false
-    while (!done) {
+      (transform: DataFrame => DataFrame): Unit =
+    retryConflicts(op) {
       var pinned: Option[DataFrame] = None
       try {
         val (v, out) = t.asConflict(s"$op read") {
@@ -200,20 +199,42 @@ object AnnIndexStore {
         }
         pinned = Some(out)
         t.publishIfVersion(out, v)
-        done = true
-      } catch { case _: graft.sources.CommitConflictException => () }
-      finally pinned.foreach(df =>
+      } finally pinned.foreach(df =>
         try df.unpersist() catch { case _: Throwable => () })
     }
-  }
 
-  private def retryConflicts[T](body: => T): T = {
-    var out: Option[T] = None
-    while (out.isEmpty) {
-      try out = Some(body)
-      catch { case _: graft.sources.CommitConflictException => () }
+  /** Retry budget for a CAS round that keeps losing its claim, and the
+    * backoff cap per lost round. 64 attempts with 1,2,4,…,256 ms-capped
+    * exponential backoff gives ≥ 15 s of cumulative yield — far beyond
+    * any commit's critical section here — before surfacing the conflict;
+    * the r15 CasLiveness sweep saw ≤ 140 lost claims across a WHOLE
+    * 8-writer run, so a single round losing 64 straight is a stuck peer
+    * or a livelock, and hiding it behind an unbounded spin (the r15
+    * advisor finding) would burn a core with no progress diagnostics. */
+  private[operators] val MaxCasAttempts = 64
+  private[operators] val MaxBackoffMs = 256L
+
+  /** Run one CAS round (`body` throws [[graft.sources.CommitConflictException]]
+    * on a lost claim) until it lands, with capped exponential backoff
+    * between lost rounds, surfacing the LAST conflict — attempt count in
+    * the message — once [[MaxCasAttempts]] is exhausted. `maxAttempts`
+    * is injectable so the spec proves the give-up path in milliseconds. */
+  private[operators] def retryConflicts[T](op: String,
+      maxAttempts: Int = MaxCasAttempts)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: graft.sources.CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new graft.sources.CommitConflictException(
+              s"$op: lost the CAS claim $attempt consecutive times " +
+                s"(last: ${e.getMessage}) - a peer is stuck or livelocked")
+          Thread.sleep(math.min(MaxBackoffMs, 1L << math.min(attempt, 8)))
+      }
     }
-    out.get
+    throw new IllegalStateException("unreachable")
   }
 
   /** Segment count of the coded table — the append-cost witness the
@@ -338,7 +359,7 @@ object AnnIndexStore {
     // same multi-writer retry as deleteIds: the encode is deterministic
     // and the append blind, so re-running against the fresh snapshot
     // after a lost claim is lossless (r15 CasLiveness finding)
-    retryConflicts {
+    retryConflicts("appendIncrement coded append") {
       table(spark, root, "coded", codedSchema)
         .append(SimilarityQueries.encodeWith(nw, coarse, cents))
     }

@@ -187,26 +187,51 @@ object LakeStreamWriter {
     import java.nio.file.{Files, Paths}
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return
-    val Retired = "^\\.retired-(hshard=.+)$".r
-    def children(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val s = Files.list(p)
-      try {
-        val out = Seq.newBuilder[java.nio.file.Path]
-        s.iterator().forEachRemaining(out += _)
-        out.result()
-      } finally s.close()
-    }
-    children(rootP).foreach { p =>
-      p.getFileName.toString match {
-        case Retired(shard) =>
-          val dest = rootP.resolve(shard)
-          if (!Files.exists(dest)) Files.move(p, dest) // rollback
-          else graft.core.FsUtil.deleteRecursively(p)  // completed swap debris
-        case _ => ()
+    // Concurrent READS are in contract (the read-touch heal runs on every
+    // streamedLakeRoot return), so two simultaneous callers must not race
+    // each other's Files.move/deleteRecursively on the same debris (r15
+    // advisor finding: the loser threw an uncaught FileSystemException
+    // and the read failed). Two layers: a per-root monitor serializes
+    // same-JVM callers (the only kind local mode has), and the rollback
+    // move below additionally treats lost races as repaired-by-peer —
+    // NoSuchFile (peer already moved/deleted it) and FileAlreadyExists
+    // (peer's rollback landed first) are both the repaired end state.
+    val lock = repairLocks.computeIfAbsent(
+      rootP.toAbsolutePath.normalize.toString, _ => new Object)
+    lock.synchronized {
+      val Retired = "^\\.retired-(hshard=.+)$".r
+      def children(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+        val s = Files.list(p)
+        try {
+          val out = Seq.newBuilder[java.nio.file.Path]
+          s.iterator().forEachRemaining(out += _)
+          out.result()
+        } finally s.close()
       }
+      children(rootP).foreach { p =>
+        p.getFileName.toString match {
+          case Retired(shard) =>
+            val dest = rootP.resolve(shard)
+            try {
+              if (!Files.exists(dest)) Files.move(p, dest) // rollback
+              else graft.core.FsUtil.deleteRecursively(p)  // completed swap debris
+            } catch {
+              case _: java.nio.file.NoSuchFileException => ()      // peer won
+              case _: java.nio.file.FileAlreadyExistsException => () // peer won
+            }
+          case _ => ()
+        }
+      }
+      children(rootP)
+        .filter(_.getFileName.toString.startsWith(".graft-compact"))
+        .foreach(p =>
+          try graft.core.FsUtil.deleteRecursively(p)
+          catch { case _: java.nio.file.NoSuchFileException => () })
     }
-    children(rootP)
-      .filter(_.getFileName.toString.startsWith(".graft-compact"))
-      .foreach(graft.core.FsUtil.deleteRecursively)
   }
+
+  /** One monitor per normalized lake root for [[repairShards]] — bounded
+    * by the number of distinct lakes a session touches (a handful). */
+  private val repairLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

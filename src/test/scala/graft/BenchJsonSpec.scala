@@ -292,6 +292,55 @@ class BenchJsonSpec extends AnyFunSuite {
       !l2.contains("foreign") && !f2.contains("foreign"))
   }
 
+  test("armed preflight guard: aborts over-cap AND when it cannot measure; quiet passes") {
+    // quiet launch window under the cap: run proceeds
+    assert(Bench.guardAbortReason(2000L, Some((80.0, 100L, 200L))) === None)
+    // exactly at the cap: proceeds (the guard fires strictly above)
+    assert(Bench.guardAbortReason(2000L, Some((80.0, 1500L, 500L))) === None)
+    // the cap compares steal PLUS foreign — a co-tenant storm with zero
+    // steal must trip it (the r14 blind spot, closed in 6b22578)
+    val storm = Bench.guardAbortReason(2000L, Some((80.0, 0L, 50000L)))
+    assert(storm.exists(_.contains("steal 0 + foreign 50000 > cap 2000")))
+    // armed but unmeasurable (preflight None): abort, never run unguarded
+    // (r15 advisor finding — the operator armed it on purpose)
+    val blind = Bench.guardAbortReason(2000L, None)
+    assert(blind.exists(_.contains("unavailable")), s"got $blind")
+  }
+
+  test("compact line keeps steal_total ALONGSIDE the run-level pair (r15 advisor transition)") {
+    // the r15 rewrite dropped steal_total from the compact line whenever
+    // runCpu measured (always, on Linux) — a tail reader keyed on the
+    // r14-era field silently lost the stamp; both now ride together
+    val res = Seq(("a", 1.0, Right(1L): Either[String, Long]))
+    val (line, _) = Bench.renderJson(res, "/tmp/sf",
+      steal = Map("a" -> 42L), runCpu = Some((7L, 9L)))
+    assert(line.contains(""""steal_run":7,"foreign_run":9"""))
+    assert(line.contains(""""steal_total":42"""))
+  }
+
+  test("veto-thinned stamp: audit disabled BY storms is distinguishable from thin history") {
+    val none = Set.empty[String]
+    val quiet = (Map("n5" -> 20.0), none, Map.empty[String, Long])
+    val stormed = (Map("n5" -> 109.0), none, Map("n5" -> 28667L))
+    // five matching samples, two storm-vetoed -> three comparable
+    // (< BurstMinSamples): the veto is what disabled the audit — stamped
+    val runs = Seq.fill(3)(quiet) ++ Seq.fill(2)(stormed)
+    assert(Bench.vetoThinned(Map("n5" -> 45.0), runs) === Seq("n5"))
+    // thin by NEWNESS (three samples, zero vetoes): not stamped
+    assert(Bench.vetoThinned(Map("n5" -> 45.0), Seq.fill(3)(quiet)) === Nil)
+    // enough samples SURVIVE the veto: not stamped (audit runs normally)
+    assert(Bench.vetoThinned(Map("n5" -> 45.0), Seq.fill(5)(quiet) :+ stormed) === Nil)
+    // built-status-mismatched rows were never comparable — their vetoes
+    // don't count as thinning
+    val builtRows = Seq.fill(5)((Map("n5" -> 20.0), Set("n5"), Map("n5" -> 28667L)))
+    assert(Bench.vetoThinned(Map("n5" -> 45.0), builtRows) === Nil)
+    // placement: full file only
+    val res = Seq(("a", 1.0, Right(1L): Either[String, Long]))
+    val (line, full) = Bench.renderJson(res, "/tmp/sf", vetoThinned = Seq("n5", "p3"))
+    assert(full.contains(""""veto_thinned":["n5","p3"]"""))
+    assert(!line.contains("veto_thinned"), "compact line stays lean")
+  }
+
   test("steal provenance rides in both renderings; absent when unmeasured") {
     val res = Seq(("a", 1.0, Right(1L): Either[String, Long]),
       ("b", 9.9, Right(2L): Either[String, Long]))

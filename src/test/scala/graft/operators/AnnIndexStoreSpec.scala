@@ -253,4 +253,36 @@ class AnnIndexStoreSpec extends SparkSpec {
       yield (w * 1000 + i * 10 + j).toLong).toSet
     assert(got === want, "every racing batch must land exactly once")
   }
+
+  test("retryConflicts is bounded with backoff: a permanent conflict surfaces, not a hot spin") {
+    // the r15 advisor finding: the retry wrapper was an unbounded,
+    // backoff-free spin — a livelocked peer meant one core burned
+    // forever with zero diagnostics. It now sleeps between lost rounds
+    // and rethrows after maxAttempts with the attempt count in the text.
+    var calls = 0
+    val t0 = System.nanoTime()
+    val e = intercept[graft.sources.CommitConflictException] {
+      AnnIndexStore.retryConflicts("spec permanent-conflict", maxAttempts = 5) {
+        calls += 1
+        throw new graft.sources.CommitConflictException("spec: claim lost")
+      }
+    }
+    assert(calls === 5, "gives up after exactly maxAttempts rounds")
+    assert(e.getMessage.contains("5 consecutive times"), e.getMessage)
+    assert(e.getMessage.contains("spec permanent-conflict"), e.getMessage)
+    // backoff actually slept: 2+4+8+16 ms minimum between the 5 attempts
+    assert((System.nanoTime() - t0) / 1e6 >= 25.0, "no backoff between lost rounds")
+    // a transient conflict still lands and returns the body's value
+    var n = 0
+    val out = AnnIndexStore.retryConflicts("spec transient", maxAttempts = 5) {
+      n += 1
+      if (n < 3) throw new graft.sources.CommitConflictException("spec: lost")
+      "landed"
+    }
+    assert(out === "landed" && n === 3)
+    // non-conflict exceptions pass straight through (never swallowed)
+    intercept[IllegalArgumentException] {
+      AnnIndexStore.retryConflicts("spec other")(throw new IllegalArgumentException("x"))
+    }
+  }
 }

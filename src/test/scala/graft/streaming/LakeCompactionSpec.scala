@@ -107,4 +107,40 @@ class LakeCompactionSpec extends SparkSpec {
     assert(landed() === rowsBefore)
     assert(dataFiles(out).size === dirs.size)
   }
+
+  test("concurrent readers racing the read-touch repair: no exception escapes, tree heals once") {
+    // the r15 advisor race: repairShards runs on EVERY streamedLakeRoot
+    // return, so two simultaneous readers could race Files.move /
+    // deleteRecursively on the same .retired-* debris and the loser threw
+    // an uncaught FileSystemException — failing a READ. The per-root
+    // monitor (plus lost-race tolerance) must let N concurrent callers
+    // all return cleanly with the tree healed exactly as a solo call.
+    val out = Files.createTempDirectory("lake-repair-race").resolve("shards").toString
+    LayoutOps.landHilbertShards(
+      LayoutOps.quantizedLineitem(spark, sfDir), out, "append")
+    val rootP = Paths.get(out)
+    val dirs = shardDirs(out)
+    assert(dirs.size >= 2)
+    // stage BOTH crash states again: a rollback-pending shard and
+    // completed-swap debris, the two contended Files.move/delete paths
+    val victim = dirs.head
+    Files.move(rootP.resolve(victim), rootP.resolve(s".retired-$victim"))
+    val debris = rootP.resolve(s".retired-${dirs.last}")
+    Files.createDirectories(debris)
+    Files.write(debris.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CyclicBarrier(8)
+    val ts = (0 until 8).map { _ =>
+      new Thread(() => try {
+        gate.await()
+        (0 until 25).foreach(_ => LakeStreamWriter.repairShards(out))
+      } catch { case e: Throwable => failures.add(e) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(failures.isEmpty,
+      s"racing repairs must not surface exceptions: ${failures.peek()}")
+    assert(shardDirs(out) === dirs, "rollback landed exactly once")
+    assert(list(rootP).forall(p => !p.getFileName.toString.startsWith(".retired-")),
+      "debris swept")
+  }
 }
