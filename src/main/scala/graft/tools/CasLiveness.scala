@@ -27,7 +27,74 @@ import org.apache.spark.sql.functions.{col, lit}
   * (tools/steal_probe.py first) or the wall clock prices the host, not
   * the CAS. */
 object CasLiveness {
+
+  /** The batching A/B the r15 BASELINE conclusion asserted but never
+    * measured ("the fix is batching or per-shard tables"): N writers
+    * append THE SAME total row set to a fresh index twice — once as
+    * K tiny increments per writer (N*K contended commits), once as one
+    * K-slice batched increment per writer (N commits) — and the deltas
+    * price what batching buys: claim_lost and wasted bytes PER LANDED
+    * ROW should drop roughly with the commit count while goodput-rows/s
+    * rises, since every loss discards one increment's segment and
+    * batching makes that segment carry K× the rows for the same loss
+    * rate envelope. Usage: runMain graft.tools.CasLiveness ab [sfDir] [N] [K] */
+  private def batchAb(spark: SparkSession, sfDir: String, n: Int, k: Int): Unit = {
+    import graft.sources.CasStats
+    val slots = n * k
+    Seq(
+      ("tiny", (w: Int) => (0 until k).map(i =>
+        col("vec_id") % slots === lit(w * k + i))),
+      ("batched", (w: Int) => Seq(
+        col("vec_id") % slots >= lit(w * k) &&
+          col("vec_id") % slots < lit((w + 1) * k)))
+    ).foreach { case (label, preds) =>
+      val root = java.nio.file.Files.createTempDirectory(s"cas-ab-$label").toString
+      graft.core.FsUtil.deleteOnExitRecursively(java.nio.file.Paths.get(root))
+      AnnIndexStore.persist(spark, sfDir, root) // untimed base state
+      val baseRows = AnnIndexStore.openCoded(spark, root).count()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val committed = new java.util.concurrent.atomic.AtomicLong()
+      val s0 = CasStats.snapshot()
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { w =>
+        new Thread(() => try {
+          preds(w).foreach { p =>
+            AnnIndexStore.appendIncrement(spark, sfDir, root, p)
+            committed.incrementAndGet()
+          }
+        } catch { case e: Throwable => failures.add(e) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = CasStats.snapshot()
+      if (!failures.isEmpty) {
+        println(s"[cas-ab] $label FAILED: ${failures.peek()}")
+        failures.peek().printStackTrace(); sys.exit(1)
+      }
+      val landedRows = AnnIndexStore.openCoded(spark, root).count() - baseRows
+      val lost = s1("claim_lost") - s0("claim_lost")
+      val rconf = s1("read_conflict") - s0("read_conflict")
+      val wasted = s1("wasted_bytes") - s0("wasted_bytes")
+      println(f"[cas-ab] $label%-8s N=$n%d commits=${committed.get()}%d " +
+        f"rows=$landedRows%d wall=$wall%.1fs rows/s=${landedRows / wall}%.0f " +
+        f"claim_lost=$lost%d read_conflict=$rconf%d " +
+        f"wasted_mb=${wasted / 1e6}%.2f wasted_b_per_row=${wasted.toDouble / landedRows}%.1f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ab")) {
+      val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      batchAb(spark, sfDir,
+        args.lift(2).map(_.toInt).getOrElse(8),
+        args.lift(3).map(_.toInt).getOrElse(8))
+      spark.stop()
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ns = args.lift(1).getOrElse("1,2,4,8").split(',').toSeq.map(_.trim.toInt)
     val ops = args.lift(2).map(_.toInt).getOrElse(6)
