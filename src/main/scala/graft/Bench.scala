@@ -25,7 +25,39 @@ object Bench {
     // relying on commit-message narrative ("attempt 5 finally landed").
     val preflight0 = cpuSample()
     val preflightT0 = System.nanoTime()
+    // Armed guard (cap parsed up front so an unparseable value fails
+    // before any work; both names read — ..._CONTENTION is the accurate
+    // one since the cap compares steal PLUS busy_foreign, ..._STEAL kept
+    // for recorded r15 invocations).
+    val guardCap: Option[Long] =
+      sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_CONTENTION")
+        .orElse(sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_STEAL"))
+        .map(raw => raw.toLongOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_MAX_PREFLIGHT_{CONTENTION,STEAL} is not a long: '$raw'")))
+    // Incremental abort check (r16): at sf1 the untimed warmup pass runs
+    // ~10 minutes, and the r15 end-of-warmup guard meant a storm-launched
+    // attempt still paid ALL of it before aborting (campaign attempts
+    // measured 10-12 min per abort, storm-inflated). Sampling /proc is
+    // ~100 us, so the armed guard now re-checks the accumulated window
+    // after every untimed query and aborts the moment the cap is crossed
+    // — a storm attempt dies in the first minute or two instead. Unarmed
+    // runs never sample here.
+    def abortIfStormy(): Unit = guardCap.foreach { cap =>
+      val pf = for (a <- preflight0; b <- cpuSample()) yield {
+        val (st, fb) = cpuDelta(a, b)
+        ((System.nanoTime() - preflightT0) / 1e9, st, fb)
+      }
+      guardAbortReason(cap, pf).foreach { reason =>
+        try spark.stop() catch { case _: Throwable => () }
+        val sec0 = pf.map(_._1)
+          .getOrElse((System.nanoTime() - preflightT0) / 1e9)
+        val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(sec0))
+        println(s"""{"metric":"aborted","reason":"$reason","preflight_sec":$s,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+        sys.exit(2)
+      }
+    }
     warmup(spark, sfDir)
+    abortIfStormy()
     // NATURAL sort (x3 before x10), not lexicographic: run order decides
     // which query pays a session-memoized build, and "x10" < "x3"
     // lexicographically made the keep-table query absorb the whole dedupe
@@ -42,6 +74,7 @@ object Bench {
     // throughput, re-running each full pipeline from the parquet scan.
     sorted.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      abortIfStormy()
     }
     // Clear EVERY session memo (the single registry both Bench and QTime
     // share — see BenchMemos for the r13 uniform-rule rationale): the
@@ -75,22 +108,16 @@ object Bench {
     // pass — a suite launched into a storm spends ~10 min producing a
     // flagged snapshot (sf1 attempts 1-4 and both r15 attempts did
     // exactly that; run B's preflight already carried 52,607 jiffies).
-    // Unset = never abort, so driver-invoked runs are unaffected; a
-    // SET-but-unparseable cap fails fast (a silently disarmed guard is
-    // worse than a crash — the operator armed it on purpose), and by the
-    // same rule an armed guard that CANNOT measure (preflight None:
-    // off-Linux or a /proc read failure) aborts too instead of silently
-    // proceeding unguarded (r15 advisor finding). The abort prints a
-    // parseable line (Locale.ROOT decimals) and exits 2 without touching
-    // BENCH_FULL.json or the history. Both names are read:
-    // ..._CONTENTION is the accurate one (the cap compares steal PLUS
-    // busy_foreign — co-tenant storms trip it too), ..._STEAL is kept
-    // for the recorded r15 campaign invocations.
-    val guardCap = sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_CONTENTION")
-      .orElse(sys.env.get("SPARK_GRAFT_MAX_PREFLIGHT_STEAL"))
-    guardCap.foreach { raw =>
-      val cap = raw.toLongOption.getOrElse(
-        sys.error(s"SPARK_GRAFT_MAX_PREFLIGHT_{CONTENTION,STEAL} is not a long: '$raw'"))
+    // Final guard check against the CLOSED preflight window (the
+    // incremental checks above covered the warmup as it ran). Unset =
+    // never abort, so driver-invoked runs are unaffected; armed-but-
+    // unmeasurable (preflight None: off-Linux or a /proc read failure)
+    // aborts instead of silently proceeding unguarded (r15 advisor
+    // finding — the operator armed it on purpose, same fail-fast rule
+    // as an unparseable cap). The abort prints a parseable line
+    // (Locale.ROOT decimals) and exits 2 without touching
+    // BENCH_FULL.json or the history.
+    guardCap.foreach { cap =>
       guardAbortReason(cap, preflight).foreach { reason =>
         try spark.stop() catch { case _: Throwable => () }
         val sec0 = preflight.map(_._1)
