@@ -21,12 +21,19 @@
 #        ANCHOR_MAX_CONTENTION (default 20000 jiffies across the run window)
 set -u
 REPO=/root/repo
+HISTORY="$REPO/BENCH_HISTORY.jsonl"
+LOCK="$REPO/.bench_history.lock"
 SF_DIR=$1; ANCHOR=$2; TARGET=${3:-3}; MAX=${4:-12}; CAP=${5:-10000}
+# Resolve ANCHOR: relative paths land in the repo; absolute paths are honored.
+case "$ANCHOR" in /*) ANCHOR_PATH=$ANCHOR ;; *) ANCHOR_PATH=$REPO/$ANCHOR ;; esac
 ANCHOR_MAX_CONTENTION=${ANCHOR_MAX_CONTENTION:-20000}
 quiet=0
 for a in $(seq 1 "$MAX"); do
   scratch=$(mktemp -d /tmp/bench_campaign.XXXXXX)
-  cp "$REPO/BENCH_HISTORY.jsonl" "$scratch/"   # gives the audits their medians
+  cp "$HISTORY" "$scratch/"                    # gives the audits their medians
+  base_lines=$(wc -l <"$scratch/BENCH_HISTORY.jsonl")  # count at ATTEMPT START:
+  # tailing relative to the repo file's CURRENT length would pick wrong lines
+  # if another campaign/bench appended to it while this attempt ran.
   echo "[campaign] $(date -u +%H:%M:%SZ) attempt $a/$MAX (quiet $quiet/$TARGET) scratch=$scratch"
   (cd "$scratch" && SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS=32 \
     SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-8g}" \
@@ -45,8 +52,13 @@ for a in $(seq 1 "$MAX"); do
     tail -5 "$scratch/bench.out"
     rm -rf "$scratch"; sleep 60; continue
   fi
-  new=$(($(wc -l <"$scratch/BENCH_HISTORY.jsonl") - $(wc -l <"$REPO/BENCH_HISTORY.jsonl")))
-  [ "$new" -gt 0 ] && tail -n "$new" "$scratch/BENCH_HISTORY.jsonl" >>"$REPO/BENCH_HISTORY.jsonl"
+  new=$(($(wc -l <"$scratch/BENCH_HISTORY.jsonl") - base_lines))
+  # flock serializes concurrent campaigns' appends (verdict r16 #6);
+  # the subshell holds fd 9 on the lockfile only for the append itself.
+  [ "$new" -gt 0 ] && (
+    flock -w 30 9 || { echo "[campaign] WARN: history lock timeout; append skipped" >&2; exit 1; }
+    tail -n "$new" "$scratch/BENCH_HISTORY.jsonl" >>"$HISTORY"
+  ) 9>"$LOCK"
   contention=0
   for j in $(echo "$line" | grep -oE '"(steal|foreign)_run":[0-9]+' | grep -oE '[0-9]+'); do
     contention=$((contention + j))
@@ -54,7 +66,7 @@ for a in $(seq 1 "$MAX"); do
   if echo "$line" | grep -q '"contended":false' \
       && [ "$contention" -lt "$ANCHOR_MAX_CONTENTION" ]; then
     quiet=$((quiet + 1))
-    cp "$scratch/BENCH_FULL.json" "$REPO/$ANCHOR"
+    cp "$scratch/BENCH_FULL.json" "$ANCHOR_PATH"
     echo "[campaign] attempt $a QUIET ($quiet/$TARGET, contention=$contention): $line"
   else
     echo "[campaign] attempt $a flagged (contention=$contention): $line"
