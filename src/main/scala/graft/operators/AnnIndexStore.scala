@@ -82,6 +82,24 @@ object AnnIndexStore {
         .select("doc_id", "band", "band_key"))
   }
 
+  /** Quantizer-only base for contention probes: publish coarse+codebooks
+    * (exactly what [[appendIncrement]] needs to encode arrivals) and
+    * leave the coded table EMPTY, so every row an A/B probe lands is a
+    * genuinely new row — a full-[[persist]] base made both arms append
+    * duplicates of the standing index (r16 advisor finding), which kept
+    * the RELATIVE comparison honest but made "rows landed" misleading. */
+  private[graft] def persistQuantizer(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    import spark.implicits._
+    val coarse = SimilarityQueries.trainedCentroids(spark, dir, "full", 10, 3)
+      .toDF("cell", "centroid")
+    val books = SimilarityQueries.pqCodebooks(spark, dir).zipWithIndex
+      .flatMap { case (cb, s) => cb.map { case (c, v) => (s, c, v) } }
+      .toDF("s", "cell", "centroid")
+    table(spark, root, "coarse", coarseSchema).publish(coarse)
+    table(spark, root, "codebooks", codebookSchema).publish(books)
+  }
+
   /** Reopen the quantizer halves from storage (k×dim driver-side, the
     * serve shape) — usable from any session with no training state. */
   private[operators] def openQuantizer(spark: SparkSession, root: String)
@@ -230,7 +248,8 @@ object AnnIndexStore {
           if (attempt >= maxAttempts)
             throw new graft.sources.CommitConflictException(
               s"$op: lost the CAS claim $attempt consecutive times " +
-                s"(last: ${e.getMessage}) - a peer is stuck or livelocked")
+                s"(last: ${e.getMessage}) - a peer is stuck or livelocked",
+              e) // chain the last real conflict so its stack trace survives
           Thread.sleep(math.min(MaxBackoffMs, 1L << math.min(attempt, 8)))
       }
     }

@@ -8,8 +8,11 @@ import java.util.Base64
 import scala.jdk.CollectionConverters._
 
 /** A concurrent writer claimed the same version first. The losing commit
-  * changed nothing on disk — re-read the table and retry. */
-final class CommitConflictException(msg: String) extends RuntimeException(msg)
+  * changed nothing on disk — re-read the table and retry. `cause` chains
+  * the underlying conflict when this wraps another (retryConflicts'
+  * give-up path keeps the last real conflict's stack trace). */
+final class CommitConflictException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 
 /** Advisory CAS-contention counters (r15): session-global, monotonic,
   * consumed by tools/CasLiveness to PRICE multi-writer goodput — never

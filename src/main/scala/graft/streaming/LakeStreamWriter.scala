@@ -146,6 +146,14 @@ object LakeStreamWriter {
     // (reader-invisible) dot-prefixed dir — reading the tree in that state
     // would compact a lake that is silently missing a shard
     repairShards(root)
+    // The staging write below runs for minutes; a read-triggered
+    // repairShards sweeping `.graft-compact*` mid-write would delete the
+    // in-flight staged data (r16 advisor finding). Two guards: the sweep
+    // skips staging younger than [[StagingGraceMs]] (the time-based vacuum
+    // rule — staging is referenced by nothing, so leaving a dead run's
+    // debris for an hour is harmless), and the swap section holds the same
+    // per-root monitor as repairShards so a concurrent repair never
+    // observes — and "rolls back" — a shard mid-retire/replace.
     val staged = Files.createTempDirectory(rootP, ".graft-compact")
     spark.read.parquet(root)
       .withColumn("hshard", col("hshard").cast("long"))
@@ -160,15 +168,17 @@ object LakeStreamWriter {
         out.result()
       } finally s.close()
     }
-    shardDirs.foreach { newDir =>
-      val name = newDir.getFileName.toString
-      val dest = rootP.resolve(name)
-      val retired = rootP.resolve(s".retired-$name")
-      if (Files.exists(dest)) Files.move(dest, retired)
-      Files.move(newDir, dest)
-      graft.core.FsUtil.deleteRecursively(retired)
+    repairLock(rootP).synchronized {
+      shardDirs.foreach { newDir =>
+        val name = newDir.getFileName.toString
+        val dest = rootP.resolve(name)
+        val retired = rootP.resolve(s".retired-$name")
+        if (Files.exists(dest)) Files.move(dest, retired)
+        Files.move(newDir, dest)
+        graft.core.FsUtil.deleteRecursively(retired)
+      }
+      graft.core.FsUtil.deleteRecursively(staged)
     }
-    graft.core.FsUtil.deleteRecursively(staged)
   }
 
   /** Crash recovery for [[compactShards]]'s per-directory swap — the
@@ -196,9 +206,7 @@ object LakeStreamWriter {
     // move below additionally treats lost races as repaired-by-peer —
     // NoSuchFile (peer already moved/deleted it) and FileAlreadyExists
     // (peer's rollback landed first) are both the repaired end state.
-    val lock = repairLocks.computeIfAbsent(
-      rootP.toAbsolutePath.normalize.toString, _ => new Object)
-    lock.synchronized {
+    repairLock(rootP).synchronized {
       val Retired = "^\\.retired-(hshard=.+)$".r
       def children(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
         val s = Files.list(p)
@@ -222,16 +230,37 @@ object LakeStreamWriter {
           case _ => ()
         }
       }
+      // Sweep stale staging — but only past the grace window: a LIVE
+      // compaction in another thread writes its staging dir for minutes
+      // before taking this lock for the swap, and sweeping it here would
+      // delete in-flight data (r16 advisor finding). Age is read off the
+      // dir's mtime; createTempDirectory stamps creation, so a dead run's
+      // debris ages past the window and any later repair reclaims it.
+      val cutoff = System.currentTimeMillis() - StagingGraceMs
       children(rootP)
         .filter(_.getFileName.toString.startsWith(".graft-compact"))
+        .filter { p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.io.IOException => false } // vanished/unreadable: skip
+        }
         .foreach(p =>
           try graft.core.FsUtil.deleteRecursively(p)
           catch { case _: java.nio.file.NoSuchFileException => () })
     }
   }
 
+  /** Staging dirs younger than this are presumed live (a compaction's
+    * Spark write is in flight) and skipped by [[repairShards]]'s sweep.
+    * One hour dwarfs any single compaction job while still reclaiming a
+    * crashed run's debris on the first repair of the following hour. */
+  private[streaming] val StagingGraceMs: Long = 60L * 60 * 1000
+
   /** One monitor per normalized lake root for [[repairShards]] — bounded
     * by the number of distinct lakes a session touches (a handful). */
   private val repairLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def repairLock(rootP: java.nio.file.Path): Object =
+    repairLocks.computeIfAbsent(
+      rootP.toAbsolutePath.normalize.toString, _ => new Object)
 }

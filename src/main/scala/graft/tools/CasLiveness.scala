@@ -50,7 +50,10 @@ object CasLiveness {
     ).foreach { case (label, preds) =>
       val root = java.nio.file.Files.createTempDirectory(s"cas-ab-$label").toString
       graft.core.FsUtil.deleteOnExitRecursively(java.nio.file.Paths.get(root))
-      AnnIndexStore.persist(spark, sfDir, root) // untimed base state
+      // quantizer-only base: the coded table starts EMPTY so every landed
+      // row is a genuine increment, not a duplicate of a standing index
+      // (r16 advisor finding on the full-persist base)
+      AnnIndexStore.persistQuantizer(spark, sfDir, root) // untimed base state
       val baseRows = AnnIndexStore.openCoded(spark, root).count()
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val committed = new java.util.concurrent.atomic.AtomicLong()
@@ -75,14 +78,84 @@ object CasLiveness {
       val lost = s1("claim_lost") - s0("claim_lost")
       val rconf = s1("read_conflict") - s0("read_conflict")
       val wasted = s1("wasted_bytes") - s0("wasted_bytes")
+      // guard the per-row division: an arm that lands zero rows (all ids
+      // outside the predicate range) must not print NaN (r16 advisor)
+      val perRow = if (landedRows > 0) f"${wasted.toDouble / landedRows}%.1f" else "n/a"
       println(f"[cas-ab] $label%-8s N=$n%d commits=${committed.get()}%d " +
         f"rows=$landedRows%d wall=$wall%.1fs rows/s=${landedRows / wall}%.0f " +
         f"claim_lost=$lost%d read_conflict=$rconf%d " +
-        f"wasted_mb=${wasted / 1e6}%.2f wasted_b_per_row=${wasted.toDouble / landedRows}%.1f")
+        f"wasted_mb=${wasted / 1e6}%.2f wasted_b_per_row=$perRow")
+    }
+  }
+
+  /** The read_conflict exciter (r16 verdict #5): the standard mix never
+    * moves the read-side counter because its compactDeletes are sparse —
+    * coded-table versions flip too slowly for any pinned read to lag two
+    * versions behind (the one-version manifest grace window absorbs a
+    * single flip). This mix makes version flips the COMMON case: every
+    * writer loops {deleteIds(tiny disjoint slice); compactDeletes}, so
+    * each compaction's long-pinned reads — the tombstone pin and the
+    * coded read-modify-write, both corpus-sized localCheckpoint jobs —
+    * race N−1 peers' publishes that RETIRE the very segments the pinned
+    * plan resolved. Every such race must fold into asConflict's clean
+    * retryable conflict (read_conflict++) and re-enter the CAS loop; an
+    * escape would fail the thread and the probe. Prices the read-side
+    * cost of compaction-vs-compaction contention: read_conflict count,
+    * claim_lost, and goodput vs the same loop single-writer.
+    * Usage: runMain graft.tools.CasLiveness rc [sfDir] [Ns] [rounds] */
+  private def readConflictMix(spark: SparkSession, sfDir: String,
+      ns: Seq[Int], rounds: Int): Unit = {
+    ns.foreach { n =>
+      val root = java.nio.file.Files.createTempDirectory(s"cas-rc-$n").toString
+      graft.core.FsUtil.deleteOnExitRecursively(java.nio.file.Paths.get(root))
+      AnnIndexStore.persist(spark, sfDir, root) // untimed base state
+      val committed = new java.util.concurrent.atomic.AtomicLong()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val s0 = CasStats.snapshot()
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { w =>
+        new Thread(() => try {
+          import spark.implicits._
+          (0 until rounds).foreach { i =>
+            // a tiny disjoint tombstone per round keeps every compaction
+            // writeback non-trivial (rows actually leave the coded body)
+            val ids = (0 until 5)
+              .map(j => ((w * rounds + i) * 5 + j).toLong).toDF("neighbor_id")
+            AnnIndexStore.deleteIds(spark, root, ids)
+            committed.incrementAndGet()
+            AnnIndexStore.compactDeletes(spark, root)
+            committed.incrementAndGet()
+          }
+        } catch { case e: Throwable => failures.add(e) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = CasStats.snapshot()
+      if (!failures.isEmpty) {
+        println(s"[cas-rc] N=$n FAILED: ${failures.peek()}")
+        failures.peek().printStackTrace(); sys.exit(1)
+      }
+      println(f"[cas-rc] N=$n%d ops=${committed.get()}%d wall=$wall%.1fs " +
+        f"goodput=${committed.get() / wall}%.2f ops/s " +
+        f"claim_lost=${s1("claim_lost") - s0("claim_lost")}%d " +
+        f"read_conflict=${s1("read_conflict") - s0("read_conflict")}%d " +
+        f"wasted_mb=${(s1("wasted_bytes") - s0("wasted_bytes")) / 1e6}%.1f")
     }
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("rc")) {
+      val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      readConflictMix(spark, sfDir,
+        args.lift(2).getOrElse("1,4,8").split(',').toSeq.map(_.trim.toInt),
+        args.lift(3).map(_.toInt).getOrElse(6))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("ab")) {
       val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
       val spark = SparkSession.builder().master("local[32]")

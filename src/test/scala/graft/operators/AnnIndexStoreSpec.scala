@@ -270,6 +270,13 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(calls === 5, "gives up after exactly maxAttempts rounds")
     assert(e.getMessage.contains("5 consecutive times"), e.getMessage)
     assert(e.getMessage.contains("spec permanent-conflict"), e.getMessage)
+    // the give-up wrapper CHAINS the last real conflict (r16 advisor:
+    // a cause-less rethrow discarded the stack trace the bounded retry
+    // was added to surface)
+    assert(e.getCause != null &&
+      e.getCause.isInstanceOf[graft.sources.CommitConflictException] &&
+      e.getCause.getMessage == "spec: claim lost",
+      s"give-up must chain the last conflict, got cause=${e.getCause}")
     // backoff actually slept: 2+4+8+16 ms minimum between the 5 attempts
     assert((System.nanoTime() - t0) / 1e6 >= 25.0, "no backoff between lost rounds")
     // a transient conflict still lands and returns the body's value

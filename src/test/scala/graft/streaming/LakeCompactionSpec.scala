@@ -89,10 +89,18 @@ class LakeCompactionSpec extends SparkSpec {
     val debris = rootP.resolve(s".retired-$other")
     Files.createDirectories(debris)
     Files.write(debris.resolve("stale.parquet"), Array[Byte](1, 2, 3))
-    // plus an abandoned staging dir inside the root
+    // plus TWO staging dirs inside the root: one aged past the grace
+    // window (a crashed compaction's debris — must be swept) and one
+    // fresh (a LIVE compaction mid-write — must be left alone; sweeping
+    // it was the r16 advisor race)
     val staleStage = Files.createDirectories(
       rootP.resolve(".graft-compact-stale"))
     Files.write(staleStage.resolve("junk"), Array[Byte](9))
+    Files.setLastModifiedTime(staleStage, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - LakeStreamWriter.StagingGraceMs - 60000))
+    val liveStage = Files.createDirectories(
+      rootP.resolve(".graft-compact-live"))
+    Files.write(liveStage.resolve("inflight"), Array[Byte](7))
 
     LakeStreamWriter.repairShards(out)
 
@@ -100,7 +108,10 @@ class LakeCompactionSpec extends SparkSpec {
     assert(landed() === rowsBefore, "healed tree reads bit-identically")
     assert(list(rootP).forall(p => !p.getFileName.toString.startsWith(".retired-")),
       "completed-swap debris was swept")
-    assert(!Files.exists(staleStage), "abandoned staging was swept")
+    assert(!Files.exists(staleStage), "aged-out staging was swept")
+    assert(Files.exists(liveStage.resolve("inflight")),
+      "staging younger than the grace window is presumed live and kept")
+    graft.core.FsUtil.deleteRecursively(liveStage) // clean up for the re-run below
     // an interrupted compaction heals by simply re-running it
     Files.move(rootP.resolve(victim), rootP.resolve(s".retired-$victim"))
     LakeStreamWriter.compactShards(spark, out)
