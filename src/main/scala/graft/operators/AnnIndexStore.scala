@@ -339,6 +339,29 @@ object AnnIndexStore {
     SimilarityQueries.ivfAdcServe(coarse, cents, coded, queries, nprobe)
   }
 
+  /** Materialize a serve UNDER CONCURRENT WRITERS — the read-side half of
+    * the multi-writer contract (r17). [[serveTopK]] hands back a lazy plan
+    * whose coded-segment paths were resolved at call time; the commit
+    * protocol's one-version grace window keeps those files alive across a
+    * SINGLE concurrent version flip, but two compactions landing before
+    * the caller's action retire them and the action dies with a raw
+    * FileNotFoundException — a READ failing because maintenance ran.
+    * This wrapper folds that race into the same clean conflict the write
+    * side uses (asConflict → read_conflict counter) and re-enters with a
+    * fresh resolve, so a serve under any amount of concurrent compaction
+    * either returns a legal answer or surfaces the bounded-retry
+    * diagnostic. At 100 TB the equivalent knob is snapshot retention
+    * (Delta/Iceberg hold N days of manifests so readers never lag out);
+    * with a one-version grace window the retry IS the retention policy,
+    * and tools/CasLiveness `rc` prices what it costs. */
+  def serveTopKPinned(spark: SparkSession, dir: String, root: String)
+      : Array[org.apache.spark.sql.Row] =
+    retryConflicts("serve under concurrent writers") {
+      table(spark, root, "coded", codedSchema).asConflict("serve materialize") {
+        serveTopK(spark, dir, root).collect()
+      }
+    }
+
   /** v16's two-stage serve (quantized shortlist → exact raw-vector
     * re-rank) ENTIRELY from the persisted index — the production read
     * path reopened cold. Spec-proven identical to the session-memo v16. */

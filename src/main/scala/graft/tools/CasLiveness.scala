@@ -88,20 +88,20 @@ object CasLiveness {
     }
   }
 
-  /** The read_conflict exciter (r16 verdict #5): the standard mix never
-    * moves the read-side counter because its compactDeletes are sparse —
-    * coded-table versions flip too slowly for any pinned read to lag two
-    * versions behind (the one-version manifest grace window absorbs a
-    * single flip). This mix makes version flips the COMMON case: every
-    * writer loops {deleteIds(tiny disjoint slice); compactDeletes}, so
-    * each compaction's long-pinned reads — the tombstone pin and the
-    * coded read-modify-write, both corpus-sized localCheckpoint jobs —
-    * race N−1 peers' publishes that RETIRE the very segments the pinned
-    * plan resolved. Every such race must fold into asConflict's clean
-    * retryable conflict (read_conflict++) and re-enter the CAS loop; an
-    * escape would fail the thread and the probe. Prices the read-side
-    * cost of compaction-vs-compaction contention: read_conflict count,
-    * claim_lost, and goodput vs the same loop single-writer.
+  /** The read_conflict exciter (r16 verdict #5): long-pinned SERVES racing
+    * frequent compactions. A compaction-only mix cannot move the read-side
+    * counter — its pinned reads and its version flips are both corpus-sized
+    * jobs, so no reader lags the TWO versions retirement needs (the first
+    * rc run measured exactly that: N=8, claim_lost 411, read_conflict 0).
+    * A serve is different: [[AnnIndexStore.serveTopKPinned]]'s plan holds
+    * coded-segment paths for the whole multi-second ADC scoring job while
+    * N compaction writers flip the coded version underneath; two flips
+    * inside one serve retire the pinned files, the materialization dies
+    * missing-file, asConflict folds it to read_conflict++ and the retry
+    * re-resolves. Prices the read-side cost of compaction-vs-serve
+    * contention: read_conflict count and serves/s vs the same serve loop
+    * with zero writers (the N=0 row). Every reader must RETURN — an
+    * escaped FileNotFoundException fails the probe.
     * Usage: runMain graft.tools.CasLiveness rc [sfDir] [Ns] [rounds] */
   private def readConflictMix(spark: SparkSession, sfDir: String,
       ns: Seq[Int], rounds: Int): Unit = {
@@ -109,11 +109,13 @@ object CasLiveness {
       val root = java.nio.file.Files.createTempDirectory(s"cas-rc-$n").toString
       graft.core.FsUtil.deleteOnExitRecursively(java.nio.file.Paths.get(root))
       AnnIndexStore.persist(spark, sfDir, root) // untimed base state
-      val committed = new java.util.concurrent.atomic.AtomicLong()
+      val commits = new java.util.concurrent.atomic.AtomicLong()
+      val serves = new java.util.concurrent.atomic.AtomicLong()
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writersDone = new java.util.concurrent.atomic.AtomicBoolean(n == 0)
       val s0 = CasStats.snapshot()
       val t0 = System.nanoTime()
-      val threads = (0 until n).map { w =>
+      val writers = (0 until n).map { w =>
         new Thread(() => try {
           import spark.implicits._
           (0 until rounds).foreach { i =>
@@ -122,21 +124,33 @@ object CasLiveness {
             val ids = (0 until 5)
               .map(j => ((w * rounds + i) * 5 + j).toLong).toDF("neighbor_id")
             AnnIndexStore.deleteIds(spark, root, ids)
-            committed.incrementAndGet()
+            commits.incrementAndGet()
             AnnIndexStore.compactDeletes(spark, root)
-            committed.incrementAndGet()
+            commits.incrementAndGet()
           }
         } catch { case e: Throwable => failures.add(e) })
       }
-      threads.foreach(_.start()); threads.foreach(_.join())
+      // two pinned-serve readers loop until the writers drain (≥1 serve
+      // each so the N=0 baseline row still prices an uncontended serve)
+      val readers = (0 until 2).map { _ =>
+        new Thread(() => try {
+          do {
+            val rows = AnnIndexStore.serveTopKPinned(spark, sfDir, root)
+            require(rows.nonEmpty, "a raced serve must still answer")
+            serves.incrementAndGet()
+          } while (!writersDone.get())
+        } catch { case e: Throwable => failures.add(e) })
+      }
+      (writers ++ readers).foreach(_.start())
+      writers.foreach(_.join()); writersDone.set(true); readers.foreach(_.join())
       val wall = (System.nanoTime() - t0) / 1e9
       val s1 = CasStats.snapshot()
       if (!failures.isEmpty) {
         println(s"[cas-rc] N=$n FAILED: ${failures.peek()}")
         failures.peek().printStackTrace(); sys.exit(1)
       }
-      println(f"[cas-rc] N=$n%d ops=${committed.get()}%d wall=$wall%.1fs " +
-        f"goodput=${committed.get() / wall}%.2f ops/s " +
+      println(f"[cas-rc] N=$n%d commits=${commits.get()}%d serves=${serves.get()}%d " +
+        f"wall=$wall%.1fs serves/s=${serves.get() / wall}%.2f " +
         f"claim_lost=${s1("claim_lost") - s0("claim_lost")}%d " +
         f"read_conflict=${s1("read_conflict") - s0("read_conflict")}%d " +
         f"wasted_mb=${(s1("wasted_bytes") - s0("wasted_bytes")) / 1e6}%.1f")
@@ -151,7 +165,7 @@ object CasLiveness {
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       readConflictMix(spark, sfDir,
-        args.lift(2).getOrElse("1,4,8").split(',').toSeq.map(_.trim.toInt),
+        args.lift(2).getOrElse("0,1,4,8").split(',').toSeq.map(_.trim.toInt),
         args.lift(3).map(_.toInt).getOrElse(6))
       spark.stop()
       return

@@ -254,6 +254,41 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(got === want, "every racing batch must land exactly once")
   }
 
+  test("a serve plan staled by two compactions folds to read_conflict; the pinned serve survives") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the r17 read-side contract: serveTopK's lazy plan resolves coded
+    // segment PATHS at call time; the one-version grace window covers one
+    // concurrent flip, so exactly two compactions landing before the
+    // action retire those files. The raw action must die missing-file,
+    // asConflict must fold that into the clean retryable conflict (and
+    // bump the read_conflict counter), and serveTopKPinned — the client
+    // pattern — must re-resolve and answer as if the race never happened.
+    val root = java.nio.file.Files.createTempDirectory("annidx-rc").toString
+    AnnIndexStore.persist(spark, sfDir, root)
+    val expected = v12Rows(AnnIndexStore.serveTopK(spark, sfDir, root))
+    val stale = AnnIndexStore.serveTopK(spark, sfDir, root) // paths pinned NOW
+    (0 until 2).foreach { i =>
+      AnnIndexStore.deleteIds(spark, root,
+        Seq(900000L + i).toDF("neighbor_id")) // ids outside the corpus: the
+      AnnIndexStore.compactDeletes(spark, root) // serve answer is unchanged
+    }
+    val s0 = graft.sources.CasStats.snapshot()("read_conflict")
+    val t = new graft.sources.VersionedTable(
+      spark, s"$root/coded", AnnIndexStore.codedSchema)
+    val e = intercept[graft.sources.CommitConflictException] {
+      t.asConflict("spec stale serve")(stale.collect())
+    }
+    assert(e.getMessage.contains("segment retirement"), e.getMessage)
+    assert(graft.sources.CasStats.snapshot()("read_conflict") === s0 + 1,
+      "the read-side counter must record the fold")
+    // and the pinned serve — same race shape, re-resolving retry — answers
+    val pinned = AnnIndexStore.serveTopKPinned(spark, sfDir, root)
+      .toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(pinned == expected,
+      "a serve under compactions must equal the quiet serve (no-op tombstones)")
+  }
+
   test("retryConflicts is bounded with backoff: a permanent conflict surfaces, not a hot spin") {
     // the r15 advisor finding: the retry wrapper was an unbounded,
     // backoff-free spin — a livelocked peer meant one core burned
