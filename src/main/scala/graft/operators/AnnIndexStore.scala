@@ -336,7 +336,17 @@ object AnnIndexStore {
       .select(col("vec_id"), col("cell"), col("embedding"))
       .limit(probeLimit)
       .as[(Long, Int, Array[Float])].collect().sortBy(_._1).toSeq
-    SimilarityQueries.ivfAdcServe(coarse, cents, coded, queries, nprobe)
+    // An empty probe set is a LEGAL index state, not an error: every
+    // probe id can be deleted (the rc liveness probe hit exactly this),
+    // or the id predicate can simply miss a sparse corpus. ivfAdcServe
+    // would build explode(array()) — a NullType literal whose "u.query_id"
+    // extraction dies in the analyzer with an unrelated-looking
+    // INVALID_EXTRACT_BASE_FIELD_TYPE. Return the empty candidate stream
+    // with the serve schema instead; serveTopK/serveRerank rank it to an
+    // empty (and correct) answer.
+    if (queries.isEmpty) Seq.empty[(Long, Long, Double)]
+      .toDF("query_id", "neighbor_id", "s")
+    else SimilarityQueries.ivfAdcServe(coarse, cents, coded, queries, nprobe)
   }
 
   /** Materialize a serve UNDER CONCURRENT WRITERS — the read-side half of

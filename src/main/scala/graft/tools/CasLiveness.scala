@@ -121,8 +121,15 @@ object CasLiveness {
           (0 until rounds).foreach { i =>
             // a tiny disjoint tombstone per round keeps every compaction
             // writeback non-trivial (rows actually leave the coded body)
+            // ids DISJOINT from the corpus (and so from the probe set
+            // vec_id < 10): each delete is a no-op on answers but still
+            // costs a full tombstone flip + coded rewrite — maximum
+            // version churn with the serve result invariant. (The first
+            // rc draft deleted real ids 0..N·rounds·5, tombstoning every
+            // probe by round 2 — which found the empty-probe-set crash
+            // now guarded in servedStream, but left nothing to serve.)
             val ids = (0 until 5)
-              .map(j => ((w * rounds + i) * 5 + j).toLong).toDF("neighbor_id")
+              .map(j => (900000L + (w * rounds + i) * 5 + j)).toDF("neighbor_id")
             AnnIndexStore.deleteIds(spark, root, ids)
             commits.incrementAndGet()
             AnnIndexStore.compactDeletes(spark, root)

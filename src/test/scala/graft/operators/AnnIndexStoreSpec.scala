@@ -289,6 +289,24 @@ class AnnIndexStoreSpec extends SparkSpec {
       "a serve under compactions must equal the quiet serve (no-op tombstones)")
   }
 
+  test("an index whose entire probe set is deleted serves EMPTY, not a crash") {
+    import spark.implicits._
+    // deleting every probe id (vec_id < 10) is a legal sequence of legal
+    // deletes, so the serve must degrade to an empty answer. Before the
+    // servedStream guard, the empty probe collect reached ivfAdcServe as
+    // explode(array()) — a NullType whose "u.query_id" extraction died in
+    // the analyzer (INVALID_EXTRACT_BASE_FIELD_TYPE), i.e. a legal state
+    // crashing with an unrelated-looking error (found by the rc probe).
+    val root = java.nio.file.Files.createTempDirectory("annidx-noprobe").toString
+    AnnIndexStore.persist(spark, sfDir, root)
+    AnnIndexStore.deleteIds(spark, root, (0L until 10L).toDF("neighbor_id"))
+    assert(AnnIndexStore.serveTopK(spark, sfDir, root).collect().isEmpty,
+      "tombstoned probes must serve empty (lazy-delete path)")
+    AnnIndexStore.compactDeletes(spark, root)
+    assert(AnnIndexStore.serveTopKPinned(spark, sfDir, root).isEmpty,
+      "physically-deleted probes must serve empty (compacted path)")
+  }
+
   test("retryConflicts is bounded with backoff: a permanent conflict surfaces, not a hot spin") {
     // the r15 advisor finding: the retry wrapper was an unbounded,
     // backoff-free spin — a livelocked peer meant one core burned
