@@ -25,7 +25,16 @@ import java.nio.file.{Files, Path}
   * at run boundaries — the measured gap IS the chunker's realignment
   * cost, worth recording.
   *
-  * Usage: tools/jrun.sh graft.tools.IngestThroughput [nFiles=256]
+  * `cold` mode (the page-cache caveat, BASELINE.md): a ≤128 GiB corpus on
+  * this host fits in RAM, so after staging, every "disk read" the timed
+  * ingest does is a page-cache hit — the published MB/s could overstate a
+  * cold 100 TB scan where reads genuinely hit storage. With `cold`, the
+  * tool syncs and writes 3 to /proc/sys/vm/drop_caches (root-writable in
+  * this sandbox — verified r17) immediately before EACH timed phase, so
+  * ingest reads the corpus from disk and export re-reads the just-written
+  * index from disk. warm vs cold delta = what the page cache was donating.
+  *
+  * Usage: tools/jrun.sh graft.tools.IngestThroughput [nFiles=256] [cold]
   */
 object IngestThroughput {
 
@@ -33,6 +42,22 @@ object IngestThroughput {
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
     override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
   }
+
+  /** Flush dirty pages, then evict the page cache (+dentries/inodes).
+    * Returns false (and leaves a note) where the proc file isn't writable
+    * — callers report "cold" only when the eviction actually happened. */
+  private def dropPageCache(): Boolean =
+    try {
+      new ProcessBuilder("sync").inheritIO().start().waitFor()
+      Files.write(java.nio.file.Paths.get("/proc/sys/vm/drop_caches"),
+        "3\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      true
+    } catch {
+      case e: Exception =>
+        println(s"[ingest] WARN drop_caches unavailable (${e.getClass.getSimpleName}): " +
+          "timings are warm-cache despite cold mode")
+        false
+    }
 
   private def stageCorpus(nFiles: Int): (Path, Long) = {
     val root = Files.createTempDirectory("graft-ingest-corpus")
@@ -63,6 +88,7 @@ object IngestThroughput {
 
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(256)
+    val cold = args.lift(1).contains("cold")
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-ingest-throughput")
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,6 +107,10 @@ object IngestThroughput {
       val eng = DedupeEngine.create(spark, idx.toString,
         DedupeSettings(profile = profile))
       def timed[T](label: String)(body: => T): T = {
+        if (cold) {
+          val ok = dropPageCache()
+          println(s"[ingest] $profile page cache ${if (ok) "EVICTED" else "NOT evicted"} before $label")
+        }
         val j0 = counter.jobs.get()
         val t0 = System.nanoTime()
         val out = body
