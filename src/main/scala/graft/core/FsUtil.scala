@@ -26,4 +26,22 @@ object FsUtil {
   def deleteOnExitRecursively(p: Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try deleteRecursively(p) catch { case _: Throwable => () }))
+
+  /** Session-scoped SCRATCH directory — tmpfs (/dev/shm) when available,
+    * else java.io.tmpdir. The replay harness moved its checkpoints and
+    * sinks to tmpfs in r8 because per-micro-batch fsync/rename metadata
+    * churn on a disk-backed /tmp dominated small replays' wall time; r17
+    * extends the same placement to the other ephemeral artifacts the
+    * bench rebuilds every run (streamed-lake shards, index roots, staging
+    * slices, export trees). These are per-session intermediates deleted
+    * at exit, never cross-run state; a production deployment gives each
+    * a durable path, where the equivalent lever is the object store's
+    * commit protocol, not tmpfs. */
+  def scratchDir(prefix: String): Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    Files.createTempDirectory(root, prefix)
+  }
 }

@@ -1019,20 +1019,24 @@ object AnalyticsQueries {
   }
 
   /** w7: co-purchase basket pairs — the market-basket co-occurrence
-    * primitive (the same self-join shape a co-citation / term-cooccurrence
-    * pipeline uses). (order, part) dedupes first, then the orderkey
-    * self-join emits each unordered pair once (part_a < part_b). Both
-    * sides shuffle on the SAME l_orderkey key — one partitioning, reused —
-    * and fan-out per order is |items|² bounded by basket size (≤7 here; a
-    * web-scale basket gets a per-order item cap, the x3 candidate-cap
-    * discipline). Top-20 runs as TakeOrderedAndProject with full
-    * tiebreaks, so no global sort and a deterministic hash. */
+    * primitive (the same shape a co-citation / term-cooccurrence pipeline
+    * uses). Built as ONE basket aggregation (collect_set of parts per
+    * order — the dedupe happens inside the agg) and an in-row double
+    * explode emitting each unordered pair once (part_a < part_b): the r16
+    * orderkey self-join computed the (order, part) distinct TWICE — once
+    * per join side — and at scale its corpus-sized broadcast/SMJ is the
+    * join the basket array makes unnecessary (r17, the coPurchaseEdges
+    * rewrite; guide §2.4). Fan-out per order is |items|² bounded by
+    * basket size (≤7 here; a web-scale basket gets a per-order item cap,
+    * the x3 candidate-cap discipline). Top-20 runs as
+    * TakeOrderedAndProject with full tiebreaks, so no global sort and a
+    * deterministic hash. */
   def w7BasketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val i = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = i.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    i.withColumnRenamed("l_partkey", "part_a")
-      .join(b, Seq("l_orderkey"))
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("part_a"), col("ps"))
+      .select(col("part_a"), explode(col("ps")).as("part_b"))
       .filter(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
@@ -1329,17 +1333,26 @@ object AnalyticsQueries {
     * partkey and joins the 20-row pair list (broadcast by size); the
     * 1-row basket total is a PlanLint-whitelisted O(1) cross join. */
   def w10AssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val i = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = i.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = i.withColumnRenamed("l_partkey", "part_a")
-      .join(b, Seq("l_orderkey"))
+    // ONE basket aggregation feeds all three statistics (r17, the w7/
+    // coPurchaseEdges rewrite): pairs explode in-row from each order's
+    // part set, per-part basket counts explode the same arrays, and the
+    // basket total is the frame's row count — the three subtrees are
+    // identical up to the basket agg, so ReuseExchange ships the one
+    // shuffle to all of them (the r16 form computed the (order, part)
+    // distinct per consumer and self-joined it for the pairs).
+    val baskets = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    val pairs = baskets
+      .select(explode(col("ps")).as("part_a"), col("ps"))
+      .select(col("part_a"), explode(col("ps")).as("part_b"))
       .filter(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(20)
-    val cnts = i.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
-    val nb = i.agg(countDistinct("l_orderkey").as("n_baskets"))
+    val cnts = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
     val n = col("n_orders").cast("double")
     pairs
       .join(cnts.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), "part_a")

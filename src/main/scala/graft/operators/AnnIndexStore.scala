@@ -446,7 +446,7 @@ object AnnIndexStore {
   def v21IndexAppend(spark: SparkSession, dir: String): DataFrame = {
     val root = rootMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir|incr", _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-annidx-incr")
+        val d = graft.core.FsUtil.scratchDir("graft-annidx-incr")
         graft.core.FsUtil.deleteOnExitRecursively(d)
         persistOldTrained(spark, dir, d.toString)
         appendIncrement(spark, dir, d.toString, col("vec_id") % 7 === 0)
@@ -472,7 +472,7 @@ object AnnIndexStore {
   def v23IndexDelete(spark: SparkSession, dir: String): DataFrame = {
     val root = rootMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir|del", _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-annidx-del")
+        val d = graft.core.FsUtil.scratchDir("graft-annidx-del")
         graft.core.FsUtil.deleteOnExitRecursively(d)
         persist(spark, dir, d.toString)
         deleteIds(spark, dir, d.toString)
@@ -505,7 +505,7 @@ object AnnIndexStore {
   def v24TimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val root = rootMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir|tt", _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-annidx-tt")
+        val d = graft.core.FsUtil.scratchDir("graft-annidx-tt")
         graft.core.FsUtil.deleteOnExitRecursively(d)
         persistOldTrained(spark, dir, d.toString)
         appendIncrement(spark, dir, d.toString, col("vec_id") % 7 === 0)
@@ -529,7 +529,7 @@ object AnnIndexStore {
   def v19PersistedServe(spark: SparkSession, dir: String): DataFrame = {
     val root = rootMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir", _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-annidx")
+        val d = graft.core.FsUtil.scratchDir("graft-annidx")
         graft.core.FsUtil.deleteOnExitRecursively(d)
         persist(spark, dir, d.toString)
         d.toString

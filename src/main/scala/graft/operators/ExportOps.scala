@@ -84,7 +84,7 @@ object ExportOps {
   private[operators] def exportRoot(spark: SparkSession, dir: String): String =
     exportMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir", _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-z8-export")
+        val d = graft.core.FsUtil.scratchDir("graft-z8-export")
         graft.core.FsUtil.deleteOnExitRecursively(d)
         val out = d.resolve("shards").toString
         shardRows(spark, dir)

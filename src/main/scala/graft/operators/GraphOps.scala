@@ -90,19 +90,48 @@ object GraphOps {
   }
 
   /** `(src, dst, w)` — directed both ways (symmetric), `w` = number of
-    * orders containing both parts. */
+    * orders containing both parts. Built as ONE basket aggregation
+    * (collect_set of parts per order — dedup happens inside the agg) and
+    * an in-row double explode of each basket's ordered pairs, instead of
+    * the r16 distinct + self-join on l_orderkey: same edge set row for
+    * row, but 2 exchanges instead of 4 and no sort-merge sort (r17, guide
+    * §2.4 — two operations keyed the same way share one exchange; here
+    * the "join" collapses into the basket array entirely). Safe in-row:
+    * baskets are order-bounded (≤7 lineitems in this corpus shape), so
+    * the pair fan-out is ≤ |basket|² rows from one array, never a
+    * shuffled wedge stream. */
   private[operators] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     edgeMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir", _ => {
-        val i = t(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val b = i.select(col("l_orderkey"), col("l_partkey").as("dst"))
-        i.withColumnRenamed("l_partkey", "src")
-          .join(b, Seq("l_orderkey"))
-          .filter(col("src") =!= col("dst"))
-          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-          .localCheckpoint()
+        // Materialized through the CACHE layer, not localCheckpoint (r17):
+        // a LogicalRDD checkpoint carries the BUILD plan's size estimate,
+        // and the basket-agg build estimates ~2 MB where the edge set is
+        // really ~70 MB — under the auto-broadcast threshold, so every
+        // downstream unhinted join (n1's out-weight join, n3/n4's frontier
+        // joins) silently broadcast the CORPUS-SCALE edge table (measured:
+        // n1's iteration jobs 0.9→3.5 s at sf0.1; at 100 TB it is a driver
+        // OOM). InMemoryRelation reports MEASURED block sizes once built,
+        // so the planner sees the honest edge-scale number. Storage level
+        // matches what the old localCheckpoint used (MEMORY_AND_DISK) —
+        // every iteration re-reads this table, and the r8 DISK_ONLY rule
+        // was for the oriented DERIVED copy, not this base.
+        val e = edgeBuild(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        e
       })
+
+  /** The pre-checkpoint edge-build plan (exposed to
+    * [[graft.tools.ExplainDump]] like DedupQueries.x3Build: the memoized
+    * frame is a checkpoint scan, so only this shows the real build). */
+  private[graft] def edgeBuild(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
 
   /** n1: PageRank over the part co-purchase graph — the iterative graph
     * verb beyond x7's connected components: parts are nodes, co-occurrence
@@ -194,11 +223,22 @@ object GraphOps {
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
       .localCheckpoint()
+    // Each normalized score table localCheckpoints: `raw` appears TWICE
+    // in the normalized plan (once as itself, once under the 1-row mass
+    // agg), so four lazily-chained half-steps nest into a 2^4-duplicated
+    // logical tree — the x7 self-reference lesson (r17: the executed n2
+    // plan dump was 115 KB of nested repeats; analysis/codegen time rode
+    // in the bench row). The checkpoint TRUNCATES the logical plan (a
+    // cache-layer persist would not — analysis still walks the nested
+    // tree). Score tables are node-sized and hint-broadcast below the
+    // gate, so the checkpoint's estimate-derived stats carry no
+    // broadcast hazard here (unlike the edge memo — see coPurchaseEdges).
     def l1Normalize(raw: DataFrame, id: String): DataFrame = {
       val mass = raw.agg(sum(col("rawd")).as("m"))
       raw.join(mass)
         .select(col(id),
           (col("rawd").cast("double") / col("m").cast("double")).as("score"))
+        .localCheckpoint()
     }
     // Size gate (n1's contract; counted once off the checkpointed edge
     // set — a bounded 2-long scalar): below it the node-sized score

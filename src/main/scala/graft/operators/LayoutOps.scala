@@ -401,7 +401,7 @@ object LayoutOps {
     * The shard key is the z9-audited cut — [[Z9ZoneCells]] consecutive
     * curve cells per shard — and the landed columns are the row identity
     * plus the quantized dims (4 longs/row, never wide payloads: the z8
-    * manifest discipline). One range-repartition shuffle clusters rows by
+    * manifest discipline). One hash-cluster shuffle on the shard key groups rows by
     * shard so each write task lands a handful of shard directories. */
   /** The quantized (l_orderkey, qx, qy, kx) projection of lineitem — the
     * z5/z7/z9/z10 key math in one place, shared with the streamed writer's
@@ -419,19 +419,42 @@ object LayoutOps {
   /** One frame of quantized rows → Hilbert-sharded parquet appended under
     * `out` — the per-batch body of the streamed writer and the whole-corpus
     * body of the batch writer (same fold, same shard key, same landed
-    * columns). */
+    * columns). HASH-clustered on the shard key, not range: every hshard
+    * value still lands wholly in one task (one file per shard per write,
+    * same as range clustering), but `repartitionByRange` additionally runs
+    * a range-boundary SAMPLING job that re-executes the whole upstream —
+    * the 16-level Hilbert fold over every row — once per call (r17
+    * measured: one extra job per micro-batch in st20 and per export in
+    * z10, ~2× the fold work). Shard-to-file grouping is what the write
+    * needs; inter-shard ORDER across tasks is irrelevant to a
+    * `partitionBy` write, so the sample pass bought nothing. */
   private[graft] def landHilbertShards(rows: DataFrame, out: String,
       mode: String): Unit =
+    hilbertShardFrame(rows)
+      .write.partitionBy("hshard").mode(mode).parquet(out)
+
+  /** The pre-write shard frame (factored so ExplainDump can show the
+    * writer's exchange shape — the r17 range→hash evidence). The
+    * partition count is PINNED to the cluster's default parallelism:
+    * without it AQE coalesces this (bytes-tiny) exchange to ~1 task,
+    * and that one task then opens all ~342 per-shard parquet writers
+    * SEQUENTIALLY — measured ~3.5 s/batch of pure writer init at sf0.1,
+    * the dominant streamed-lake cost. AQE optimizes for shuffle bytes
+    * and cannot see the downstream per-FILE cost; the explicit width
+    * spreads writer init across cores and stays scale-adaptive (derived
+    * from the session's core count, not a constant). Each hshard still
+    * hashes wholly into one task — one file per shard per write. */
+  private[graft] def hilbertShardFrame(rows: DataFrame): DataFrame =
     withHilbertIndex(rows, col("kx"), col("qy"), "hd")
       .withColumn("hshard", expr(s"hd div $Z9ZoneCells"))
       .select("hshard", "l_orderkey", "qx", "qy", "hd")
-      .repartitionByRange(col("hshard"))
-      .write.partitionBy("hshard").mode(mode).parquet(out)
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism,
+        col("hshard"))
 
   private[operators] def hilbertExportRoot(spark: SparkSession, dir: String): String =
     hilbertExportMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir", _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-z10-export")
+        val d = graft.core.FsUtil.scratchDir("graft-z10-export")
         graft.core.FsUtil.deleteOnExitRecursively(d)
         val out = d.resolve("shards").toString
         landHilbertShards(quantizedLineitem(spark, dir), out, "overwrite")
@@ -451,7 +474,7 @@ object LayoutOps {
     * through the same Hilbert CTE chain — a hash match proves the landed
     * layout is exactly the claimed curve cut (wrong shard key, dropped
     * rows, or a partition-encoding slip all break it). Scale: the write
-    * is one range-shuffle + streaming parquet write (≤342 shard dirs at
+    * is one shard-key hash shuffle + streaming parquet write (≤342 shard dirs at
     * any corpus size — a 100 TB run subdivides shards by file budget, the
     * z8 SeqsPerShard move); the audit is one scan of the landed files
     * with a ≤342-group map-side rollup. */

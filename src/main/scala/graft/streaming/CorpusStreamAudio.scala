@@ -118,7 +118,7 @@ object CorpusStreamAudio {
     * staging discipline: pinned batch contents, several real batches). */
   private[streaming] def stagedNewDocs(spark: SparkSession, dir: String): String =
     stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-st19")
+      val d = graft.core.FsUtil.scratchDir("graft-st19")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       val out = d.resolve("new").toString
       Tables.t(spark, dir, "documents").filter(expr(NewSliceSql))

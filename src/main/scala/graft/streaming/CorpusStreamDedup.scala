@@ -55,7 +55,7 @@ object CorpusStreamDedup {
     * memoized per (session, corpus). */
   private[streaming] def stagedNewDocs(spark: SparkSession, dir: String): String =
     stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-st14")
+      val d = graft.core.FsUtil.scratchDir("graft-st14")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       val out = d.resolve("new").toString
       // Range-partition (EventStreamOps' staging discipline), not

@@ -47,7 +47,17 @@ object CorpusStreamDrift {
   def st16StreamDrift(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Tables, TextQueries}
     val sink = EventStreamOps.replaySinkDir("st16")
-    val stream = spark.readStream
+    // The ONE stateful corpus-stream query runs in the replay CHILD
+    // session (EventStreamOps.replaySession — 2 state partitions instead
+    // of the root session's core count): a Complete-mode agg pins one
+    // state store per shuffle partition at query start, and 32 stores
+    // checkpoint-churning per micro-batch is pure harness overhead for a
+    // vocabulary-sized replay (the event-replay rationale, applied here
+    // in r17 — counting is partition-count-invariant, so the result is
+    // unchanged). The static old side and the final join stay on the
+    // root session with its full parallelism.
+    val streamSpark = EventStreamOps.replaySession(spark)
+    val stream = streamSpark.readStream
       .schema(CorpusStreamDedup.newDocsSchema)
       .option("maxFilesPerTrigger", "1") // several real micro-batches
       .parquet(CorpusStreamDedup.stagedNewDocs(spark, dir))

@@ -40,7 +40,7 @@ object CorpusStreamIngest {
   /** Stage `documents` as JSONL part files + one torn-lines file. */
   private def stagedJsonl(spark: SparkSession, dir: String): java.nio.file.Path =
     stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-st13")
+      val d = graft.core.FsUtil.scratchDir("graft-st13")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       val docs = graft.operators.Tables.t(spark, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -74,7 +74,7 @@ object CorpusStreamIngest {
     * source + the `__corrupt__` bucket). */
   def st13StreamJsonlIngest(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedJsonl(spark, dir)
-    val sink = java.nio.file.Files.createTempDirectory("graft-st13-sink")
+    val sink = graft.core.FsUtil.scratchDir("graft-st13-sink")
     graft.core.FsUtil.deleteOnExitRecursively(sink)
     val stream = spark.readStream
       .schema(documentsSchema)

@@ -46,7 +46,7 @@ object CorpusStreamKmv {
     * so maxFilesPerTrigger=1 yields several REAL micro-batches. */
   private[streaming] def stagedSideA(spark: SparkSession, dir: String): String =
     stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-st18")
+      val d = graft.core.FsUtil.scratchDir("graft-st18")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       val out = d.resolve("new").toString
       Tables.t(spark, dir, "documents").filter(expr(DedupQueries.KmvSideASql))

@@ -81,7 +81,7 @@ object EventStreamOps {
       slice: DataFrame => DataFrame, transform: DataFrame => DataFrame,
       nFiles: Int = 4): DataFrame = {
     val spark = replaySession(rootSpark)
-    val d = java.nio.file.Files.createTempDirectory("graft-docstream")
+    val d = graft.core.FsUtil.scratchDir("graft-docstream")
     try {
       slice(graft.operators.Tables.t(spark, dir, "documents"))
         .repartitionByRange(nFiles, col("doc_id"))
@@ -114,7 +114,7 @@ object EventStreamOps {
     val dir =
       if (java.nio.file.Files.isRegularFile(p)) {
         stagedDirs.computeIfAbsent(path, _ => {
-          val d = java.nio.file.Files.createTempDirectory("graft-stream")
+          val d = graft.core.FsUtil.scratchDir("graft-stream")
           val staged = d.resolve(p.getFileName)
           java.nio.file.Files.copy(p, staged)
           // register the FILE too: File.delete on a non-empty dir is a
@@ -538,7 +538,7 @@ object EventStreamOps {
     * silently empty stream would read as "no events", not as the layout
     * mistake it is. */
   private def stageReplay(path: String): (java.nio.file.Path, Long) = {
-    val d = java.nio.file.Files.createTempDirectory("graft-stream-replay")
+    val d = graft.core.FsUtil.scratchDir("graft-stream-replay")
     try stageReplayInto(path, d)
     catch { case e: Throwable => deleteStagingDir(d); throw e }
   }
@@ -694,7 +694,7 @@ object EventStreamOps {
     * state stores instead of the session's 32 — per-micro-batch state-store
     * checkpoint churn is pure harness overhead at replay scale, and every
     * aggregate here is partition-count-invariant (decimal accumulate). */
-  private def replaySession(rootSpark: SparkSession): SparkSession = {
+  private[streaming] def replaySession(rootSpark: SparkSession): SparkSession = {
     val spark = rootSpark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -741,7 +741,7 @@ object EventStreamOps {
       transform: DataFrame => DataFrame, copies: Int = 2): DataFrame = {
     require(copies >= 1, "copies must be >= 1")
     val spark = replaySession(rootSpark)
-    val d = java.nio.file.Files.createTempDirectory("graft-stream-replay")
+    val d = graft.core.FsUtil.scratchDir("graft-stream-replay")
     try {
       var staged = 0L
       for (i <- 0 until copies) // per-copy tag: same part file names can't collide

@@ -51,7 +51,7 @@ object IndexStreamMaintenance {
     * several real micro-batches with pinned contents. */
   private[streaming] def stagedDeletes(spark: SparkSession, dir: String): String =
     stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-st21")
+      val d = graft.core.FsUtil.scratchDir("graft-st21")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       val out = d.resolve("deletes").toString
       Tables.t(spark, dir, "embeddings")
@@ -66,7 +66,7 @@ object IndexStreamMaintenance {
     * it (idempotent per session); returns the index root. */
   private[graft] def maintainedRoot(spark: SparkSession, dir: String): String =
     rootMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-annidx-st21")
+      val d = graft.core.FsUtil.scratchDir("graft-annidx-st21")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       AnnIndexStore.persist(spark, dir, d.toString)
       val stream = spark.readStream

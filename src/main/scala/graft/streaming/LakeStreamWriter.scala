@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
  * hash breaks).
  *
  * Scale: the per-batch cost is the batch's own curve fold + one
- * range-shuffle of the batch + an O(batch) partitioned append — the
+ * shard-key hash shuffle of the batch + an O(batch) partitioned append — the
  * shape a continuous 100 TB ingest actually runs (land along the
  * cluster key at write time; never re-sort the lake later). Appends
  * create one file per (task, shard) per batch; a real deployment
@@ -64,7 +64,7 @@ object LakeStreamWriter {
     * math both writers cut. */
   private[streaming] def stagedRows(spark: SparkSession, dir: String): String =
     stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-st20")
+      val d = graft.core.FsUtil.scratchDir("graft-st20")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       val out = d.resolve("rows").toString
       LayoutOps.quantizedLineitem(spark, dir)
@@ -93,7 +93,7 @@ object LakeStreamWriter {
 
   private def streamedLakeRootNoRepair(spark: SparkSession, dir: String): String =
     lakeMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-st20-lake")
+      val d = graft.core.FsUtil.scratchDir("graft-st20-lake")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       val out = d.resolve("shards").toString
       val stream = spark.readStream
@@ -124,8 +124,9 @@ object LakeStreamWriter {
     *      which skips dot-names; same filesystem by construction, so the
     *      swaps below are renames; the source listing is pinned at read
     *      time, so writing under the root mid-job is safe) —
-    *      `repartitionByRange(hshard)` clusters each shard wholly into
-    *      one task, so each shard dir gets exactly one file;
+    *      hash-clustering on hshard puts each shard wholly into one task,
+    *      so each shard dir gets exactly one file (no range sampling —
+    *      the landHilbertShards r17 rationale);
     *   2. per shard, retire the old dir to a dot-prefixed name and
     *      rename the staged dir into place (the VersionedTable.compact
     *      discipline at directory granularity: dot-prefixed names are
@@ -157,7 +158,10 @@ object LakeStreamWriter {
     val staged = Files.createTempDirectory(rootP, ".graft-compact")
     spark.read.parquet(root)
       .withColumn("hshard", col("hshard").cast("long"))
-      .repartitionByRange(col("hshard"))
+      // width pinned like LayoutOps.hilbertShardFrame: AQE would coalesce
+      // the byte-tiny exchange to ~1 task and serialize ~342 parquet
+      // writer inits
+      .repartition(spark.sparkContext.defaultParallelism, col("hshard"))
       .write.partitionBy("hshard").mode("overwrite").parquet(staged.toString)
     val shardDirs = {
       val s = Files.list(staged)

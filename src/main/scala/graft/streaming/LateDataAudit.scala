@@ -87,7 +87,7 @@ object LateDataAudit {
   private def stagedSlices(spark: SparkSession, dir: String): Seq[java.nio.file.Path] =
     stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
       import spark.implicits._
-      val d = java.nio.file.Files.createTempDirectory("graft-st15")
+      val d = graft.core.FsUtil.scratchDir("graft-st15")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       // nanos-generation corpora (the sf1 ScaleUp snapshot) store ts as
       // INT64 nanos — probe-read them as long, normalize below
@@ -149,7 +149,7 @@ object LateDataAudit {
     val name = s"st15_${System.nanoTime()}"
     // fresh watched dir per run: a reused one would replay every file in
     // one burst of back-to-back batches — the no-drop regime above
-    val watch = java.nio.file.Files.createTempDirectory("graft-st15-watch")
+    val watch = graft.core.FsUtil.scratchDir("graft-st15-watch")
     graft.core.FsUtil.deleteOnExitRecursively(watch)
     def land(i: Int): Unit = {
       val dst = watch.resolve(slices(i).getFileName)

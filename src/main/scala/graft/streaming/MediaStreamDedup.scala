@@ -90,7 +90,7 @@ object MediaStreamDedup {
     * pinned across sessions). */
   private[streaming] def stagedNewDocs(spark: SparkSession, dir: String): String =
     stageMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-st17")
+      val d = graft.core.FsUtil.scratchDir("graft-st17")
       graft.core.FsUtil.deleteOnExitRecursively(d)
       val out = d.resolve("new").toString
       Tables.t(spark, dir, "documents").filter(expr(NewSliceSql))

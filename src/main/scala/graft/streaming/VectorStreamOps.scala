@@ -44,7 +44,7 @@ object VectorStreamOps {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isRegularFile(p)) path
     else stagedDirs.computeIfAbsent(path, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-vec-stream")
+      val d = graft.core.FsUtil.scratchDir("graft-vec-stream")
       val staged = d.resolve(p.getFileName)
       java.nio.file.Files.copy(p, staged)
       d.toFile.deleteOnExit()

@@ -19,12 +19,19 @@ object ExplainDump {
     // one job: whole-tree scan -> range-cluster on hshard -> partitioned
     // rewrite; dumped pre-write, the read+shuffle side that scales)
     val pseudo = Map[String, SparkSession => org.apache.spark.sql.DataFrame](
+      // the n-family's memoized edge build (pre-checkpoint — the memo
+      // returns an ExistingRDD scan) and the Hilbert writers' pre-write
+      // shard frame: the r17 optimization evidence plans
+      "copurchase_edges_build" -> (s => graft.operators.GraphOps.edgeBuild(s, sf)),
+      "hilbert_land_fold" -> (s =>
+        graft.operators.LayoutOps.hilbertShardFrame(
+          graft.operators.LayoutOps.quantizedLineitem(s, sf))),
       "compact_shards_fold" -> { s =>
         import org.apache.spark.sql.functions.col
         val root = graft.streaming.LakeStreamWriter.streamedLakeRoot(s, sf)
         s.read.parquet(root)
           .withColumn("hshard", col("hshard").cast("long"))
-          .repartitionByRange(col("hshard"))
+          .repartition(col("hshard"))
       })
     val targets: Seq[(String, SparkSession => org.apache.spark.sql.DataFrame)] =
       graft.SparkEntry.queries.toSeq.collect { case (n, fn) if names(n) =>

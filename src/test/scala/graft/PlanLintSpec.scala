@@ -34,7 +34,10 @@ class PlanLintSpec extends SparkSpec {
     "y21_corpus_drift" -> "1-row per-side token totals broadcast onto the vocabulary table",
     "y18_bm25" -> "1-row corpus stats (N, Σdl, 3 dfs) broadcast onto per-doc scores",
     "w10_assoc_rules" -> "1-row basket total joined onto the 20-row rule list",
-    "n2_hits" -> "1-row L1 mass joined back per normalization half-step",
+    // n2_hits left the list in r17: the L1 mass cross-join still exists but
+    // now runs inside each half-step's localCheckpoint (the x7 plan-
+    // duplication fix), so the returned plan reads checkpointed RDDs and
+    // shows no condition-free join to whitelist.
     "v20_adc_join_serve" ->
       "quantizer tables (k=10-row coarse, k'=4-row codebooks) cross the query set — O(k) sides by construction, the ADC distance-table build",
     "p6_kmv_overlap" ->

@@ -72,6 +72,25 @@ class GraphScaleSpec extends SparkSpec {
       "sanity: the co-partitioned plan still shuffles node-sized rows")
   }
 
+  test("edge memo materializes through the cache layer (measured stats)") {
+    // r17 regression guard: a localCheckpointed memo carries the BUILD
+    // plan's size ESTIMATE — the basket-agg build estimated ~2 MB where
+    // the edge set is really edge-scale, so downstream unhinted joins
+    // auto-broadcast the corpus-scale edge table (and at 100 TB, OOM the
+    // driver). The cache layer reports MEASURED block sizes; this pins
+    // the mechanism and that the reported stats are real bytes, not an
+    // estimate left at the conf default.
+    val e = GraphOps.coPurchaseEdges(spark, sfDir)
+    val mem = e.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(mem.nonEmpty, "edge memo must be an InMemoryRelation (cache layer)")
+    val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val defaultSize = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    assert(bytes > 0 && bytes < defaultSize,
+      s"edge memo stats should be measured bytes, got $bytes")
+  }
+
   test("n2 co-partitioned regime: same authorities, edges never re-shuffle") {
     val viaBroadcast = rows(GraphOps.n2Hits(spark, sfDir))
     val (viaCoPart, shuffles) = inCoPartitionedRegime {
