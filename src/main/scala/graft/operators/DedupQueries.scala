@@ -190,7 +190,11 @@ object DedupQueries {
   private def docShingleStats(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "docShingleStats") {
       import spark.implicits._
-      t(spark, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      // fan out before the tokenize+md5 map — the costliest narrow stage
+      // in the repo ran on ONE task at bench SFs (r17, Tables.fanOutSmallScan)
+      Tables.fanOutSmallScan(
+          t(spark, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+        .as[(Long, String)]
         .map { case (id, text) =>
           val (hs, sigs) = shingleStats(text)
           (id, hs, hs.length, sigs)
@@ -435,7 +439,8 @@ object DedupQueries {
     import spark.implicits._
     val dim = 64
     val numPlanes = 32
-    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    Tables.fanOutSmallScan(
+        t(spark, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
       .as[(Long, String)]
       .mapPartitions { it =>
         val planes = Array.tabulate(numPlanes, dim)((p, i) =>

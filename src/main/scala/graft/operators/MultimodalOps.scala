@@ -174,8 +174,12 @@ object MultimodalOps {
     * stand-in payload source (UTF-8 bytes of the text). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.t(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // fan out before the decode passes every consumer runs — the corpus
+    // scan is ONE partition at bench SFs (r17, Tables.fanOutSmallScan)
+    Tables.fanOutSmallScan(
+        Tables.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id")
       .as[(Long, Array[Byte])]
   }
 
@@ -335,8 +339,10 @@ object MultimodalOps {
   def mm5MultimodalPack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cap = 4096L
-    val toks = Tables.t(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val toks = Tables.fanOutSmallScan(
+        Tables.t(spark, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id")
+      .as[(Long, String)]
       .mapPartitions { it =>
         // real codec init would go here, once per partition
         it.map { case (id, text) =>
@@ -392,11 +398,13 @@ object MultimodalOps {
     // gate SFs, so (y12/y16's injection pattern) every 11th doc's payload
     // is one of 3 canonical blobs on BOTH engines — the dedupe path is
     // exercised on real collisions at every scale.
-    val media = Tables.t(spark, dir, "documents")
-      .select(col("doc_id"),
-        when(col("doc_id") % 11 === 0,
-          concat(lit("dup payload "), col("doc_id") % 3))
-          .otherwise(col("text")).cast("binary").as("payload"))
+    val media = Tables.fanOutSmallScan(
+        Tables.t(spark, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0,
+              concat(lit("dup payload "), col("doc_id") % 3))
+              .otherwise(col("text")).cast("binary").as("payload")),
+        "doc_id")
       .as[(Long, Array[Byte])]
     media.mapPartitions { it =>
       // real codec init would go here, once per partition
@@ -489,8 +497,10 @@ object MultimodalOps {
     // of the corpus plus a join — at decode-bound scale that doubles the
     // dominant cost for zero benefit). Emits the long-form rows the m2
     // rollup shape consumes, geometry carried alongside.
-    Tables.t(spark, dir, "documents")
-      .filter(col("doc_id") % 3 === 0).select("doc_id").as[Long]
+    Tables.fanOutSmallScan(
+        Tables.t(spark, dir, "documents")
+          .filter(col("doc_id") % 3 === 0).select("doc_id"), "doc_id")
+      .as[Long]
       .mapPartitions { it =>
         // encoder init (ImageIO SPI lookup) amortizes here, per partition
         it.flatMap { id =>
@@ -632,8 +642,9 @@ object MultimodalOps {
     // m8's bench time 2x). The checkpointed frame is (doc_id, 8-byte
     // hash) — KBs per thousand docs; at 100 TB this is the persisted
     // fingerprint table a production run lands anyway.
-    val hashes = Tables.t(spark, dir, "documents")
-      .select("doc_id").as[Long]
+    val hashes = Tables.fanOutSmallScan(
+        Tables.t(spark, dir, "documents").select("doc_id"), "doc_id")
+      .as[Long]
       .mapPartitions { it =>
         // ImageIO SPI lookup amortizes here, once per partition
         it.map { id =>
@@ -795,7 +806,9 @@ object MultimodalOps {
     * per partition like every m-family pass. */
   def m9AudioPcmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+    Tables.fanOutSmallScan(
+        Tables.t(spark, dir, "documents").select("doc_id"), "doc_id")
+      .as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
           val samples = decodeWav(m9SyntheticWav(id)).samples
@@ -905,7 +918,9 @@ object MultimodalOps {
     * move, never frames. */
   def m10VideoFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+    Tables.fanOutSmallScan(
+        Tables.t(spark, dir, "documents").select("doc_id"), "doc_id")
+      .as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
           decodeVideo(id, m10SyntheticVideo(id)).zipWithIndex.map { case (img, f) =>

@@ -57,6 +57,27 @@ object Tables {
       i => concat_ws(" ", slice(toks, i, lit(3))))
   }
 
+  /** Spread a small scan across the session's cores before an expensive
+    * per-row JVM stage (decode, hash, tokenize). A sub-128 MB single-file
+    * parquet plans as ONE scan partition (and `openCostInBytes`/row-group
+    * granularity keep it that way however the split confs are tuned), so
+    * every downstream mapPartitions decode pass ran single-threaded
+    * regardless of core count (r17: the m-family decode passes and the
+    * dedupe family's tokenize pass were serialized on one task at bench
+    * SFs — documents.parquet is 0.6 MB at sf0.1). CONDITIONAL by
+    * partition count: when the scan already has >= parallelism partitions
+    * (the 100 TB shape — many files), this is a no-op and payload bytes
+    * never shuffle, preserving the m-family discipline; only the
+    * small-corpus/expensive-row regime pays the (tiny) one-pass shuffle.
+    * Hash-clustered on the row key: deterministic row→partition
+    * assignment (retry-safe — no round-robin, so no sort-before-
+    * repartition pass and no SPARK-38388 exposure). */
+  def fanOutSmallScan(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
+
   /** Sequential double fold dot-product over two float arrays.
     * Matches DuckDB `list_dot_product(a::DOUBLE[], b::DOUBLE[])` bitwise
     * (verified: both are a left fold in double over float32-widened values).

@@ -108,8 +108,12 @@ object CorpusStreamAudio {
     * localCheckpointed: (doc_id, fp) rows, KB-scale. */
   private[streaming] def standingFps(spark: SparkSession, dir: String): DataFrame =
     memo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ =>
-      featuresOf(Tables.t(spark, dir, "documents")
-        .filter(not(expr(NewSliceSql))))
+      // fan out the STANDING-index decode (the st17 rationale — one scan
+      // partition serialized the WAV decode at bench SFs); per-batch
+      // decodes stay as-arrived
+      featuresOf(Tables.fanOutSmallScan(
+          Tables.t(spark, dir, "documents")
+            .filter(not(expr(NewSliceSql))), "doc_id"))
         .filter(gatePass)
         .select("doc_id", "fp")
         .localCheckpoint())

@@ -81,8 +81,12 @@ object MediaStreamDedup {
     * family's session memos. */
   private[streaming] def oldHashes(spark: SparkSession, dir: String): DataFrame =
     memo.computeIfAbsent(s"${spark.sparkContext.applicationId}|$dir", _ =>
-      hashesOf(Tables.t(spark, dir, "documents")
-        .filter(not(expr(NewSliceSql)))).localCheckpoint())
+      // fan out the STANDING-index decode (corpus-scale, one scan
+      // partition at bench SFs — r17, Tables.fanOutSmallScan); per-batch
+      // decodes stay as-arrived, batch-scale work by contract
+      hashesOf(graft.operators.Tables.fanOutSmallScan(
+        Tables.t(spark, dir, "documents")
+          .filter(not(expr(NewSliceSql))), "doc_id")).localCheckpoint())
 
   /** Stage the incoming slice as 4 range-partitioned part files so
     * maxFilesPerTrigger=1 yields several REAL micro-batches (st14's
