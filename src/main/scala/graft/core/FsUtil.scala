@@ -36,12 +36,24 @@ object FsUtil {
     * slices, export trees). These are per-session intermediates deleted
     * at exit, never cross-run state; a production deployment gives each
     * a durable path, where the equivalent lever is the object store's
-    * commit protocol, not tmpfs. */
+    * commit protocol, not tmpfs.
+    * Placement can be forced with `GRAFT_SCRATCH_DIR` (e.g. a big disk
+    * path when tmpfs is too small for the SF being run), and tmpfs is
+    * only chosen while it has usable headroom (r17 advisor: /dev/shm is
+    * typically capped at 50% of RAM, and an ENOSPC mid-bench at a larger
+    * SF would fail where the old disk-backed /tmp succeeded). */
+  private[graft] val ScratchMinUsableBytes = 8L * 1024 * 1024 * 1024
   def scratchDir(prefix: String): Path = {
+    val forced = sys.env.get("GRAFT_SCRATCH_DIR").map(java.nio.file.Paths.get(_))
     val shm = java.nio.file.Paths.get("/dev/shm")
-    val root =
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val root = forced.filter(p => Files.isDirectory(p) && Files.isWritable(p))
+      .getOrElse {
+        val shmOk = Files.isDirectory(shm) && Files.isWritable(shm) &&
+          (try Files.getFileStore(shm).getUsableSpace >= ScratchMinUsableBytes
+           catch { case _: Throwable => false })
+        if (shmOk) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      }
     Files.createTempDirectory(root, prefix)
   }
 }

@@ -142,7 +142,15 @@ object AnalyticsQueries {
     * order) and a left-ANTI self-join (no other supplier was late on it).
     * Both run on the deduplicated (orderkey, suppkey) edge set, never the
     * raw fact; at scale all three joins shuffle on orderkey — one
-    * partitioning reused across the semi, anti, and count stages. */
+    * partitioning reused across the semi, anti, and count stages. The
+    * semi and anti probe sides carry SHUFFLE_HASH hints (r18, guide §3.1):
+    * the planner's default is a sort-merge join, which pays two
+    * edge-set sorts per join for set-membership semantics that a
+    * per-partition hash build answers directly; the build sides (the
+    * multi-supplier order list, the late edge set) are post-shuffle
+    * partition-bounded, the same memory shape AQE's own SMJ→SHJ rewrite
+    * targets. Row-for-row identical output — join strategy, not join
+    * semantics (oracle-gated). */
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val o = t(spark, dir, "orders")
@@ -160,8 +168,8 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_supp")).filter(col("n_supp") > 1)
       .select("l_orderkey")
     late.as("t")
-      .join(multi, Seq("l_orderkey"), "left_semi")
-      .join(late.as("x"),
+      .join(multi.hint("SHUFFLE_HASH"), Seq("l_orderkey"), "left_semi")
+      .join(late.as("x").hint("SHUFFLE_HASH"),
         col("t.l_orderkey") === col("x.l_orderkey") &&
           col("t.l_suppkey") =!= col("x.l_suppkey"), "left_anti")
       .join(broadcast(s), col("t.l_suppkey") === s("s_suppkey"))
@@ -964,7 +972,13 @@ object AnalyticsQueries {
 
   def p3CmsTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val keys = t(spark, dir, "lineitem").select(col("l_partkey").as("key"))
+    // fanOutSmallScan (r18): the CMS update pass (4 hashes/row via the
+    // typed aggregator) ran on lineitem's ONE scan partition at bench
+    // SFs; keyed on l_partkey so the exact-count groupBy downstream
+    // reuses the same partitioning (no second exchange). No-op at
+    // many-file scale. CMS merge is order/partitioning-independent.
+    val keys = Tables.fanOutSmallScan(
+      t(spark, dir, "lineitem").select(col("l_partkey").as("key")), "key")
     val sketch = keys.as[Long]
       .select(new graft.functions.CmsSketchAgg(4, 256).toColumn.name("cms"))
       .head()
@@ -996,7 +1010,12 @@ object AnalyticsQueries {
     * PLAN, never the answer (spec-asserted against the unfiltered agg,
     * plus the pruning actually biting). */
   def p5HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val keys = t(spark, dir, "lineitem").select(col("l_partkey").as("key"))
+    // fanOutSmallScan (r18): same rationale as p3 — the sketch-estimate
+    // prefilter evaluates 4 hash probes per row and ran single-threaded
+    // on the one-partition scan; hash-clustering on the part key feeds
+    // the exact groupBy with no second exchange
+    val keys = Tables.fanOutSmallScan(
+      t(spark, dir, "lineitem").select(col("l_partkey").as("key")), "key")
     keys
       .filter(p5Prefilter(spark, dir, col("key")))
       .groupBy(col("key").as("part_key"))
@@ -1011,7 +1030,10 @@ object AnalyticsQueries {
       spark: SparkSession, dir: String, key: Column): Column = {
     import spark.implicits._
     val (depth, width) = (4, 16384)
-    val sketch = t(spark, dir, "lineitem").select(col("l_partkey").as("key"))
+    // fanned out like p3/p5's key scans: the 4-hash CMS update per row is
+    // the expensive part and ran on ONE scan partition at bench SFs
+    val sketch = Tables.fanOutSmallScan(
+        t(spark, dir, "lineitem").select(col("l_partkey").as("key")), "key")
       .as[Long]
       .select(new graft.functions.CmsSketchAgg(depth, width).toColumn.name("cms"))
       .head()
@@ -1032,7 +1054,11 @@ object AnalyticsQueries {
     * TakeOrderedAndProject with full tiebreaks, so no global sort and a
     * deterministic hash. */
   def w7BasketPairs(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "lineitem")
+    // fanOutSmallScan (r18): same rationale as GraphOps.edgeBuild — the
+    // repartition replaces the basket agg's exchange; no-op at scale
+    Tables.fanOutSmallScan(
+        t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(col("ps")).as("part_a"), col("ps"))
@@ -1340,7 +1366,9 @@ object AnalyticsQueries {
     // identical up to the basket agg, so ReuseExchange ships the one
     // shuffle to all of them (the r16 form computed the (order, part)
     // distinct per consumer and self-joined it for the pairs).
-    val baskets = t(spark, dir, "lineitem")
+    val baskets = Tables.fanOutSmallScan(
+        t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
     val pairs = baskets

@@ -68,18 +68,52 @@ object AnnIndexStore {
     * publishes fresh versions; readers flip whole versions, never mixes. */
   def persist(spark: SparkSession, dir: String, root: String): Unit = {
     import spark.implicits._
-    val coarse = SimilarityQueries.trainedCentroids(spark, dir, "full", 10, 3)
-      .toDF("cell", "centroid")
-    val books = SimilarityQueries.pqCodebooks(spark, dir).zipWithIndex
-      .flatMap { case (cb, s) => cb.map { case (c, v) => (s, c, v) } }
-      .toDF("s", "cell", "centroid")
-    table(spark, root, "coarse", coarseSchema).publish(coarse)
-    table(spark, root, "codebooks", codebookSchema).publish(books)
-    table(spark, root, "coded", codedSchema)
-      .publish(SimilarityQueries.codedVectors(spark, dir))
-    table(spark, root, "bands", bandSchema)
-      .publish(DedupQueries.minhashBands(spark, dir)
-        .select("doc_id", "band", "band_key"))
+    // r18, guide §2.6 (overlap independent jobs): the four table builds
+    // are THREE independent job chains — the coarse Lloyd loop, the PQ
+    // codebook loop, and the MinHash band build — plus `coded`, which
+    // needs both quantizer halves. Sequential execution serialized every
+    // chain's driver collects (the Lloyd/PQ iterations are inherently
+    // sequential WITHIN a chain, and each per-iteration job leaves most
+    // cores idle at its tail); a 3-thread pool lets the chains' jobs
+    // back-fill each other's stragglers. Safety: each publish targets its
+    // OWN VersionedTable directory (per-directory manifests — no shared
+    // commit state, so cross-TABLE ordering does not exist to violate);
+    // the session memos are CountedMemo (ConcurrentHashMap) — per-key
+    // serialization keeps one build per memo; `coded` is sequenced after
+    // both quantizer futures, so it reads settled memo entries only.
+    // AnnIndexStoreSpec pins read-after-persist equivalence.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fCoarse = Future {
+        val coarse = SimilarityQueries.trainedCentroids(spark, dir, "full", 10, 3)
+          .toDF("cell", "centroid")
+        table(spark, root, "coarse", coarseSchema).publish(coarse)
+      }
+      val fBooks = Future {
+        val books = SimilarityQueries.pqCodebooks(spark, dir).zipWithIndex
+          .flatMap { case (cb, s) => cb.map { case (c, v) => (s, c, v) } }
+          .toDF("s", "cell", "centroid")
+        table(spark, root, "codebooks", codebookSchema).publish(books)
+      }
+      val fBands = Future {
+        table(spark, root, "bands", bandSchema)
+          .publish(DedupQueries.minhashBands(spark, dir)
+            .select("doc_id", "band", "band_key"))
+      }
+      val fCoded = for {
+        _ <- fCoarse
+        _ <- fBooks
+        _ <- Future {
+          table(spark, root, "coded", codedSchema)
+            .publish(SimilarityQueries.codedVectors(spark, dir))
+        }
+      } yield ()
+      Await.result(Future.sequence(Seq(fCoded, fBands)), Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** Quantizer-only base for contention probes: publish coarse+codebooks

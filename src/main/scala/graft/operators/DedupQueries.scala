@@ -661,7 +661,9 @@ object DedupQueries {
     * `min(span)` as exemplar) only matters when the distinct-span set
     * itself is shuffle-bound. */
   def x9CommonSpans(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "documents")
+    // fanOutSmallScan (r18): the tokenize+shingle explode ran on the ONE
+    // scan partition at bench SFs; no-op at many-file scale
+    Tables.fanOutSmallScan(t(spark, dir, "documents"), "doc_id")
       .select(explode(array_distinct(wordShingles(col("text")))).as("span"))
       .groupBy("span").agg(count(lit(1)).as("doc_freq"))
       .orderBy(desc("doc_freq"), col("span"))
@@ -690,7 +692,9 @@ object DedupQueries {
     val toks = split(col("text"), " ")
     val grams = transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => md5(concat_ws(" ", slice(toks, i, lit(k)))))
-    val occ = t(spark, dir, "documents")
+    // fanOutSmallScan (r18): the 8-gram md5 generation stage ran on the
+    // ONE scan partition at bench SFs; no-op at many-file scale
+    val occ = Tables.fanOutSmallScan(t(spark, dir, "documents"), "doc_id")
       .select(col("doc_id"), size(toks).cast("long").as("total_words"),
         posexplode(grams))
       .select(col("doc_id"), col("total_words"),
@@ -994,12 +998,23 @@ object DedupQueries {
     * dominant scan twice per invocation. */
   private def kmvSideHashes(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "kmvSideHashes") {
-      Tables.t(spark, dir, "documents")
-        .withColumn("side", when(expr(KmvSideASql), "a").otherwise("b"))
-        .select(col("side"), explode(expr(ShingleHashSparkSql)).as("h"))
-        .distinct()
+      kmvHashesBuild(spark, dir)
         .localCheckpoint() // five consumers (2 sketches, 2 exact lanes, union)
     }
+
+  /** The pre-checkpoint (side, h) build plan — exposed to
+    * [[graft.tools.ExplainDump]] like x3Build: the memoized frame is a
+    * checkpoint scan, so only this shows the real build. */
+  private[graft] def kmvHashesBuild(spark: SparkSession, dir: String): DataFrame =
+    // fanOutSmallScan (r18): the md5-per-shingle explode is the p6/st18
+    // memo's dominant cost and ran on documents.parquet's ONE scan
+    // partition — single-threaded at bench SFs (the r17 fan-out pass
+    // covered the tokenize/decode sites but missed this one); no-op at
+    // many-file scale
+    Tables.fanOutSmallScan(Tables.t(spark, dir, "documents"), "doc_id")
+      .withColumn("side", when(expr(KmvSideASql), "a").otherwise("b"))
+      .select(col("side"), explode(expr(ShingleHashSparkSql)).as("h"))
+      .distinct()
 
   /** Everything downstream of side A's sketch: side B's sketch, the
     * merged bottom-k, the estimator row, and the exact audit lanes.

@@ -18,10 +18,15 @@ object GraphOps {
   import Tables._
 
   /** Session memo for the weighted part co-purchase edge set — n1 and n3
-    * consume the same graph, and the distinct+self-join+weight build is
-    * the expensive part (basket-bounded fan-out, but a full corpus pass).
-    * Memoized frame is localCheckpointed: every iteration of every
-    * consumer re-reads it materialized, never re-running the build. */
+    * consume the same graph, and the basket-agg build is the expensive
+    * part (basket-bounded fan-out, but a full corpus pass). The memoized
+    * frame materializes through the CACHE layer (persist MEMORY_AND_DISK
+    * + eager count, r17): every iteration of every consumer re-reads it
+    * materialized, never re-running the build, AND the InMemoryRelation
+    * reports MEASURED sizes — a localCheckpoint would carry the build
+    * plan's ~2 MB size estimate for a ~70 MB table and lure every
+    * downstream unhinted join into auto-broadcasting the corpus-scale
+    * edge set (the r17 stats hazard; see coPurchaseEdges). */
   private val edgeMemo =
     new graft.BenchMemos.CountedMemo[String, DataFrame]("GraphOps")
 
@@ -35,8 +40,9 @@ object GraphOps {
     java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
 
   private[graft] def clearMemo(): Unit = {
-    // Unpersist any DISK_ONLY entries (no-op for localCheckpointed ones)
-    // so spec suites that clear the memo also release the cache blocks.
+    // Both memo entries live in the cache layer now (base edges
+    // MEMORY_AND_DISK, oriented DAG DISK_ONLY) — unpersist releases their
+    // blocks for spec suites that clear the memo between gated runs.
     edgeMemo.values().forEach(df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () })
     edgeMemo.clear()
@@ -100,7 +106,7 @@ object GraphOps {
     * baskets are order-bounded (≤7 lineitems in this corpus shape), so
     * the pair fan-out is ≤ |basket|² rows from one array, never a
     * shuffled wedge stream. */
-  private[operators] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     edgeMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir", _ => {
         // Materialized through the CACHE layer, not localCheckpoint (r17):
@@ -125,7 +131,14 @@ object GraphOps {
     * [[graft.tools.ExplainDump]] like DedupQueries.x3Build: the memoized
     * frame is a checkpoint scan, so only this shows the real build). */
   private[graft] def edgeBuild(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    // fanOutSmallScan (r18): the scan+partial-collect_set stage ran on
+    // lineitem's ONE scan partition at bench SFs; hash-clustering on
+    // l_orderkey feeds the basket agg with no second exchange (the
+    // repartition REPLACES the agg exchange, it does not add one).
+    // No-op at many-file scale.
+    Tables.fanOutSmallScan(
+        t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey")
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(col("ps")).as("src"), col("ps"))
@@ -155,8 +168,20 @@ object GraphOps {
   def n1Pagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = coPurchaseEdges(spark, dir)
+    // bounded scalar (moved above the build so the out-weight join can
+    // take the same gate): the graph's node count — it seeds the uniform
+    // prior, decides the iteration regime, AND gates the build join below.
+    val n = e.select(col("src")).distinct().count()
+    if (n == 0) return Seq.empty[(Long, Double)].toDF("part", "pagerank")
+    val useBroadcast = n <= broadcastNodeLimit(spark)
     val outw = e.groupBy("src").agg(sum("w").as("s"))
-    val edges0 = e.join(outw, "src")
+    // out-weight side is provably node-bounded (one row per src), so it
+    // takes the same size gate as the rank rows (r18): the r17 honest-
+    // stats fix stopped the EDGE memo auto-broadcasting here, which was
+    // correct — but it left this unhinted join planning a full SMJ
+    // (edge-set exchange + sort) where a node-sized broadcast build is
+    // safe below the gate. Above the gate the SMJ is the right shape.
+    val edges0 = e.join(if (useBroadcast) broadcast(outw) else outw, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("s")).as("p"))
     // Size-gate the iteration join (NOTE: counts — Spark actions — run at
@@ -167,17 +192,12 @@ object GraphOps {
     // iteration (an un-hinted SMJ re-exchanges + re-sorts all edges every
     // pass: measured 78 -> 62 s at sf1). Above the gate a per-iteration
     // broadcast of a linearly-growing table is the scale trap, so the
-    // edges co-partition by src ONCE inside this checkpoint (one exchange
-    // total) and every iteration ships only the rank rows through that
-    // preserved partitioning — localCheckpoint keeps outputPartitioning,
-    // so no later plan ever exchanges the edge set again (spec-asserted:
-    // zero `hashpartitioning(src` exchanges in the executed plan).
-    // bounded scalar: the graph's node count (counted ONCE, off the
-    // memoized e — same cardinality as edges0's src set) — it both seeds
-    // the uniform prior and decides the regime.
-    val n = e.select(col("src")).distinct().count()
-    if (n == 0) return Seq.empty[(Long, Double)].toDF("part", "pagerank")
-    val useBroadcast = n <= broadcastNodeLimit(spark)
+    // edges co-partition by src ONCE via the cache layer (one exchange
+    // total — see coPartitionedCheckpoint: an InMemoryRelation keeps
+    // HashPartitioning under AQE where a localCheckpoint would forget it)
+    // and every iteration ships only the rank rows through that preserved
+    // partitioning — no later plan ever exchanges the edge set again
+    // (spec-asserted: zero `hashpartitioning(src` exchanges).
     val edges =
       if (useBroadcast) edges0.localCheckpoint()
       else coPartitionedCheckpoint(spark, edges0, "src")
@@ -247,8 +267,12 @@ object GraphOps {
     // alternates between joining on `part` and on `cust`, so the
     // production form keeps two checkpointed co-partitions (two exchanges
     // total across ALL iterations) and each half-step ships only the
-    // score rows, which arrive already partitioned on the right key from
-    // the previous half-step's groupBy.
+    // score rows. (The score side DOES re-exchange each half-step in that
+    // regime: l1Normalize's localCheckpoint captures Unknown
+    // outputPartitioning under AQE — the R8Probe lesson — so the previous
+    // half-step's groupBy partitioning does not survive the checkpoint.
+    // That node-sized re-exchange is the accepted price of truncating the
+    // 2^k-nested logical plan; only the EDGE set must never re-shuffle.)
     val cnt = e.agg(countDistinct(col("cust")).as("nc"),
                     countDistinct(col("part")).as("np")).head()
     val useBroadcast =
@@ -285,9 +309,11 @@ object GraphOps {
     * a left-anti against the visited set — all exact set algebra, so the
     * per-hop counts are deterministic with no numeric contract needed.
     * Scale: the edge set comes from the session memo (shared with n1);
-    * the frontier/visited tables are node-sized and AQE picks broadcast
-    * vs shuffle per hop as the frontier grows (hop 1 is tiny, hop 2 can
-    * be most of a small-world graph — hinting broadcast would be wrong);
+    * the frontier/visited tables are node-sized and take the
+    * `broadcastNodeLimit` size gate on their EXACT per-hop counts (r18 —
+    * known for free, since the per-hop count is the query's output):
+    * broadcast below it, unhinted above it (hop 2 can be most of a
+    * small-world graph, where AQE's runtime choice is right);
     * each frontier localCheckpoints because three consumers reuse it
     * (count, anti-join, next visited — x7's lesson). Output is the
     * per-hop reach table. NOTE: like n1, this query executes Spark
@@ -306,15 +332,42 @@ object GraphOps {
     var frontier = Seq(seed).toDF("part").localCheckpoint()
     var visited = frontier
     val counts = scala.collection.mutable.Buffer((0, 1L))
+    // Size gate (r18, n1's contract — VERDICT r17 item 2): the frontier
+    // and visited tables are node-bounded, and their EXACT row counts are
+    // already known each hop (the per-hop count IS the query's output),
+    // so the gate costs nothing extra. Below it they broadcast onto the
+    // cached edge set — without the hint, the frontier/visited
+    // localCheckpoints carry UNKNOWN stats and the honest-sized (r17)
+    // edge memo plans an SMJ that re-exchanges the edge set EVERY hop
+    // (the r17 anchor regression's mechanism). Above the gate the joins
+    // stay unhinted: hop-2 frontiers on a small-world graph can be most
+    // of the catalog, and AQE's runtime choice is the right one there.
+    val gate = broadcastNodeLimit(spark)
+    var frontierCnt = 1L
+    var visitedCnt = 1L
     for (h <- 1 to 3) {
-      frontier = e.join(frontier.withColumnRenamed("part", "src"), Seq("src"))
-        .select(col("dst").as("part")).distinct()
-        .join(visited, Seq("part"), "left_anti")
+      frontier = n3HopExpand(e, frontier, visited, frontierCnt, visitedCnt, gate)
         .localCheckpoint()
-      counts += ((h, frontier.count()))
+      frontierCnt = frontier.count()
+      counts += ((h, frontierCnt))
       visited = visited.union(frontier).localCheckpoint()
+      visitedCnt += frontierCnt
     }
     counts.toSeq.toDF("hop", "n_parts").orderBy("hop")
+  }
+
+  /** One BFS hop: expand the frontier over the edges, dedup, drop
+    * visited. Named (rather than inlined in the loop) so the committed
+    * evidence plans dump THIS code path — n3's returned frame is the
+    * local per-hop count table, which shows no join to audit. */
+  private[graft] def n3HopExpand(e: DataFrame, frontier: DataFrame,
+      visited: DataFrame, frontierCnt: Long, visitedCnt: Long,
+      gate: Long): DataFrame = {
+    val fside = frontier.withColumnRenamed("part", "src")
+    e.join(if (frontierCnt <= gate) broadcast(fside) else fside, Seq("src"))
+      .select(col("dst").as("part")).distinct()
+      .join(if (visitedCnt <= gate) broadcast(visited) else visited,
+        Seq("part"), "left_anti")
   }
 
   /** n4: weighted single-source shortest paths — bounded-hop Bellman-Ford
@@ -338,11 +391,11 @@ object GraphOps {
     * on a small-world graph collapses late rounds to the shrinking
     * improvement frontier. The edge set comes from the session memo
     * (built once, shared with n1/n3); the dist/improved tables are
-    * node-sized (two longs) and the per-round joins stay UNHINTED — the
-    * frontier swings from 1 row (hop 1) to most of the graph (hop 2 on a
-    * dense catalog), so AQE's runtime size stats pick broadcast vs
-    * shuffle per round, exactly n3's frontier discipline (a forced hint
-    * in either direction is the n1 round-7 trap). Each round's dist table
+    * node-sized (two longs) and take the `broadcastNodeLimit` size gate
+    * on their tracked counts (r18, n3's discipline): broadcast below the
+    * gate, unhinted above it — the frontier swings from 1 row (hop 1) to
+    * most of the graph (hop 2 on a dense catalog), and an UNGATED hint
+    * in either direction is the n1 round-7 trap. Each round's dist table
     * localCheckpoints because two consumers reuse it (the improvement
     * anti-join and the next round's relax). Like the other n* entries,
     * construction executes Spark actions (seed lookup, eager
@@ -358,20 +411,49 @@ object GraphOps {
     val seed = seedRow.getLong(0)
     var dist = Seq((seed, 0L)).toDF("part", "dist").localCheckpoint()
     var improved = dist
+    // Size gate (r18, n3's pattern): the improvement frontier's exact
+    // count is read off its materialized checkpoint (a metadata-cheap
+    // job), and the dist table is bounded by the running frontier sum —
+    // both node-bounded. Below the gate they broadcast onto the cached
+    // edge set; the former "stay unhinted, let AQE choose" discipline
+    // predates the r17 honest-stats fix, under which these joins plan an
+    // SMJ whose edge-set exchange runs BEFORE AQE can see the frontier's
+    // runtime size (a localCheckpoint leaf has no stats to replan from).
+    // Above the gate the joins stay unhinted — AQE's per-round choice is
+    // still the right call when the frontier outgrows broadcast range.
+    val gate = broadcastNodeLimit(spark)
+    var improvedCnt = 1L
+    var distBound = 1L
     for (_ <- 1 to 3) {
-      val cand = e
-        .join(improved.select(col("part").as("src"), col("dist").as("d0")),
-          Seq("src"))
-        .select(col("dst").as("part"), (col("d0") + col("cost")).as("nd"))
-        .groupBy("part").agg(min(col("nd")).as("nd"))
-      improved = cand.join(dist, Seq("part"), "left")
-        .filter(col("dist").isNull || col("nd") < col("dist"))
-        .select(col("part"), col("nd").as("dist"))
+      improved = n4Relax(e, improved, dist, improvedCnt, distBound, gate)
         .localCheckpoint()
-      dist = dist.join(improved.select("part"), Seq("part"), "left_anti")
+      improvedCnt = improved.count()
+      val ipart = improved.select("part")
+      dist = dist.join(
+          if (improvedCnt <= gate) broadcast(ipart) else ipart,
+          Seq("part"), "left_anti")
         .union(improved).localCheckpoint()
+      distBound += improvedCnt
     }
     dist.orderBy(col("dist"), col("part")).limit(20)
+  }
+
+  /** One delta-relaxation round: fan out from last round's improved set,
+    * keep strict improvements over the settled distances. Named so the
+    * committed evidence plans dump THIS code path — n4's returned frame
+    * is a chain of localCheckpoints that shows no join to audit. */
+  private[graft] def n4Relax(e: DataFrame, improved: DataFrame,
+      dist: DataFrame, improvedCnt: Long, distBound: Long,
+      gate: Long): DataFrame = {
+    val iside = improved.select(col("part").as("src"), col("dist").as("d0"))
+    val cand = e
+      .join(if (improvedCnt <= gate) broadcast(iside) else iside, Seq("src"))
+      .select(col("dst").as("part"), (col("d0") + col("cost")).as("nd"))
+      .groupBy("part").agg(min(col("nd")).as("nd"))
+    cand.join(
+        if (distBound <= gate) broadcast(dist) else dist, Seq("part"), "left")
+      .filter(col("dist").isNull || col("nd") < col("dist"))
+      .select(col("part"), col("nd").as("dist"))
   }
 
   /** n5: triangle counting over the co-purchase graph — the clustering /
@@ -416,12 +498,23 @@ object GraphOps {
         val e = base.select("src", "dst")
         val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
           .withColumnRenamed("src", "node")
+        // Materialized CO-PARTITIONED by src through the cache layer
+        // (r18; the coPartitionedCheckpoint mechanism — an
+        // InMemoryRelation keeps HashPartitioning under AQE): n5's
+        // adjacency build (groupBy src) AND its first adjacency join
+        // (on src) both consume this partitioning, so neither plans an
+        // exchange — before this, the honest-stats fix (r17) made both
+        // re-exchange the edge-scale table (the adjacency side is
+        // Σ out-degree ≈ |E| longs, EDGE-scale in bytes, so the n1-style
+        // broadcast gate is the wrong recovery here — co-location is).
+        // One exchange paid once inside the memo build, at every scale.
         val oriented = e
           .join(deg.select(col("node").as("src"), col("d").as("ds")), Seq("src"))
           .join(deg.select(col("node").as("dst"), col("d").as("dd")), Seq("dst"))
           .filter(col("ds") < col("dd") ||
             (col("ds") === col("dd") && col("src") < col("dst")))
           .select("src", "dst")
+          .repartition(col("src"))
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         oriented.count()
         oriented

@@ -74,7 +74,23 @@ object Tables {
     * repartition pass and no SPARK-38388 exposure). */
   def fanOutSmallScan(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // The partition count is read from the physical plan's file-scan
+    // leaves, NOT via df.rdd (r18, advisor finding): .rdd compiles a
+    // SECOND physical lineage per call and — under AQE, if a caller ever
+    // passed a frame containing an exchange — would materialize upstream
+    // query stages (real Spark jobs) at plan-construction time.
+    // sparkPlan.collectLeaves() never executes anything; FileSourceScanExec
+    // packs its splits driver-side from the (cached) file index. Callers
+    // pass narrow scan-lineage frames, so the leaf scan count IS the
+    // frame's partition count. Any non-file-scan leaf means the frame is
+    // not the single-small-parquet regime this helper exists for — leave
+    // it alone (the scale-safe default: no shuffle).
+    val leaves = df.queryExecution.sparkPlan.collectLeaves()
+    val scanParts = leaves.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs().map(_.getNumPartitions).sum
+    }
+    if (scanParts.size != leaves.size || scanParts.sum >= target) df
     else df.repartition(target, col(key))
   }
 

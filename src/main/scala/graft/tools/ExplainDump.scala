@@ -19,6 +19,61 @@ object ExplainDump {
     // one job: whole-tree scan -> range-cluster on hshard -> partitioned
     // rewrite; dumped pre-write, the read+shuffle side that scales)
     val pseudo = Map[String, SparkSession => org.apache.spark.sql.DataFrame](
+      // r18 evidence plans: the p6/st18 shared md5-shingle build (the
+      // memoized frame is a checkpoint scan — dump the real build), and
+      // the n3/n4 iteration-join bodies (their returned frames are local
+      // count tables / checkpoint chains, which show no join to audit).
+      // Hop/round parameters mirror the first iteration: count 1 on the
+      // moving side, the session default gate.
+      "kmv_hashes_build" -> (s =>
+        graft.operators.DedupQueries.kmvHashesBuild(s, sf)),
+      // *_before evidence variants: the r17 code paths, reconstructed
+      // exactly — kmv without the fan-out (the r17 source inlined, the
+      // compact_shards_fold precedent), n3/n4 with gate 0 (the ungated
+      // branch IS the r17 join construction).
+      "kmv_hashes_build_nofan" -> { s =>
+        import org.apache.spark.sql.functions.{col, explode, expr, when}
+        graft.operators.Tables.t(s, sf, "documents")
+          .withColumn("side",
+            when(expr(graft.operators.DedupQueries.KmvSideASql), "a").otherwise("b"))
+          .select(col("side"),
+            explode(expr(graft.operators.DedupQueries.ShingleHashSparkSql)).as("h"))
+          .distinct()
+      },
+      "n3_hop_expand_ungated" -> { s =>
+        import org.apache.spark.sql.functions.col
+        import s.implicits._
+        val e = graft.operators.GraphOps.coPurchaseEdges(s, sf).select("src", "dst")
+        val seed = Seq(0L).toDF("part")
+        graft.operators.GraphOps.n3HopExpand(e, seed, seed, 1L, 1L, 0L)
+          .select(col("part"))
+      },
+      "n4_relax_ungated" -> { s =>
+        import org.apache.spark.sql.functions.{col, expr}
+        import s.implicits._
+        val e = graft.operators.GraphOps.coPurchaseEdges(s, sf)
+          .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
+        val d0 = Seq((0L, 0L)).toDF("part", "dist")
+        graft.operators.GraphOps.n4Relax(e, d0, d0, 1L, 1L, 0L)
+      },
+      "n3_hop_expand" -> { s =>
+        import org.apache.spark.sql.functions.col
+        import s.implicits._
+        val e = graft.operators.GraphOps.coPurchaseEdges(s, sf).select("src", "dst")
+        val seed = Seq(0L).toDF("part")
+        graft.operators.GraphOps.n3HopExpand(
+          e, seed, seed, 1L, 1L, graft.operators.GraphOps.broadcastNodeLimit(s))
+          .select(col("part"))
+      },
+      "n4_relax" -> { s =>
+        import org.apache.spark.sql.functions.{col, expr}
+        import s.implicits._
+        val e = graft.operators.GraphOps.coPurchaseEdges(s, sf)
+          .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
+        val d0 = Seq((0L, 0L)).toDF("part", "dist")
+        graft.operators.GraphOps.n4Relax(
+          e, d0, d0, 1L, 1L, graft.operators.GraphOps.broadcastNodeLimit(s))
+      },
       // the n-family's memoized edge build (pre-checkpoint — the memo
       // returns an ExistingRDD scan) and the Hilbert writers' pre-write
       // shard frame: the r17 optimization evidence plans
@@ -31,7 +86,10 @@ object ExplainDump {
         val root = graft.streaming.LakeStreamWriter.streamedLakeRoot(s, sf)
         s.read.parquet(root)
           .withColumn("hshard", col("hshard").cast("long"))
-          .repartition(col("hshard"))
+          // mirror LakeStreamWriter.compactShards exactly, including the
+          // pinned width (r17 advisor: the unpinned pseudo-plan showed an
+          // AQE-coalescible exchange the shipped code explicitly avoids)
+          .repartition(s.sparkContext.defaultParallelism, col("hshard"))
       })
     val targets: Seq[(String, SparkSession => org.apache.spark.sql.DataFrame)] =
       graft.SparkEntry.queries.toSeq.collect { case (n, fn) if names(n) =>
