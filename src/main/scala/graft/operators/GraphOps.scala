@@ -496,8 +496,6 @@ object GraphOps {
     edgeMemo.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir|oriented", _ => {
         val e = base.select("src", "dst")
-        val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-          .withColumnRenamed("src", "node")
         // Materialized CO-PARTITIONED by src through the cache layer
         // (r18; the coPartitionedCheckpoint mechanism — an
         // InMemoryRelation keeps HashPartitioning under AQE): n5's
@@ -508,17 +506,25 @@ object GraphOps {
         // Σ out-degree ≈ |E| longs, EDGE-scale in bytes, so the n1-style
         // broadcast gate is the wrong recovery here — co-location is).
         // One exchange paid once inside the memo build, at every scale.
-        val oriented = e
-          .join(deg.select(col("node").as("src"), col("d").as("ds")), Seq("src"))
-          .join(deg.select(col("node").as("dst"), col("d").as("dd")), Seq("dst"))
-          .filter(col("ds") < col("dd") ||
-            (col("ds") === col("dd") && col("src") < col("dst")))
-          .select("src", "dst")
+        val oriented = orientedBuild(e)
           .repartition(col("src"))
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         oriented.count()
         oriented
       })
+  }
+
+  /** The pre-persist orientation plan (evidence seam for ExplainDump's
+    * co-partitioned vs r17-unpartitioned n5 comparison). Takes the
+    * symmetric (src, dst) edge set WITH its degree table derived inline. */
+  private[graft] def orientedBuild(e: DataFrame): DataFrame = {
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "node")
+    e.join(deg.select(col("node").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dd")), Seq("dst"))
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select("src", "dst")
   }
 
   def n5Triangles(spark: SparkSession, dir: String): DataFrame = {
@@ -529,7 +535,13 @@ object GraphOps {
     // suite had accumulated — BENCH_HISTORY shows 2.8 s vs 17.4 s on
     // identical code/scale back-to-back (the r8 `weak`). DISK_ONLY is the
     // point the r8 fix missed: zero heap cost AND zero recompute.
-    val ed = orientedEdges(spark, dir)
+    n5Body(orientedEdges(spark, dir))
+  }
+
+  /** The n5 consumer body over a materialized oriented-edge table (named
+    * so ExplainDump can run it over the co-partitioned memo AND the r17
+    * unpartitioned shape for the evidence pair). */
+  private[graft] def n5Body(ed: DataFrame): DataFrame = {
     val adj = ed.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     // inner joins prune edges whose dst has no out-neighbors — they

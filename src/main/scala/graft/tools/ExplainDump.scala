@@ -8,7 +8,11 @@ object ExplainDump {
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.01"
+    // GRAFT_EXPLAIN_SF overrides the corpus (r18): the n-family evidence
+    // plans need sf0.1 — at sf0.01 the cached edge set is under the
+    // auto-broadcast threshold and every regime collapses to broadcast
+    // joins, hiding exactly the plan difference the dump exists to show.
+    val sf = sys.env.getOrElse("GRAFT_EXPLAIN_SF", "/root/testdata/sf0.01")
     // x3 memoizes its verified pairs behind a localCheckpoint, so the
     // registered query's plan is a bare ExistingRDD scan — dump the
     // pre-checkpoint build instead (the plan that actually runs cold)
@@ -44,25 +48,73 @@ object ExplainDump {
         import org.apache.spark.sql.functions.col
         import s.implicits._
         val e = graft.operators.GraphOps.coPurchaseEdges(s, sf).select("src", "dst")
-        val seed = Seq(0L).toDF("part")
-        graft.operators.GraphOps.n3HopExpand(e, seed, seed, 1L, 1L, 0L)
+        val seed = Seq(0L).toDF("part").localCheckpoint()
+        val f1 = graft.operators.GraphOps.n3HopExpand(e, seed, seed, 1L, 1L, 0L)
+          .localCheckpoint()
+        val f1cnt = f1.count()
+        graft.operators.GraphOps.n3HopExpand(
+          e, f1, seed.union(f1), f1cnt, 1L + f1cnt, 0L)
           .select(col("part"))
+      },
+      "n1_outw_ungated" -> { s =>
+        // the r17 shape of n1's out-weight build join: unhinted — at
+        // sf0.1 the honest-sized cached edge set plans an SMJ here
+        import org.apache.spark.sql.functions.{col, count => cnt, lit, sum}
+        val e = graft.operators.GraphOps.coPurchaseEdges(s, sf)
+        val outw = e.groupBy("src").agg(sum("w").as("s"))
+        e.join(outw, "src")
+          .select(col("src"), col("dst"),
+            (col("w").cast("double") / col("s")).as("p"))
+      },
+      "n1_outw_gated" -> { s =>
+        import org.apache.spark.sql.functions.{broadcast, col, sum}
+        val e = graft.operators.GraphOps.coPurchaseEdges(s, sf)
+        val outw = e.groupBy("src").agg(sum("w").as("s"))
+        e.join(broadcast(outw), "src")
+          .select(col("src"), col("dst"),
+            (col("w").cast("double") / col("s")).as("p"))
+      },
+      "n5_body_unpartitioned" -> { s =>
+        // the r17 oriented-memo shape: DISK_ONLY persist WITHOUT the src
+        // repartition — the before half of the n5 co-location evidence
+        val ed = graft.operators.GraphOps.orientedBuild(
+            graft.operators.GraphOps.coPurchaseEdges(s, sf).select("src", "dst"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        ed.count()
+        graft.operators.GraphOps.n5Body(ed)
       },
       "n4_relax_ungated" -> { s =>
         import org.apache.spark.sql.functions.{col, expr}
         import s.implicits._
         val e = graft.operators.GraphOps.coPurchaseEdges(s, sf)
           .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
-        val d0 = Seq((0L, 0L)).toDF("part", "dist")
-        graft.operators.GraphOps.n4Relax(e, d0, d0, 1L, 1L, 0L)
+        val d0 = Seq((0L, 0L)).toDF("part", "dist").localCheckpoint()
+        val i1 = graft.operators.GraphOps.n4Relax(e, d0, d0, 1L, 1L, 0L)
+          .localCheckpoint()
+        val i1cnt = i1.count()
+        graft.operators.GraphOps.n4Relax(
+          e, i1, d0.union(i1).localCheckpoint(), i1cnt, 1L + i1cnt, 0L)
       },
       "n3_hop_expand" -> { s =>
         import org.apache.spark.sql.functions.col
         import s.implicits._
         val e = graft.operators.GraphOps.coPurchaseEdges(s, sf).select("src", "dst")
-        val seed = Seq(0L).toDF("part")
+        // HOP 2, exactly as the production loop reaches it: the hop-1
+        // frontier localCheckpoints, so its origin stats are the JOIN
+        // tree's estimates (catalyst multiplies join-side sizes — far
+        // over the broadcast threshold however small the real frontier).
+        // Hop 1 from the literal seed broadcasts fine in every regime;
+        // hops 2-3 are where the ungated plan goes sort-merge and
+        // re-exchanges the edge set (run with GRAFT_EXPLAIN_SF=sf0.1 —
+        // at sf0.01 the cached edges are under the threshold and
+        // broadcast themselves, masking the difference).
+        val seed = Seq(0L).toDF("part").localCheckpoint()
+        val gate = graft.operators.GraphOps.broadcastNodeLimit(s)
+        val f1 = graft.operators.GraphOps.n3HopExpand(e, seed, seed, 1L, 1L, gate)
+          .localCheckpoint()
+        val f1cnt = f1.count()
         graft.operators.GraphOps.n3HopExpand(
-          e, seed, seed, 1L, 1L, graft.operators.GraphOps.broadcastNodeLimit(s))
+          e, f1, seed.union(f1), f1cnt, 1L + f1cnt, gate)
           .select(col("part"))
       },
       "n4_relax" -> { s =>
@@ -70,9 +122,16 @@ object ExplainDump {
         import s.implicits._
         val e = graft.operators.GraphOps.coPurchaseEdges(s, sf)
           .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
-        val d0 = Seq((0L, 0L)).toDF("part", "dist")
+        // ROUND 2 (same rationale as n3_hop_expand: round 1's literal
+        // seed broadcasts in every regime; the checkpointed round-1
+        // improvement set carries join-tree estimate stats)
+        val d0 = Seq((0L, 0L)).toDF("part", "dist").localCheckpoint()
+        val gate = graft.operators.GraphOps.broadcastNodeLimit(s)
+        val i1 = graft.operators.GraphOps.n4Relax(e, d0, d0, 1L, 1L, gate)
+          .localCheckpoint()
+        val i1cnt = i1.count()
         graft.operators.GraphOps.n4Relax(
-          e, d0, d0, 1L, 1L, graft.operators.GraphOps.broadcastNodeLimit(s))
+          e, i1, d0.union(i1).localCheckpoint(), i1cnt, 1L + i1cnt, gate)
       },
       // the n-family's memoized edge build (pre-checkpoint — the memo
       // returns an ExistingRDD scan) and the Hilbert writers' pre-write
