@@ -421,16 +421,36 @@ object AnnIndexStore {
     * exercises; [[appendIncrement]] is the arrival path. */
   def persistOldTrained(spark: SparkSession, dir: String, root: String): Unit = {
     import spark.implicits._
-    val coarse = SimilarityQueries.trainedCentroids(spark, dir, "old", 10, 3)
-    val cents = SimilarityQueries.pqCodebooks(spark, dir, "old")
-    table(spark, root, "coarse", coarseSchema).publish(coarse.toDF("cell", "centroid"))
-    table(spark, root, "codebooks", codebookSchema).publish(
-      cents.zipWithIndex
-        .flatMap { case (cb, s) => cb.map { case (c, v) => (s, c, v) } }
-        .toDF("s", "cell", "centroid"))
-    val old = Tables.t(spark, dir, "embeddings").filter(col("vec_id") % 7 =!= 0)
-    table(spark, root, "coded", codedSchema)
-      .publish(SimilarityQueries.encodeWith(old, coarse, cents))
+    // r18: same guide §2.6 overlap as [[persist]] — the old-slice Lloyd
+    // and PQ chains are independent job chains; the coded encode needs
+    // both. Distinct table dirs, memo-serialized builds (see persist).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fCoarse = Future {
+        val coarse = SimilarityQueries.trainedCentroids(spark, dir, "old", 10, 3)
+        table(spark, root, "coarse", coarseSchema)
+          .publish(coarse.toDF("cell", "centroid"))
+        coarse
+      }
+      val fBooks = Future {
+        val cents = SimilarityQueries.pqCodebooks(spark, dir, "old")
+        table(spark, root, "codebooks", codebookSchema).publish(
+          cents.zipWithIndex
+            .flatMap { case (cb, s) => cb.map { case (c, v) => (s, c, v) } }
+            .toDF("s", "cell", "centroid"))
+        cents
+      }
+      val fCoded = for (coarse <- fCoarse; cents <- fBooks) yield {
+        val old = Tables.t(spark, dir, "embeddings").filter(col("vec_id") % 7 =!= 0)
+        table(spark, root, "coded", codedSchema)
+          .publish(SimilarityQueries.encodeWith(old, coarse, cents))
+      }
+      Await.result(fCoded, Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** The index-maintenance ARRIVAL path: encode `pred`'s vectors with the

@@ -238,7 +238,12 @@ object GraphOps {
     * edge-set pass. */
   def n2Hits(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val e = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // fanOutSmallScan (r18): the bipartite build's map stage (broadcast
+    // join probe + partial distinct over the full fact) ran on lineitem's
+    // ONE scan partition at bench SFs; no-op at many-file scale
+    val e = Tables.fanOutSmallScan(
+        t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey")
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
